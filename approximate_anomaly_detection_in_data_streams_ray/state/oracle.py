@@ -1,0 +1,124 @@
+"""Independent brute-force oracle for the exact sliding-window semantics.
+
+This is NOT the production detector — it is a deliberately-simple O(n·W)
+second implementation used only by tests, derived from the *definition*
+rather than the reference's incremental structure, so that agreement with
+:class:`..state.detectors.MCOD` is a meaningful two-implementation check.
+
+Definition being checked (SURVEY.md §2.4, §2.7):
+  * ids 1..n in arrival order; count-based window of size W sliding by
+    ``slide``; window = ids in ``[start, end]`` inclusive; the window fills
+    to W before the first slide; final partial window flushed at stream end.
+  * neighbors: Euclidean distance <= R.
+  * a point's neighbor count at a moment = permanent count of
+    same-or-later-slide neighbors (they can never expire before the point)
+    + preceding-slide neighbors whose id >= current window start.
+  * **pure outlier** = a point whose neighbor count never reached k at any
+    moment of its lifetime.  (Equivalent to the reference's "flagged
+    outlier at least once and never inlier", `OutlierDetector.java:49-54`:
+    MCOD promotes to inlier exactly when the count reaches k, demotes via
+    the event queue exactly when expiries drop it below k, and micro-cluster
+    membership implies count >= k — see the proof sketch in tests.)
+
+Counter parity: ``nOnlyOutlier`` equals the pure-outlier total exactly.
+``nOnlyInlier``/``nBothInlierOutlier`` can legitimately differ from MCOD by
+the transient outlier classifications MCOD emits while re-inserting members
+of a dissolved micro-cluster (order-dependent in the reference itself via
+M-tree traversal order); the oracle reports the transient-free values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def brute_force_detect(
+    points: np.ndarray, window_size: int, slide_size: int, radius: float, k: int
+) -> tuple[list[int], dict]:
+    """Return (sorted pure-outlier ids, counters) for the exact semantics."""
+    pts = np.asarray(points, dtype=np.float64)
+    n = len(pts)
+    W, S, R = window_size, slide_size, float(radius)
+
+    # state per point (1-based ids; index id-1)
+    count_after = np.zeros(n + 1, dtype=np.int64)
+    prec: list[list[int]] = [[] for _ in range(n + 1)]  # ids, ascending
+    ever_inlier = np.zeros(n + 1, dtype=bool)
+    ever_outlier = np.zeros(n + 1, dtype=bool)
+    is_inlier_now = np.zeros(n + 1, dtype=bool)
+
+    window: list[int] = []  # ids, ascending
+    start, end = 1, W
+
+    def slide_of(i: int) -> int:
+        return (i - 1) // S + 1
+
+    def cnt(i: int) -> int:
+        p = prec[i]
+        # number of preceding neighbors still in window (ids >= start)
+        lo, hi = 0, len(p)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if p[mid] < start:
+                lo = mid + 1
+            else:
+                hi = mid
+        return int(count_after[i]) + (len(p) - lo)
+
+    next_id = 1
+    while next_id <= n:
+        batch = list(range(next_id, min(next_id + S, n + 1)))
+        next_id = batch[-1] + 1
+
+        if len(window) >= W:
+            start += S
+            end += S
+            # expire
+            while window and window[0] < start:
+                window.pop(0)
+            # demotion moments: any current inlier whose count dropped < k
+            for i in window:
+                if is_inlier_now[i] and cnt(i) < k:
+                    is_inlier_now[i] = False
+                    ever_outlier[i] = True
+
+        for i in batch:
+            vi = pts[i - 1]
+            if window:
+                warr = np.array(window)
+                d = pts[warr - 1] - vi
+                dist = np.sqrt(np.einsum("ij,ij->i", d, d))
+                neigh = warr[dist <= R]
+            else:
+                neigh = np.empty(0, dtype=np.int64)
+            si = slide_of(i)
+            for j in neigh.tolist():
+                # i is the newest point: every neighbor j has slide <= si
+                if slide_of(j) == si:
+                    count_after[i] += 1
+                else:
+                    prec[i].append(j)  # appended in ascending id order
+                # j's view of i: same-or-later slide → count_after
+                count_after[j] += 1
+                if not is_inlier_now[j] and cnt(j) >= k:
+                    is_inlier_now[j] = True
+                    ever_inlier[j] = True
+            prec[i].sort()
+            if cnt(i) >= k:
+                is_inlier_now[i] = True
+                ever_inlier[i] = True
+            else:
+                is_inlier_now[i] = False
+                ever_outlier[i] = True
+            window.append(i)
+
+    ids = np.arange(1, n + 1)
+    pure = ids[ever_outlier[1:] & ~ever_inlier[1:]]
+    n_only_out = int((ever_outlier[1:] & ~ever_inlier[1:]).sum())
+    n_only_in = int((ever_inlier[1:] & ~ever_outlier[1:]).sum())
+    n_both = int((ever_inlier[1:] & ever_outlier[1:]).sum())
+    return pure.tolist(), {
+        "nBothInlierOutlier": n_both,
+        "nOnlyInlier": n_only_in,
+        "nOnlyOutlier": n_only_out,
+    }
