@@ -1,0 +1,11 @@
+"""Built-in validation checks.
+
+Each check consumes the narrow features Dataset (see ``stages/features.py``)
+and produces (violations Dataset | Arrow table, per-partition verdict rows).
+The registry is the engine's user-extension surface — the analogue of the
+reference's pluggable detector/index type parameters (SURVEY.md §2.8).
+"""
+
+from .base import ValidationConfig, CHECK_REGISTRY, register_check
+
+__all__ = ["ValidationConfig", "CHECK_REGISTRY", "register_check"]

@@ -1,0 +1,320 @@
+"""Distribution-drift check: the reference's detectors as a Ray Data stage.
+
+Per BASELINE.json north_star, the reference's sliding-window outlier
+detection (`src/algorithms/MCOD.java` et al.) is rebuilt as the engine's
+drift check: each repo partition's file stream — ordered features
+(log length, log line count, scaled lang code) — is fed through a
+per-partition detector window inside an actor pool.  Violations are the
+pure-outlier rows (the reference's report, `src/Executor.java:209-222`);
+the per-repo verdict compares the fraction of points *ever* classified
+outlier against a threshold (sustained distribution shifts surface as a
+burst of outlier classifications while the window still holds the old
+regime).
+
+Scale/salting: work items are row-group ranges (``pipelines/
+partitioning.py``); a hot repo split across items runs one window per
+sub-stream (salted sub-partition) and the final ``groupby(repo)`` sums the
+counters — the explicit skew handling the north_rule demands.  Output is
+written per item (atomic + manifest) so a killed run resumes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..state.detectors import MCOD, ApproxMCOD, LSHOD, ApproxMCLSHOD
+from .base import ValidationConfig, register_check
+
+DRIFT_FEATURES = ["log_len", "n_lines_log", "lang_code"]
+
+
+def make_detector(cfg: ValidationConfig, dims: int, partition_seed: int,
+                  radius: float | None = None):
+    algo = cfg.drift_algorithm
+    W, S, k = cfg.drift_window, cfg.drift_slide, cfg.drift_k
+    R = cfg.drift_radius if radius is None else radius
+    if algo == "mcod":
+        return MCOD(W, S, R, k, dims)
+    if algo == "approx_mcod":
+        return ApproxMCOD(W, S, R, k, dims, cfg.drift_pd_limit, cfg.drift_ar_factor,
+                          seed=partition_seed)
+    if algo == "lshod":
+        return LSHOD(W, S, R, k, dims, w=max(1, int(R)), seed=partition_seed)
+    if algo == "approx_mclshod":
+        return ApproxMCLSHOD(W, S, R, k, dims, w=max(1, int(3 * R / 2)), seed=partition_seed)
+    raise ValueError(f"unknown drift algorithm {algo!r}")
+
+
+def calibrate_radius(vectors: np.ndarray, k: int, window: int, factor: float) -> float:
+    """R = 0.9-quantile k-NN distance of the first *window*-sized sample
+    × factor.
+
+    The reference leaves R as a per-dataset CLI knob (``--R``,
+    `src/Executor.java:68-70`); an unsupervised multi-partition engine must
+    instead adapt R to each partition's local density so the outlier rate
+    is comparable across partitions of very different scale.  The sample
+    MUST be window-sized: the detector asks for k neighbors among ≤W
+    in-window points, so calibrating on a denser sample yields an R too
+    small for the window's density and floods the check with outliers.
+    0.9-quantile, not median: dense duplicate-feature cores would collapse
+    the median to ~0 and flag every moderately-spread point."""
+    sample = vectors[: min(len(vectors), window)]
+    if len(sample) <= k + 1:
+        return 1.0
+    d = sample[:, None, :] - sample[None, :, :]
+    dist = np.sqrt(np.einsum("ijk,ijk->ij", d, d))
+    kth = np.partition(dist, k, axis=1)[:, k]  # k-th neighbor (self at 0)
+    # median (not a high quantile): for short sub-streams the calibration
+    # sample can contain the drifted tail itself — the median is robust to
+    # ≤50% contamination, a 0.9-quantile is exactly the contaminated region
+    r = float(np.quantile(kth, 0.5)) * factor
+    return max(r, 1e-6)
+
+
+def detect_partition(vectors: np.ndarray, cfg: ValidationConfig, partition_seed: int):
+    """Run one sub-stream through a detector; return (outlier 0-based
+    indices, counters, drift metrics).  Mirrors
+    `Executor.performOutlierDetection` (`src/Executor.java:94-137`):
+    slide-sized micro-batches then final window flush.  Additionally tracks
+    the per-slide outlier-classification rate — a sustained distribution
+    shift shows up as a burst of outlier classifications while the window
+    still holds the previous regime."""
+    radius = cfg.drift_radius
+    if cfg.drift_auto_radius:
+        radius = calibrate_radius(vectors, cfg.drift_k, cfg.drift_window,
+                                  cfg.drift_radius_factor)
+    det = make_detector(cfg, vectors.shape[1], partition_seed, radius)
+    S = cfg.drift_slide
+    # don't score while the window is too sparse to host k neighbors
+    warmup = max(2 * cfg.drift_k, cfg.drift_window // 4)
+    max_rate, prev_events = 0.0, 0
+    scored_events, scored_points = 0, 0
+    for start in range(0, len(vectors), S):
+        batch = vectors[start : start + S]
+        window_filled = len(det.window) >= warmup
+        det.process_new_stream_objects(batch)
+        events = det.n_insert_outliers
+        delta = events - prev_events
+        prev_events = events
+        if window_filled:
+            max_rate = max(max_rate, delta / max(1, len(batch)))
+            scored_events += delta
+            scored_points += len(batch)
+    det.evaluate_remaining_elems_in_win()
+    res = det.get_results()
+    idx = np.array(sorted(det.outliers_found), dtype=np.int64) - 1  # ids are 1-based
+    metrics = {
+        "radius": radius,
+        "max_slide_outlier_rate": max_rate,
+        "scored_events": scored_events,
+        "scored_points": scored_points,
+    }
+    return idx, res, metrics
+
+
+def chunk_vectors(vecs: np.ndarray, chunk_rows: int) -> tuple[np.ndarray, np.ndarray]:
+    """Aggregate a (n, d) row-feature stream into per-chunk distribution
+    vectors: [means of each feature, std of feature 0] — the
+    "content-length/lang distribution" points the drift detector scores.
+
+    Returns (chunk_matrix, chunk_start_row_indices).  A trailing partial
+    chunk is kept if it has at least half a chunk of rows."""
+    n = len(vecs)
+    C = chunk_rows
+    if C <= 1:
+        return vecs, np.arange(n)
+    n_full = n // C
+    starts = np.arange(n_full) * C
+    if n_full == 0:
+        return vecs.mean(axis=0, keepdims=True), np.array([0])
+    body = vecs[: n_full * C].reshape(n_full, C, vecs.shape[1])
+    means = body.mean(axis=1)
+    stds = body[:, :, 0].std(axis=1, keepdims=True)
+    chunks = np.concatenate([means, stds], axis=1)
+    tail = n - n_full * C
+    if tail >= C // 2:
+        tmean = vecs[n_full * C :].mean(axis=0)
+        tstd = vecs[n_full * C :, 0].std()
+        chunks = np.vstack([chunks, np.concatenate([tmean, [tstd]])])
+        starts = np.concatenate([starts, [n_full * C]])
+    return chunks, starts
+
+
+class DriftRunner:
+    """Actor over work items: read each item's feature file, run one
+    detector window per contiguous repo run, write violations per item,
+    return per-(repo, item) counter rows for the verdict merge."""
+
+    def __init__(self, out_dir: str, cfg: ValidationConfig) -> None:
+        from ..pipelines.checkpoint import Manifest
+
+        self.out_dir = out_dir
+        self.cfg = cfg
+        self.manifest = Manifest(out_dir)
+        self.scales = np.array([cfg.feature_scales.get(f, 1.0) for f in DRIFT_FEATURES])
+
+    def _run_item(self, item_id: str) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from ..functions.hashing import stable_hash64
+        from ..pipelines.checkpoint import atomic_write_parquet
+
+        summary_path = os.path.join(self.out_dir, "drift_summaries", f"item={item_id}.parquet")
+        unit = f"drift/{item_id}"
+        if self.manifest.is_done(unit) and os.path.exists(summary_path):
+            return pq.read_table(summary_path)
+
+        feat_path = os.path.join(self.out_dir, "features", f"item={item_id}", "part.parquet")
+        t = pq.read_table(feat_path, columns=["repo", "row_ref"] + DRIFT_FEATURES)
+        repos = np.asarray(t["repo"].to_pylist())
+        vecs = np.stack(
+            [t[c].to_numpy(zero_copy_only=False).astype(np.float64) for c in DRIFT_FEATURES],
+            axis=1,
+        ) * self.scales
+
+        # contiguous repo runs = sub-streams (rows are repo-contiguous by
+        # construction; a repo restarted in a later item is a salted split)
+        change = np.nonzero(repos[1:] != repos[:-1])[0] + 1
+        bounds = [0, *change.tolist(), len(repos)]
+
+        v_rows = {"check": [], "partition_key": [], "row_ref": [], "detail": []}
+        s_rows = {"repo": [], "item_id": [], "n": [], "n_pure_outliers": [],
+                  "n_outlier_events": [], "n_range_queries": [],
+                  "max_slide_outlier_rate": [], "radius": [], "insufficient": [],
+                  "scored_events": [], "scored_points": []}
+        C = max(1, self.cfg.drift_chunk_rows)
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            repo = str(repos[b0])
+            n_sub = b1 - b0
+            seed = int(stable_hash64([repo])[0] % (2**31)) ^ self.cfg.drift_seed
+            chunks, starts = chunk_vectors(vecs[b0:b1], C)
+            if len(chunks) < self.cfg.drift_min_points:
+                idx = np.empty(0, dtype=np.int64)
+                res = {"nOnlyOutlier": 0, "nBothInlierOutlier": 0,
+                       "nRangeQueriesExecuted": 0}
+                met = {"radius": 0.0, "max_slide_outlier_rate": 0.0,
+                       "scored_events": 0, "scored_points": 0}
+                n_points = 0
+                insufficient = True
+            else:
+                idx, res, met = detect_partition(chunks, self.cfg, seed)
+                n_points = len(chunks)
+                insufficient = False
+            refs = t["row_ref"].slice(b0, n_sub).to_pylist()
+            for i in idx.tolist():
+                r0 = int(starts[i])
+                r1 = int(starts[i + 1]) if i + 1 < len(starts) else n_sub
+                v_rows["check"].append("drift")
+                v_rows["partition_key"].append(repo)
+                v_rows["row_ref"].append(refs[r0])
+                v_rows["detail"].append(f"pure_outlier_chunk rows {r0}-{r1 - 1}")
+            s_rows["repo"].append(repo)
+            s_rows["item_id"].append(item_id)
+            s_rows["n"].append(n_points if not insufficient else n_sub)
+            s_rows["n_pure_outliers"].append(len(idx))
+            s_rows["n_outlier_events"].append(
+                res["nOnlyOutlier"] + res["nBothInlierOutlier"]
+            )
+            s_rows["n_range_queries"].append(res["nRangeQueriesExecuted"])
+            s_rows["max_slide_outlier_rate"].append(met["max_slide_outlier_rate"])
+            s_rows["radius"].append(met["radius"])
+            s_rows["insufficient"].append(insufficient)
+            s_rows["scored_events"].append(met["scored_events"])
+            s_rows["scored_points"].append(met["scored_points"])
+
+        violations = pa.table(
+            {k: pa.array(v, pa.string()) for k, v in v_rows.items()}
+        )
+        atomic_write_parquet(
+            violations, os.path.join(self.out_dir, "violations", "drift",
+                                     f"item={item_id}", "part.parquet")
+        )
+        summary = pa.table(
+            {
+                "repo": pa.array(s_rows["repo"], pa.string()),
+                "item_id": pa.array(s_rows["item_id"], pa.string()),
+                "n": pa.array(s_rows["n"], pa.int64()),
+                "n_pure_outliers": pa.array(s_rows["n_pure_outliers"], pa.int64()),
+                "n_outlier_events": pa.array(s_rows["n_outlier_events"], pa.int64()),
+                "n_range_queries": pa.array(s_rows["n_range_queries"], pa.int64()),
+                "max_slide_outlier_rate": pa.array(
+                    s_rows["max_slide_outlier_rate"], pa.float64()
+                ),
+                "radius": pa.array(s_rows["radius"], pa.float64()),
+                "insufficient": pa.array(s_rows["insufficient"], pa.bool_()),
+                "scored_events": pa.array(s_rows["scored_events"], pa.int64()),
+                "scored_points": pa.array(s_rows["scored_points"], pa.int64()),
+            }
+        )
+        atomic_write_parquet(summary, summary_path)
+        self.manifest.mark_done(unit)
+        return summary
+
+    def __call__(self, items: pa.Table) -> pa.Table:
+        outs = [self._run_item(items["item_id"][i].as_py()) for i in range(len(items))]
+        return pa.concat_tables(outs)
+
+
+def merge_drift_summaries(g: pd.DataFrame, cfg: ValidationConfig) -> pd.DataFrame:
+    """Per-repo verdict from salted sub-stream counters: sums merge across
+    sub-streams; the slide-rate spike merges by max (it is a local signal)."""
+    scored = g[~g["insufficient"]]
+    n = int(scored["n"].sum())
+    events = int(scored["scored_events"].sum())
+    n_scored_pts = int(scored["scored_points"].sum())
+    frac = events / max(1, n_scored_pts)
+    max_rate = float(scored["max_slide_outlier_rate"].max()) if len(scored) else 0.0
+    if n == 0:  # nothing scoreable: insufficient data, pass with a note
+        passed, reason = True, "insufficient_rows"
+    else:
+        passed = (
+            frac <= cfg.drift_max_outlier_event_frac
+            and max_rate <= cfg.drift_max_slide_outlier_rate
+        )
+        reason = ""
+    return pd.DataFrame(
+        {
+            "partition_key": [g["repo"].iloc[0]],
+            "check": ["drift"],
+            "passed": [passed],
+            "n_violations": [int(scored["n_pure_outliers"].sum())],
+            "n_rows": [int(g["n"].sum())],
+            "metrics": [json.dumps(
+                {
+                    "outlier_event_frac": frac,
+                    "max_slide_outlier_rate": max_rate,
+                    "scored_events": events,
+                    "scored_points": n_scored_pts,
+                    "n_outlier_events": int(scored["n_outlier_events"].sum()),
+                    "n_range_queries": int(scored["n_range_queries"].sum()),
+                    "n_substreams": int(len(g)),
+                    "note": reason,
+                }
+            )],
+        }
+    )
+
+
+@register_check("drift")
+def run_drift_check(items_ds, cfg: ValidationConfig, ctx):
+    """items_ds: Dataset of work items (must run after feature extraction)."""
+    summaries = items_ds.map_batches(
+        DriftRunner,
+        fn_constructor_args=(ctx["out_dir"], cfg),
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=cfg.drift_concurrency,
+    )
+    sdf = summaries.to_pandas()
+    verdict_rows = []
+    for _, g in sdf.groupby("repo"):
+        verdict_rows.append(merge_drift_summaries(g, cfg).iloc[0].to_dict())
+    import ray
+
+    vio = ray.data.read_parquet(os.path.join(ctx["out_dir"], "violations", "drift"))
+    return vio, verdict_rows

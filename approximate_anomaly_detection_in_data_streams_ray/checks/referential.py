@@ -1,0 +1,82 @@
+"""Referential-integrity check: repo/commit keys vs the dimension tables.
+
+The broadcast-semi-join pattern (SURVEY.md §2.6 J2): the dimension key sets
+are ``ray.put`` once on the driver and materialized per actor in
+``__init__`` — never re-shipped per batch — then membership is a vectorized
+``pc.is_in`` per batch.  For dimension tables too large to broadcast the
+fallback is the bucketed hash join in ``stages/joins.py``.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from .base import ValidationConfig, register_check
+
+
+class RefLookup:
+    """Actor: anti-join each batch against broadcast dimension key sets."""
+
+    def __init__(self, dims_ref):
+        repo_keys, commit_keys = ray.get(dims_ref)
+        self.repo_set = pa.array(repo_keys, pa.string())
+        self.commit_set = pa.array(commit_keys, pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bad_repo = pc.invert(pc.is_in(batch["repo"], value_set=self.repo_set))
+        bad_commit = pc.invert(pc.is_in(batch["commit"], value_set=self.commit_set))
+        out = {"check": [], "partition_key": [], "row_ref": [], "detail": []}
+        for check, mask, col in (
+            ("referential_repo", bad_repo, "repo"),
+            ("referential_commit", bad_commit, "commit"),
+        ):
+            sub = batch.filter(pc.fill_null(mask, True))
+            out["check"].extend([check] * len(sub))
+            out["partition_key"].extend(sub["repo"].to_pylist())
+            out["row_ref"].extend(sub["row_ref"].to_pylist())
+            out["detail"].extend(str(v) for v in sub[col].to_pylist())
+        return pa.table(
+            {
+                "check": pa.array(out["check"], pa.string()),
+                "partition_key": pa.array(out["partition_key"], pa.string()),
+                "row_ref": pa.array(out["row_ref"], pa.string()),
+                "detail": pa.array(out["detail"], pa.string()),
+            }
+        )
+
+
+@register_check("referential")
+def run_referential_check(features_ds, cfg: ValidationConfig, ctx):
+    repos = pq.read_table(ctx["repos_path"], columns=["repo"])
+    commits = pq.read_table(ctx["commits_path"], columns=["commit"])
+    dims_ref = ray.put(
+        (repos["repo"].to_pylist(), commits["commit"].to_pylist())
+    )
+    violations = features_ds.map_batches(
+        RefLookup,
+        fn_constructor_args=(dims_ref,),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=2,
+        num_cpus=0.5,
+    )
+    # per-repo verdicts from the (small) violations table
+    vdf = violations.to_pandas()
+    verdict_rows = []
+    for (repo, check), g in vdf.groupby(["partition_key", "check"]):
+        verdict_rows.append(
+            {
+                "partition_key": repo,
+                "check": check,
+                "passed": False,
+                "n_violations": int(len(g)),
+                "n_rows": -1,
+                "metrics": json.dumps({"example": g["detail"].iloc[0]}),
+            }
+        )
+    return ray.data.from_pandas(vdf) if len(vdf) else violations, verdict_rows

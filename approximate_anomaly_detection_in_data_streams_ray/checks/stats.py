@@ -1,0 +1,165 @@
+"""Column-stats check: null rates, length min/max/moments, HLL cardinality.
+
+Classic partial+final aggregation (the scalable shape of the reference's
+counter HashMap, `src/algorithms/MCODBase.java:196-227`): one partial row
+per (repo, batch) computed vectorized inside ``map_batches`` — including a
+serialized HyperLogLog register block per repo for path/commit cardinality —
+then a tiny ``groupby("repo").map_groups`` merge.  Raw rows are never
+shuffled.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.sketches import HyperLogLog, hll_merge_bytes
+from ..functions.hashing import stable_hash64
+from .base import ValidationConfig, register_check
+
+
+def stats_partials(batch: pa.Table) -> pa.Table:
+    """One partial-aggregate row per repo present in this batch."""
+    df_cols = {
+        "repo": batch["repo"].to_numpy(zero_copy_only=False),
+        "len": batch["content_len"].to_numpy(zero_copy_only=False).astype(np.float64),
+        "null_lang": pc.is_null(batch["lang"]).to_numpy(zero_copy_only=False),
+        "null_path": pc.is_null(batch["path"]).to_numpy(zero_copy_only=False),
+        "path_h": stable_hash64(batch["path"]),
+        "commit_h": stable_hash64(batch["commit"]),
+    }
+    df = pd.DataFrame(df_cols)
+    rows = {k: [] for k in (
+        "repo", "n", "n_null_lang", "n_null_path", "len_sum", "len_sum2",
+        "len_min", "len_max", "hll_path", "hll_commit")}
+    for repo, g in df.groupby("repo", sort=True):
+        rows["repo"].append(repo)
+        rows["n"].append(len(g))
+        rows["n_null_lang"].append(int(g["null_lang"].sum()))
+        rows["n_null_path"].append(int(g["null_path"].sum()))
+        rows["len_sum"].append(float(g["len"].sum()))
+        rows["len_sum2"].append(float((g["len"] ** 2).sum()))
+        rows["len_min"].append(float(g["len"].min()))
+        rows["len_max"].append(float(g["len"].max()))
+        rows["hll_path"].append(HyperLogLog(p=10).add_hashes(g["path_h"].to_numpy()).to_bytes())
+        rows["hll_commit"].append(HyperLogLog(p=10).add_hashes(g["commit_h"].to_numpy()).to_bytes())
+    return pa.table(
+        {
+            "repo": pa.array(rows["repo"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "n_null_lang": pa.array(rows["n_null_lang"], pa.int64()),
+            "n_null_path": pa.array(rows["n_null_path"], pa.int64()),
+            "len_sum": pa.array(rows["len_sum"], pa.float64()),
+            "len_sum2": pa.array(rows["len_sum2"], pa.float64()),
+            "len_min": pa.array(rows["len_min"], pa.float64()),
+            "len_max": pa.array(rows["len_max"], pa.float64()),
+            "hll_path": pa.array(rows["hll_path"], pa.binary()),
+            "hll_commit": pa.array(rows["hll_commit"], pa.binary()),
+        }
+    )
+
+
+def merge_stats_partials(g: pd.DataFrame) -> pd.DataFrame:
+    n = int(g["n"].sum())
+    len_sum = float(g["len_sum"].sum())
+    len_sum2 = float(g["len_sum2"].sum())
+    mean = len_sum / max(n, 1)
+    var = max(0.0, len_sum2 / max(n, 1) - mean * mean)
+    return pd.DataFrame(
+        {
+            "repo": [g["repo"].iloc[0]],
+            "n": [n],
+            "n_null_lang": [int(g["n_null_lang"].sum())],
+            "n_null_path": [int(g["n_null_path"].sum())],
+            "len_min": [float(g["len_min"].min())],
+            "len_max": [float(g["len_max"].max())],
+            "len_mean": [mean],
+            "len_std": [var ** 0.5],
+            "approx_distinct_paths": [
+                HyperLogLog.from_bytes(hll_merge_bytes(list(g["hll_path"]))).estimate()
+            ],
+            "approx_distinct_commits": [
+                HyperLogLog.from_bytes(hll_merge_bytes(list(g["hll_commit"]))).estimate()
+            ],
+        }
+    )
+
+
+def null_and_length_violations(batch: pa.Table, min_len: int, max_len: int) -> pa.Table:
+    """Row-level violations, fully vectorized (one boolean kernel pass)."""
+    null_lang = pc.is_null(batch["lang"])
+    null_path = pc.is_null(batch["path"])
+    clen = batch["content_len"]
+    bad_len = pc.or_(pc.less(clen, min_len), pc.greater_equal(clen, max_len))
+    out = {"check": [], "partition_key": [], "row_ref": [], "detail": []}
+    for check, mask in (
+        ("null_lang", null_lang),
+        ("null_path", null_path),
+        ("content_len_range", bad_len),
+    ):
+        sub = batch.filter(pc.fill_null(mask, False))
+        out["check"].extend([check] * len(sub))
+        out["partition_key"].extend(sub["repo"].to_pylist())
+        out["row_ref"].extend(sub["row_ref"].to_pylist())
+        if check == "content_len_range":
+            out["detail"].extend(str(v) for v in sub["content_len"].to_pylist())
+        else:
+            out["detail"].extend([""] * len(sub))
+    return pa.table(
+        {
+            "check": pa.array(out["check"], pa.string()),
+            "partition_key": pa.array(out["partition_key"], pa.string()),
+            "row_ref": pa.array(out["row_ref"], pa.string()),
+            "detail": pa.array(out["detail"], pa.string()),
+        }
+    )
+
+
+@register_check("stats")
+def run_stats_check(features_ds, cfg: ValidationConfig, ctx=None):
+    partials = features_ds.map_batches(
+        stats_partials, batch_format="pyarrow", batch_size=cfg.batch_size
+    )
+    merged = partials.groupby("repo").map_groups(merge_stats_partials, batch_format="pandas")
+    stats_df = merged.to_pandas()  # one row per repo — small by design
+
+    violations = features_ds.map_batches(
+        lambda b: null_and_length_violations(b, cfg.min_content_len, cfg.max_content_len),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
+
+    verdict_rows = []
+    for _, r in stats_df.iterrows():
+        null_rate = (r["n_null_lang"] + r["n_null_path"]) / max(1, r["n"])
+        n_len_bad = 0  # row-level count comes from the violations table
+        passed = bool(
+            null_rate <= cfg.max_null_rate
+            and r["len_min"] >= cfg.min_content_len
+            and r["len_max"] < cfg.max_content_len
+        )
+        verdict_rows.append(
+            {
+                "partition_key": r["repo"],
+                "check": "stats",
+                "passed": passed,
+                "n_violations": int(r["n_null_lang"] + r["n_null_path"] + n_len_bad),
+                "n_rows": int(r["n"]),
+                "metrics": json.dumps(
+                    {
+                        "null_rate": null_rate,
+                        "len_min": r["len_min"],
+                        "len_max": r["len_max"],
+                        "len_mean": r["len_mean"],
+                        "len_std": r["len_std"],
+                        "approx_distinct_paths": r["approx_distinct_paths"],
+                        "approx_distinct_commits": r["approx_distinct_commits"],
+                    }
+                ),
+            }
+        )
+    return violations, verdict_rows

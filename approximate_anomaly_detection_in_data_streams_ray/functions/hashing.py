@@ -1,0 +1,77 @@
+"""Deterministic, process-stable hashing kernels.
+
+Python's builtin ``hash`` is salted per process and MUST NOT be used in any
+distributed stage (workers would disagree).  Everything here is stable
+across processes and runs:
+
+* :func:`stable_hash64` — vectorized 64-bit hash (pandas' SipHash-based
+  ``hash_pandas_object`` with a fixed key) for partitioning / sketches;
+* :func:`sha256_hex` / :func:`md5_hex` — cryptographic digests; sha256 is
+  the end-to-end content invariant required by BASELINE.json, md5 matches
+  DuckDB's ``md5()`` so dedup keys can be oracle-checked in SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def stable_hash64(values, seed: str = "aads") -> np.ndarray:
+    """uint64 hash of a string/int array; deterministic across processes."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_pandas()
+    s = pd.Series(values)
+    return pd.util.hash_pandas_object(s, index=False, hash_key=seed.ljust(16, "_")[:16]).to_numpy()
+
+
+def sha256_hex(values) -> list[str]:
+    """Hex sha256 per element.  hashlib releases the GIL on large inputs and
+    the loop is per-batch inside a Ray task — acceptable; heavy pipelines
+    should prefer :func:`sha256_hex_arrow` (DuckDB's C++ kernel)."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_pylist()
+    return [hashlib.sha256((v or "").encode()).hexdigest() for v in values]
+
+
+_DUCK = None
+
+
+def _duck():
+    global _DUCK
+    if _DUCK is None:
+        import duckdb
+
+        _DUCK = duckdb.connect()
+    return _DUCK
+
+
+def sha256_hex_arrow(table: pa.Table, col: str, out: str = "sha256") -> pa.Table:
+    """Append a sha256-hex column using DuckDB's vectorized kernel."""
+    con = _duck()
+    con.register("_t", table)
+    res = con.execute(f'SELECT sha256("{col}") AS h FROM _t').arrow()
+    con.unregister("_t")
+    return table.append_column(out, res["h"].combine_chunks().cast(pa.string()))
+
+
+def md5_hex_arrow(table: pa.Table, col: str, out: str = "md5") -> pa.Table:
+    con = _duck()
+    con.register("_t", table)
+    res = con.execute(f'SELECT md5("{col}") AS h FROM _t').arrow()
+    con.unregister("_t")
+    return table.append_column(out, res["h"].combine_chunks().cast(pa.string()))
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — cheap derived hash families."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return x

@@ -1,0 +1,186 @@
+"""Mergeable sketches: HyperLogLog, MinHash signatures, SimHash.
+
+These are the engine's partial-aggregation workhorses: one sketch per batch
+(or per key per batch) inside ``map_batches``, merged in a tiny downstream
+``groupby`` — the pattern that keeps 100 TB groupbys from shuffling raw
+rows.  The reference's only "sketch" is the neighbor-count bookkeeping of
+its window entries (`src/core/DataObj.java`); HLL/MinHash/SimHash are the
+engine-level generalisations used by the cardinality and dedup checks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import splitmix64, stable_hash64
+
+# ---------------------------------------------------------------- HyperLogLog
+
+
+class HyperLogLog:
+    """Dense HLL with 2**p registers; numpy add, elementwise-max merge."""
+
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None) -> None:
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        h = h.astype(np.uint64, copy=False)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64(1)  # sentinel bit
+        # rank = #leading zeros of rest + 1, vectorized via float64 exponent
+        rank = np.zeros(len(h), dtype=np.uint8)
+        nz = rest != 0
+        # log2 via frexp on float conversion is lossy >2^53; use bit tricks:
+        hi = (rest >> np.uint64(32)).astype(np.uint32)
+        lo = (rest & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        lead_hi = 32 - np.frexp(hi.astype(np.float64))[1]
+        lead = np.where(hi != 0, lead_hi, 32 + (32 - np.frexp(lo.astype(np.float64))[1]))
+        rank[nz] = (lead[nz] + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def add(self, values) -> "HyperLogLog":
+        return self.add_hashes(stable_hash64(values))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        inv = np.ldexp(1.0, -self.registers.astype(np.int32))
+        est = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # linear counting, small range
+        return float(est)
+
+    # --- serialization for shipping through Arrow groupby-aggregate
+    def to_bytes(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "HyperLogLog":
+        p = b[0]
+        return cls(p, np.frombuffer(b[1:], dtype=np.uint8).copy())
+
+
+def hll_merge_bytes(blobs) -> bytes:
+    out: HyperLogLog | None = None
+    for b in blobs:
+        h = HyperLogLog.from_bytes(b if isinstance(b, bytes) else bytes(b))
+        out = h if out is None else out.merge(h)
+    return out.to_bytes() if out is not None else HyperLogLog().to_bytes()
+
+
+# ------------------------------------------------------------------- shingles
+
+
+def char_shingle_hashes(text: str, n: int = 5) -> np.ndarray:
+    """uint64 rolling-polynomial hashes of the character n-grams of *text*
+    (the document-fingerprint primitive).  Vectorized over the byte array."""
+    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(b) < n:
+        b = np.pad(b, (0, n - len(b)), constant_values=32)
+    win = np.lib.stride_tricks.sliding_window_view(b, n).astype(np.uint64)
+    base = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        powers = base ** np.arange(n, dtype=np.uint64)
+        h = (win * powers).sum(axis=1, dtype=np.uint64)
+    return splitmix64(h)
+
+
+def word_shingle_hashes(token_hashes: np.ndarray, n: int = 3) -> np.ndarray:
+    """Combine consecutive token hashes into n-gram shingle hashes."""
+    t = token_hashes.astype(np.uint64, copy=False)
+    if len(t) < n:
+        t = np.pad(t, (0, n - len(t)), constant_values=0)
+    win = np.lib.stride_tricks.sliding_window_view(t, n)
+    with np.errstate(over="ignore"):
+        mix = np.uint64(0)
+        out = np.zeros(len(win), dtype=np.uint64)
+        for j in range(n):
+            out = splitmix64(out + win[:, j])
+    return out
+
+
+# -------------------------------------------------------------------- MinHash
+
+
+class MinHasher:
+    """k-permutation MinHash over shingle hash sets, with banded LSH keys.
+
+    Signature: ``sig[i] = min_j splitmix64-family_i(shingle_j)`` using the
+    (a*x + b) universal family on uint64 with natural overflow.
+    """
+
+    def __init__(self, num_perm: int = 128, seed: int = 17) -> None:
+        rng = np.random.default_rng(seed)
+        self.num_perm = num_perm
+        self.a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+
+    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        if len(shingle_hashes) == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        s = np.unique(shingle_hashes.astype(np.uint64, copy=False))
+        with np.errstate(over="ignore"):
+            # (n_shingles, k) too big for huge docs → chunk the outer product
+            best = np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+            for start in range(0, len(s), 4096):
+                chunk = s[start : start + 4096, None]
+                vals = chunk * self.a[None, :] + self.b[None, :]
+                np.minimum(best, vals.min(axis=0), out=best)
+        return best
+
+    @staticmethod
+    def band_keys(sig: np.ndarray, bands: int) -> list[tuple[int, int]]:
+        """(band_id, band_hash) pairs — groupby key for LSH bucketing."""
+        rows = len(sig) // bands
+        out = []
+        for b in range(bands):
+            seg = sig[b * rows : (b + 1) * rows]
+            h = np.uint64(1469598103934665603)
+            with np.errstate(over="ignore"):
+                for v in seg:
+                    h = splitmix64(np.array([h + v], dtype=np.uint64))[0]
+            out.append((b, int(h)))
+        return out
+
+    @staticmethod
+    def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+        return float((sig_a == sig_b).mean())
+
+
+# -------------------------------------------------------------------- SimHash
+
+
+def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
+    """64-bit SimHash of a token-hash multiset."""
+    if len(token_hashes) == 0:
+        return 0
+    h = token_hashes.astype(np.uint64, copy=False)
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    bits = bits.astype(np.int32)
+    w = weights if weights is not None else np.ones(len(h))
+    score = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
+    out = np.uint64(0)
+    for i in np.nonzero(score > 0)[0]:
+        out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def hamming64(a: np.ndarray, b: int) -> np.ndarray:
+    """Vectorized Hamming distance of uint64 array vs one fingerprint."""
+    x = a.astype(np.uint64) ^ np.uint64(b)
+    return np.bitwise_count(x) if hasattr(np, "bitwise_count") else np.array(
+        [bin(int(v)).count("1") for v in x]
+    )

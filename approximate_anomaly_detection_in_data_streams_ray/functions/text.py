@@ -1,0 +1,120 @@
+"""Vectorized text analysis: tokens, quality, language-ID, fingerprints.
+
+All hot paths are ``pyarrow.compute`` regex/string kernels over whole
+columns — no Python loop touches row text except the (per-batch, numpy)
+fingerprint/minhash paths.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"[A-Za-z0-9_]+"
+# A BPE-ish pre-tokenizer split: words, numbers, or single non-space symbols.
+BPEISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
+    "es": ["el", "los", "las", "una", "es", "para", "con", "por"],
+}
+
+_TOKEN_COMPILED = re.compile(TOKEN_RE)
+
+
+def token_count(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """#tokens per row (word/number/underscore runs), C++ regex kernel."""
+    return pc.count_substring_regex(col, TOKEN_RE)
+
+
+def bpeish_token_count(col) -> pa.Array:
+    return pc.count_substring_regex(col, BPEISH_RE)
+
+
+def quality_features(col) -> dict[str, pa.Array]:
+    """Length/punctuation/digit/whitespace profile per row — the engine's
+    document quality score inputs."""
+    n_chars = pc.utf8_length(col)
+    n_tokens = pc.count_substring_regex(col, TOKEN_RE)
+    n_punct = pc.count_substring_regex(col, r"[^\w\s]")
+    n_digit = pc.count_substring_regex(col, r"[0-9]")
+    n_space = pc.count_substring_regex(col, r"\s")
+    n_lines = pc.add(pc.count_substring(col, "\n"), 1)
+    safe = pc.max_element_wise(n_chars, 1)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_lines": n_lines,
+        "punct_ratio": pc.divide(pc.cast(n_punct, pa.float64()), pc.cast(safe, pa.float64())),
+        "digit_ratio": pc.divide(pc.cast(n_digit, pa.float64()), pc.cast(safe, pa.float64())),
+        "space_ratio": pc.divide(pc.cast(n_space, pa.float64()), pc.cast(safe, pa.float64())),
+    }
+
+
+def quality_score(col) -> pa.Array:
+    """Scalar quality in [0,1]: penalize extreme length, high punctuation,
+    digit soup, and whitespace anomalies."""
+    f = quality_features(col)
+    n = pc.cast(f["n_chars"], pa.float64()).to_numpy(zero_copy_only=False)
+    punct = f["punct_ratio"].to_numpy(zero_copy_only=False)
+    digit = f["digit_ratio"].to_numpy(zero_copy_only=False)
+    space = f["space_ratio"].to_numpy(zero_copy_only=False)
+    len_score = np.clip(np.log1p(n) / np.log(5000.0), 0, 1)
+    len_score = np.where(n > 200_000, 0.2, len_score)
+    score = (
+        0.4 * len_score
+        + 0.2 * (1 - np.clip(punct / 0.5, 0, 1))
+        + 0.2 * (1 - np.clip(digit / 0.5, 0, 1))
+        + 0.2 * (1 - np.abs(np.clip(space, 0, 1) - 0.15) / 0.85)
+    )
+    return pa.array(np.nan_to_num(score, nan=0.0))
+
+
+def language_id(col) -> pa.Array:
+    """n-gram/stopword-heuristic language guess: argmax of per-language
+    stopword hit counts (vectorized: one regex kernel per language)."""
+    scores = []
+    langs = list(_STOPWORDS)
+    for lang in langs:
+        pat = r"(?i)\b(" + "|".join(_STOPWORDS[lang]) + r")\b"
+        counts = pc.fill_null(pc.count_substring_regex(col, pat), 0)
+        scores.append(counts.to_numpy(zero_copy_only=False).astype(np.int64))
+    m = np.stack(scores)  # (n_langs, n_rows)
+    best = m.argmax(axis=0)
+    hit = m.max(axis=0) > 0
+    out = np.where(hit, np.array(langs, dtype=object)[best], "unknown")
+    return pa.array(out.tolist(), pa.string())
+
+
+def token_hashes(text: str) -> np.ndarray:
+    """uint64 hashes of a single document's tokens (for SimHash)."""
+    from .hashing import splitmix64
+
+    toks = _TOKEN_COMPILED.findall(text or "")
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    h = np.array([hash_bytes_u64(t.encode()) for t in toks], dtype=np.uint64)
+    return splitmix64(h)
+
+
+def hash_bytes_u64(b: bytes) -> int:
+    """FNV-1a 64 — tiny deterministic per-token hash."""
+    h = 0xCBF29CE484222325
+    for c in b:
+        h ^= c
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def doc_fingerprint(text: str, n: int = 8) -> int:
+    """Rolling-hash document fingerprint: min of the n-gram rolling hashes
+    (winnowing-style single-value fingerprint, deterministic)."""
+    from .sketches import char_shingle_hashes
+
+    h = char_shingle_hashes(text or "", n=n)
+    return int(h.min()) if len(h) else 0

@@ -195,6 +195,12 @@ class _DetectorBase:
         self.n_both = 0
         self.n_only_inlier = 0
         self.n_only_outlier = 0
+        # engine-level event counters (not in the reference): total
+        # classification events, for per-slide drift-rate metrics
+        self.total_outlier_classifications = 0
+        self.total_inlier_classifications = 0
+        # new entries whose initial classification was OUTLIER (per insert)
+        self.n_insert_outliers = 0
 
     # --- tiny helpers, MCODBase.java:140-161 / OutlierDetector.java:35-41
     def in_window(self, id_: int) -> bool:
@@ -217,8 +223,10 @@ class _DetectorBase:
         e.etype = etype
         if etype == OUTLIER:
             e.n_outlier += 1
+            self.total_outlier_classifications += 1
         else:
             e.n_inlier += 1
+            self.total_inlier_classifications += 1
 
     def add_to_event_queue(self, x: Entry, min_prec_id: int | None) -> None:
         if min_prec_id is not None:
@@ -405,6 +413,8 @@ class _MCODCore(_DetectorBase):
             e = Entry(self.obj_id, row)
             self.add_entry(e)
             self.process_new_entry(e, True)
+            if e.etype == OUTLIER:
+                self.n_insert_outliers += 1
             self.obj_id += 1
 
     # --- classification of a (re)inserted PD entry (MCOD.java:204-218)
@@ -688,6 +698,8 @@ class LSHOD(_DetectorBase):
             e.etype = OUTLIER  # LSH Entry inits to OUTLIER (core/lsh/Entry.java:9-28)
             self.add_entry(e)
             self.process_new_entry(e)
+            if e.etype == OUTLIER:
+                self.n_insert_outliers += 1
             self.obj_id += 1
 
 

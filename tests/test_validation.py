@@ -1,0 +1,133 @@
+"""End-to-end validation pipeline: checks fire on injected violations,
+sha256 invariant holds, runs resume from checkpoint."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from approximate_anomaly_detection_in_data_streams_ray.checks.base import ValidationConfig
+from approximate_anomaly_detection_in_data_streams_ray.synth import generate_code_files
+
+
+@pytest.fixture(scope="module")
+def validated(ray_session, tmp_path_factory):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.runner import (
+        run_validation,
+    )
+
+    base = tmp_path_factory.mktemp("val")
+    src, out = str(base / "src"), str(base / "out")
+    man = generate_code_files(src, n_rows=20_000, n_repos=16, seed=42, n_shards=4)
+    cfg = ValidationConfig(target_rows_per_item=4000, extract_concurrency=2,
+                           drift_concurrency=2)
+    summary = run_validation(src, out, cfg)
+    return src, out, man, cfg, summary
+
+
+def _verdicts(out):
+    return pq.read_table(os.path.join(out, "verdicts", "verdicts.parquet")).to_pandas()
+
+
+def _violations(out, check):
+    files = glob.glob(os.path.join(out, "violations", check, "**", "*.parquet"),
+                      recursive=True)
+    import pyarrow as pa
+
+    tables = [pq.read_table(f) for f in files]
+    return pa.concat_tables(tables).to_pandas() if tables else None
+
+
+def test_null_and_length_violations_match_manifest(validated):
+    src, out, man, cfg, _ = validated
+    v = _violations(out, "stats")
+    got_null_lang = sorted(v[v["check"] == "null_lang"]["row_ref"])
+    assert got_null_lang == sorted(set(man.null_lang))
+    got_len = sorted(set(v[v["check"] == "content_len_range"]["row_ref"]))
+    assert got_len == sorted(set(man.len_violations))
+
+
+def test_uniqueness_finds_injected_duplicates(validated):
+    src, out, man, cfg, _ = validated
+    v = _violations(out, "uniqueness")
+    got = set(v["row_ref"])
+    # every injected duplicate key appears (both copies are violations)
+    assert set(man.dup_keys) <= got
+
+
+def test_referential_finds_orphans(validated):
+    src, out, man, cfg, _ = validated
+    v = _violations(out, "referential")
+    bad_repos = set(v[v["check"] == "referential_repo"]["partition_key"])
+    assert bad_repos == set(man.orphan_repo)
+    bad_commit_refs = set(v[v["check"] == "referential_commit"]["row_ref"])
+    assert set(man.orphan_commit) <= bad_commit_refs
+
+
+def test_drift_flags_exactly_drifted_repos(validated):
+    src, out, man, cfg, _ = validated
+    d = _verdicts(out).query("check == 'drift'")
+    failed = set(d[~d["passed"]]["partition_key"])
+    scoreable = {
+        r["partition_key"]
+        for _, r in d.iterrows()
+        if json.loads(r["metrics"]).get("note") != "insufficient_rows"
+    }
+    expected = set(man.drift_repos) & scoreable
+    assert expected, "fixture must produce at least one scoreable drift repo"
+    assert failed == expected
+
+
+def test_sha256_invariant_end_to_end(validated):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.runner import (
+        verify_sha_invariant,
+    )
+
+    src, out, man, cfg, _ = validated
+    assert verify_sha_invariant(src, out, sample=300)
+
+
+def test_resume_skips_completed_items(validated):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.runner import (
+        run_validation,
+    )
+
+    src, out, man, cfg, first = validated
+    second = run_validation(src, out, cfg)
+    assert second["n_items_skipped_resume"] == second["n_items"]
+    assert second["n_rows_extracted"] == 0  # nothing re-extracted
+    # verdicts unchanged
+    assert second["n_verdicts"] == first["n_verdicts"]
+
+
+def test_partial_run_then_resume(ray_session, tmp_path_factory):
+    """Kill-and-resume: delete some item outputs + manifest markers, rerun,
+    and the run completes only the missing items."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.runner import (
+        run_validation,
+    )
+
+    base = tmp_path_factory.mktemp("resume")
+    src, out = str(base / "src"), str(base / "out")
+    generate_code_files(src, n_rows=6000, n_repos=8, seed=7, n_shards=2)
+    cfg = ValidationConfig(target_rows_per_item=1500, extract_concurrency=2,
+                           drift_concurrency=2)
+    run_validation(src, out, cfg, checks=["stats"])
+
+    # simulate a crash that lost one extraction item
+    markers = sorted(glob.glob(os.path.join(out, "_manifest", "features__*.json")))
+    lost = markers[0]
+    item_id = json.load(open(lost))["unit"].split("/", 1)[1]
+    os.remove(lost)
+    shutil.rmtree(os.path.join(out, "features", f"item={item_id}"))
+
+    summary = run_validation(src, out, cfg, checks=["stats"])
+    assert summary["n_items_skipped_resume"] == summary["n_items"] - 1
+    assert os.path.exists(
+        os.path.join(out, "features", f"item={item_id}", "part.parquet")
+    )
