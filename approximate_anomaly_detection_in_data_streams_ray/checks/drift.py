@@ -51,8 +51,7 @@ def make_detector(cfg: ValidationConfig, dims: int, partition_seed: int,
 
 
 def calibrate_radius(vectors: np.ndarray, k: int, window: int, factor: float) -> float:
-    """R = 0.9-quantile k-NN distance of the first *window*-sized sample
-    × factor.
+    """R = median k-NN distance of the first *window*-sized sample × factor.
 
     The reference leaves R as a per-dataset CLI knob (``--R``,
     `src/Executor.java:68-70`); an unsupervised multi-partition engine must
@@ -308,7 +307,7 @@ def run_drift_check(items_ds, cfg: ValidationConfig, ctx):
         fn_constructor_args=(ctx["out_dir"], cfg),
         batch_format="pyarrow",
         batch_size=1,
-        concurrency=cfg.drift_concurrency,
+        concurrency=(1, cfg.drift_concurrency),
     )
     sdf = summaries.to_pandas()
     verdict_rows = []

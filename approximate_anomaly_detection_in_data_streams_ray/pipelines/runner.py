@@ -80,7 +80,9 @@ def run_validation(
         fn_constructor_args=(out_dir,),
         batch_format="pyarrow",
         batch_size=1,
-        concurrency=cfg.extract_concurrency,
+        # autoscaling pool (min=1): a fixed pool larger than the CPUs the
+        # session actually has would wait for its minimum size forever
+        concurrency=(1, cfg.extract_concurrency),
     ).to_pandas()
     n_extracted = int(extract_summary.loc[~extract_summary["skipped"], "n_rows"].sum())
     n_skipped = int(extract_summary["skipped"].sum())

@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline validation pipeline + query suite.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "validated_rows_per_sec": R}
+
+``--scaling`` runs the headline pipeline in two fresh processes
+(num_cpus=8 and num_cpus=32) on the same input and reports both
+throughputs + scaling efficiency (the sandbox evidence for the
+N-vs-4N-nodes criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def quiet():
+    import logging
+
+    logging.getLogger("ray").setLevel(logging.ERROR)
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    quiet()
+
+
+def run_headline(sf_dir: str, num_cpus: int) -> dict:
+    """Flagship: full validation of the synthetic code_files corpus."""
+    import shutil
+    import tempfile
+
+    from approximate_anomaly_detection_in_data_streams_ray.checks.base import (
+        ValidationConfig,
+    )
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        _code_files_dir,
+    )
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.runner import (
+        run_validation,
+    )
+
+    src = _code_files_dir(sf_dir)  # cached across runs; generation untimed
+    cfg = ValidationConfig(
+        extract_concurrency=max(4, num_cpus // 3),
+        drift_concurrency=max(4, num_cpus // 3),
+    )
+    out = tempfile.mkdtemp(prefix="aads_bench_")
+    try:
+        t0 = time.time()
+        summary = run_validation(src, out, cfg)
+        sec = time.time() - t0
+        return {"sec": sec, "rows": summary["n_rows_extracted"],
+                "rows_per_sec": summary["n_rows_extracted"] / sec}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        QUERIES,
+    )
+
+    timings = {}
+    for name, fn in QUERIES.items():
+        if name == "validate_code_files":
+            continue  # the headline covers it
+        t0 = time.time()
+        res = fn(sf_dir)
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def warm_cache(sf_dir: str):
+    import glob
+
+    for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0.1)
+
+    headline_only = "--headline-only" in sys.argv
+
+    init_ray(num_cpus)
+    warm_cache(sf_dir)
+
+    head = run_headline(sf_dir, num_cpus)
+    queries = {} if headline_only else run_queries(sf_dir)
+    total = round(head["sec"] + sum(queries.values()), 3)
+    queries["validate_code_files"] = round(head["sec"], 3)
+
+    out = {
+        "metric": "validation+query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "validated_rows_per_sec": round(head["rows_per_sec"], 1),
+    }
+    import ray
+
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def scaling():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    r8 = results[8]["validated_rows_per_sec"]
+    r32 = results[32]["validated_rows_per_sec"]
+    eff = (r32 / r8) / (32 / 8)
+    print(json.dumps(
+        {
+            "sec_8": results[8]["queries"]["validate_code_files"],
+            "sec_32": results[32]["queries"]["validate_code_files"],
+            "rows_per_sec_8": r8,
+            "rows_per_sec_32": r32,
+            "scaling_efficiency": round(eff, 3),
+        }
+    ))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()
