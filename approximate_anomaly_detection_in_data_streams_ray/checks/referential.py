@@ -52,6 +52,10 @@ class RefLookup:
 
 @register_check("referential")
 def run_referential_check(features_ds, cfg: ValidationConfig, ctx):
+    if features_ds is None:
+        features_ds = ray.data.read_parquet(
+            ctx["features_path"], columns=["repo", "commit", "row_ref"]
+        )
     repos = pq.read_table(ctx["repos_path"], columns=["repo"])
     commits = pq.read_table(ctx["commits_path"], columns=["commit"])
     dims_ref = ray.put(

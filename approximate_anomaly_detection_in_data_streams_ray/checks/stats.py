@@ -121,13 +121,25 @@ def null_and_length_violations(batch: pa.Table, min_len: int, max_len: int) -> p
 
 @register_check("stats")
 def run_stats_check(features_ds, cfg: ValidationConfig, ctx=None):
+    import ray
+
+    # prune at the read: the partial-agg pass never touches row_ref/sha256
+    if features_ds is None:
+        features_ds = ray.data.read_parquet(
+            ctx["features_path"],
+            columns=["repo", "lang", "path", "commit", "content_len"],
+        )
     partials = features_ds.map_batches(
         stats_partials, batch_format="pyarrow", batch_size=cfg.batch_size
     )
     merged = partials.groupby("repo").map_groups(merge_stats_partials, batch_format="pandas")
     stats_df = merged.to_pandas()  # one row per repo — small by design
 
-    violations = features_ds.map_batches(
+    vio_ds = ray.data.read_parquet(
+        ctx["features_path"],
+        columns=["repo", "row_ref", "lang", "path", "content_len"],
+    ) if ctx else features_ds
+    violations = vio_ds.map_batches(
         lambda b: null_and_length_violations(b, cfg.min_content_len, cfg.max_content_len),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,

@@ -3,11 +3,11 @@
 Engine analogue of the reference's id-dedup TreeSets (SURVEY.md §2.6 O4),
 lifted to a distributed key-uniqueness constraint:
 
-1. shuffle only ``(key_hash)`` through a ``groupby().aggregate(Count)`` —
-   Ray pre-combines per block, so the exchange carries one row per distinct
-   key per block, not one per row;
-2. the surviving duplicate hash set is tiny → broadcast it (``ray.put``)
-   and filter the features stream vectorized (`pc.is_in`);
+1. shuffle only the 8-byte ``key_hash`` column through a
+   ``groupby().aggregate(Count)`` — Ray pre-combines per block, so the
+   exchange carries one row per distinct key per block, not one per row;
+2. the surviving duplicate hash set is tiny by contract → capture it in a
+   plain-task filter over a column-pruned second read (`pc.is_in`);
 3. exact-key confirmation driver-side removes hash collisions.
 """
 
@@ -21,38 +21,34 @@ from ray.data.aggregate import Count
 from .base import ValidationConfig, register_check
 
 
-class _DupFilter:
-    """Actor: holds the broadcast duplicate-hash set, filters batches."""
-
-    def __init__(self, dup_ref):
-        dup = ray.get(dup_ref)
-        self.value_set = pa.array(list(dup), pa.int64())
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch["key_hash"], value_set=self.value_set)
-        return batch.filter(mask)
-
-
 @register_check("uniqueness")
 def run_uniqueness_check(features_ds, cfg: ValidationConfig, ctx=None):
-    counts = features_ds.groupby("key_hash").aggregate(Count(alias_name="cnt"))
+    if features_ds is None:
+        key_ds = ray.data.read_parquet(ctx["features_path"], columns=["key_hash"])
+    else:
+        key_ds = features_ds.select_columns(["key_hash"])
+    counts = key_ds.groupby("key_hash").aggregate(Count(alias_name="cnt"))
     dup_keys = counts.filter(expr="cnt > 1")
     dup_hashes = [r["key_hash"] for r in dup_keys.take_all()]  # small by contract
 
     if not dup_hashes:
         return _empty_violations(), []
 
-    dup_ref = ray.put(set(dup_hashes))
-    candidates = features_ds.map_batches(
-        _DupFilter,
-        fn_constructor_args=(dup_ref,),
+    value_set = pa.array(dup_hashes, pa.int64())
+    if features_ds is None:
+        cand_ds = ray.data.read_parquet(
+            ctx["features_path"],
+            columns=["repo", "path", "commit", "row_ref", "key_hash"],
+        )
+    else:
+        cand_ds = features_ds.select_columns(
+            ["repo", "path", "commit", "row_ref", "key_hash"]
+        )
+    candidates = cand_ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["key_hash"], value_set=value_set)),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        # light lookup pool: fractional CPUs so the pool never starves the
-        # upstream read tasks (4 actors on a 4-CPU node would deadlock)
-        concurrency=2,
-        num_cpus=0.5,
-    ).select_columns(["repo", "path", "commit", "row_ref", "key_hash"])
+    )
 
     # exact confirmation (hash collisions) — candidate set is tiny
     cand = candidates.to_pandas()

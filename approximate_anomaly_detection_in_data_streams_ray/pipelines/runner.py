@@ -90,6 +90,7 @@ def run_validation(
     features_path = os.path.join(out_dir, "features")
     ctx = {
         "out_dir": out_dir,
+        "features_path": features_path,
         "repos_path": os.path.join(source_dir, "repos.parquet"),
         "commits_path": os.path.join(source_dir, "commits.parquet"),
     }
@@ -97,19 +98,16 @@ def run_validation(
     verdict_rows: list[dict] = []
     timings: dict[str, float] = {"extract": time.time() - t_start}
 
-    def features_ds():
-        return ray.data.read_parquet(features_path)
-
     for name in checks:
         t0 = time.time()
         if name == "drift":
             vio, rows = run_drift_check(items_ds, cfg, ctx)
         elif name == "stats":
-            vio, rows = run_stats_check(features_ds(), cfg, ctx)
+            vio, rows = run_stats_check(None, cfg, ctx)
         elif name == "uniqueness":
-            vio, rows = run_uniqueness_check(features_ds(), cfg, ctx)
+            vio, rows = run_uniqueness_check(None, cfg, ctx)
         elif name == "referential":
-            vio, rows = run_referential_check(features_ds(), cfg, ctx)
+            vio, rows = run_referential_check(None, cfg, ctx)
         else:
             raise ValueError(f"unknown check {name!r}")
         if name != "drift":  # drift writes its violations per item already
