@@ -55,7 +55,16 @@ class ValidationConfig:
     extract_concurrency: int = 8
     drift_concurrency: int = 8
     batch_size: int = 8192
-    target_rows_per_item: int = 250_000
+    # small enough that a hot repo's item never becomes a straggler: the
+    # Zipf head repo is ~14% of rows, so coarse items serialize the tail
+    target_rows_per_item: int = 65_536
+    # run independent checks concurrently (their fixed startup/shuffle
+    # overheads overlap; each is a separate streaming execution)
+    concurrent_checks: bool = True
+    # run drift inside the extract pass (feature table already in memory)
+    drift_inline: bool = True
+    # hash buckets for the uniqueness dup scan (low-cardinality groupby)
+    uniqueness_buckets: int = 64
 
 
 CHECK_REGISTRY: dict[str, Callable] = {}

@@ -144,10 +144,112 @@ def chunk_vectors(vecs: np.ndarray, chunk_rows: int) -> tuple[np.ndarray, np.nda
     return chunks, starts
 
 
+def run_drift_item(t: pa.Table, item_id: str, out_dir: str,
+                   cfg: ValidationConfig, manifest) -> pa.Table:
+    """Run the drift detectors over one work item's feature table: one
+    window per contiguous repo run, violations + summary written atomically.
+    Called with the in-memory table by the fused extract stage
+    (``stages/features.py``) and with a re-read table by the standalone
+    :class:`DriftRunner`."""
+    from ..functions.hashing import stable_hash64
+    from ..pipelines.checkpoint import atomic_write_parquet
+
+    summary_path = os.path.join(out_dir, "drift_summaries", f"item={item_id}.parquet")
+    unit = f"drift/{item_id}"
+    if manifest.is_done(unit) and os.path.exists(summary_path):
+        import pyarrow.parquet as pq
+
+        return pq.read_table(summary_path)
+
+    scales = np.array([cfg.feature_scales.get(f, 1.0) for f in DRIFT_FEATURES])
+    repos = np.asarray(t["repo"].to_pylist())
+    vecs = np.stack(
+        [t[c].to_numpy(zero_copy_only=False).astype(np.float64) for c in DRIFT_FEATURES],
+        axis=1,
+    ) * scales
+
+    # contiguous repo runs = sub-streams (rows are repo-contiguous by
+    # construction; a repo restarted in a later item is a salted split)
+    change = np.nonzero(repos[1:] != repos[:-1])[0] + 1
+    bounds = [0, *change.tolist(), len(repos)]
+
+    v_rows = {"check": [], "partition_key": [], "row_ref": [], "detail": []}
+    s_rows = {"repo": [], "item_id": [], "n": [], "n_pure_outliers": [],
+              "n_outlier_events": [], "n_range_queries": [],
+              "max_slide_outlier_rate": [], "radius": [], "insufficient": [],
+              "scored_events": [], "scored_points": []}
+    C = max(1, cfg.drift_chunk_rows)
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        repo = str(repos[b0])
+        n_sub = b1 - b0
+        seed = int(stable_hash64([repo])[0] % (2**31)) ^ cfg.drift_seed
+        chunks, starts = chunk_vectors(vecs[b0:b1], C)
+        if len(chunks) < cfg.drift_min_points:
+            idx = np.empty(0, dtype=np.int64)
+            res = {"nOnlyOutlier": 0, "nBothInlierOutlier": 0,
+                   "nRangeQueriesExecuted": 0}
+            met = {"radius": 0.0, "max_slide_outlier_rate": 0.0,
+                   "scored_events": 0, "scored_points": 0}
+            n_points = 0
+            insufficient = True
+        else:
+            idx, res, met = detect_partition(chunks, cfg, seed)
+            n_points = len(chunks)
+            insufficient = False
+        refs = t["row_ref"].slice(b0, n_sub).to_pylist()
+        for i in idx.tolist():
+            r0 = int(starts[i])
+            r1 = int(starts[i + 1]) if i + 1 < len(starts) else n_sub
+            v_rows["check"].append("drift")
+            v_rows["partition_key"].append(repo)
+            v_rows["row_ref"].append(refs[r0])
+            v_rows["detail"].append(f"pure_outlier_chunk rows {r0}-{r1 - 1}")
+        s_rows["repo"].append(repo)
+        s_rows["item_id"].append(item_id)
+        s_rows["n"].append(n_points if not insufficient else n_sub)
+        s_rows["n_pure_outliers"].append(len(idx))
+        s_rows["n_outlier_events"].append(
+            res["nOnlyOutlier"] + res["nBothInlierOutlier"]
+        )
+        s_rows["n_range_queries"].append(res["nRangeQueriesExecuted"])
+        s_rows["max_slide_outlier_rate"].append(met["max_slide_outlier_rate"])
+        s_rows["radius"].append(met["radius"])
+        s_rows["insufficient"].append(insufficient)
+        s_rows["scored_events"].append(met["scored_events"])
+        s_rows["scored_points"].append(met["scored_points"])
+
+    violations = pa.table(
+        {k: pa.array(v, pa.string()) for k, v in v_rows.items()}
+    )
+    atomic_write_parquet(
+        violations, os.path.join(out_dir, "violations", "drift",
+                                 f"item={item_id}", "part.parquet")
+    )
+    summary = pa.table(
+        {
+            "repo": pa.array(s_rows["repo"], pa.string()),
+            "item_id": pa.array(s_rows["item_id"], pa.string()),
+            "n": pa.array(s_rows["n"], pa.int64()),
+            "n_pure_outliers": pa.array(s_rows["n_pure_outliers"], pa.int64()),
+            "n_outlier_events": pa.array(s_rows["n_outlier_events"], pa.int64()),
+            "n_range_queries": pa.array(s_rows["n_range_queries"], pa.int64()),
+            "max_slide_outlier_rate": pa.array(
+                s_rows["max_slide_outlier_rate"], pa.float64()
+            ),
+            "radius": pa.array(s_rows["radius"], pa.float64()),
+            "insufficient": pa.array(s_rows["insufficient"], pa.bool_()),
+            "scored_events": pa.array(s_rows["scored_events"], pa.int64()),
+            "scored_points": pa.array(s_rows["scored_points"], pa.int64()),
+        }
+    )
+    atomic_write_parquet(summary, summary_path)
+    manifest.mark_done(unit)
+    return summary
+
+
 class DriftRunner:
-    """Actor over work items: read each item's feature file, run one
-    detector window per contiguous repo run, write violations per item,
-    return per-(repo, item) counter rows for the verdict merge."""
+    """Actor over work items for the standalone drift phase (used when the
+    fused extract+drift pass is disabled or summaries are missing)."""
 
     def __init__(self, out_dir: str, cfg: ValidationConfig) -> None:
         from ..pipelines.checkpoint import Manifest
@@ -155,104 +257,18 @@ class DriftRunner:
         self.out_dir = out_dir
         self.cfg = cfg
         self.manifest = Manifest(out_dir)
-        self.scales = np.array([cfg.feature_scales.get(f, 1.0) for f in DRIFT_FEATURES])
 
     def _run_item(self, item_id: str) -> pa.Table:
         import pyarrow.parquet as pq
 
-        from ..functions.hashing import stable_hash64
-        from ..pipelines.checkpoint import atomic_write_parquet
-
-        summary_path = os.path.join(self.out_dir, "drift_summaries", f"item={item_id}.parquet")
-        unit = f"drift/{item_id}"
-        if self.manifest.is_done(unit) and os.path.exists(summary_path):
+        summary_path = os.path.join(self.out_dir, "drift_summaries",
+                                    f"item={item_id}.parquet")
+        if self.manifest.is_done(f"drift/{item_id}") and os.path.exists(summary_path):
             return pq.read_table(summary_path)
-
-        feat_path = os.path.join(self.out_dir, "features", f"item={item_id}", "part.parquet")
+        feat_path = os.path.join(self.out_dir, "features", f"item={item_id}",
+                                 "part.parquet")
         t = pq.read_table(feat_path, columns=["repo", "row_ref"] + DRIFT_FEATURES)
-        repos = np.asarray(t["repo"].to_pylist())
-        vecs = np.stack(
-            [t[c].to_numpy(zero_copy_only=False).astype(np.float64) for c in DRIFT_FEATURES],
-            axis=1,
-        ) * self.scales
-
-        # contiguous repo runs = sub-streams (rows are repo-contiguous by
-        # construction; a repo restarted in a later item is a salted split)
-        change = np.nonzero(repos[1:] != repos[:-1])[0] + 1
-        bounds = [0, *change.tolist(), len(repos)]
-
-        v_rows = {"check": [], "partition_key": [], "row_ref": [], "detail": []}
-        s_rows = {"repo": [], "item_id": [], "n": [], "n_pure_outliers": [],
-                  "n_outlier_events": [], "n_range_queries": [],
-                  "max_slide_outlier_rate": [], "radius": [], "insufficient": [],
-                  "scored_events": [], "scored_points": []}
-        C = max(1, self.cfg.drift_chunk_rows)
-        for b0, b1 in zip(bounds[:-1], bounds[1:]):
-            repo = str(repos[b0])
-            n_sub = b1 - b0
-            seed = int(stable_hash64([repo])[0] % (2**31)) ^ self.cfg.drift_seed
-            chunks, starts = chunk_vectors(vecs[b0:b1], C)
-            if len(chunks) < self.cfg.drift_min_points:
-                idx = np.empty(0, dtype=np.int64)
-                res = {"nOnlyOutlier": 0, "nBothInlierOutlier": 0,
-                       "nRangeQueriesExecuted": 0}
-                met = {"radius": 0.0, "max_slide_outlier_rate": 0.0,
-                       "scored_events": 0, "scored_points": 0}
-                n_points = 0
-                insufficient = True
-            else:
-                idx, res, met = detect_partition(chunks, self.cfg, seed)
-                n_points = len(chunks)
-                insufficient = False
-            refs = t["row_ref"].slice(b0, n_sub).to_pylist()
-            for i in idx.tolist():
-                r0 = int(starts[i])
-                r1 = int(starts[i + 1]) if i + 1 < len(starts) else n_sub
-                v_rows["check"].append("drift")
-                v_rows["partition_key"].append(repo)
-                v_rows["row_ref"].append(refs[r0])
-                v_rows["detail"].append(f"pure_outlier_chunk rows {r0}-{r1 - 1}")
-            s_rows["repo"].append(repo)
-            s_rows["item_id"].append(item_id)
-            s_rows["n"].append(n_points if not insufficient else n_sub)
-            s_rows["n_pure_outliers"].append(len(idx))
-            s_rows["n_outlier_events"].append(
-                res["nOnlyOutlier"] + res["nBothInlierOutlier"]
-            )
-            s_rows["n_range_queries"].append(res["nRangeQueriesExecuted"])
-            s_rows["max_slide_outlier_rate"].append(met["max_slide_outlier_rate"])
-            s_rows["radius"].append(met["radius"])
-            s_rows["insufficient"].append(insufficient)
-            s_rows["scored_events"].append(met["scored_events"])
-            s_rows["scored_points"].append(met["scored_points"])
-
-        violations = pa.table(
-            {k: pa.array(v, pa.string()) for k, v in v_rows.items()}
-        )
-        atomic_write_parquet(
-            violations, os.path.join(self.out_dir, "violations", "drift",
-                                     f"item={item_id}", "part.parquet")
-        )
-        summary = pa.table(
-            {
-                "repo": pa.array(s_rows["repo"], pa.string()),
-                "item_id": pa.array(s_rows["item_id"], pa.string()),
-                "n": pa.array(s_rows["n"], pa.int64()),
-                "n_pure_outliers": pa.array(s_rows["n_pure_outliers"], pa.int64()),
-                "n_outlier_events": pa.array(s_rows["n_outlier_events"], pa.int64()),
-                "n_range_queries": pa.array(s_rows["n_range_queries"], pa.int64()),
-                "max_slide_outlier_rate": pa.array(
-                    s_rows["max_slide_outlier_rate"], pa.float64()
-                ),
-                "radius": pa.array(s_rows["radius"], pa.float64()),
-                "insufficient": pa.array(s_rows["insufficient"], pa.bool_()),
-                "scored_events": pa.array(s_rows["scored_events"], pa.int64()),
-                "scored_points": pa.array(s_rows["scored_points"], pa.int64()),
-            }
-        )
-        atomic_write_parquet(summary, summary_path)
-        self.manifest.mark_done(unit)
-        return summary
+        return run_drift_item(t, item_id, self.out_dir, self.cfg, self.manifest)
 
     def __call__(self, items: pa.Table) -> pa.Table:
         outs = [self._run_item(items["item_id"][i].as_py()) for i in range(len(items))]
@@ -299,20 +315,81 @@ def merge_drift_summaries(g: pd.DataFrame, cfg: ValidationConfig) -> pd.DataFram
     )
 
 
+def merge_all_drift_summaries(sdf: pd.DataFrame, cfg: ValidationConfig) -> list[dict]:
+    """Vectorized per-repo verdicts from all sub-stream counters at once."""
+    if sdf.empty:
+        return []
+    scored = sdf[~sdf["insufficient"]]
+    agg = scored.groupby("repo").agg(
+        n=("n", "sum"),
+        scored_events=("scored_events", "sum"),
+        scored_points=("scored_points", "sum"),
+        n_pure=("n_pure_outliers", "sum"),
+        n_rq=("n_range_queries", "sum"),
+        max_rate=("max_slide_outlier_rate", "max"),
+    )
+    all_rows = sdf.groupby("repo").agg(n_all=("n", "sum"), subs=("item_id", "count"))
+    rows = []
+    for repo in all_rows.index:
+        if repo in agg.index and agg.loc[repo, "n"] > 0:
+            a = agg.loc[repo]
+            frac = a["scored_events"] / max(1, a["scored_points"])
+            max_rate = float(a["max_rate"])
+            passed = (frac <= cfg.drift_max_outlier_event_frac
+                      and max_rate <= cfg.drift_max_slide_outlier_rate)
+            note = ""
+            n_pure, n_rq = int(a["n_pure"]), int(a["n_rq"])
+            ev, pts = int(a["scored_events"]), int(a["scored_points"])
+        else:
+            passed, note = True, "insufficient_rows"
+            frac, max_rate, n_pure, n_rq, ev, pts = 0.0, 0.0, 0, 0, 0, 0
+        rows.append({
+            "partition_key": repo,
+            "check": "drift",
+            "passed": bool(passed),
+            "n_violations": n_pure,
+            "n_rows": int(all_rows.loc[repo, "n_all"]),
+            "metrics": json.dumps({
+                "outlier_event_frac": frac,
+                "max_slide_outlier_rate": max_rate,
+                "scored_events": ev,
+                "scored_points": pts,
+                "n_range_queries": n_rq,
+                "n_substreams": int(all_rows.loc[repo, "subs"]),
+                "note": note,
+            }),
+        })
+    return rows
+
+
 @register_check("drift")
 def run_drift_check(items_ds, cfg: ValidationConfig, ctx):
-    """items_ds: Dataset of work items (must run after feature extraction)."""
-    summaries = items_ds.map_batches(
-        DriftRunner,
-        fn_constructor_args=(ctx["out_dir"], cfg),
-        batch_format="pyarrow",
-        batch_size=1,
-        concurrency=(1, cfg.drift_concurrency),
-    )
-    sdf = summaries.to_pandas()
-    verdict_rows = []
-    for _, g in sdf.groupby("repo"):
-        verdict_rows.append(merge_drift_summaries(g, cfg).iloc[0].to_dict())
+    """items_ds: Dataset of work items (must run after feature extraction).
+    When the fused extract+drift pass already produced every item summary
+    (the default), this is a pure merge with no actor pool."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    sum_dir = os.path.join(ctx["out_dir"], "drift_summaries")
+    have = {os.path.basename(f)[5:-8] for f in glob.glob(os.path.join(sum_dir, "item=*.parquet"))}
+    want = set(items_ds.to_pandas()["item_id"]) if hasattr(items_ds, "to_pandas") else set()
+    if want and want <= have:
+        import pyarrow.dataset as pads
+
+        files = [os.path.join(sum_dir, f"item={i}.parquet") for i in sorted(want)]
+        sdf = pads.dataset(files).to_table().to_pandas()
+    else:
+        summaries = items_ds.map_batches(
+            DriftRunner,
+            fn_constructor_args=(ctx["out_dir"], cfg),
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=(1, cfg.drift_concurrency),
+        )
+        sdf = summaries.to_pandas()
+    verdict_rows = merge_all_drift_summaries(sdf, cfg)
     import ray
 
     vio = ray.data.read_parquet(os.path.join(ctx["out_dir"], "violations", "drift"))

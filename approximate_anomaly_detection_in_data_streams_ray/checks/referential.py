@@ -19,8 +19,32 @@ import ray
 from .base import ValidationConfig, register_check
 
 
+def referential_violations(batch: pa.Table, repo_set, commit_set) -> pa.Table:
+    """Vectorized anti-join of one batch against the dimension key sets."""
+    bad_repo = pc.invert(pc.is_in(batch["repo"], value_set=repo_set))
+    bad_commit = pc.invert(pc.is_in(batch["commit"], value_set=commit_set))
+    out = {"check": [], "partition_key": [], "row_ref": [], "detail": []}
+    for check, mask, col in (
+        ("referential_repo", bad_repo, "repo"),
+        ("referential_commit", bad_commit, "commit"),
+    ):
+        sub = batch.filter(pc.fill_null(mask, True))
+        out["check"].extend([check] * len(sub))
+        out["partition_key"].extend(sub["repo"].to_pylist())
+        out["row_ref"].extend(sub["row_ref"].to_pylist())
+        out["detail"].extend(str(v) for v in sub[col].to_pylist())
+    return pa.table(
+        {
+            "check": pa.array(out["check"], pa.string()),
+            "partition_key": pa.array(out["partition_key"], pa.string()),
+            "row_ref": pa.array(out["row_ref"], pa.string()),
+            "detail": pa.array(out["detail"], pa.string()),
+        }
+    )
+
+
 class RefLookup:
-    """Actor: anti-join each batch against broadcast dimension key sets."""
+    """Actor: holds the broadcast dimension key sets (standalone path)."""
 
     def __init__(self, dims_ref):
         repo_keys, commit_keys = ray.get(dims_ref)
@@ -28,49 +52,40 @@ class RefLookup:
         self.commit_set = pa.array(commit_keys, pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        bad_repo = pc.invert(pc.is_in(batch["repo"], value_set=self.repo_set))
-        bad_commit = pc.invert(pc.is_in(batch["commit"], value_set=self.commit_set))
-        out = {"check": [], "partition_key": [], "row_ref": [], "detail": []}
-        for check, mask, col in (
-            ("referential_repo", bad_repo, "repo"),
-            ("referential_commit", bad_commit, "commit"),
-        ):
-            sub = batch.filter(pc.fill_null(mask, True))
-            out["check"].extend([check] * len(sub))
-            out["partition_key"].extend(sub["repo"].to_pylist())
-            out["row_ref"].extend(sub["row_ref"].to_pylist())
-            out["detail"].extend(str(v) for v in sub[col].to_pylist())
-        return pa.table(
-            {
-                "check": pa.array(out["check"], pa.string()),
-                "partition_key": pa.array(out["partition_key"], pa.string()),
-                "row_ref": pa.array(out["row_ref"], pa.string()),
-                "detail": pa.array(out["detail"], pa.string()),
-            }
-        )
+        return referential_violations(batch, self.repo_set, self.commit_set)
 
 
 @register_check("referential")
 def run_referential_check(features_ds, cfg: ValidationConfig, ctx):
-    if features_ds is None:
-        features_ds = ray.data.read_parquet(
-            ctx["features_path"], columns=["repo", "commit", "row_ref"]
+    import glob
+    import os
+
+    fused = sorted(glob.glob(os.path.join(
+        ctx["out_dir"], "violations", "referential", "item=*", "part.parquet"))) if ctx else []
+    violations = None
+    if fused:
+        # fused extract pass already produced per-item violation files
+        tables = [pq.read_table(f) for f in fused]
+        vdf = pa.concat_tables(tables).to_pandas()
+    else:
+        if features_ds is None:
+            features_ds = ray.data.read_parquet(
+                ctx["features_path"], columns=["repo", "commit", "row_ref"]
+            )
+        repos = pq.read_table(ctx["repos_path"], columns=["repo"])
+        commits = pq.read_table(ctx["commits_path"], columns=["commit"])
+        dims_ref = ray.put(
+            (repos["repo"].to_pylist(), commits["commit"].to_pylist())
         )
-    repos = pq.read_table(ctx["repos_path"], columns=["repo"])
-    commits = pq.read_table(ctx["commits_path"], columns=["commit"])
-    dims_ref = ray.put(
-        (repos["repo"].to_pylist(), commits["commit"].to_pylist())
-    )
-    violations = features_ds.map_batches(
-        RefLookup,
-        fn_constructor_args=(dims_ref,),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=2,
-        num_cpus=0.5,
-    )
-    # per-repo verdicts from the (small) violations table
-    vdf = violations.to_pandas()
+        violations = features_ds.map_batches(
+            RefLookup,
+            fn_constructor_args=(dims_ref,),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=2,
+            num_cpus=0.5,
+        )
+        vdf = violations.to_pandas()
     verdict_rows = []
     for (repo, check), g in vdf.groupby(["partition_key", "check"]):
         verdict_rows.append(
@@ -83,4 +98,6 @@ def run_referential_check(features_ds, cfg: ValidationConfig, ctx):
                 "metrics": json.dumps({"example": g["detail"].iloc[0]}),
             }
         )
-    return ray.data.from_pandas(vdf) if len(vdf) else violations, verdict_rows
+    if fused:
+        return None, verdict_rows  # violations already written per item
+    return (ray.data.from_pandas(vdf) if len(vdf) else violations), verdict_rows

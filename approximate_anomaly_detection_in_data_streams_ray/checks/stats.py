@@ -64,29 +64,50 @@ def stats_partials(batch: pa.Table) -> pa.Table:
 
 
 def merge_stats_partials(g: pd.DataFrame) -> pd.DataFrame:
-    n = int(g["n"].sum())
-    len_sum = float(g["len_sum"].sum())
-    len_sum2 = float(g["len_sum2"].sum())
-    mean = len_sum / max(n, 1)
-    var = max(0.0, len_sum2 / max(n, 1) - mean * mean)
-    return pd.DataFrame(
+    """Merge one repo's partial rows (kept for the standalone map_groups
+    path and tests)."""
+    return merge_all_stats_partials(g)
+
+
+def merge_all_stats_partials(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized merge of ALL partial rows → one row per repo.  Numeric
+    merges are a single pandas groupby-agg; only the HLL register merges
+    loop (one numpy max-reduce per repo)."""
+    agg = pdf.groupby("repo", sort=True).agg(
+        n=("n", "sum"),
+        n_null_lang=("n_null_lang", "sum"),
+        n_null_path=("n_null_path", "sum"),
+        len_sum=("len_sum", "sum"),
+        len_sum2=("len_sum2", "sum"),
+        len_min=("len_min", "min"),
+        len_max=("len_max", "max"),
+    )
+    n = agg["n"].clip(lower=1)
+    mean = agg["len_sum"] / n
+    var = (agg["len_sum2"] / n - mean * mean).clip(lower=0.0)
+    hll_paths, hll_commits = [], []
+    for _, g in pdf.groupby("repo", sort=True):
+        hll_paths.append(
+            HyperLogLog.from_bytes(hll_merge_bytes(list(g["hll_path"]))).estimate()
+        )
+        hll_commits.append(
+            HyperLogLog.from_bytes(hll_merge_bytes(list(g["hll_commit"]))).estimate()
+        )
+    out = pd.DataFrame(
         {
-            "repo": [g["repo"].iloc[0]],
-            "n": [n],
-            "n_null_lang": [int(g["n_null_lang"].sum())],
-            "n_null_path": [int(g["n_null_path"].sum())],
-            "len_min": [float(g["len_min"].min())],
-            "len_max": [float(g["len_max"].max())],
-            "len_mean": [mean],
-            "len_std": [var ** 0.5],
-            "approx_distinct_paths": [
-                HyperLogLog.from_bytes(hll_merge_bytes(list(g["hll_path"]))).estimate()
-            ],
-            "approx_distinct_commits": [
-                HyperLogLog.from_bytes(hll_merge_bytes(list(g["hll_commit"]))).estimate()
-            ],
+            "repo": agg.index,
+            "n": agg["n"].astype(int),
+            "n_null_lang": agg["n_null_lang"].astype(int),
+            "n_null_path": agg["n_null_path"].astype(int),
+            "len_min": agg["len_min"].astype(float),
+            "len_max": agg["len_max"].astype(float),
+            "len_mean": mean.to_numpy(),
+            "len_std": (var**0.5).to_numpy(),
+            "approx_distinct_paths": hll_paths,
+            "approx_distinct_commits": hll_commits,
         }
     )
+    return out.reset_index(drop=True)
 
 
 def null_and_length_violations(batch: pa.Table, min_len: int, max_len: int) -> pa.Table:
@@ -121,29 +142,44 @@ def null_and_length_violations(batch: pa.Table, min_len: int, max_len: int) -> p
 
 @register_check("stats")
 def run_stats_check(features_ds, cfg: ValidationConfig, ctx=None):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
     import ray
 
-    # prune at the read: the partial-agg pass never touches row_ref/sha256
-    if features_ds is None:
-        features_ds = ray.data.read_parquet(
-            ctx["features_path"],
-            columns=["repo", "lang", "path", "commit", "content_len"],
-        )
-    partials = features_ds.map_batches(
-        stats_partials, batch_format="pyarrow", batch_size=cfg.batch_size
-    )
-    merged = partials.groupby("repo").map_groups(merge_stats_partials, batch_format="pandas")
-    stats_df = merged.to_pandas()  # one row per repo — small by design
+    fused = sorted(glob.glob(os.path.join(
+        ctx["out_dir"], "stats_partials", "item=*.parquet"))) if ctx else []
+    violations = None
+    if fused:
+        # fused extract pass already produced per-item partial files and
+        # per-item violation files; the merge is driver-side pandas over a
+        # #repos-bounded table — no Ray shuffle at all
+        import pyarrow.dataset as pads
 
-    vio_ds = ray.data.read_parquet(
-        ctx["features_path"],
-        columns=["repo", "row_ref", "lang", "path", "content_len"],
-    ) if ctx else features_ds
-    violations = vio_ds.map_batches(
-        lambda b: null_and_length_violations(b, cfg.min_content_len, cfg.max_content_len),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-    )
+        pdf = pads.dataset(fused).to_table().to_pandas()
+        stats_df = merge_all_stats_partials(pdf)
+    else:
+        # prune at the read: the partial-agg pass never touches row_ref/sha256
+        if features_ds is None:
+            features_ds = ray.data.read_parquet(
+                ctx["features_path"],
+                columns=["repo", "lang", "path", "commit", "content_len"],
+            )
+        partials = features_ds.map_batches(
+            stats_partials, batch_format="pyarrow", batch_size=cfg.batch_size
+        )
+        pdf = partials.to_pandas()  # one row per (item-batch, repo) — small
+        stats_df = merge_all_stats_partials(pdf)
+        vio_ds = ray.data.read_parquet(
+            ctx["features_path"],
+            columns=["repo", "row_ref", "lang", "path", "content_len"],
+        ) if ctx else features_ds
+        violations = vio_ds.map_batches(
+            lambda b: null_and_length_violations(b, cfg.min_content_len, cfg.max_content_len),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
 
     verdict_rows = []
     for _, r in stats_df.iterrows():
@@ -174,4 +210,4 @@ def run_stats_check(features_ds, cfg: ValidationConfig, ctx=None):
                 ),
             }
         )
-    return violations, verdict_rows
+    return violations, verdict_rows  # violations is None on the fused path

@@ -13,23 +13,76 @@ lifted to a distributed key-uniqueness constraint:
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
-from ray.data.aggregate import Count
 
 from .base import ValidationConfig, register_check
 
 
+def _dup_hashes_from_key_files(key_dir: str, P: int) -> list[int]:
+    """Explicit bucket exchange over the per-item key files written by the
+    fused extract pass: each of P tasks reads only its bucket's row groups
+    (files are bucket-sorted, so parquet row-group stats prune the rest)
+    and finds duplicate hashes vectorized.  This is a hash-partition
+    shuffle expressed through the checkpointed file layout — near-zero
+    constant cost and resumable, unlike a generic sort shuffle."""
+    import glob
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    files = sorted(glob.glob(os.path.join(key_dir, "item=*.parquet")))
+
+    def scan_bucket(b: pa.Table) -> pa.Table:
+        out: list[np.ndarray] = []
+        dataset = pads.dataset(files)
+        for bucket in b["bucket"].to_pylist():
+            t = dataset.to_table(filter=pads.field("bucket") == bucket,
+                                 columns=["key_hash"])
+            vals, cnt = np.unique(t["key_hash"].to_numpy(zero_copy_only=False),
+                                  return_counts=True)
+            out.append(vals[cnt > 1])
+        flat = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        return pa.table({"key_hash": pa.array(flat, pa.int64())})
+
+    buckets = ray.data.from_items([{"bucket": i} for i in range(P)])
+    res = buckets.map_batches(scan_bucket, batch_format="pyarrow", batch_size=4)
+    return [r["key_hash"] for r in res.take_all()]
+
+
 @register_check("uniqueness")
 def run_uniqueness_check(features_ds, cfg: ValidationConfig, ctx=None):
-    if features_ds is None:
-        key_ds = ray.data.read_parquet(ctx["features_path"], columns=["key_hash"])
+    P = cfg.uniqueness_buckets
+    key_dir = os.path.join(ctx["out_dir"], "keys") if ctx else ""
+    if key_dir and os.path.isdir(key_dir):
+        dup_hashes = _dup_hashes_from_key_files(key_dir, P)
     else:
-        key_ds = features_ds.select_columns(["key_hash"])
-    counts = key_ds.groupby("key_hash").aggregate(Count(alias_name="cnt"))
-    dup_keys = counts.filter(expr="cnt > 1")
-    dup_hashes = [r["key_hash"] for r in dup_keys.take_all()]  # small by contract
+        # standalone path: bucket groupby + vectorized per-bucket dup scan
+        import numpy as np
+        import pandas as pd
+
+        if features_ds is None:
+            key_ds = ray.data.read_parquet(ctx["features_path"], columns=["key_hash"])
+        else:
+            key_ds = features_ds.select_columns(["key_hash"])
+
+        def bucketize(b: pa.Table) -> pa.Table:
+            kh = b["key_hash"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"bucket": pa.array((kh % P).astype(np.int32)), "key_hash": b["key_hash"]}
+            )
+
+        def dups_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            vals, cnt = np.unique(g["key_hash"].to_numpy(), return_counts=True)
+            return pd.DataFrame({"key_hash": vals[cnt > 1]})
+
+        dup_keys = key_ds.map_batches(bucketize, batch_format="pyarrow").groupby(
+            "bucket"
+        ).map_groups(dups_in_bucket, batch_format="pandas")
+        dup_hashes = [r["key_hash"] for r in dup_keys.take_all()]  # small by contract
 
     if not dup_hashes:
         return _empty_violations(), []

@@ -46,6 +46,10 @@ def _duck():
         import duckdb
 
         _DUCK = duckdb.connect()
+        # one thread per connection: this runs inside 1-CPU Ray workers, and
+        # DuckDB's default thread pool (one per hardware core) oversubscribes
+        # catastrophically when dozens of actors each spin one up
+        _DUCK.execute("SET threads=1")
     return _DUCK
 
 

@@ -74,15 +74,27 @@ def run_validation(
     items = plan_work_items(paths, target_rows=cfg.target_rows_per_item)
     items_ds = _items_dataset(items)
 
-    # --- Phase 1: feature extraction (actor pool, checkpoint per item)
+    # --- Phase 1: fused extraction (actor pool, checkpoint per item) —
+    # computes features + every enabled check's per-row products in ONE
+    # pass over the wide input
+    fused_checks = [c for c in checks if cfg.drift_inline or c != "drift"]
+    # fixed pool clamped to what is actually schedulable: a fixed pool
+    # larger than the session's CPUs waits for its minimum size forever,
+    # and an autoscaling (1, N) pool ramps up too slowly for a short phase
+    avail_cpus = int(ray.available_resources().get("CPU", 8))
+    pool = max(1, min(cfg.extract_concurrency, len(items), avail_cpus - 1))
+    from ray.data._internal.compute import ActorPoolStrategy
+
     extract_summary = items_ds.map_batches(
         FeatureExtractor,
-        fn_constructor_args=(out_dir,),
+        fn_constructor_args=(out_dir, cfg, fused_checks,
+                             os.path.join(source_dir, "repos.parquet"),
+                             os.path.join(source_dir, "commits.parquet")),
         batch_format="pyarrow",
         batch_size=1,
-        # autoscaling pool (min=1): a fixed pool larger than the CPUs the
-        # session actually has would wait for its minimum size forever
-        concurrency=(1, cfg.extract_concurrency),
+        # one in-flight item per actor: default task stacking queues several
+        # multi-second items on some actors while others idle at the tail
+        compute=ActorPoolStrategy(size=pool, max_tasks_in_flight_per_actor=1),
     ).to_pandas()
     n_extracted = int(extract_summary.loc[~extract_summary["skipped"], "n_rows"].sum())
     n_skipped = int(extract_summary["skipped"].sum())
@@ -98,24 +110,56 @@ def run_validation(
     verdict_rows: list[dict] = []
     timings: dict[str, float] = {"extract": time.time() - t_start}
 
+    runners = {
+        "drift": lambda: run_drift_check(items_ds, cfg, ctx),
+        "stats": lambda: run_stats_check(None, cfg, ctx),
+        "uniqueness": lambda: run_uniqueness_check(None, cfg, ctx),
+        "referential": lambda: run_referential_check(None, cfg, ctx),
+    }
     for name in checks:
-        t0 = time.time()
-        if name == "drift":
-            vio, rows = run_drift_check(items_ds, cfg, ctx)
-        elif name == "stats":
-            vio, rows = run_stats_check(None, cfg, ctx)
-        elif name == "uniqueness":
-            vio, rows = run_uniqueness_check(None, cfg, ctx)
-        elif name == "referential":
-            vio, rows = run_referential_check(None, cfg, ctx)
-        else:
+        if name not in runners:
             raise ValueError(f"unknown check {name!r}")
-        if name != "drift":  # drift writes its violations per item already
-            vio_dir = os.path.join(out_dir, "violations", name)
-            vio.write_parquet(vio_dir)
-        verdict_rows.extend(rows)
-        timings[name] = time.time() - t0
-        manifest.mark_done(f"check/{name}", seconds=timings[name])
+
+    def run_one(name: str):
+        t0 = time.time()
+        for attempt in range(3):
+            try:
+                vio, rows = runners[name]()
+                break
+            except ImportError as ex:
+                # fsspec's optional-HTTP import is not thread-safe: under
+                # concurrent first imports a sibling thread can observe the
+                # partially-imported module and raise ImportError where a
+                # single-threaded run gets a (caught) ModuleNotFoundError.
+                if "HTTPFileSystem" in str(ex) and attempt < 2:
+                    time.sleep(0.2)
+                    continue
+                raise
+        # fused checks return vio=None: their violations were already
+        # written per item by the extract pass
+        if vio is not None and name != "drift":
+            vio.write_parquet(os.path.join(out_dir, "violations", name))
+        sec = time.time() - t0
+        manifest.mark_done(f"check/{name}", seconds=sec)
+        return rows, sec
+
+    if cfg.concurrent_checks and len(checks) > 1:
+        # checks are independent Dataset executions sharing the CPU pool:
+        # running them concurrently overlaps their fixed shuffle/startup
+        # costs, which otherwise serialize into a scaling floor
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(checks)) as pool:
+            futures = {name: pool.submit(run_one, name) for name in checks}
+            for name, fut in futures.items():
+                rows, sec = fut.result()
+                verdict_rows.extend(rows)
+                timings[name] = sec
+    else:
+        for name in checks:
+            rows, sec = run_one(name)
+            verdict_rows.extend(rows)
+            timings[name] = sec
 
     # --- verdicts table
     if verdict_rows:

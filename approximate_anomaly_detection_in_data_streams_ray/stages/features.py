@@ -51,6 +51,16 @@ def extract_features(batch: pa.Table) -> pa.Table:
         pc.binary_join_element_wise(repo, path, "\x1f"), commit, "\x1f"
     )
 
+    # text-profile features (RE2 kernels): token count and punctuation/digit
+    # ratios feed the quality columns of the stats check and give the drift
+    # detector richer per-file structure signals
+    n_tokens = pc.fill_null(pc.count_substring_regex(content, r"[A-Za-z0-9_]+"), 0)
+    n_punct = pc.fill_null(pc.count_substring_regex(content, r"[^\w\s]"), 0)
+    n_digit = pc.fill_null(pc.count_substring_regex(content, r"[0-9]"), 0)
+    safe = np.maximum(n_chars_np, 1.0)
+    punct_ratio = n_punct.to_numpy(zero_copy_only=False).astype(np.float64) / safe
+    digit_ratio = n_digit.to_numpy(zero_copy_only=False).astype(np.float64) / safe
+
     return pa.table(
         {
             "repo": batch["repo"],
@@ -65,6 +75,9 @@ def extract_features(batch: pa.Table) -> pa.Table:
             "n_lines": pc.cast(n_lines, pa.int64()),
             "n_lines_log": pa.array(np.log1p(n_lines_np)),
             "lang_code": pa.array(lang_code),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "punct_ratio": pa.array(punct_ratio),
+            "digit_ratio": pa.array(digit_ratio),
         }
     )
 
@@ -78,7 +91,8 @@ class FeatureExtractor:
     instantly on resume if its manifest marker exists.
     """
 
-    def __init__(self, out_dir: str) -> None:
+    def __init__(self, out_dir: str, cfg=None, checks: list[str] | None = None,
+                 repos_path: str | None = None, commits_path: str | None = None) -> None:
         import os
 
         from ..pipelines.checkpoint import Manifest
@@ -86,6 +100,103 @@ class FeatureExtractor:
         self.out_dir = out_dir
         self.manifest = Manifest(out_dir)
         self.features_dir = os.path.join(out_dir, "features")
+        # fused single full-data pass: with the feature table already in
+        # memory, every per-row check product — drift windows, stats
+        # partials, null/length violations, referential anti-join rows, and
+        # the uniqueness key-bucket files — is emitted here.  Downstream
+        # checks become tiny merges + one explicit bucket exchange, so the
+        # whole pipeline reads the wide input exactly once.
+        self.cfg = cfg
+        self.checks = set(checks or [])
+        self.dims = None
+        if cfg is not None and "referential" in self.checks and repos_path:
+            import pyarrow.parquet as pq
+
+            self.dims = (
+                pq.read_table(repos_path, columns=["repo"])["repo"].combine_chunks(),
+                pq.read_table(commits_path, columns=["commit"])["commit"].combine_chunks(),
+            )
+
+    def _unit_done(self, kind: str, item_id: str, path: str) -> bool:
+        import os
+
+        return self.manifest.is_done(f"{kind}/{item_id}") and os.path.exists(path)
+
+    def _fused_products(self, item_id: str, table: pa.Table | None) -> None:
+        """Per-item products for each enabled check; each has its own
+        manifest unit so resumes are correct check-by-check."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from ..pipelines.checkpoint import atomic_write_parquet
+
+        cfg = self.cfg
+        if cfg is None:
+            return
+
+        def load(columns):
+            nonlocal table
+            if table is None:
+                table = pq.read_table(
+                    os.path.join(self.features_dir, f"item={item_id}", "part.parquet")
+                )
+            return table
+
+        if "drift" in self.checks:
+            from ..checks.drift import run_drift_item
+
+            sp = os.path.join(self.out_dir, "drift_summaries", f"item={item_id}.parquet")
+            if not self._unit_done("drift", item_id, sp):
+                run_drift_item(load(None), item_id, self.out_dir, cfg, self.manifest)
+
+        if "stats" in self.checks:
+            from ..checks.stats import null_and_length_violations, stats_partials
+
+            pp = os.path.join(self.out_dir, "stats_partials", f"item={item_id}.parquet")
+            if not self._unit_done("stats_partials", item_id, pp):
+                t = load(None)
+                atomic_write_parquet(stats_partials(t), pp)
+                atomic_write_parquet(
+                    null_and_length_violations(t, cfg.min_content_len, cfg.max_content_len),
+                    os.path.join(self.out_dir, "violations", "stats",
+                                 f"item={item_id}", "part.parquet"),
+                )
+                self.manifest.mark_done(f"stats_partials/{item_id}")
+
+        if "referential" in self.checks and self.dims is not None:
+            from ..checks.referential import referential_violations
+
+            rp = os.path.join(self.out_dir, "violations", "referential",
+                              f"item={item_id}", "part.parquet")
+            if not self._unit_done("referential", item_id, rp):
+                atomic_write_parquet(
+                    referential_violations(load(None), self.dims[0], self.dims[1]), rp
+                )
+                self.manifest.mark_done(f"referential/{item_id}")
+
+        if "uniqueness" in self.checks:
+            import numpy as np
+
+            kp = os.path.join(self.out_dir, "keys", f"item={item_id}.parquet")
+            if not self._unit_done("keys", item_id, kp):
+                t = load(None)
+                kh = t["key_hash"].to_numpy(zero_copy_only=False)
+                P = cfg.uniqueness_buckets
+                bucket = (kh % P).astype(np.int32)
+                order = np.argsort(bucket, kind="stable")
+                keys = pa.table(
+                    {"bucket": pa.array(bucket[order]), "key_hash": pa.array(kh[order])}
+                )
+                # bucket-sorted + one row group per ~bucket → a bucket-merge
+                # task prunes to its row groups via parquet stats
+                os.makedirs(os.path.dirname(kp), exist_ok=True)
+                pq.write_table(
+                    keys, kp + ".tmp",
+                    row_group_size=max(2048, len(keys) // P + 1),
+                )
+                os.replace(kp + ".tmp", kp)
+                self.manifest.mark_done(f"keys/{item_id}")
 
     def __call__(self, items: pa.Table) -> pa.Table:
         import os
@@ -100,6 +211,7 @@ class FeatureExtractor:
             unit = f"features/{item_id}"
             dest = os.path.join(self.features_dir, f"item={item_id}", "part.parquet")
             if self.manifest.is_done(unit) and os.path.exists(dest):
+                self._fused_products(item_id, None)
                 out_rows["item_id"].append(item_id)
                 out_rows["n_rows"].append(-1)
                 out_rows["skipped"].append(True)
@@ -113,6 +225,7 @@ class FeatureExtractor:
             if table is not None:
                 atomic_write_parquet(table, dest)
                 self.manifest.mark_done(unit, n_rows=len(table))
+                self._fused_products(item_id, table)
             out_rows["item_id"].append(item_id)
             out_rows["n_rows"].append(len(table) if table is not None else 0)
             out_rows["skipped"].append(False)

@@ -149,14 +149,14 @@ def generate_code_files(
         lens = np.clip(lens.astype(np.int64), 24, max_content_len - 1)
         commit_pick = np.sort(rng.integers(0, len(commits_r), size=nr))
         lang_pick = rng.random(nr)
+        word_pick = rng.integers(0, len(_WORDS), size=nr)  # drawn in bulk
+        lens_list = lens.tolist()
         for j in range(nr):
             lang = lang_main if lang_pick[j] < 0.8 else LANGS[int(lang_pick[j] * 1e6) % len(LANGS)]
-            w1 = _WORDS[int(rng.integers(len(_WORDS)))]
+            w1 = _WORDS[word_pick[j]]
             path = f"src/{w1}/{w1}_{j:05d}.{lang[:2]}"
             commit = commits_r[commit_pick[j]]
-            header = f"// {r}/{path}@{commit}\n"
-            body = big[lang]
-            content = header + body[: int(lens[j])]
+            content = f"// {r}/{path}@{commit}\n" + big[lang][: lens_list[j]]
             repo_col.append(r); path_col.append(path); commit_col.append(commit)
             lang_col.append(lang); content_col.append(content)
 
@@ -239,7 +239,10 @@ def generate_code_files(
     for s in range(n_shards):
         idx = np.nonzero(shard_of == s)[0]
         sub = table.take(pa.array(idx))
-        pq.write_table(sub, os.path.join(out_dir, "code_files", f"shard-{s:04d}.parquet"))
+        # small row groups so work-item planning can split hot shards at
+        # row-group boundaries (pipelines/partitioning.py)
+        pq.write_table(sub, os.path.join(out_dir, "code_files", f"shard-{s:04d}.parquet"),
+                       row_group_size=16384)
 
     pq.write_table(
         pa.table(
