@@ -446,7 +446,9 @@ def _code_files_dir(sf_dir: str) -> str:
     testdata dir, cached under /tmp."""
     base = os.path.basename(os.path.normpath(sf_dir))
     sf = float(base.replace("sf", "") or 0.001)
-    n_rows = max(2000, int(sf * 40_000_000))
+    # bench scale (sf >= 0.05) needs a compute-dominated corpus; the
+    # correctness scales just need every injected-violation class present
+    n_rows = max(2000, int(sf * 40_000_000) if sf >= 0.05 else int(sf * 4_000_000))
     # /dev/shm when available: on a real N-node cluster every node brings
     # its own storage bandwidth, so aggregate I/O scales with N; a single
     # box's fixed disk does not — RAM-backed files model the per-node
