@@ -324,21 +324,21 @@ def minhash_dedup_documents(sf_dir: str):
     from ..stages.dedup import minhash_near_dup_pairs
 
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_near_dup_pairs(ds, threshold=0.7)
+    return minhash_near_dup_pairs(ds, threshold=0.7, concurrency=8)
 
 
 def simhash_dedup_documents(sf_dir: str):
     from ..stages.dedup import simhash_near_dup_pairs
 
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_near_dup_pairs(ds, max_hamming=6)
+    return simhash_near_dup_pairs(ds, max_hamming=6, concurrency=8)
 
 
 def ngram_jaccard_dedup_documents(sf_dir: str):
     from ..stages.dedup import minhash_near_dup_pairs, ngram_jaccard_verify
 
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
-    cand = minhash_near_dup_pairs(ds, threshold=0.5)
+    cand = minhash_near_dup_pairs(ds, threshold=0.5, concurrency=8)
     return ngram_jaccard_verify(ds, cand, threshold=0.6)
 
 

@@ -21,6 +21,18 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import stable_hash64
+
+
+def _fixed_pool(requested, num_cpus_per_actor: float = 0.75) -> int:
+    """Clamp a requested actor-pool size to what the session can actually
+    schedule: oversized fixed pools wait for their minimum size forever and
+    autoscaling pools ramp up too slowly for short stages."""
+    import ray
+
+    if isinstance(requested, tuple):
+        requested = requested[1]
+    avail = ray.available_resources().get("CPU", 4) if ray.is_initialized() else 4
+    return max(1, min(int(requested), int(avail / num_cpus_per_actor) - 1 or 1))
 from ..functions.sketches import MinHasher, char_shingle_hashes, simhash64
 from ..functions.text import token_hashes
 
@@ -58,21 +70,31 @@ class MinHashSignatures:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, band_ids, band_hashes, sigs = [], [], [], []
+        ids, bucket_keys, sigs = [], [], []
         texts = batch[self.text_col].to_pylist()
         id_vals = batch[self.id_col].to_pylist()
+        rows_per_band = self.mh.num_perm // self.bands
         for i, text in enumerate(texts):
             sig = self.mh.signature(char_shingle_hashes(text or "", self.shingle))
-            for b, h in MinHasher.band_keys(sig, self.bands):
+            sig_b = sig.tobytes()
+            # one combined int64 bucket key per band: band id mixed into the
+            # band's segment hash (single exchange column)
+            seg = sig.reshape(self.bands, rows_per_band)
+            from ..functions.hashing import splitmix64
+
+            with np.errstate(over="ignore"):
+                h = np.zeros(self.bands, dtype=np.uint64)
+                for j in range(rows_per_band):
+                    h = splitmix64(h + seg[:, j])
+                h = splitmix64(h + np.arange(self.bands, dtype=np.uint64))
+            for k in h.astype(np.int64).tolist():
                 ids.append(id_vals[i])
-                band_ids.append(b)
-                band_hashes.append(np.int64(np.uint64(h)).item())
-                sigs.append(sig.tobytes())
+                bucket_keys.append(k)
+                sigs.append(sig_b)
         return pa.table(
             {
                 self.id_col: pa.array(ids),
-                "band_id": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.int64()),
+                "bucket_key": pa.array(bucket_keys, pa.int64()),
                 "sig": pa.array(sigs, pa.binary()),
             }
         )
@@ -85,20 +107,32 @@ def minhash_near_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     agreement ≥ threshold.  Bucket groupby carries only (id, 8B hash,
     signature) rows."""
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """One call per coarse partition (not per LSH bucket): sort by
+        bucket_key, detect equal-key runs vectorized, and only the rare
+        multi-member runs get pairwise signature comparison."""
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        g = g.sort_values(id_col)
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
-        ids = g[id_col].tolist()
+        g = g.sort_values(["bucket_key", id_col], kind="stable")
+        keys = g["bucket_key"].to_numpy()
+        boundaries = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate([[0], boundaries])
+        ends = np.concatenate([boundaries, [len(keys)]])
+        ids = g[id_col].to_numpy()
+        sig_col = g["sig"].to_numpy()
         out_a, out_b, out_j = [], [], []
-        for i in range(len(g)):
-            for j in range(i + 1, len(g)):
-                if ids[i] == ids[j]:
-                    continue
-                jac = float((sigs[i] == sigs[j]).mean())
-                if jac >= threshold:
-                    out_a.append(ids[i]); out_b.append(ids[j]); out_j.append(jac)
+        for s0, s1 in zip(starts, ends):
+            if s1 - s0 < 2:
+                continue
+            sigs = [np.frombuffer(x, dtype=np.uint64) for x in sig_col[s0:s1]]
+            for i in range(s1 - s0):
+                for j in range(i + 1, s1 - s0):
+                    if ids[s0 + i] == ids[s0 + j]:
+                        continue
+                    jac = float((sigs[i] == sigs[j]).mean())
+                    if jac >= threshold:
+                        out_a.append(ids[s0 + i]); out_b.append(ids[s0 + j])
+                        out_j.append(jac)
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
 
     buckets = ds.map_batches(
@@ -106,11 +140,18 @@ def minhash_near_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
                                "id_col": id_col, "text_col": text_col},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        batch_size=512,
+        concurrency=_fixed_pool(concurrency),
         num_cpus=0.75,
+    ).map_batches(
+        lambda b: b.append_column(
+            "pbucket", pa.array((b["bucket_key"].to_numpy(zero_copy_only=False)
+                                 % 64).astype(np.int32))
+        ),
+        batch_format="pyarrow",
     )
-    pairs = buckets.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
+    pairs = buckets.groupby("pbucket").map_groups(
+        pairs_in_partition, batch_format="pandas"
     )
     # a pair can match in several bands → dedup
     pdf = pairs.to_pandas()
@@ -150,7 +191,8 @@ def simhash_near_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     fps_df = ds.map_batches(
         SimHashStage, fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
-        batch_format="pyarrow", concurrency=concurrency, num_cpus=0.75,
+        batch_format="pyarrow", batch_size=512,
+        concurrency=_fixed_pool(concurrency), num_cpus=0.75,
     ).to_pandas()
     f = fps_df["simhash"].to_numpy().astype(np.uint64)
     ids = fps_df[id_col].to_numpy()

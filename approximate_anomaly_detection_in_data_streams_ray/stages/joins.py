@@ -1,0 +1,80 @@
+"""Distributed joins: broadcast (small side) and bucketed hash join (both
+sides large).
+
+The broadcast pattern lives where it is used (``checks/referential.py``,
+``pipelines/queries.py:customer_order_totals``).  This module provides the
+both-sides-large fallback: an explicit partitioned hash join through a
+bucket-partitioned Parquet exchange — the same checkpointed-file-layout
+shuffle the uniqueness check uses (``checks/uniqueness.py``), so it is
+resumable and has near-zero constant cost compared to a generic sort
+shuffle.
+
+Partitioning assumptions (documented per the custom-operator contract):
+  * ``B`` is chosen ~ cluster parallelism; each bucket's two sides must fit
+    in one worker's heap — salt hot keys into sub-buckets if one key
+    exceeds that;
+  * bucket assignment is ``stable_hash64(key) % B`` (process-stable), and
+    the in-bucket merge is an exact pandas join, so hash collisions are
+    harmless.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import stable_hash64
+
+
+def _write_bucketed(ds, key: str, B: int, path: str) -> None:
+    def add(b: pa.Table) -> pa.Table:
+        h = stable_hash64(b[key])
+        return b.append_column("bucket", pa.array((h % B).astype(np.int32)))
+
+    ds.map_batches(add, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["bucket"]
+    )
+
+
+def bucketed_hash_join(left, right, key: str, B: int = 32, how: str = "inner",
+                       suffixes: tuple[str, str] = ("_l", "_r"),
+                       scratch_dir: str | None = None):
+    """Join two Datasets on *key* via a B-bucket Parquet exchange.
+
+    Both sides are written bucket-partitioned (one streaming pass each),
+    then B independent tasks read their bucket's partitions from both
+    sides and merge with pandas.  Returns a Dataset of joined rows.
+    """
+    import ray
+
+    root = tempfile.mkdtemp(prefix="join_", dir=scratch_dir)
+    lpath, rpath = os.path.join(root, "l"), os.path.join(root, "r")
+    _write_bucketed(left, key, B, lpath)
+    _write_bucketed(right, key, B, rpath)
+
+    def join_bucket(b: pa.Table) -> pa.Table:
+        import glob
+
+        import pyarrow.dataset as pads
+
+        outs = []
+        for bucket in b["bucket"].to_pylist():
+            lf = glob.glob(os.path.join(lpath, f"bucket={bucket}", "*.parquet"))
+            rf = glob.glob(os.path.join(rpath, f"bucket={bucket}", "*.parquet"))
+            if not lf or (not rf and how == "inner"):
+                continue
+            lg = pads.dataset(lf).to_table().to_pandas() if lf else pd.DataFrame()
+            rg = pads.dataset(rf).to_table().to_pandas() if rf else pd.DataFrame(columns=[key])
+            joined = lg.merge(rg, on=key, how=how, suffixes=suffixes)
+            if len(joined):
+                outs.append(pa.Table.from_pandas(joined, preserve_index=False))
+        if not outs:
+            return pa.table({})
+        return pa.concat_tables(outs, promote_options="default")
+
+    buckets = ray.data.from_items([{"bucket": i} for i in range(B)])
+    return buckets.map_batches(join_bucket, batch_format="pyarrow", batch_size=2)

@@ -168,3 +168,26 @@ def test_ivf_recall_vs_bruteforce(ray_session):
     exact = set(brute_force_topk(ray.data.from_arrow(t), q, k=10)["vec_id"])
     approx = set(ivf_topk(ray.data.from_arrow(t), q, k=10, nlist=8, nprobe=4)["vec_id"])
     assert len(exact & approx) / 10 >= 0.6
+
+
+def test_bucketed_hash_join_matches_pandas(ray_session, tmp_path):
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.joins import (
+        bucketed_hash_join,
+    )
+
+    rng = np.random.default_rng(6)
+    left = pa.table({"k": pa.array(rng.integers(0, 50, 500)),
+                     "lv": pa.array(range(500))})
+    right = pa.table({"k": pa.array(rng.integers(0, 50, 80)),
+                      "rv": pa.array(range(80))})
+    got = bucketed_hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), key="k", B=8,
+        scratch_dir=str(tmp_path),
+    ).to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    want = (left.to_pandas().merge(right.to_pandas(), on="k", how="inner",
+                                   suffixes=("_l", "_r"))
+            .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    assert len(got) == len(want)
+    assert (got[["k", "lv", "rv"]].to_numpy() == want[["k", "lv", "rv"]].to_numpy()).all()
