@@ -25,6 +25,20 @@ Counter parity: ``nOnlyOutlier`` equals the pure-outlier total exactly.
 the transient outlier classifications MCOD emits while re-inserting members
 of a dissolved micro-cluster (order-dependent in the reference itself via
 M-tree traversal order); the oracle reports the transient-free values.
+
+Alignment caveat (reference quirk): when ``W % slide != 0`` (or during the
+initial fill when ``W`` is not a whole number of slides), arrivals can have
+ids beyond the not-yet-slid ``windowEnd`` — "ghosts".  The reference's
+``addNeighbor`` in-window guard (`MCOD.java:50-54`) skips every update in
+which a ghost is the counted side (replicated here), BUT its micro-cluster
+spawn/join branches carry no such guard (`MCOD.java:94-129,163-189`): a
+ghost arrival can still absorb in-window points into a new cluster and mark
+them inlier without their neighbor counts ever reflecting it.  That side
+effect cannot be reproduced without simulating the full MCOD structure, so:
+for aligned configs (``W % slide == 0``, the reference's canonical usage)
+the oracle's pure-outlier set equals MCOD's exactly; for unaligned configs
+MCOD's pure set is a subset of the oracle's (ghost-created clusters only
+ever ADD inlier classifications).
 """
 
 from __future__ import annotations
@@ -92,17 +106,24 @@ def brute_force_detect(
             else:
                 neigh = np.empty(0, dtype=np.int64)
             si = slide_of(i)
+            i_in_window = i <= end  # fill-phase overshoot: ids beyond the
+            # (not yet slid) windowEnd are "ghosts" — the reference's
+            # addNeighbor in-window guard (`MCOD.java:50-54`) skips every
+            # update involving them as the q side, so ghost pairs never
+            # count each other and earlier points never count a ghost.
             for j in neigh.tolist():
-                # i is the newest point: every neighbor j has slide <= si
-                if slide_of(j) == si:
-                    count_after[i] += 1
-                else:
-                    prec[i].append(j)  # appended in ascending id order
-                # j's view of i: same-or-later slide → count_after
-                count_after[j] += 1
-                if not is_inlier_now[j] and cnt(j) >= k:
-                    is_inlier_now[j] = True
-                    ever_inlier[j] = True
+                if j <= end:  # addNeighbor(i, j): checks j in-window
+                    # i is the newest point: every neighbor j has slide <= si
+                    if slide_of(j) == si:
+                        count_after[i] += 1
+                    else:
+                        prec[i].append(j)  # appended in ascending id order
+                if i_in_window:  # addNeighbor(j, i): checks i in-window
+                    # j's view of i: same-or-later slide → count_after
+                    count_after[j] += 1
+                    if not is_inlier_now[j] and cnt(j) >= k:
+                        is_inlier_now[j] = True
+                        ever_inlier[j] = True
             prec[i].sort()
             if cnt(i) >= k:
                 is_inlier_now[i] = True
