@@ -52,3 +52,32 @@ def test_compare_cli_reference_fixture(tmp_path, capsys):
     rc = main(["compare", "--baseline", str(b), "--test", str(t)])
     assert rc == 0
     assert "Recall: 70.0%" in capsys.readouterr().out
+
+
+def test_detect_cli_partitioned_mode(tmp_path, capsys, ray_session):
+    """--partitionCol: one detector window per partition via Ray groupby."""
+    import json
+
+    import pandas as pd
+
+    pts_a = generate_stream_points(400, 2, seed=11)
+    pts_b = generate_stream_points(400, 2, seed=12)
+    df = pd.DataFrame(
+        {
+            "part": ["a"] * 400 + ["b"] * 400,
+            "f0": np.concatenate([pts_a[:, 0], pts_b[:, 0]]),
+            "f1": np.concatenate([pts_a[:, 1], pts_b[:, 1]]),
+        }
+    )
+    csv = tmp_path / "p.csv"
+    df.to_csv(csv, index=False)
+    out = tmp_path / "res.jsonl"
+    rc = main(["detect", "--W", "200", "--slide", "50", "--R", "2.5", "--k", "10",
+               "--datafile", str(csv), "--partitionCol", "part",
+               "--outliersFile", str(out)])
+    assert rc == 0
+    rows = [json.loads(line) for line in out.read_text().splitlines()]
+    got = {r["partition"]: json.loads(r["outliers"]) for r in rows}
+    want_a, _ = run_detector(MCOD(200, 50, 2.5, 10, 2), pts_a)
+    want_b, _ = run_detector(MCOD(200, 50, 2.5, 10, 2), pts_b)
+    assert got["a"] == want_a and got["b"] == want_b

@@ -131,3 +131,20 @@ def test_partial_run_then_resume(ray_session, tmp_path_factory):
     assert os.path.exists(
         os.path.join(out, "features", f"item={item_id}", "part.parquet")
     )
+
+
+def test_drift_with_approx_algorithm(ray_session, tmp_path_factory):
+    """The drift check runs with every detector variant behind config."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.runner import (
+        run_validation,
+    )
+
+    base = tmp_path_factory.mktemp("approx")
+    src = str(base / "src")
+    generate_code_files(src, n_rows=8000, n_repos=6, seed=13, n_shards=2)
+    for algo in ("approx_mcod", "lshod", "approx_mclshod"):
+        out = str(base / f"out_{algo}")
+        cfg = ValidationConfig(drift_algorithm=algo, target_rows_per_item=2000,
+                               extract_concurrency=2, drift_concurrency=2)
+        s = run_validation(src, out, cfg, checks=["drift"])
+        assert s["n_verdicts"] > 0, algo
