@@ -9,6 +9,6 @@ reference's pluggable detector/index type parameters (SURVEY.md §2.8).
 from .base import ValidationConfig, CHECK_REGISTRY, register_check
 
 # importing the check modules populates CHECK_REGISTRY via @register_check
-from . import drift, referential, stats, uniqueness  # noqa: E402,F401
+from . import drift, referential, schema_check, stats, uniqueness  # noqa: E402,F401
 
 __all__ = ["ValidationConfig", "CHECK_REGISTRY", "register_check"]

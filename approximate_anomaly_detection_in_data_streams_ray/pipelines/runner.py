@@ -28,6 +28,7 @@ import ray
 
 from ..checks.base import ValidationConfig
 from ..checks.drift import run_drift_check
+from ..checks.schema_check import run_schema_check
 from ..checks.referential import run_referential_check
 from ..checks.stats import run_stats_check
 from ..checks.uniqueness import run_uniqueness_check
@@ -63,7 +64,8 @@ def run_validation(
     the same *out_dir* resumes: completed extraction/drift items are
     skipped via the manifest."""
     cfg = cfg or ValidationConfig()
-    checks = checks or ["stats", "uniqueness", "referential", "drift"]
+    checks = list(checks or ["schema", "stats", "uniqueness", "referential", "drift"])
+    requested_checks = list(checks)
     t_start = time.time()
     os.makedirs(out_dir, exist_ok=True)
     manifest = Manifest(out_dir)
@@ -71,6 +73,38 @@ def run_validation(
     paths = sorted(glob.glob(os.path.join(source_dir, "code_files", "*.parquet")))
     if not paths:
         raise FileNotFoundError(f"no parquet under {source_dir}/code_files")
+
+    verdict_rows: list[dict] = []
+    timings: dict[str, float] = {}
+
+    # --- Phase 0: schema gate (footer-only, before any data moves) —
+    # files that fail the schema contract get failed verdicts and are
+    # excluded from extraction; everything downstream sees clean schemas
+    if "schema" in checks:
+        t0 = time.time()
+        _, schema_rows = run_schema_check(
+            None, cfg, {"source_glob": os.path.join(source_dir, "code_files", "*.parquet")}
+        )
+        verdict_rows.extend(schema_rows)
+        bad_files = {r["partition_key"] for r in schema_rows if not r["passed"]}
+        paths = [p for p in paths if os.path.basename(p) not in bad_files]
+        timings["schema"] = time.time() - t0
+        manifest.mark_done("check/schema", seconds=timings["schema"])
+        checks = [c for c in checks if c != "schema"]
+        if not paths:
+            atomic_write_parquet(
+                pa.Table.from_pylist(verdict_rows),
+                os.path.join(out_dir, "verdicts", "verdicts.parquet"),
+            )
+            return {
+                "n_items": 0, "n_rows_extracted": 0, "n_items_skipped_resume": 0,
+                "n_verdicts": len(verdict_rows),
+                "n_failed_verdicts": sum(1 for r in verdict_rows if not r["passed"]),
+                "checks": ["schema"], "timings_sec": timings,
+                "config": asdict(cfg),
+                "total_sec": round(time.time() - t_start, 3),
+            }
+
     items = plan_work_items(paths, target_rows=cfg.target_rows_per_item)
     items_ds = _items_dataset(items)
 
@@ -103,12 +137,12 @@ def run_validation(
     ctx = {
         "out_dir": out_dir,
         "features_path": features_path,
+        "source_glob": os.path.join(source_dir, "code_files", "*.parquet"),
         "repos_path": os.path.join(source_dir, "repos.parquet"),
         "commits_path": os.path.join(source_dir, "commits.parquet"),
     }
 
-    verdict_rows: list[dict] = []
-    timings: dict[str, float] = {"extract": time.time() - t_start}
+    timings["extract"] = time.time() - t_start - timings.get("schema", 0.0)
 
     runners = {
         "drift": lambda: run_drift_check(items_ds, cfg, ctx),
@@ -174,7 +208,7 @@ def run_validation(
         "n_items_skipped_resume": n_skipped,
         "n_verdicts": len(verdict_rows),
         "n_failed_verdicts": sum(1 for r in verdict_rows if not r["passed"]),
-        "checks": checks,
+        "checks": requested_checks,
         "timings_sec": {k: round(v, 3) for k, v in timings.items()},
         "config": asdict(cfg),
         "total_sec": round(time.time() - t_start, 3),

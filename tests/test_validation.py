@@ -148,3 +148,32 @@ def test_drift_with_approx_algorithm(ray_session, tmp_path_factory):
                                extract_concurrency=2, drift_concurrency=2)
         s = run_validation(src, out, cfg, checks=["drift"])
         assert s["n_verdicts"] > 0, algo
+
+
+def test_schema_check_flags_bad_file(ray_session, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.runner import (
+        run_validation,
+    )
+
+    base = tmp_path_factory.mktemp("schema")
+    src = str(base / "src")
+    generate_code_files(src, n_rows=1500, n_repos=4, seed=3, n_shards=2)
+    # corrupt one shard: drop a column and add a stray one
+    bad = os.path.join(src, "code_files", "shard-0000.parquet")
+    t = pq_.read_table(bad).drop_columns(["lang"])
+    t = t.append_column("stray", pa.array(["x"] * len(t)))
+    pq_.write_table(t, bad)
+
+    out = str(base / "out")
+    cfg = ValidationConfig(target_rows_per_item=1000, extract_concurrency=2)
+    s = run_validation(src, out, cfg, checks=["schema"])
+    v = _verdicts(out).query("check == 'schema'")
+    assert len(v) == 2
+    failed = v[~v["passed"]]
+    assert list(failed["partition_key"]) == ["shard-0000.parquet"]
+    probs = json.loads(failed.iloc[0]["metrics"])["problems"]
+    assert any("missing column lang" in p for p in probs)
+    assert any("unexpected column stray" in p for p in probs)
