@@ -214,6 +214,25 @@ def null_profile_events(sf_dir: str):
     )
 
 
+def distinct_users_exact(sf_dir: str):
+    """Exact distinct count via groupby (contrast with the HLL sketch)."""
+    ds = _t(sf_dir, "events", columns=["user_id"])
+    n = ds.groupby("user_id").aggregate(Count(alias_name="c")).count()
+    return pd.DataFrame({"n_users": [int(n)]})
+
+
+def part_brand_stats(sf_dir: str):
+    ds = _t(sf_dir, "part", columns=["p_brand", "p_size", "p_retailprice"])
+    agg = ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Min("p_size", alias_name="min_size"),
+        Max("p_size", alias_name="max_size"),
+        Sum("p_retailprice", alias_name="sum_price"),
+    ).to_pandas()
+    agg["sum_price"] = agg["sum_price"].round(2)
+    return agg.sort_values("p_brand").reset_index(drop=True)
+
+
 def ann_topk(sf_dir: str):
     """Exact cosine top-10: per-batch matmul partial top-k, driver merge.
     Query = the embedding of the smallest vec_id."""
@@ -279,6 +298,14 @@ ORACLE_SQL: dict[str, str] = {
                sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_props,
                sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_value
         FROM events GROUP BY event_type
+    """,
+    "distinct_users_exact": """
+        SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM events
+    """,
+    "part_brand_stats": """
+        SELECT p_brand, count(*)::BIGINT AS n_parts, min(p_size) AS min_size,
+               max(p_size) AS max_size, round(sum(p_retailprice), 2) AS sum_price
+        FROM part GROUP BY p_brand ORDER BY p_brand
     """,
     "ann_topk": """
         WITH q AS (SELECT embedding FROM embeddings
@@ -498,6 +525,8 @@ QUERIES = {
     "events_hourly": events_hourly,
     "customer_order_totals": customer_order_totals,
     "null_profile_events": null_profile_events,
+    "distinct_users_exact": distinct_users_exact,
+    "part_brand_stats": part_brand_stats,
     "ann_topk": ann_topk,
     # rows-only
     "hll_users_per_event_type": hll_users_per_event_type,
