@@ -184,3 +184,31 @@ def hamming64(a: np.ndarray, b: int) -> np.ndarray:
     return np.bitwise_count(x) if hasattr(np, "bitwise_count") else np.array(
         [bin(int(v)).count("1") for v in x]
     )
+
+
+# ------------------------------------------------------- quantile sampling
+
+
+def stride_sample(values: np.ndarray, k: int = 64) -> tuple[np.ndarray, float]:
+    """Deterministic mergeable quantile partial: every (n/k)-th value of the
+    sorted batch, each carrying weight n/len(sample).  Merging partials =
+    concatenating weighted samples (KLL-style compaction at one level)."""
+    v = np.sort(values[~np.isnan(values)])
+    if len(v) == 0:
+        return v, 0.0
+    if len(v) <= k:
+        return v, 1.0
+    idx = np.linspace(0, len(v) - 1, k).round().astype(np.int64)
+    return v[idx], len(v) / k
+
+
+def weighted_quantiles(samples: np.ndarray, weights: np.ndarray, qs) -> list[float]:
+    order = np.argsort(samples, kind="stable")
+    s, w = samples[order], weights[order]
+    cw = np.cumsum(w)
+    total = cw[-1] if len(cw) else 1.0
+    out = []
+    for q in qs:
+        pos = np.searchsorted(cw, q * total, side="left")
+        out.append(float(s[min(pos, len(s) - 1)]) if len(s) else float("nan"))
+    return out

@@ -233,6 +233,101 @@ def part_brand_stats(sf_dir: str):
     return agg.sort_values("p_brand").reset_index(drop=True)
 
 
+def top_orders_per_customer(sf_dir: str):
+    """Per-group top-k: per-batch partial top-3 per customer (vectorized
+    pandas head-after-sort) → tiny groupby merge.  The partial stage bounds
+    the shuffle to ≤3 rows per (customer, batch)."""
+    ds = _t(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                               ascending=[True, False, True])
+                .groupby("o_custkey", sort=False).head(3))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True]).head(3))
+
+    out = ds.map_batches(partial_topk, batch_format="pandas").groupby(
+        "o_custkey").map_groups(final_topk, batch_format="pandas").to_pandas()
+    return out.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                           ascending=[True, False, True]).reset_index(drop=True)
+
+
+def bpeish_token_totals(sf_dir: str):
+    """BPE-ish pre-tokenizer counts (words | numbers | single symbols)."""
+    from ..functions.text import BPEISH_RE
+
+    ds = _t(sf_dir, "documents", columns=["lang", "text"])
+
+    def add(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.fill_null(pc.count_substring_regex(b["text"], BPEISH_RE), 0),
+                    pa.int64())
+        return pa.table({"lang": b["lang"], "n_bpeish": n})
+
+    return ds.map_batches(add, batch_format="pyarrow").groupby("lang").aggregate(
+        Sum("n_bpeish", alias_name="sum_bpeish")
+    )
+
+
+def session_windows(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity gap) per user — the
+    streaming-shaped windowed aggregate the reference's count-based windows
+    generalize to.  groupby carries only (user_id, ts); windowing is
+    vectorized numpy inside each group."""
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"])
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        breaks = np.diff(ts) > GAP_US
+        n_sessions = 1 + int(breaks.sum())
+        bounds = np.concatenate([[0], np.nonzero(breaks)[0] + 1, [len(ts)]])
+        sizes = np.diff(bounds)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(ts)],
+                "n_sessions": [n_sessions],
+                "max_session_events": [int(sizes.max())],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def value_quantiles(sf_dir: str):
+    """Approximate quantiles of events.value per event_type via a
+    deterministic mergeable stride-sample sketch (per-batch partial, driver
+    merge) — the KLL-style pattern at small constant size."""
+    from ..functions.sketches import stride_sample, weighted_quantiles
+
+    ds = _t(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type"):
+            vals, w = stride_sample(g["value"].to_numpy(dtype=np.float64), k=64)
+            rows.append({"event_type": et, "vals": vals.tobytes(),
+                         "weight": float(w), "n": len(g)})
+        return pd.DataFrame(rows)
+
+    pdf = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = []
+    for et, g in pdf.groupby("event_type"):
+        samples = np.concatenate([np.frombuffer(b, dtype=np.float64) for b in g["vals"]])
+        weights = np.concatenate(
+            [np.full(len(np.frombuffer(b, dtype=np.float64)), w)
+             for b, w in zip(g["vals"], g["weight"])]
+        )
+        qs = weighted_quantiles(samples, weights, [0.5, 0.9, 0.99])
+        out.append({"event_type": et, "n": int(g["n"].sum()),
+                    "p50": round(qs[0], 3), "p90": round(qs[1], 3),
+                    "p99": round(qs[2], 3)})
+    return pd.DataFrame(out).sort_values("event_type").reset_index(drop=True)
+
+
 def ann_topk(sf_dir: str):
     """Exact cosine top-10: per-batch matmul partial top-k, driver merge.
     Query = the embedding of the smallest vec_id."""
@@ -301,6 +396,37 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "distinct_users_exact": """
         SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM events
+    """,
+    "top_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders) WHERE rn <= 3
+        ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
+    "bpeish_token_totals": r"""
+        SELECT lang, sum(length(regexp_extract_all(
+            text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::BIGINT AS sum_bpeish
+        FROM documents GROUP BY lang
+    """,
+    "session_windows": """
+        SELECT user_id, count(*)::BIGINT AS n_events,
+               (1 + sum(CASE WHEN gap THEN 1 ELSE 0 END))::BIGINT AS n_sessions,
+               max(session_size)::BIGINT AS max_session_events
+        FROM (
+            SELECT user_id, gap, count(*) OVER (PARTITION BY user_id, session_id) AS session_size
+            FROM (
+                SELECT user_id, gap,
+                       sum(CASE WHEN gap THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM (
+                    SELECT user_id, ts,
+                           COALESCE(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                    > INTERVAL 30 MINUTE, FALSE) AS gap
+                    FROM events)))
+        GROUP BY user_id ORDER BY user_id
     """,
     "part_brand_stats": """
         SELECT p_brand, count(*)::BIGINT AS n_parts, min(p_size) AS min_size,
@@ -525,6 +651,8 @@ QUERIES = {
     "events_hourly": events_hourly,
     "customer_order_totals": customer_order_totals,
     "null_profile_events": null_profile_events,
+    "top_orders_per_customer": top_orders_per_customer,
+    "bpeish_token_totals": bpeish_token_totals,
     "distinct_users_exact": distinct_users_exact,
     "part_brand_stats": part_brand_stats,
     "ann_topk": ann_topk,
@@ -535,6 +663,8 @@ QUERIES = {
     "ngram_jaccard_dedup_documents": ngram_jaccard_dedup_documents,
     "embedding_near_dup": embedding_near_dup,
     "ivf_ann_topk": ivf_ann_topk,
+    "session_windows": session_windows,
+    "value_quantiles": value_quantiles,
     "langid_documents": langid_documents,
     "quality_documents": quality_documents,
     "fingerprint_documents": fingerprint_documents,
