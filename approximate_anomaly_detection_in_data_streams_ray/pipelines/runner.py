@@ -38,6 +38,10 @@ from .partitioning import plan_work_items
 
 
 def _items_dataset(items):
+    # longest-processing-time-first dispatch: with one in-flight item per
+    # actor, scheduling the biggest items first minimizes the straggler
+    # tail (a hot-repo item scheduled last would run alone at the end)
+    ordered = sorted(items, key=lambda it: -it.n_rows)
     return ray.data.from_items(
         [
             {
@@ -47,7 +51,7 @@ def _items_dataset(items):
                 "rg_end": it.rg_end,
                 "n_rows": it.n_rows,
             }
-            for it in items
+            for it in ordered
         ]
     )
 
