@@ -598,7 +598,10 @@ def _code_files_dir(sf_dir: str) -> str:
     """Deterministic synthetic code_files corpus sized by the sf of the
     testdata dir, cached under /tmp."""
     base = os.path.basename(os.path.normpath(sf_dir))
-    sf = float(base.replace("sf", "") or 0.001)
+    try:
+        sf = float(base.replace("sf", "") or 0.001)
+    except ValueError:
+        sf = 0.001  # unrecognized dir name → smallest corpus
     # bench scale (sf >= 0.05) needs a compute-dominated corpus; the
     # correctness scales just need every injected-violation class present
     n_rows = max(2000, int(sf * 40_000_000) if sf >= 0.05 else int(sf * 4_000_000))
