@@ -123,7 +123,7 @@ def run_validation(
     pool = max(1, min(cfg.extract_concurrency, len(items), avail_cpus - 1))
     from ray.data._internal.compute import ActorPoolStrategy
 
-    extract_summary = items_ds.map_batches(
+    extract_ds = items_ds.map_batches(
         FeatureExtractor,
         fn_constructor_args=(out_dir, cfg, fused_checks,
                              os.path.join(source_dir, "repos.parquet"),
@@ -133,7 +133,13 @@ def run_validation(
         # one in-flight item per actor: default task stacking queues several
         # multi-second items on some actors while others idle at the tail
         compute=ActorPoolStrategy(size=pool, max_tasks_in_flight_per_actor=1),
-    ).to_pandas()
+    )
+    extract_summary = extract_ds.to_pandas()
+    try:  # persist Ray's per-stage wall/cpu/memory breakdown for tuning
+        with open(os.path.join(out_dir, "extract_stage_stats.txt"), "w") as f:
+            f.write(extract_ds.stats())
+    except Exception:
+        pass
     n_extracted = int(extract_summary.loc[~extract_summary["skipped"], "n_rows"].sum())
     n_skipped = int(extract_summary["skipped"].sum())
 
