@@ -178,6 +178,31 @@ def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> in
     return int(out)
 
 
+def simhash64_batch(texts) -> np.ndarray:
+    """Batched :func:`simhash64` over whole documents: one vectorized hash
+    call for every token in the batch, per-doc bit-score sums via
+    ``add.reduceat`` — identical fingerprints to
+    ``simhash64(token_hashes(t))`` per element.  Returns uint64."""
+    from .text import tokenize_batch
+
+    flat, counts = tokenize_batch(texts)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if len(flat) == 0:
+        return out
+    bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little").astype(np.int32)
+    signed = bits * 2 - 1  # (n_tokens, 64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    nonzero = counts > 0
+    # reduceat segments start at each non-empty doc's first token; empty
+    # docs contribute no rows, so each segment holds exactly one doc
+    seg = np.add.reduceat(signed, starts[nonzero], axis=0)
+    pos = (seg > 0).astype(np.uint8)
+    fps = np.packbits(pos, axis=1, bitorder="little").copy().view(np.uint64).ravel()
+    out[nonzero] = fps
+    return out
+
+
 def hamming64(a: np.ndarray, b: int) -> np.ndarray:
     """Vectorized Hamming distance of uint64 array vs one fingerprint."""
     x = a.astype(np.uint64) ^ np.uint64(b)

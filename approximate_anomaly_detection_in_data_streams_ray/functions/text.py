@@ -92,14 +92,29 @@ def language_id(col) -> pa.Array:
 
 
 def token_hashes(text: str) -> np.ndarray:
-    """uint64 hashes of a single document's tokens (for SimHash)."""
-    from .hashing import splitmix64
+    """uint64 hashes of a single document's tokens (for SimHash).  Uses the
+    vectorized process-stable hash so the batched SimHash path
+    (:func:`..functions.sketches.simhash64_batch`) produces identical
+    fingerprints."""
+    from .hashing import stable_hash64
 
     toks = _TOKEN_COMPILED.findall(text or "")
     if not toks:
         return np.empty(0, dtype=np.uint64)
-    h = np.array([hash_bytes_u64(t.encode()) for t in toks], dtype=np.uint64)
-    return splitmix64(h)
+    return stable_hash64(toks).astype(np.uint64)
+
+
+def tokenize_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64 token hashes, per-doc token counts) for a whole batch —
+    ONE vectorized hash call over every token of every document."""
+    from .hashing import stable_hash64
+
+    toks_per_doc = [_TOKEN_COMPILED.findall(t or "") for t in texts]
+    counts = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+    flat = [tok for doc in toks_per_doc for tok in doc]
+    if not flat:
+        return np.empty(0, dtype=np.uint64), counts
+    return stable_hash64(flat).astype(np.uint64), counts
 
 
 def hash_bytes_u64(b: bytes) -> int:
@@ -118,3 +133,46 @@ def doc_fingerprint(text: str, n: int = 8) -> int:
 
     h = char_shingle_hashes(text or "", n=n)
     return int(h.min()) if len(h) else 0
+
+
+def doc_fingerprints(texts, n: int = 8) -> np.ndarray:
+    """Batched :func:`doc_fingerprint`: ONE vectorized rolling-hash pass
+    over the concatenated (padded) byte buffer of the whole batch, per-doc
+    min via a masked ``minimum.reduceat`` — no per-row Python in the hot
+    loop.  Returns int64 values identical to the scalar function."""
+    from .hashing import splitmix64
+
+    if len(texts) == 0:
+        return np.empty(0, dtype=np.int64)
+    base = np.uint64(1099511628211)
+    powers = base ** np.arange(n, dtype=np.uint64)
+    out = np.empty(len(texts), dtype=np.uint64)
+    CHUNK_BYTES = 2 << 20  # bound the (windows × n) uint64 intermediate
+    i = 0
+    while i < len(texts):
+        bufs, lens, j = [], [], i
+        total = 0
+        while j < len(texts) and (total < CHUNK_BYTES or j == i):
+            b = np.frombuffer((texts[j] or "").encode("utf-8", "ignore"), dtype=np.uint8)
+            if len(b) < n:  # same space padding as char_shingle_hashes
+                b = np.pad(b, (0, n - len(b)), constant_values=32)
+            bufs.append(b)
+            lens.append(len(b))
+            total += len(b)
+            j += 1
+        buf = np.concatenate(bufs)
+        lens = np.array(lens, dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        win = np.lib.stride_tricks.sliding_window_view(buf, n).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = splitmix64((win * powers).sum(axis=1, dtype=np.uint64))
+        # windows crossing a document boundary are not that document's
+        # shingles: mask them to MAX so the segment min ignores them
+        valid_end = starts + lens - n  # last valid window index per doc
+        mask = np.ones(len(h), dtype=bool)
+        for s, e in zip(valid_end + 1, np.append(starts[1:], len(h))):
+            mask[s:e] = False
+        h[~mask] = np.iinfo(np.uint64).max
+        out[i:j] = np.minimum.reduceat(h, starts)
+        i = j
+    return out.view(np.int64)

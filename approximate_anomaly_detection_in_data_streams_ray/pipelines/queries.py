@@ -23,8 +23,25 @@ from ray.data.aggregate import Count, Max, Min, Sum
 TOKEN_RE = r"[A-Za-z0-9_]+"
 
 
-def _t(sf_dir: str, name: str, columns=None):
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+def _t(sf_dir: str, name: str, columns=None, spread: bool = False):
+    """Read one table.  ``spread=True`` is for CPU-heavy per-row stages: the
+    driver's small test files are single-row-group parquet, which Ray reads
+    as ONE block — every downstream ``map_batches`` would run one task wide.
+    When (and only when) the source has fewer row groups than CPUs, split
+    the blocks so the stage fans out; at cluster scale inputs have many
+    files/row groups and this no-ops (no mid-pipeline materialization)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ds = ray.data.read_parquet(path, columns=columns)
+    if spread:
+        from ..stages.common import available_cpus
+
+        md = pq.ParquetFile(path).metadata
+        want = int(available_cpus())
+        if md.num_row_groups < want and md.num_rows >= 1000:
+            ds = ds.repartition(min(want * 2, max(2, md.num_rows // 250)))
+    return ds
 
 
 # --------------------------------------------------------------- SQL-checked
@@ -88,24 +105,21 @@ def exact_dedup_documents(sf_dir: str):
 
 
 def referential_orders(sf_dir: str):
-    """Orphan order count: broadcast semi-join against the customer keys."""
+    """Orphan order count: broadcast semi-join against the customer keys.
+    Plain-task ``map_batches`` (no per-actor state worth amortizing — the
+    key array is a zero-copy local ``ray.get`` from the object store)."""
     import pyarrow.parquet as pq
 
     keys = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey"])["c_custkey"]
-    key_set = ray.put(keys.combine_chunks())
+    key_ref = ray.put(keys.combine_chunks())
     ds = _t(sf_dir, "orders", columns=["o_custkey"])
 
-    class Orphans:
-        def __init__(self):
-            self.keys = ray.get(key_set)
+    def orphans(b: pa.Table) -> pa.Table:
+        bad = pc.invert(pc.is_in(b["o_custkey"], value_set=ray.get(key_ref)))
+        return pa.table({"n": pa.array([int(pc.sum(pc.cast(bad, pa.int64())).as_py() or 0)], pa.int64())})
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            bad = pc.invert(pc.is_in(b["o_custkey"], value_set=self.keys))
-            return pa.table({"n": pa.array([int(pc.sum(pc.cast(bad, pa.int64())).as_py() or 0)], pa.int64())})
-
-    parts = ds.map_batches(Orphans, batch_format="pyarrow", concurrency=2,
-                           num_cpus=0.5).to_pandas()
+    parts = ds.map_batches(orphans, batch_format="pyarrow").to_pandas()
     return pd.DataFrame({"n_orphans": [int(parts["n"].sum())]})
 
 
@@ -168,27 +182,23 @@ def events_hourly(sf_dir: str):
 
 
 def customer_order_totals(sf_dir: str):
-    """Broadcast hash join (small side shipped once via ray.put)."""
+    """Broadcast hash join: small side shipped once via ``ray.put``, probe
+    is pure Arrow (``pc.index_in`` + ``pc.take``) — zero Python per row."""
     import pyarrow.parquet as pq
 
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_name"])
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
-                                  cust["c_name"].to_pylist())))
+                         columns=["c_custkey", "c_name"]).combine_chunks()
+    cust_ref = ray.put(cust)
     ds = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
-    class JoinName:
-        def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+    def join_name(b: pa.Table) -> pa.Table:
+        c = ray.get(cust_ref)
+        idx = pc.index_in(b["o_custkey"], value_set=c["c_custkey"].chunk(0))
+        names = pc.take(c["c_name"].chunk(0), idx)  # null where no match
+        t = pa.table({"c_name": names, "o_totalprice": b["o_totalprice"]})
+        return t.filter(pc.is_valid(names))
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            names = [self.lookup.get(k) for k in b["o_custkey"].to_pylist()]
-            t = pa.table({"c_name": pa.array(names, pa.string()),
-                          "o_totalprice": b["o_totalprice"]})
-            return t.filter(pc.is_valid(t["c_name"]))
-
-    agg = ds.map_batches(JoinName, batch_format="pyarrow", concurrency=2,
-                         num_cpus=0.5).groupby("c_name").aggregate(
+    agg = ds.map_batches(join_name, batch_format="pyarrow").groupby("c_name").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_total")
     ).to_pandas()
     agg["sum_total"] = agg["sum_total"].round(2)
@@ -273,27 +283,50 @@ def bpeish_token_totals(sf_dir: str):
 def session_windows(sf_dir: str):
     """Gap-based sessionization (30-min inactivity gap) per user — the
     streaming-shaped windowed aggregate the reference's count-based windows
-    generalize to.  groupby carries only (user_id, ts); windowing is
-    vectorized numpy inside each group."""
+    generalize to.  Groups by a COARSE hash partition (~4 per CPU), then
+    sessionizes every user in the partition in one vectorized numpy pass —
+    one Python call per partition, not per user, and per-group memory is
+    bounded by N/P instead of the hottest user."""
+    from ..functions.hashing import stable_hash64
+    from ..stages.dedup import _n_partitions
+
     ds = _t(sf_dir, "events", columns=["user_id", "ts"])
     GAP_US = 30 * 60 * 1_000_000
+    P = _n_partitions()
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
-        breaks = np.diff(ts) > GAP_US
-        n_sessions = 1 + int(breaks.sum())
-        bounds = np.concatenate([[0], np.nonzero(breaks)[0] + 1, [len(ts)]])
-        sizes = np.diff(bounds)
+    def add_part(b: pa.Table) -> pa.Table:
+        h = (stable_hash64(b["user_id"]) % np.uint64(P)).astype(np.int32)
+        return b.append_column("u_part", pa.array(h))
+
+    def sessions_many(g: pd.DataFrame) -> pd.DataFrame:
+        users = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, users))
+        users, ts = users[order], ts[order]
+        new_user = np.ones(len(users), dtype=bool)
+        new_user[1:] = users[1:] != users[:-1]
+        gap = np.zeros(len(users), dtype=bool)
+        gap[1:] = (ts[1:] - ts[:-1] > GAP_US) & ~new_user[1:]
+        user_starts = np.nonzero(new_user)[0]
+        n_events = np.diff(np.append(user_starts, len(users)))
+        n_sessions = np.add.reduceat(gap.astype(np.int64), user_starts) + 1
+        sess_idx = np.nonzero(new_user | gap)[0]
+        sess_sizes = np.diff(np.append(sess_idx, len(users)))
+        # sessions are contiguous per user → per-user max via reduceat at
+        # each user's first session
+        first_sess = np.searchsorted(sess_idx, user_starts)
+        max_sess = np.maximum.reduceat(sess_sizes, first_sess)
         return pd.DataFrame(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(ts)],
-                "n_sessions": [n_sessions],
-                "max_session_events": [int(sizes.max())],
+                "user_id": users[user_starts],
+                "n_events": n_events.astype(np.int64),
+                "n_sessions": n_sessions.astype(np.int64),
+                "max_session_events": max_sess.astype(np.int64),
             }
         )
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    out = ds.map_batches(add_part, batch_format="pyarrow").groupby(
+        "u_part").map_groups(sessions_many, batch_format="pandas").to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -328,16 +361,131 @@ def value_quantiles(sf_dir: str):
     return pd.DataFrame(out).sort_values("event_type").reset_index(drop=True)
 
 
+def _min_id_embedding(sf_dir: str) -> np.ndarray:
+    """The embedding of the smallest vec_id: min-aggregate over the pruned
+    id column + a filtered take — two column-pruned scans, NO global sort
+    (round 1 used ``sort().limit(1)``: a full shuffle to fetch one row)."""
+    mn = _t(sf_dir, "embeddings", columns=["vec_id"]).min("vec_id")
+    row = (
+        _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(expr=f"vec_id == {mn}")
+        .take(1)
+    )
+    return np.stack([np.asarray(row[0]["embedding"])])
+
+
 def ann_topk(sf_dir: str):
     """Exact cosine top-10: per-batch matmul partial top-k, driver merge.
     Query = the embedding of the smallest vec_id."""
     from ..stages.ann import brute_force_topk
 
-    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    first = ds.sort("vec_id").limit(1).to_pandas()
-    q = np.stack(first["embedding"].to_numpy())
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"], spread=True)
+    q = _min_id_embedding(sf_dir)
     out = brute_force_topk(ds, q, k=10)
     return out[["vec_id"]].reset_index(drop=True)
+
+
+def q6_revenue(sf_dir: str):
+    """TPC-H Q6-shaped filtered revenue: filter pushed into the batch scan,
+    one partial sum per batch, scalar driver merge — no shuffle at all."""
+    ds = _t(sf_dir, "lineitem",
+            columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    lo = pa.scalar(np.datetime64("1994-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1995-01-01", "us"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(b["l_shipdate"], lo), pc.less(b["l_shipdate"], hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(b["l_discount"], 0.05),
+                        pc.less_equal(b["l_discount"], 0.07)),
+                pc.less(b["l_quantity"], 24.0),
+            ),
+        )
+        f = b.filter(pc.fill_null(keep, False))
+        rev = pc.sum(pc.multiply(f["l_extendedprice"], f["l_discount"])).as_py() or 0.0
+        return pa.table({"rev": pa.array([float(rev)], pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"revenue": [round(float(parts["rev"].sum()), 2)]})
+
+
+def word_freq_top20(sf_dir: str):
+    """Global token frequency top-20: Arrow split+flatten per batch, partial
+    ``value_counts`` shrinks the shuffle to (token, count) pairs, tiny
+    groupby-sum, driver top-k (count desc, token asc — deterministic)."""
+    ds = _t(sf_dir, "documents", columns=["text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(pc.fill_null(b["text"], ""), pattern=r"[^A-Za-z0-9_]+")
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    agg = ds.map_batches(explode, batch_format="pyarrow").groupby("token").aggregate(
+        Sum("n", alias_name="n")
+    ).to_pandas()
+    return (agg.sort_values(["n", "token"], ascending=[False, True])
+            .head(20).reset_index(drop=True))
+
+
+def parts_without_lineitem(sf_dir: str):
+    """Anti-join: parts never referenced by any lineitem.  The distinct
+    referenced-key set (bounded by the part dimension) is computed with a
+    key-only groupby, broadcast once, and anti-probed vectorized."""
+    used = (
+        _t(sf_dir, "lineitem", columns=["l_partkey"])
+        .groupby("l_partkey").aggregate(Count(alias_name="c"))
+        .to_pandas()["l_partkey"]
+    )
+    used_ref = ray.put(pa.array(used.to_numpy()))
+    ds = _t(sf_dir, "part", columns=["p_partkey"])
+
+    def unused(b: pa.Table) -> pa.Table:
+        bad = pc.invert(pc.is_in(b["p_partkey"], value_set=ray.get(used_ref)))
+        return pa.table({"n": pa.array(
+            [int(pc.sum(pc.cast(bad, pa.int64())).as_py() or 0)], pa.int64())})
+
+    parts = ds.map_batches(unused, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"n_unused": [int(parts["n"].sum())]})
+
+
+def supplier_nation_totals(sf_dir: str):
+    """supplier ⋈ nation ⋈ region: the two dimension tables are pre-joined
+    driver-side (they are tiny), broadcast once, and probed with
+    ``pc.index_in`` — a star-schema join with zero shuffle on the fact."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                           columns=["r_regionkey", "r_name"])
+    ndf = nation.to_pandas().merge(
+        region.to_pandas(), left_on="n_regionkey", right_on="r_regionkey")
+    dim = pa.table({"n_nationkey": pa.array(ndf["n_nationkey"].to_numpy()),
+                    "n_name": pa.array(ndf["n_name"], pa.string()),
+                    "r_name": pa.array(ndf["r_name"], pa.string())})
+    dim_ref = ray.put(dim)
+    ds = _t(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    def probe(b: pa.Table) -> pa.Table:
+        d = ray.get(dim_ref)
+        idx = pc.index_in(b["s_nationkey"], value_set=d["n_nationkey"].combine_chunks())
+        return pa.table({
+            "r_name": pc.take(d["r_name"].combine_chunks(), idx),
+            "n_name": pc.take(d["n_name"].combine_chunks(), idx),
+            "s_acctbal": b["s_acctbal"],
+        })
+
+    agg = ds.map_batches(probe, batch_format="pyarrow").groupby(
+        ["r_name", "n_name"]).aggregate(
+        Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="sum_acctbal")
+    ).to_pandas()
+    agg["sum_acctbal"] = agg["sum_acctbal"].round(2)
+    return agg.sort_values(["r_name", "n_name"]).reset_index(drop=True)
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -440,6 +588,65 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
         LIMIT 10
     """,
+    "q6_revenue": """
+        SELECT round(coalesce(sum(l_extendedprice * l_discount), 0), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+          AND l_shipdate < TIMESTAMP '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "word_freq_top20": """
+        SELECT tok AS token, count(*)::BIGINT AS n FROM (
+            SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS tok
+            FROM documents)
+        GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+    """,
+    "parts_without_lineitem": """
+        SELECT count(*)::BIGINT AS n_unused FROM part p
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+    "supplier_nation_totals": """
+        SELECT r.r_name AS r_name, n.n_name AS n_name,
+               count(*)::BIGINT AS n_suppliers,
+               round(sum(s.s_acctbal), 2) AS sum_acctbal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name
+    """,
+    "langid_documents": r"""
+        WITH c AS (
+            SELECT length(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|for|with)\b'))::BIGINT AS c_en,
+                   length(regexp_extract_all(text, '(?i)\b(der|die|und|das|ist|nicht|mit|ein)\b'))::BIGINT AS c_de,
+                   length(regexp_extract_all(text, '(?i)\b(le|la|les|des|est|une|dans|pour)\b'))::BIGINT AS c_fr,
+                   length(regexp_extract_all(text, '(?i)\b(el|los|las|una|es|para|con|por)\b'))::BIGINT AS c_es
+            FROM documents)
+        SELECT CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'unknown'
+                    WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+                    WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                    WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+                    ELSE 'es' END AS detected,
+               count(*)::BIGINT AS n_docs
+        FROM c GROUP BY detected
+    """,
+    "quality_documents": r"""
+        WITH f AS (
+            SELECT doc_id,
+                   length(text)::DOUBLE AS n,
+                   length(regexp_extract_all(text, '[^\w\s]'))::DOUBLE AS np,
+                   length(regexp_extract_all(text, '[0-9]'))::DOUBLE AS nd,
+                   length(regexp_extract_all(text, '\s'))::DOUBLE AS ns
+            FROM documents)
+        SELECT doc_id, round(
+              0.4 * (CASE WHEN n > 200000 THEN 0.2
+                          ELSE least(greatest(ln(1 + n) / ln(5000.0), 0), 1) END)
+            + 0.2 * (1 - least(greatest((np / greatest(n, 1)) / 0.5, 0), 1))
+            + 0.2 * (1 - least(greatest((nd / greatest(n, 1)) / 0.5, 0), 1))
+            + 0.2 * (1 - abs(least(greatest(ns / greatest(n, 1), 0), 1) - 0.15) / 0.85)
+            , 4) AS quality
+        FROM f
+    """,
 }
 
 
@@ -476,38 +683,37 @@ def hll_users_per_event_type(sf_dir: str):
 def minhash_dedup_documents(sf_dir: str):
     from ..stages.dedup import minhash_near_dup_pairs
 
-    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_near_dup_pairs(ds, threshold=0.7, concurrency=8)
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"], spread=True)
+    return minhash_near_dup_pairs(ds, threshold=0.7)
 
 
 def simhash_dedup_documents(sf_dir: str):
     from ..stages.dedup import simhash_near_dup_pairs
 
-    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_near_dup_pairs(ds, max_hamming=6, concurrency=8)
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"], spread=True)
+    return simhash_near_dup_pairs(ds, max_hamming=6)
 
 
 def ngram_jaccard_dedup_documents(sf_dir: str):
     from ..stages.dedup import minhash_near_dup_pairs, ngram_jaccard_verify
 
-    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
-    cand = minhash_near_dup_pairs(ds, threshold=0.5, concurrency=8)
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"], spread=True)
+    cand = minhash_near_dup_pairs(ds, threshold=0.5)
     return ngram_jaccard_verify(ds, cand, threshold=0.6)
 
 
 def embedding_near_dup(sf_dir: str):
     from ..stages.dedup import embedding_near_dup_pairs
 
-    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"], spread=True)
     return embedding_near_dup_pairs(ds, threshold=0.92)
 
 
 def ivf_ann_topk(sf_dir: str):
     from ..stages.ann import ivf_topk
 
-    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    first = ds.sort("vec_id").limit(1).to_pandas()
-    q = np.stack(first["embedding"].to_numpy())
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"], spread=True)
+    q = _min_id_embedding(sf_dir)
     return ivf_topk(ds, q, k=10, nlist=16, nprobe=6)
 
 
@@ -537,27 +743,37 @@ def quality_documents(sf_dir: str):
 
 
 def fingerprint_documents(sf_dir: str):
-    from ..functions.text import doc_fingerprint
+    """Winnowing-style rolling-hash fingerprints, batched kernel (one
+    vectorized pass per batch — see functions/text.py:doc_fingerprints)."""
+    from ..functions.text import doc_fingerprints
 
-    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"], spread=True)
 
-    class FP:
-        def __call__(self, b: pa.Table) -> pa.Table:
-            fps = [np.int64(np.uint64(doc_fingerprint(t or ""))).item()
-                   for t in b["text"].to_pylist()]
-            return pa.table({"doc_id": b["doc_id"],
-                             "fingerprint": pa.array(fps, pa.int64())})
+    def fp(b: pa.Table) -> pa.Table:
+        vals = doc_fingerprints(b["text"].to_pylist())
+        return pa.table({"doc_id": b["doc_id"],
+                         "fingerprint": pa.array(vals, pa.int64())})
 
-    return ds.map_batches(FP, batch_format="pyarrow", concurrency=2, num_cpus=1)
+    return ds.map_batches(fp, batch_format="pyarrow")
 
 
 def drift_events_mcod(sf_dir: str):
-    """The reference's detector over the events stream: one MCOD window per
-    event_type, rows ordered by ts within the partition (groupby+map_groups
-    carries only (type, ts, value))."""
+    """The reference's detector over the events stream, reshaped for skew:
+    one MCOD window per (event_type, time-bucket) SUB-STREAM — the work-item
+    pattern from ``checks/drift.py`` (salted sub-streams + counter merge,
+    matching the partial+final counters of `MCODBase.java:196-227`).  A hot
+    event_type no longer lands in one worker with unbounded group memory;
+    parallelism is #types × #buckets and per-group memory is one bucket's
+    events.  The window restarts at bucket boundaries (subset semantics).
+    Bucket granularity is a knob: pick it so a sub-stream holds ≳4 windows
+    of events (week here; hour at production event rates)."""
     from ..state.detectors import MCOD, run_detector
 
     ds = _t(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_day(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(b["ts"], unit="week"), pa.int64())
+        return b.append_column("day", day)
 
     def detect(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts")
@@ -574,7 +790,16 @@ def drift_events_mcod(sf_dir: str):
             }
         )
 
-    return ds.groupby("event_type").map_groups(detect, batch_format="pandas")
+    sub = ds.map_batches(add_day, batch_format="pyarrow").groupby(
+        ["event_type", "day"]).map_groups(detect, batch_format="pandas").to_pandas()
+    # final per-type merge: counters sum across sub-streams (tiny table)
+    agg = sub.groupby("event_type", sort=True).agg(
+        n_events=("n_events", "sum"),
+        n_pure_outliers=("n_pure_outliers", "sum"),
+        n_only_inlier=("n_only_inlier", "sum"),
+        n_both=("n_both", "sum"),
+    ).reset_index()
+    return agg
 
 
 def multimodal_decode(sf_dir: str):
@@ -582,7 +807,9 @@ def multimodal_decode(sf_dir: str):
     the real decode kernel is stubbed, see stages/multimodal.py)."""
     from ..stages.multimodal import media_pipeline, synth_media_table
 
-    ds = ray.data.from_arrow(synth_media_table(256, seed=11))
+    t = synth_media_table(256, seed=11)
+    # several input blocks so the actor pool actually fans out
+    ds = ray.data.from_arrow([t.slice(i * 32, 32) for i in range(8)])
     decoded, feats = media_pipeline(ds)
     d = decoded.to_pandas().sort_values("media_id")
     f = feats.to_pandas().sort_values("media_id")
@@ -659,6 +886,12 @@ QUERIES = {
     "distinct_users_exact": distinct_users_exact,
     "part_brand_stats": part_brand_stats,
     "ann_topk": ann_topk,
+    "q6_revenue": q6_revenue,
+    "word_freq_top20": word_freq_top20,
+    "parts_without_lineitem": parts_without_lineitem,
+    "supplier_nation_totals": supplier_nation_totals,
+    "langid_documents": langid_documents,
+    "quality_documents": quality_documents,
     # rows-only
     "hll_users_per_event_type": hll_users_per_event_type,
     "minhash_dedup_documents": minhash_dedup_documents,
@@ -668,8 +901,6 @@ QUERIES = {
     "ivf_ann_topk": ivf_ann_topk,
     "session_windows": session_windows,
     "value_quantiles": value_quantiles,
-    "langid_documents": langid_documents,
-    "quality_documents": quality_documents,
     "fingerprint_documents": fingerprint_documents,
     "drift_events_mcod": drift_events_mcod,
     "multimodal_decode": multimodal_decode,

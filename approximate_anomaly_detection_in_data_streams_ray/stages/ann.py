@@ -50,16 +50,18 @@ class BatchTopK:
 
 
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
-                     vec_col: str = "embedding", concurrency: int = 2) -> pd.DataFrame:
+                     vec_col: str = "embedding", concurrency: int | None = None) -> pd.DataFrame:
     """Exact cosine top-k for each query row: per-batch partial top-k → tiny
     driver-side merge.  ``queries`` is (n_queries, d)."""
+    from .common import auto_pool
+
     qref = ray.put(np.asarray(queries, dtype=np.float64))
     partials = ds.map_batches(
         BatchTopK,
         fn_constructor_args=(qref, k, id_col, vec_col),
         batch_format="pyarrow",
-        concurrency=concurrency,
-        # fractional CPUs: never let a small pool starve the upstream read
+        concurrency=auto_pool(concurrency, 0.75),
+        # fractional CPUs: never let the pool starve the upstream read
         num_cpus=0.75,
     ).to_pandas()
     out = (
@@ -112,9 +114,21 @@ class IVFIndex:
 
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
              vec_col: str = "embedding", nlist: int = 16, nprobe: int = 4,
-             sample_size: int = 2048, seed: int = 9) -> pd.DataFrame:
+             sample_size: int = 2048, seed: int = 9,
+             concurrency: int | None = None) -> pd.DataFrame:
     """ANN top-k probing only nprobe/nlist of the vectors per query."""
-    sample_rows = ds.limit(sample_size).to_pandas()
+    from .common import auto_pool
+
+    # seeded RANDOM training sample — ds.limit() would train the centroids
+    # on the first blocks only, a biased sample under any input ordering
+    n_rows = ds.count()  # parquet-metadata count, no scan
+    if n_rows > sample_size:
+        frac = min(1.0, 1.3 * sample_size / n_rows)
+        sample_rows = ds.random_sample(frac, seed=seed).limit(sample_size).to_pandas()
+        if len(sample_rows) < min(sample_size // 2, n_rows // 2):
+            sample_rows = ds.limit(sample_size).to_pandas()
+    else:
+        sample_rows = ds.to_pandas()
     sample = np.stack(sample_rows[vec_col].to_numpy())
     index = IVFIndex(nlist=nlist, nprobe=nprobe, seed=seed).train(sample)
     Q = np.asarray(queries, dtype=np.float64)
@@ -153,8 +167,9 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
                 }
             )
 
-    partials = ds.map_batches(ProbedTopK, batch_format="pyarrow", concurrency=2,
-                              num_cpus=1).to_pandas()
+    partials = ds.map_batches(ProbedTopK, batch_format="pyarrow",
+                              concurrency=auto_pool(concurrency, 0.75),
+                              num_cpus=0.75).to_pandas()
     return (
         partials.sort_values(["query_idx", "cosine", id_col],
                              ascending=[True, False, True])

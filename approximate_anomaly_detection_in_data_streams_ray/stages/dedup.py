@@ -9,9 +9,15 @@ Engine-level generalisation of the reference's coordinate/id dedup sets
 * MinHash-LSH: per-batch signatures → explode to (band, band_hash, id)
   rows → ``groupby`` buckets → candidate pairs verified by signature
   Jaccard — raw text never shuffles;
-* SimHash: 64-bit fingerprints, near-dup = Hamming ≤ t within buckets of
-  the fingerprint's high bits;
-* embedding cosine: random-hyperplane LSH buckets → within-bucket matmul.
+* SimHash: 64-bit fingerprints → (rotation, 16-bit-prefix) bucket rows →
+  the same distributed bucket ``groupby`` — nothing materializes on the
+  driver, Hamming via vectorized popcount;
+* embedding cosine: banded random-hyperplane buckets (bits scale with N
+  so bucket sizes stay bounded) → within-bucket matmul.
+
+All bucket exchanges group by a coarse partition key (``pbucket``) so the
+``map_groups`` Python-call count is bounded by the partition count, not the
+LSH-bucket count; equal-key runs inside a partition are detected vectorized.
 """
 
 from __future__ import annotations
@@ -20,21 +26,31 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import stable_hash64
+from ..functions.hashing import popcount64, splitmix64, stable_hash64
+from ..functions.sketches import MinHasher, char_shingle_hashes, simhash64_batch
+from .common import auto_pool
 
 
 def _fixed_pool(requested, num_cpus_per_actor: float = 0.75) -> int:
-    """Clamp a requested actor-pool size to what the session can actually
-    schedule: oversized fixed pools wait for their minimum size forever and
-    autoscaling pools ramp up too slowly for short stages."""
-    import ray
+    """Back-compat alias for :func:`..stages.common.auto_pool`."""
+    return auto_pool(requested, num_cpus_per_actor)
 
-    if isinstance(requested, tuple):
-        requested = requested[1]
-    avail = ray.available_resources().get("CPU", 4) if ray.is_initialized() else 4
-    return max(1, min(int(requested), int(avail / num_cpus_per_actor) - 1 or 1))
-from ..functions.sketches import MinHasher, char_shingle_hashes, simhash64
-from ..functions.text import token_hashes
+
+def _n_partitions(requested: int | None = None) -> int:
+    """Coarse shuffle width for bucket exchanges: ~4 groups per CPU keeps
+    every core busy through the map_groups stage without exploding the
+    Python-call count.  (Round 1 hardcoded 64, capping wide clusters.)"""
+    if requested is not None:
+        return int(requested)
+    from .common import available_cpus
+
+    return max(64, int(4 * available_cpus()))
+
+
+def _empty_pairs(value_col: str, value_dtype: str = "float64") -> pd.DataFrame:
+    return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                         "id_b": pd.Series(dtype="int64"),
+                         value_col: pd.Series(dtype=value_dtype)})
 
 
 # ----------------------------------------------------------------- exact dedup
@@ -80,8 +96,6 @@ class MinHashSignatures:
             # one combined int64 bucket key per band: band id mixed into the
             # band's segment hash (single exchange column)
             seg = sig.reshape(self.bands, rows_per_band)
-            from ..functions.hashing import splitmix64
-
             with np.errstate(over="ignore"):
                 h = np.zeros(self.bands, dtype=np.uint64)
                 for j in range(rows_per_band):
@@ -100,24 +114,31 @@ class MinHashSignatures:
         )
 
 
+def _run_bounds(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) of equal-key runs in a sorted key array."""
+    boundaries = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [len(keys)]])
+    return starts, ends
+
+
 def minhash_near_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                            threshold: float = 0.8, num_perm: int = 64,
-                           bands: int = 16, concurrency: int = 2):
+                           bands: int = 16, concurrency: int | None = None,
+                           n_partitions: int | None = None):
     """(id_a, id_b, est_jaccard) candidate pairs verified by signature
     agreement ≥ threshold.  Bucket groupby carries only (id, 8B hash,
     signature) rows."""
+    P = _n_partitions(n_partitions)
 
     def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
         """One call per coarse partition (not per LSH bucket): sort by
         bucket_key, detect equal-key runs vectorized, and only the rare
         multi-member runs get pairwise signature comparison."""
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+            return _empty_pairs("est_jaccard")
         g = g.sort_values(["bucket_key", id_col], kind="stable")
-        keys = g["bucket_key"].to_numpy()
-        boundaries = np.nonzero(keys[1:] != keys[:-1])[0] + 1
-        starts = np.concatenate([[0], boundaries])
-        ends = np.concatenate([boundaries, [len(keys)]])
+        starts, ends = _run_bounds(g["bucket_key"].to_numpy())
         ids = g[id_col].to_numpy()
         sig_col = g["sig"].to_numpy()
         out_a, out_b, out_j = [], [], []
@@ -141,24 +162,22 @@ def minhash_near_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                                "id_col": id_col, "text_col": text_col},
         batch_format="pyarrow",
         batch_size=512,
-        concurrency=_fixed_pool(concurrency),
+        concurrency=auto_pool(concurrency, 0.75),
         num_cpus=0.75,
     ).map_batches(
         lambda b: b.append_column(
             "pbucket", pa.array((b["bucket_key"].to_numpy(zero_copy_only=False)
-                                 % 64).astype(np.int32))
+                                 % P).astype(np.int32))
         ),
         batch_format="pyarrow",
     )
     pairs = buckets.groupby("pbucket").map_groups(
         pairs_in_partition, batch_format="pandas"
     )
-    # a pair can match in several bands → dedup
+    # a pair can match in several bands → dedup (pairs table is output-sized)
     pdf = pairs.to_pandas()
     if pdf.empty or "id_a" not in pdf.columns:
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                             "id_b": pd.Series(dtype="int64"),
-                             "est_jaccard": pd.Series(dtype="float64")})
+        return _empty_pairs("est_jaccard")
     pdf = pdf.drop_duplicates(subset=["id_a", "id_b"])
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
@@ -167,59 +186,91 @@ def minhash_near_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 class SimHashStage:
-    """Actor: 64-bit SimHash fingerprints per document."""
+    """Actor: 64-bit SimHash fingerprints per document (batched kernel)."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text") -> None:
         self.id_col = id_col
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps = [
-            np.int64(np.uint64(simhash64(token_hashes(t or "")))).item()
-            for t in batch[self.text_col].to_pylist()
-        ]
+        fps = simhash64_batch(batch[self.text_col].to_pylist()).view(np.int64)
         return pa.table(
-            {self.id_col: batch[self.id_col], "simhash": pa.array(fps, pa.int64())}
+            {self.id_col: batch[self.id_col], "simhash": pa.array(fps)}
         )
 
 
-def simhash_near_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
-                           max_hamming: int = 3, concurrency: int = 2):
-    """Near-dup pairs with Hamming(simhash) ≤ t.  Bucket by the 16 high
-    bits (a near-dup pair collides in at least one of 4 rotated buckets with
-    high probability for t ≤ 3); within-bucket comparison is vectorized."""
+def simhash_buckets(batch: pa.Table, id_col: str, n_rot: int = 4,
+                    prefix_bits: int = 16) -> pa.Table:
+    """Explode fingerprints into (rotation, prefix) bucket rows: a pair at
+    Hamming ≤ 3 shares at least one of the 4 rotated 16-bit prefixes with
+    high probability (the rotations tile the 64 bits into 16-bit blocks; 3
+    flipped bits cannot hit all 4 blocks)."""
+    f = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    n = len(f)
+    shift = 64 // n_rot
+    keys = np.empty(n_rot * n, dtype=np.int64)
+    for rot in range(n_rot):
+        s = np.uint64(rot * shift)
+        rotated = (f << s) | (f >> np.uint64(64) - s) if rot else f
+        prefix = (rotated >> np.uint64(64 - prefix_bits)).astype(np.int64)
+        keys[rot * n:(rot + 1) * n] = (np.int64(rot) << np.int64(prefix_bits)) | prefix
+    ids = np.tile(batch[id_col].to_numpy(zero_copy_only=False), n_rot)
+    sims = np.tile(f.view(np.int64), n_rot)
+    return pa.table({id_col: pa.array(ids), "bucket_key": pa.array(keys),
+                     "simhash": pa.array(sims)})
 
-    fps_df = ds.map_batches(
+
+def simhash_near_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                           max_hamming: int = 3, concurrency: int | None = None,
+                           n_partitions: int | None = None):
+    """Near-dup pairs with Hamming(simhash) ≤ t, fully distributed: the
+    fingerprint stage emits 4 rotated-prefix bucket rows per doc, pairs are
+    found inside a coarse-partition ``groupby`` (same exchange shape as
+    MinHash) — nothing ever materializes on the driver except the
+    output-sized pair list."""
+    P = _n_partitions(n_partitions)
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _empty_pairs("hamming", "int64")
+        g = g.sort_values(["bucket_key", id_col], kind="stable")
+        starts, ends = _run_bounds(g["bucket_key"].to_numpy())
+        ids = g[id_col].to_numpy()
+        fps = g["simhash"].to_numpy().view(np.uint64)
+        out_a, out_b, out_h = [], [], []
+        for s0, s1 in zip(starts, ends):
+            if s1 - s0 < 2:
+                continue
+            bf, bi = fps[s0:s1], ids[s0:s1]
+            for i in range(len(bf) - 1):
+                h = popcount64(bf[i] ^ bf[i + 1:])
+                for j in np.nonzero(h <= max_hamming)[0]:
+                    a, b = bi[i], bi[i + 1 + j]
+                    if a != b:
+                        out_a.append(min(a, b)); out_b.append(max(a, b))
+                        out_h.append(int(h[j]))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+
+    fps = ds.map_batches(
         SimHashStage, fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
         batch_format="pyarrow", batch_size=512,
-        concurrency=_fixed_pool(concurrency), num_cpus=0.75,
-    ).to_pandas()
-    f = fps_df["simhash"].to_numpy().astype(np.uint64)
-    ids = fps_df[id_col].to_numpy()
-    out_a, out_b, out_h = [], [], []
-    # 4 rotations × 16-bit prefix buckets
-    for rot in range(4):
-        rotated = (f << np.uint64(rot * 16)) | (f >> np.uint64(64 - rot * 16)) if rot else f
-        prefix = rotated >> np.uint64(48)
-        order = np.argsort(prefix, kind="stable")
-        ps, fs, is_ = prefix[order], f[order], ids[order]
-        start = 0
-        for end in range(1, len(ps) + 1):
-            if end == len(ps) or ps[end] != ps[start]:
-                if end - start > 1:
-                    bucket_f, bucket_i = fs[start:end], is_[start:end]
-                    for i in range(len(bucket_f)):
-                        x = bucket_f[i] ^ bucket_f[i + 1 :]
-                        h = np.array([bin(int(v)).count("1") for v in x])
-                        for j in np.nonzero(h <= max_hamming)[0]:
-                            a, b = bucket_i[i], bucket_i[i + 1 + j]
-                            if a != b:
-                                out_a.append(min(a, b)); out_b.append(max(a, b))
-                                out_h.append(int(h[j]))
-                start = end
-    df = pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
-    return df.drop_duplicates(subset=["id_a", "id_b"]).sort_values(
-        ["id_a", "id_b"]).reset_index(drop=True)
+        concurrency=auto_pool(concurrency, 0.75), num_cpus=0.75,
+    )
+    def bucketize(b: pa.Table) -> pa.Table:
+        t = simhash_buckets(b, id_col)
+        pb = (splitmix64(t["bucket_key"].to_numpy(zero_copy_only=False)
+                         .view(np.uint64)) % np.uint64(P)).astype(np.int32)
+        return t.append_column("pbucket", pa.array(pb))
+
+    buckets = fps.map_batches(bucketize, batch_format="pyarrow")
+    pairs = buckets.groupby("pbucket").map_groups(
+        pairs_in_partition, batch_format="pandas"
+    )
+    pdf = pairs.to_pandas()
+    if pdf.empty or "id_a" not in pdf.columns:
+        return _empty_pairs("hamming", "int64")
+    pdf = pdf.drop_duplicates(subset=["id_a", "id_b"])
+    return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # ------------------------------------------------------------- n-gram Jaccard
@@ -229,7 +280,7 @@ def ngram_jaccard_verify(ds, candidate_pairs: pd.DataFrame, id_col: str = "doc_i
                          text_col: str = "text", n: int = 5,
                          threshold: float = 0.8) -> pd.DataFrame:
     """Exact n-gram Jaccard for a (small) candidate pair set: broadcast the
-    candidate ids, collect only those texts, verify driver-side."""
+    candidate ids, collect only those texts, verify vectorized."""
     wanted = set(candidate_pairs["id_a"]) | set(candidate_pairs["id_b"])
     if not wanted:
         return candidate_pairs.assign(jaccard=pd.Series(dtype=float)).iloc[:0]
@@ -241,12 +292,14 @@ def ngram_jaccard_verify(ds, candidate_pairs: pd.DataFrame, id_col: str = "doc_i
         batch_format="pyarrow",
     ).to_pandas().set_index(id_col)[text_col].to_dict()
     shingles = {i: set(char_shingle_hashes(t or "", n).tolist()) for i, t in texts.items()}
+    ids_a = candidate_pairs["id_a"].to_numpy()
+    ids_b = candidate_pairs["id_b"].to_numpy()
     rows = []
-    for _, r in candidate_pairs.iterrows():
-        a, b = shingles.get(r["id_a"], set()), set(shingles.get(r["id_b"], set()))
+    for a_id, b_id in zip(ids_a, ids_b):
+        a, b = shingles.get(a_id, set()), shingles.get(b_id, set())
         jac = len(a & b) / max(1, len(a | b))
         if jac >= threshold:
-            rows.append({"id_a": r["id_a"], "id_b": r["id_b"], "jaccard": jac})
+            rows.append({"id_a": a_id, "id_b": b_id, "jaccard": jac})
     return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
 
 
@@ -254,50 +307,80 @@ def ngram_jaccard_verify(ds, candidate_pairs: pd.DataFrame, id_col: str = "doc_i
 
 
 def embedding_near_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
-                             threshold: float = 0.95, n_planes: int = 8, seed: int = 5):
-    """Cosine near-dup via random-hyperplane buckets + within-bucket matmul.
-    Buckets shuffle only (id, bucket, vector); vectors never pairwise-cross
-    buckets (recall traded for scale, standard SimHash-for-vectors)."""
-    import pyarrow.compute as pc
+                             threshold: float = 0.95, bands: int = 4,
+                             bits_per_band: int | None = None, seed: int = 5,
+                             target_bucket: int = 128,
+                             n_partitions: int | None = None):
+    """Cosine near-dup via BANDED random-hyperplane buckets + within-bucket
+    matmul.  ``bands`` independent bit-groups give MinHash-style recall
+    amplification (a pair missed by one band is caught by another), and
+    ``bits_per_band`` grows with log2(N / target_bucket) so bucket sizes —
+    and the within-bucket O(|bucket|²) matmul — stay bounded as the dataset
+    grows (round 1 used 8 fixed global buckets: O((N/256)²) at scale)."""
+    P = _n_partitions(n_partitions)
+    n_rows = ds.count()  # parquet-metadata count — no data scan
+    if bits_per_band is None:
+        bits_per_band = int(max(8, np.ceil(np.log2(max(n_rows, 2) / max(target_bucket, 1)))))
+    bits_per_band = min(bits_per_band, 30)
+    first = ds.take(1)[0][vec_col]
+    planes = np.random.default_rng(seed).standard_normal(
+        (bands * bits_per_band, len(first)))
+    weights = (np.uint64(1) << np.arange(bits_per_band, dtype=np.uint64))
 
-    def to_buckets(batch: pa.Table, planes: np.ndarray) -> pa.Table:
+    def to_buckets(batch: pa.Table) -> pa.Table:
         M = np.stack(batch[vec_col].to_numpy(zero_copy_only=False))
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        signs = (M @ planes.T) > 0
-        bucket = np.packbits(signs, axis=1, bitorder="little")[:, 0].astype(np.int64)
+        signs = (M @ planes.T) > 0  # (n, bands*bits)
+        n = len(M)
+        keys = np.empty(bands * n, dtype=np.int64)
+        for b in range(bands):
+            seg = signs[:, b * bits_per_band:(b + 1) * bits_per_band]
+            h = (seg.astype(np.uint64) * weights).sum(axis=1)
+            keys[b * n:(b + 1) * n] = ((np.uint64(b) << np.uint64(bits_per_band)) | h).astype(np.int64)
+        ids = np.tile(batch[id_col].to_numpy(zero_copy_only=False), bands)
+        nvecs = list(M.astype(np.float32)) * bands
+        pbucket = (splitmix64(keys.view(np.uint64)) % np.uint64(P)).astype(np.int32)
         return pa.table(
             {
-                id_col: batch[id_col],
-                "bucket": pa.array(bucket),
-                "nvec": pa.array(list(M.astype(np.float32))),
+                id_col: pa.array(ids),
+                "bucket_key": pa.array(keys),
+                "pbucket": pa.array(pbucket),
+                "nvec": pa.array(nvecs),
             }
         )
 
-    first = ds.take(1)[0][vec_col]
-    planes = np.random.default_rng(seed).standard_normal((n_planes, len(first)))
-
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        g = g.sort_values(id_col)
-        M = np.stack(g["nvec"].to_numpy())
-        sims = M @ M.T
-        ids = g[id_col].to_numpy()
-        iu = np.triu_indices(len(g), k=1)
-        hit = sims[iu] >= threshold
-        return pd.DataFrame(
-            {
-                "id_a": ids[iu[0][hit]],
-                "id_b": ids[iu[1][hit]],
-                "cosine": sims[iu][hit].astype(np.float64),
-            }
-        )
+            return _empty_pairs("cosine")
+        g = g.sort_values(["bucket_key", id_col], kind="stable")
+        starts, ends = _run_bounds(g["bucket_key"].to_numpy())
+        all_ids = g[id_col].to_numpy()
+        vec_col_np = g["nvec"].to_numpy()
+        frames = []
+        for s0, s1 in zip(starts, ends):
+            if s1 - s0 < 2:
+                continue
+            M = np.stack(vec_col_np[s0:s1])
+            sims = M @ M.T
+            ids = all_ids[s0:s1]
+            iu = np.triu_indices(s1 - s0, k=1)
+            hit = sims[iu] >= threshold
+            if hit.any():
+                frames.append(pd.DataFrame(
+                    {
+                        "id_a": ids[iu[0][hit]],
+                        "id_b": ids[iu[1][hit]],
+                        "cosine": sims[iu][hit].astype(np.float64),
+                    }
+                ))
+        if not frames:
+            return _empty_pairs("cosine")
+        return pd.concat(frames, ignore_index=True)
 
-    buckets = ds.map_batches(lambda b: to_buckets(b, planes), batch_format="pyarrow")
-    pairs = buckets.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+    buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
+    pairs = buckets.groupby("pbucket").map_groups(pairs_in_partition, batch_format="pandas")
     pdf = pairs.to_pandas()
     if pdf.empty or "id_a" not in pdf.columns:
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                             "id_b": pd.Series(dtype="int64"),
-                             "cosine": pd.Series(dtype="float64")})
+        return _empty_pairs("cosine")
+    pdf = pdf.drop_duplicates(subset=["id_a", "id_b"])
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)

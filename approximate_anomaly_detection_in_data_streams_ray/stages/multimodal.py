@@ -109,13 +109,16 @@ class MediaResize:
         )
 
 
-def media_pipeline(ds, concurrency: int = 2, batch_size: int = 64):
+def media_pipeline(ds, concurrency: int | None = None, batch_size: int = 64):
     """decode → feature stages as actor pools; small batches because binary
     rows are wide (object-store-friendly)."""
+    from .common import auto_pool
+
+    pool = auto_pool(concurrency, 1.0)
     decoded = ds.map_batches(MediaDecode, batch_format="pyarrow",
-                             batch_size=batch_size, concurrency=concurrency,
+                             batch_size=batch_size, concurrency=(1, pool),
                              num_cpus=1)
     feats = ds.map_batches(MediaResize, batch_format="pyarrow",
-                           batch_size=batch_size, concurrency=concurrency,
+                           batch_size=batch_size, concurrency=(1, pool),
                            num_cpus=1)
     return decoded, feats
