@@ -22,6 +22,9 @@ class ValidationConfig:
     # drift detector (reference CLI surface: --algorithm --W --slide --R --k
     # --pdLimit --arFactor, `src/Executor.java:52-92`)
     drift_algorithm: str = "mcod"  # mcod | approx_mcod | lshod | approx_mclshod
+    # euclidean | manhattan | cosine (MCOD family; the LSH variants are
+    # Euclidean-only — their hash family is p-stable for L2)
+    drift_metric: str = "euclidean"
     # window parameters are in detector points = distribution chunks
     drift_window: int = 64
     drift_slide: int = 16

@@ -38,11 +38,12 @@ def make_detector(cfg: ValidationConfig, dims: int, partition_seed: int,
     algo = cfg.drift_algorithm
     W, S, k = cfg.drift_window, cfg.drift_slide, cfg.drift_k
     R = cfg.drift_radius if radius is None else radius
+    metric = getattr(cfg, "drift_metric", "euclidean")
     if algo == "mcod":
-        return MCOD(W, S, R, k, dims)
+        return MCOD(W, S, R, k, dims, metric=metric)
     if algo == "approx_mcod":
         return ApproxMCOD(W, S, R, k, dims, cfg.drift_pd_limit, cfg.drift_ar_factor,
-                          seed=partition_seed)
+                          seed=partition_seed, metric=metric)
     if algo == "lshod":
         return LSHOD(W, S, R, k, dims, w=max(1, int(R)), seed=partition_seed)
     if algo == "approx_mclshod":
@@ -130,7 +131,10 @@ def chunk_vectors(vecs: np.ndarray, chunk_rows: int) -> tuple[np.ndarray, np.nda
     n_full = n // C
     starts = np.arange(n_full) * C
     if n_full == 0:
-        return vecs.mean(axis=0, keepdims=True), np.array([0])
+        # same d+1 feature space as the full-chunk path (means + std of
+        # feature 0) so sub-chunk streams aren't scored in a different space
+        return (np.concatenate([vecs.mean(axis=0), [vecs[:, 0].std()]])[None, :],
+                np.array([0]))
     body = vecs[: n_full * C].reshape(n_full, C, vecs.shape[1])
     means = body.mean(axis=1)
     stds = body[:, :, 0].std(axis=1, keepdims=True)

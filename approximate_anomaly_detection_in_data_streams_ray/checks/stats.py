@@ -22,11 +22,20 @@ from ..functions.hashing import stable_hash64
 from .base import ValidationConfig, register_check
 
 
-def stats_partials(batch: pa.Table) -> pa.Table:
-    """One partial-aggregate row per repo present in this batch."""
+def stats_partials(batch: pa.Table, min_len: int | None = None,
+                   max_len: int | None = None) -> pa.Table:
+    """One partial-aggregate row per repo present in this batch.  When the
+    length bounds are given, the per-repo length-violation count rides along
+    so the final verdict's n_violations agrees with the violations table."""
+    lens = batch["content_len"].to_numpy(zero_copy_only=False).astype(np.float64)
+    if min_len is not None and max_len is not None:
+        len_bad = (lens < min_len) | (lens >= max_len)
+    else:
+        len_bad = np.zeros(len(lens), dtype=bool)
     df_cols = {
         "repo": batch["repo"].to_numpy(zero_copy_only=False),
-        "len": batch["content_len"].to_numpy(zero_copy_only=False).astype(np.float64),
+        "len": lens,
+        "len_bad": len_bad,
         "null_lang": pc.is_null(batch["lang"]).to_numpy(zero_copy_only=False),
         "null_path": pc.is_null(batch["path"]).to_numpy(zero_copy_only=False),
         "path_h": stable_hash64(batch["path"]),
@@ -34,13 +43,14 @@ def stats_partials(batch: pa.Table) -> pa.Table:
     }
     df = pd.DataFrame(df_cols)
     rows = {k: [] for k in (
-        "repo", "n", "n_null_lang", "n_null_path", "len_sum", "len_sum2",
-        "len_min", "len_max", "hll_path", "hll_commit")}
+        "repo", "n", "n_null_lang", "n_null_path", "n_len_bad", "len_sum",
+        "len_sum2", "len_min", "len_max", "hll_path", "hll_commit")}
     for repo, g in df.groupby("repo", sort=True):
         rows["repo"].append(repo)
         rows["n"].append(len(g))
         rows["n_null_lang"].append(int(g["null_lang"].sum()))
         rows["n_null_path"].append(int(g["null_path"].sum()))
+        rows["n_len_bad"].append(int(g["len_bad"].sum()))
         rows["len_sum"].append(float(g["len"].sum()))
         rows["len_sum2"].append(float((g["len"] ** 2).sum()))
         rows["len_min"].append(float(g["len"].min()))
@@ -53,6 +63,7 @@ def stats_partials(batch: pa.Table) -> pa.Table:
             "n": pa.array(rows["n"], pa.int64()),
             "n_null_lang": pa.array(rows["n_null_lang"], pa.int64()),
             "n_null_path": pa.array(rows["n_null_path"], pa.int64()),
+            "n_len_bad": pa.array(rows["n_len_bad"], pa.int64()),
             "len_sum": pa.array(rows["len_sum"], pa.float64()),
             "len_sum2": pa.array(rows["len_sum2"], pa.float64()),
             "len_min": pa.array(rows["len_min"], pa.float64()),
@@ -73,10 +84,13 @@ def merge_all_stats_partials(pdf: pd.DataFrame) -> pd.DataFrame:
     """Vectorized merge of ALL partial rows → one row per repo.  Numeric
     merges are a single pandas groupby-agg; only the HLL register merges
     loop (one numpy max-reduce per repo)."""
+    if "n_len_bad" not in pdf.columns:  # partials from an older run layout
+        pdf = pdf.assign(n_len_bad=0)
     agg = pdf.groupby("repo", sort=True).agg(
         n=("n", "sum"),
         n_null_lang=("n_null_lang", "sum"),
         n_null_path=("n_null_path", "sum"),
+        n_len_bad=("n_len_bad", "sum"),
         len_sum=("len_sum", "sum"),
         len_sum2=("len_sum2", "sum"),
         len_min=("len_min", "min"),
@@ -99,6 +113,7 @@ def merge_all_stats_partials(pdf: pd.DataFrame) -> pd.DataFrame:
             "n": agg["n"].astype(int),
             "n_null_lang": agg["n_null_lang"].astype(int),
             "n_null_path": agg["n_null_path"].astype(int),
+            "n_len_bad": agg["n_len_bad"].astype(int),
             "len_min": agg["len_min"].astype(float),
             "len_max": agg["len_max"].astype(float),
             "len_mean": mean.to_numpy(),
@@ -167,7 +182,8 @@ def run_stats_check(features_ds, cfg: ValidationConfig, ctx=None):
                 columns=["repo", "lang", "path", "commit", "content_len"],
             )
         partials = features_ds.map_batches(
-            stats_partials, batch_format="pyarrow", batch_size=cfg.batch_size
+            lambda b: stats_partials(b, cfg.min_content_len, cfg.max_content_len),
+            batch_format="pyarrow", batch_size=cfg.batch_size,
         )
         pdf = partials.to_pandas()  # one row per (item-batch, repo) — small
         stats_df = merge_all_stats_partials(pdf)
@@ -184,7 +200,7 @@ def run_stats_check(features_ds, cfg: ValidationConfig, ctx=None):
     verdict_rows = []
     for _, r in stats_df.iterrows():
         null_rate = (r["n_null_lang"] + r["n_null_path"]) / max(1, r["n"])
-        n_len_bad = 0  # row-level count comes from the violations table
+        n_len_bad = int(r.get("n_len_bad", 0))
         passed = bool(
             null_rate <= cfg.max_null_rate
             and r["len_min"] >= cfg.min_content_len

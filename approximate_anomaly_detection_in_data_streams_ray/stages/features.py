@@ -156,7 +156,8 @@ class FeatureExtractor:
             pp = os.path.join(self.out_dir, "stats_partials", f"item={item_id}.parquet")
             if not self._unit_done("stats_partials", item_id, pp):
                 t = load(None)
-                atomic_write_parquet(stats_partials(t), pp)
+                atomic_write_parquet(
+                    stats_partials(t, cfg.min_content_len, cfg.max_content_len), pp)
                 atomic_write_parquet(
                     null_and_length_violations(t, cfg.min_content_len, cfg.max_content_len),
                     os.path.join(self.out_dir, "violations", "stats",
@@ -221,13 +222,23 @@ class FeatureExtractor:
             feats = []
             for rg_batch in pf.iter_batches(batch_size=8192, row_groups=rgs):
                 feats.append(extract_features(pa.Table.from_batches([rg_batch])))
-            table = pa.concat_tables(feats) if feats else None
-            if table is not None:
-                atomic_write_parquet(table, dest)
-                self.manifest.mark_done(unit, n_rows=len(table))
-                self._fused_products(item_id, table)
+            if feats:
+                table = pa.concat_tables(feats)
+            else:
+                # empty item: write an empty features file + manifest marker
+                # so resume skips it instead of re-reading it every run
+                table = extract_features(
+                    pa.table({"repo": pa.array([], pa.string()),
+                              "path": pa.array([], pa.string()),
+                              "commit": pa.array([], pa.string()),
+                              "lang": pa.array([], pa.string()),
+                              "content": pa.array([], pa.string())})
+                )
+            atomic_write_parquet(table, dest)
+            self.manifest.mark_done(unit, n_rows=len(table))
+            self._fused_products(item_id, table)
             out_rows["item_id"].append(item_id)
-            out_rows["n_rows"].append(len(table) if table is not None else 0)
+            out_rows["n_rows"].append(len(table))
             out_rows["skipped"].append(False)
         return pa.table(
             {

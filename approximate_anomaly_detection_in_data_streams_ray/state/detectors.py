@@ -54,6 +54,37 @@ OUTLIER, INLIER_MC, INLIER_PD = 0, 1, 2
 FIRST_OBJ_ID = 1  # src/core/OutlierDetector.java:10
 
 
+def _euclidean(M: np.ndarray, v: np.ndarray) -> np.ndarray:
+    d = M - v
+    return np.sqrt(np.einsum("ij,ij->i", d, d))
+
+
+def _manhattan(M: np.ndarray, v: np.ndarray) -> np.ndarray:
+    return np.abs(M - v).sum(axis=1)
+
+
+def _cosine(M: np.ndarray, v: np.ndarray) -> np.ndarray:
+    denom = np.maximum(np.linalg.norm(M, axis=1) * np.linalg.norm(v), 1e-12)
+    return 1.0 - (M @ v) / denom
+
+
+#: Pluggable detector distance functions — parity with the reference's
+#: ``DistanceFunction`` generics (`src/core/mtree/MTree.java:293-344`,
+#: `src/core/mtree/DistanceFunctions.java:123-145`).  Each is a vectorized
+#: kernel ``(M: (n, d), v: (d,)) -> (n,) distances``.
+METRICS = {"euclidean": _euclidean, "manhattan": _manhattan, "cosine": _cosine}
+
+
+def resolve_metric(metric):
+    """Accept a metric name or a vectorized ``(M, v) -> distances`` callable."""
+    if callable(metric):
+        return metric
+    try:
+        return METRICS[metric]
+    except KeyError:
+        raise ValueError(f"unknown metric {metric!r}; options: {sorted(METRICS)}")
+
+
 class Entry:
     """Windowed point: `src/core/DataObj.java:9-49` + ISB/LSH entry fields."""
 
@@ -122,12 +153,13 @@ class _SlotIndex:
     query one numpy distance computation over the live slots.
     """
 
-    def __init__(self, dims: int, cap: int = 256) -> None:
+    def __init__(self, dims: int, cap: int = 256, dist_fn=_euclidean) -> None:
         self.ids = np.empty(cap, dtype=np.int64)
         self.vecs = np.empty((cap, dims), dtype=np.float64)
         self.n = 0
         self.slot_of: dict[int, int] = {}
         self.entry_of: dict[int, Entry] = {}
+        self.dist_fn = dist_fn
 
     def insert(self, e: Entry) -> None:
         if self.n == len(self.ids):
@@ -156,8 +188,7 @@ class _SlotIndex:
         """(entries, distances) within *radius*, sorted ascending by id."""
         if self.n == 0:
             return [], np.empty(0)
-        d = self.vecs[: self.n] - vec
-        dist = np.sqrt(np.einsum("ij,ij->i", d, d))
+        dist = self.dist_fn(self.vecs[: self.n], vec)
         hit = np.nonzero(dist <= radius)[0]
         if hit.size == 0:
             return [], np.empty(0)
@@ -177,7 +208,9 @@ class _DetectorBase:
     """Window bookkeeping shared by all four algorithms
     (`src/core/OutlierDetector.java` + `src/algorithms/MCODBase.java`)."""
 
-    def __init__(self, window_size: int, slide_size: int, radius: float, k: int) -> None:
+    def __init__(self, window_size: int, slide_size: int, radius: float, k: int,
+                 metric="euclidean") -> None:
+        self.batch_dist = resolve_metric(metric)
         self.window_size = window_size
         self.slide_size = slide_size
         self.radius = float(radius)
@@ -306,8 +339,9 @@ class _MCODCore(_DetectorBase):
     (slotted-matrix) and LSH subclasses.
     """
 
-    def __init__(self, window_size, slide_size, radius, k, dims) -> None:
-        super().__init__(window_size, slide_size, radius, k)
+    def __init__(self, window_size, slide_size, radius, k, dims,
+                 metric="euclidean") -> None:
+        super().__init__(window_size, slide_size, radius, k, metric=metric)
         self.dims = dims
         self.mcs: list[MicroCluster] = []
         self._mc_centers = np.empty((0, dims))
@@ -333,8 +367,7 @@ class _MCODCore(_DetectorBase):
         (`MCODBase.RangeSearchMC`, MCODBase.java:241-251)."""
         if not self.mcs:
             return []
-        d = self._mc_centers - vec
-        dist = np.sqrt(np.einsum("ij,ij->i", d, d))
+        dist = self.batch_dist(self._mc_centers, vec)
         hit = np.nonzero(dist <= radius)[0]
         order = hit[np.argsort(dist[hit], kind="stable")]
         return [(self.mcs[i], dist[i]) for i in order]
@@ -346,8 +379,7 @@ class _MCODCore(_DetectorBase):
     def _pd_size(self) -> int: ...
 
     def _dist(self, a: Entry, b: Entry) -> float:
-        d = a.vec - b.vec
-        return float(np.sqrt(d @ d))
+        return float(self.batch_dist(a.vec[None, :], b.vec)[0])
 
     # --- addNeighbor (MCOD.java:50-80; identical in all variants)
     def add_neighbor(self, entry: Entry, q: Entry, update_state: bool) -> None:
@@ -433,9 +465,10 @@ class _MCODCore(_DetectorBase):
 class MCOD(_MCODCore):
     """Exact micro-cluster outlier detection (`src/algorithms/MCOD.java`)."""
 
-    def __init__(self, window_size: int, slide_size: int, radius: float, k: int, dims: int):
-        super().__init__(window_size, slide_size, radius, k, dims)
-        self.pd = _SlotIndex(dims)
+    def __init__(self, window_size: int, slide_size: int, radius: float, k: int,
+                 dims: int, metric="euclidean"):
+        super().__init__(window_size, slide_size, radius, k, dims, metric=metric)
+        self.pd = _SlotIndex(dims, dist_fn=self.batch_dist)
 
     def _pd_insert(self, e): self.pd.insert(e)
     def _pd_remove(self, e): self.pd.remove(e)
@@ -517,9 +550,10 @@ class ApproxMCOD(_MCODCore):
     """
 
     def __init__(self, window_size, slide_size, radius, k, dims,
-                 pd_limit: int, ar_factor: float, seed: int = 0):
-        super().__init__(window_size, slide_size, radius, k, dims)
-        self.pd = _SlotIndex(dims)
+                 pd_limit: int, ar_factor: float, seed: int = 0,
+                 metric="euclidean"):
+        super().__init__(window_size, slide_size, radius, k, dims, metric=metric)
+        self.pd = _SlotIndex(dims, dist_fn=self.batch_dist)
         self.pd_limit = int(pd_limit)
         self.ar = (self.radius / 2.0) + ar_factor * self.radius
         self.rng = np.random.default_rng(seed)
@@ -633,9 +667,12 @@ class LSHOD(_DetectorBase):
                  num_hashes: int = 4, num_tables: int = 10, w: int | None = None,
                  seed: int = 0):
         super().__init__(window_size, slide_size, radius, k)
-        # Executor defaults: 4 hashes, 10 tables, w = floor(R) (Executor.java:102-104)
+        # Executor defaults: 4 hashes, 10 tables, w = floor(R) (Executor.java:102-104).
+        # Deviation: clamp to >=1 — the Java reference runs degenerately with
+        # w=0 (every hash collides); LSHIndex rejects w<1, so R<1 would crash
+        # the CLI instead of running.
         if w is None:
-            w = int(radius)
+            w = max(1, int(radius))
         self.rng = np.random.default_rng(seed)
         self.index = LSHIndex(num_hashes, num_tables, w, dims, k, self.rng)
 

@@ -47,9 +47,15 @@ import numpy as np
 
 
 def brute_force_detect(
-    points: np.ndarray, window_size: int, slide_size: int, radius: float, k: int
+    points: np.ndarray, window_size: int, slide_size: int, radius: float, k: int,
+    metric="euclidean",
 ) -> tuple[list[int], dict]:
-    """Return (sorted pure-outlier ids, counters) for the exact semantics."""
+    """Return (sorted pure-outlier ids, counters) for the exact semantics.
+    ``metric`` accepts the same names/callables as the detectors
+    (:data:`..state.detectors.METRICS`)."""
+    from .detectors import resolve_metric
+
+    batch_dist = resolve_metric(metric)
     pts = np.asarray(points, dtype=np.float64)
     n = len(pts)
     W, S, R = window_size, slide_size, float(radius)
@@ -100,8 +106,7 @@ def brute_force_detect(
             vi = pts[i - 1]
             if window:
                 warr = np.array(window)
-                d = pts[warr - 1] - vi
-                dist = np.sqrt(np.einsum("ij,ij->i", d, d))
+                dist = batch_dist(pts[warr - 1], vi)
                 neigh = warr[dist <= R]
             else:
                 neigh = np.empty(0, dtype=np.int64)

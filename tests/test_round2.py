@@ -1,0 +1,193 @@
+"""Round-2 additions: pluggable detector metrics, batched text kernels,
+distributed SimHash, incremental appended-shard validation, IVF recall."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from approximate_anomaly_detection_in_data_streams_ray.state.detectors import (
+    MCOD,
+    METRICS,
+    run_detector,
+)
+from approximate_anomaly_detection_in_data_streams_ray.state.oracle import (
+    brute_force_detect,
+)
+from approximate_anomaly_detection_in_data_streams_ray.synth import (
+    generate_code_files,
+    generate_stream_points,
+)
+
+
+# ------------------------------------------------------- pluggable distance
+
+
+@pytest.mark.parametrize("metric", ["manhattan", "cosine"])
+def test_mcod_matches_oracle_under_nondefault_metric(metric):
+    pts = generate_stream_points(1200, 3, seed=13)
+    if metric == "cosine":
+        R, k = 0.15, 8  # cosine distances live in [0, 2]
+    else:
+        R, k = 4.0, 10
+    got, res = run_detector(MCOD(300, 100, R, k, 3, metric=metric), pts)
+    want, _ = brute_force_detect(pts, 300, 100, R, k, metric=metric)
+    assert got == want
+    assert res["nOnlyOutlier"] == len(got)
+
+
+def test_metric_kernels_match_scipy_definitions():
+    rng = np.random.default_rng(0)
+    M, v = rng.standard_normal((50, 4)), rng.standard_normal(4)
+    np.testing.assert_allclose(
+        METRICS["euclidean"](M, v), np.linalg.norm(M - v, axis=1))
+    np.testing.assert_allclose(
+        METRICS["manhattan"](M, v), np.abs(M - v).sum(axis=1))
+    cos = 1 - (M @ v) / (np.linalg.norm(M, axis=1) * np.linalg.norm(v))
+    np.testing.assert_allclose(METRICS["cosine"](M, v), cos)
+
+
+def test_unknown_metric_raises():
+    with pytest.raises(ValueError):
+        MCOD(100, 50, 1.0, 5, 2, metric="chebyshev")
+
+
+# --------------------------------------------------- batched kernel parity
+
+
+def test_batched_simhash_and_fingerprints_match_scalar():
+    from approximate_anomaly_detection_in_data_streams_ray.functions.sketches import (
+        simhash64,
+        simhash64_batch,
+    )
+    from approximate_anomaly_detection_in_data_streams_ray.functions.text import (
+        doc_fingerprint,
+        doc_fingerprints,
+        token_hashes,
+    )
+
+    texts = ["hello world code", "", "x", "a b " * 500, "únîco∂e ✓", None]
+    fp_scalar = [np.int64(np.uint64(doc_fingerprint(t or ""))) for t in texts]
+    assert doc_fingerprints(texts).tolist() == fp_scalar
+    sh_scalar = [simhash64(token_hashes(t or "")) for t in texts]
+    assert simhash64_batch(texts).tolist() == sh_scalar
+
+
+# ----------------------------------------------------- distributed SimHash
+
+
+def test_simhash_dedup_finds_planted_near_dups(ray_session):
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep dark forest where nobody ever goes at all ") * 4
+    texts = [base, base.replace("forest", "jungle"),
+             "completely unrelated text about maritime navigation " * 12,
+             "yet another unrelated piece of writing entirely " * 12]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pairs = simhash_near_dup_pairs(ray.data.from_arrow(t), max_hamming=6)
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got
+    assert all(2 not in p and 3 not in p for p in got)
+
+
+# ---------------------------------------------------------- IVF recall bar
+
+
+def test_ivf_recall_at_10_is_high(ray_session):
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.ann import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(21)
+    M = rng.standard_normal((2000, 16)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(2000), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in M], pa.list_(pa.float32()))})
+    q = rng.standard_normal((1, 16))
+    exact = set(brute_force_topk(ray.data.from_arrow(t), q, k=10)["vec_id"])
+    approx = set(ivf_topk(ray.data.from_arrow(t), q, k=10, nlist=8, nprobe=6)["vec_id"])
+    assert len(exact & approx) / 10 >= 0.9
+
+
+# -------------------------------------------- incremental appended shards
+
+
+def test_appended_shard_extracts_only_new_item(ray_session, tmp_path_factory):
+    """Append a shard to a validated source; re-running the same out_dir
+    extracts ONLY the new item and the merged verdicts pick up its rows."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from approximate_anomaly_detection_in_data_streams_ray.checks.base import (
+        ValidationConfig,
+    )
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.runner import (
+        run_validation,
+    )
+
+    base = tmp_path_factory.mktemp("append")
+    src, out = str(base / "src"), str(base / "out")
+    generate_code_files(src, n_rows=4000, n_repos=6, seed=3, n_shards=2)
+    cfg = ValidationConfig(target_rows_per_item=4000, extract_concurrency=2,
+                           drift_concurrency=2)
+    first = run_validation(src, out, cfg, checks=["stats"])
+    v0 = pq.read_table(os.path.join(out, "verdicts", "verdicts.parquet")).to_pandas()
+    n_first = int(v0[v0["check"] == "stats"]["n_rows"].sum())
+
+    shards = sorted(glob.glob(os.path.join(src, "code_files", "shard-*.parquet")))
+    new_shard = os.path.join(src, "code_files", "shard-append.parquet")
+    shutil.copy(shards[0], new_shard)
+    n_new = pq.read_metadata(new_shard).num_rows
+
+    second = run_validation(src, out, cfg, checks=["stats"])
+    assert second["n_items"] == first["n_items"] + 1
+    assert second["n_items_skipped_resume"] == first["n_items"]
+    assert second["n_rows_extracted"] == n_new
+
+    # merged verdict rows now include the appended shard's rows
+    v1 = pq.read_table(os.path.join(out, "verdicts", "verdicts.parquet")).to_pandas()
+    stats1 = v1[v1["check"] == "stats"]
+    assert int(stats1["n_rows"].sum()) == n_first + n_new
+
+
+def test_stats_verdict_counts_length_violations(ray_session, tmp_path_factory):
+    """n_violations in the stats verdict equals the violations-table row
+    count per repo (null + length violations, ADVICE round 1)."""
+    import pyarrow.dataset as pads
+
+    from approximate_anomaly_detection_in_data_streams_ray.checks.base import (
+        ValidationConfig,
+    )
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.runner import (
+        run_validation,
+    )
+    import pyarrow.parquet as pq
+
+    base = tmp_path_factory.mktemp("lenviol")
+    src, out = str(base / "src"), str(base / "out")
+    generate_code_files(src, n_rows=4000, n_repos=6, seed=5, n_shards=2)
+    cfg = ValidationConfig(target_rows_per_item=2000, extract_concurrency=2)
+    run_validation(src, out, cfg, checks=["stats"])
+
+    vio = pads.dataset(
+        glob.glob(os.path.join(out, "violations", "stats", "item=*", "part.parquet"))
+    ).to_table().to_pandas()
+    per_repo_vio = vio.groupby("partition_key").size()
+    v = pq.read_table(os.path.join(out, "verdicts", "verdicts.parquet")).to_pandas()
+    stats_v = v[v["check"] == "stats"].set_index("partition_key")
+    assert per_repo_vio.sum() > 0  # generator injects violations
+    for repo, n in per_repo_vio.items():
+        assert int(stats_v.loc[repo, "n_violations"]) == int(n), repo
