@@ -74,6 +74,32 @@ def stats_partials(batch: pa.Table, min_len: int | None = None,
     )
 
 
+def _merge_estimate_hlls(pdf: pd.DataFrame, col: str) -> list[float]:
+    """Per-repo HLL merge+estimate, vectorized: all register blocks land in
+    ONE (n_partials, m) uint8 matrix (single frombuffer of the concatenated
+    blobs), per-repo union is a ``maximum.reduceat`` — no per-blob Python."""
+    pdf = pdf.sort_values("repo", kind="stable")
+    blobs = list(pdf[col])
+    sizes = {len(b) for b in blobs}
+    if len(sizes) != 1:  # mixed precisions (shouldn't happen) — slow path
+        return [HyperLogLog.from_bytes(hll_merge_bytes(list(g[col]))).estimate()
+                for _, g in pdf.groupby("repo", sort=True)]
+    m = sizes.pop() - 1
+    M = np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(len(blobs), m + 1)[:, 1:]
+    repos = pdf["repo"].to_numpy()
+    starts = np.nonzero(np.concatenate([[True], repos[1:] != repos[:-1]]))[0]
+    merged = np.maximum.reduceat(M, starts, axis=0)
+    p = blobs[0][0]
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    inv = np.ldexp(1.0, -merged.astype(np.int32))
+    est = alpha * m * m / inv.sum(axis=1)
+    zeros = (merged == 0).sum(axis=1)
+    lc = np.where(zeros > 0, m * np.log(m / np.maximum(zeros, 1)), est)
+    out = np.where((est <= 2.5 * m) & (zeros > 0), lc, est)
+    assert p == blobs[0][0]
+    return out.tolist()
+
+
 def merge_stats_partials(g: pd.DataFrame) -> pd.DataFrame:
     """Merge one repo's partial rows (kept for the standalone map_groups
     path and tests)."""
@@ -99,14 +125,8 @@ def merge_all_stats_partials(pdf: pd.DataFrame) -> pd.DataFrame:
     n = agg["n"].clip(lower=1)
     mean = agg["len_sum"] / n
     var = (agg["len_sum2"] / n - mean * mean).clip(lower=0.0)
-    hll_paths, hll_commits = [], []
-    for _, g in pdf.groupby("repo", sort=True):
-        hll_paths.append(
-            HyperLogLog.from_bytes(hll_merge_bytes(list(g["hll_path"]))).estimate()
-        )
-        hll_commits.append(
-            HyperLogLog.from_bytes(hll_merge_bytes(list(g["hll_commit"]))).estimate()
-        )
+    hll_paths = _merge_estimate_hlls(pdf, "hll_path")
+    hll_commits = _merge_estimate_hlls(pdf, "hll_commit")
     out = pd.DataFrame(
         {
             "repo": agg.index,

@@ -434,14 +434,15 @@ def word_freq_top20(sf_dir: str):
 
 def parts_without_lineitem(sf_dir: str):
     """Anti-join: parts never referenced by any lineitem.  The distinct
-    referenced-key set (bounded by the part dimension) is computed with a
-    key-only groupby, broadcast once, and anti-probed vectorized."""
-    used = (
-        _t(sf_dir, "lineitem", columns=["l_partkey"])
-        .groupby("l_partkey").aggregate(Count(alias_name="c"))
-        .to_pandas()["l_partkey"]
-    )
-    used_ref = ray.put(pa.array(used.to_numpy()))
+    referenced-key set (bounded by the part dimension, so it fits in one
+    broadcast) is built from per-batch ``unique`` partials — a (distinct
+    keys per block) exchange instead of a full groupby shuffle — then
+    anti-probed vectorized."""
+    uniq = _t(sf_dir, "lineitem", columns=["l_partkey"]).map_batches(
+        lambda b: pa.table({"l_partkey": pc.unique(b["l_partkey"])}),
+        batch_format="pyarrow",
+    ).to_pandas()["l_partkey"]
+    used_ref = ray.put(pa.array(np.unique(uniq.to_numpy())))
     ds = _t(sf_dir, "part", columns=["p_partkey"])
 
     def unused(b: pa.Table) -> pa.Table:
@@ -830,14 +831,19 @@ def _code_files_dir(sf_dir: str) -> str:
     except ValueError:
         sf = 0.001  # unrecognized dir name → smallest corpus
     # bench scale (sf >= 0.05) needs a compute-dominated corpus; the
-    # correctness scales just need every injected-violation class present
+    # correctness scales just need every injected-violation class present.
+    # GRAFT_CORPUS_MULT (bench --scaling sets 2) grows the corpus so
+    # per-core work dominates fixed job-startup constants — the regime a
+    # real N-node run is always in.
+    mult = max(1, int(os.environ.get("GRAFT_CORPUS_MULT", "1")))
     n_rows = max(2000, int(sf * 40_000_000) if sf >= 0.05 else int(sf * 4_000_000))
+    n_rows *= mult
     # /dev/shm when available: on a real N-node cluster every node brings
     # its own storage bandwidth, so aggregate I/O scales with N; a single
     # box's fixed disk does not — RAM-backed files model the per-node
     # scaling storage for the two-parallelism-level benchmark
     root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else "/tmp"
-    cache = f"{root}/aads_cache/code_files_{base}.v3"
+    cache = f"{root}/aads_cache/code_files_{base}.v3" + (f".x{mult}" if mult > 1 else "")
     if cache not in _CODE_CACHE:
         if not os.path.exists(os.path.join(cache, "manifest.json")):
             from ..synth import generate_code_files

@@ -112,27 +112,22 @@ def run_validation(
     items = plan_work_items(paths, target_rows=cfg.target_rows_per_item)
     items_ds = _items_dataset(items)
 
-    # --- Phase 1: fused extraction (actor pool, checkpoint per item) —
+    # --- Phase 1: fused extraction (plain tasks, checkpoint per item) —
     # computes features + every enabled check's per-row products in ONE
-    # pass over the wide input
+    # pass over the wide input.  Plain tasks, not an actor pool: one task
+    # per work item uses every schedulable CPU with no pool-startup tax or
+    # per-actor task stacking (round 1's ActorPoolStrategy paid 1-5 s of
+    # actor churn per run); the extractor state (dims tables, manifest) is
+    # rebuilt once per reused worker process via a module-level cache
     fused_checks = [c for c in checks if cfg.drift_inline or c != "drift"]
-    # fixed pool clamped to what is actually schedulable: a fixed pool
-    # larger than the session's CPUs waits for its minimum size forever,
-    # and an autoscaling (1, N) pool ramps up too slowly for a short phase
-    avail_cpus = int(ray.available_resources().get("CPU", 8))
-    pool = max(1, min(cfg.extract_concurrency, len(items), avail_cpus - 1))
-    from ray.data._internal.compute import ActorPoolStrategy
+    from ..stages.features import make_extract_fn
 
     extract_ds = items_ds.map_batches(
-        FeatureExtractor,
-        fn_constructor_args=(out_dir, cfg, fused_checks,
-                             os.path.join(source_dir, "repos.parquet"),
-                             os.path.join(source_dir, "commits.parquet")),
+        make_extract_fn(out_dir, cfg, fused_checks,
+                        os.path.join(source_dir, "repos.parquet"),
+                        os.path.join(source_dir, "commits.parquet")),
         batch_format="pyarrow",
         batch_size=1,
-        # one in-flight item per actor: default task stacking queues several
-        # multi-second items on some actors while others idle at the tail
-        compute=ActorPoolStrategy(size=pool, max_tasks_in_flight_per_actor=1),
     )
     extract_summary = extract_ds.to_pandas()
     try:  # persist Ray's per-stage wall/cpu/memory breakdown for tuning

@@ -20,7 +20,10 @@ def _normalize(M: np.ndarray) -> np.ndarray:
 
 
 class BatchTopK:
-    """Actor: per-batch cosine top-k against the broadcast query matrix."""
+    """Per-batch cosine top-k against the broadcast query matrix.  Used as a
+    PLAIN-TASK callable: the only state is the (tiny, already-normalized)
+    query matrix fetched zero-copy from the object store per call — an
+    actor pool's startup cost would dwarf that."""
 
     def __init__(self, queries_ref, k: int, id_col: str, vec_col: str) -> None:
         Q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
@@ -53,17 +56,8 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id
                      vec_col: str = "embedding", concurrency: int | None = None) -> pd.DataFrame:
     """Exact cosine top-k for each query row: per-batch partial top-k → tiny
     driver-side merge.  ``queries`` is (n_queries, d)."""
-    from .common import auto_pool
-
-    qref = ray.put(np.asarray(queries, dtype=np.float64))
-    partials = ds.map_batches(
-        BatchTopK,
-        fn_constructor_args=(qref, k, id_col, vec_col),
-        batch_format="pyarrow",
-        concurrency=auto_pool(concurrency, 0.75),
-        # fractional CPUs: never let the pool starve the upstream read
-        num_cpus=0.75,
-    ).to_pandas()
+    stage = BatchTopK(np.asarray(queries, dtype=np.float64), k, id_col, vec_col)
+    partials = ds.map_batches(stage.__call__, batch_format="pyarrow").to_pandas()
     out = (
         partials.sort_values(["query_idx", "cosine", id_col],
                              ascending=[True, False, True])
@@ -117,8 +111,6 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
              sample_size: int = 2048, seed: int = 9,
              concurrency: int | None = None) -> pd.DataFrame:
     """ANN top-k probing only nprobe/nlist of the vectors per query."""
-    from .common import auto_pool
-
     # seeded RANDOM training sample — ds.limit() would train the centroids
     # on the first blocks only, a biased sample under any input ordering
     n_rows = ds.count()  # parquet-metadata count, no scan
@@ -132,44 +124,37 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
     sample = np.stack(sample_rows[vec_col].to_numpy())
     index = IVFIndex(nlist=nlist, nprobe=nprobe, seed=seed).train(sample)
     Q = np.asarray(queries, dtype=np.float64)
+    Qn = _normalize(Q)
     probe_sets = [set(index.probe_lists(q).tolist()) for q in Q]
-    idx_ref = ray.put(index)
-    qref = ray.put(Q)
 
-    class ProbedTopK:
-        def __init__(self):
-            self.index = ray.get(idx_ref)
-            self.Q = _normalize(ray.get(qref))
-            self.probe_sets = probe_sets
+    # plain tasks: the centroid model is tiny and ships once in the task
+    # spec — actor-pool startup would dominate this short stage
+    def probed_topk(batch: pa.Table) -> pa.Table:
+        M = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        Mn = _normalize(M)
+        assign = index.assign_batch(M)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(len(Qn)):
+            mask = np.isin(assign, list(probe_sets[qi]))
+            if not mask.any():
+                continue
+            sims = Mn[mask] @ Qn[qi]
+            sub_ids = ids[mask]
+            kk = min(k, len(sub_ids))
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(sub_ids[part].tolist())
+            out_s.extend(sims[part].tolist())
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                id_col: pa.array(out_id),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            M = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
-            Mn = _normalize(M)
-            assign = self.index.assign_batch(M)
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            out_q, out_id, out_s = [], [], []
-            for qi in range(len(self.Q)):
-                mask = np.isin(assign, list(self.probe_sets[qi]))
-                if not mask.any():
-                    continue
-                sims = Mn[mask] @ self.Q[qi]
-                sub_ids = ids[mask]
-                kk = min(k, len(sub_ids))
-                part = np.argpartition(-sims, kk - 1)[:kk]
-                out_q.extend([qi] * kk)
-                out_id.extend(sub_ids[part].tolist())
-                out_s.extend(sims[part].tolist())
-            return pa.table(
-                {
-                    "query_idx": pa.array(out_q, pa.int32()),
-                    id_col: pa.array(out_id),
-                    "cosine": pa.array(out_s, pa.float64()),
-                }
-            )
-
-    partials = ds.map_batches(ProbedTopK, batch_format="pyarrow",
-                              concurrency=auto_pool(concurrency, 0.75),
-                              num_cpus=0.75).to_pandas()
+    partials = ds.map_batches(probed_topk, batch_format="pyarrow").to_pandas()
     return (
         partials.sort_values(["query_idx", "cosine", id_col],
                              ascending=[True, False, True])

@@ -37,14 +37,14 @@ def _fixed_pool(requested, num_cpus_per_actor: float = 0.75) -> int:
 
 
 def _n_partitions(requested: int | None = None) -> int:
-    """Coarse shuffle width for bucket exchanges: ~4 groups per CPU keeps
+    """Coarse shuffle width for bucket exchanges: ~2 groups per CPU keeps
     every core busy through the map_groups stage without exploding the
-    Python-call count.  (Round 1 hardcoded 64, capping wide clusters.)"""
+    Python-call/task count.  (Round 1 hardcoded 64, capping wide clusters.)"""
     if requested is not None:
         return int(requested)
     from .common import available_cpus
 
-    return max(64, int(4 * available_cpus()))
+    return max(32, int(2 * available_cpus()))
 
 
 def _empty_pairs(value_col: str, value_dtype: str = "float64") -> pd.DataFrame:
@@ -74,12 +74,26 @@ def exact_dedup_keep_first(ds, id_col: str, text_col: str = "text"):
 # --------------------------------------------------------------- MinHash + LSH
 
 
+_MH_CACHE: dict[int, MinHasher] = {}
+
+
+def _cached_minhasher(num_perm: int) -> MinHasher:
+    """Per-worker-process MinHasher (deterministic seed, so every worker's
+    instance is identical) — lets the signature stage run as PLAIN TASKS:
+    short stages pay ~100ms × pool-size to spin up an actor pool, which
+    dwarfs the (µs) constructor this cache amortizes."""
+    if num_perm not in _MH_CACHE:
+        _MH_CACHE[num_perm] = MinHasher(num_perm=num_perm)
+    return _MH_CACHE[num_perm]
+
+
 class MinHashSignatures:
-    """Actor: per-batch MinHash band keys, exploded to bucket rows."""
+    """Per-batch MinHash band keys, exploded to bucket rows (plain-task
+    callable; the hasher itself is process-cached)."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle: int = 5,
                  id_col: str = "doc_id", text_col: str = "text") -> None:
-        self.mh = MinHasher(num_perm=num_perm)
+        self.mh = _cached_minhasher(num_perm)
         self.bands = bands
         self.shingle = shingle
         self.id_col = id_col
@@ -156,14 +170,12 @@ def minhash_near_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                         out_j.append(jac)
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
 
+    sig_stage = MinHashSignatures(num_perm=num_perm, bands=bands,
+                                  id_col=id_col, text_col=text_col)
     buckets = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
-                               "id_col": id_col, "text_col": text_col},
+        sig_stage.__call__,  # plain tasks — no actor-pool startup tax
         batch_format="pyarrow",
         batch_size=512,
-        concurrency=auto_pool(concurrency, 0.75),
-        num_cpus=0.75,
     ).map_batches(
         lambda b: b.append_column(
             "pbucket", pa.array((b["bucket_key"].to_numpy(zero_copy_only=False)
@@ -252,9 +264,8 @@ def simhash_near_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
 
     fps = ds.map_batches(
-        SimHashStage, fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
+        SimHashStage(id_col=id_col, text_col=text_col).__call__,  # plain tasks
         batch_format="pyarrow", batch_size=512,
-        concurrency=auto_pool(concurrency, 0.75), num_cpus=0.75,
     )
     def bucketize(b: pa.Table) -> pa.Table:
         t = simhash_buckets(b, id_col)

@@ -22,6 +22,7 @@ from ..functions.hashing import sha256_hex_arrow, stable_hash64
 from ..synth import LANGS
 
 _LANG_CODE = {lang: float(i) for i, lang in enumerate(LANGS)}
+_LANG_ARR = pa.array(list(LANGS), pa.string())
 
 # Feature columns fed to the drift detector, in order (the analogue of the
 # reference's CSV attribute vector).
@@ -35,8 +36,10 @@ def extract_features(batch: pa.Table) -> pa.Table:
     n_lines = pc.add(pc.fill_null(pc.count_substring(content, "\n"), 0), 1)
     batch = sha256_hex_arrow(batch, "content", out="sha256")
 
-    lang = batch["lang"].to_pylist()
-    lang_code = np.array([_LANG_CODE.get(v, -1.0) for v in lang], dtype=np.float64)
+    # vectorized lang -> code: position in the known-language list, -1 for
+    # unknown/null (same mapping as _LANG_CODE, no per-row Python)
+    lang_idx = pc.index_in(batch["lang"], value_set=_LANG_ARR)
+    lang_code = pc.cast(pc.fill_null(lang_idx, -1), pa.float64())
 
     repo = pc.fill_null(batch["repo"], "")
     path = pc.fill_null(batch["path"], "")
@@ -51,16 +54,11 @@ def extract_features(batch: pa.Table) -> pa.Table:
         pc.binary_join_element_wise(repo, path, "\x1f"), commit, "\x1f"
     )
 
-    # text-profile features (RE2 kernels): token count and punctuation/digit
-    # ratios feed the quality columns of the stats check and give the drift
-    # detector richer per-file structure signals
-    n_tokens = pc.fill_null(pc.count_substring_regex(content, r"[A-Za-z0-9_]+"), 0)
-    n_punct = pc.fill_null(pc.count_substring_regex(content, r"[^\w\s]"), 0)
-    n_digit = pc.fill_null(pc.count_substring_regex(content, r"[0-9]"), 0)
-    safe = np.maximum(n_chars_np, 1.0)
-    punct_ratio = n_punct.to_numpy(zero_copy_only=False).astype(np.float64) / safe
-    digit_ratio = n_digit.to_numpy(zero_copy_only=False).astype(np.float64) / safe
-
+    # NOTE: no regex kernels here on purpose.  Round 1 also emitted token /
+    # punctuation / digit profiles (three full RE2 passes over every byte of
+    # content), but no check consumes them — at 100 TB that is three wasted
+    # scans of the corpus.  The text-profile queries compute them on their
+    # own (column-pruned) reads instead.
     return pa.table(
         {
             "repo": batch["repo"],
@@ -74,21 +72,39 @@ def extract_features(batch: pa.Table) -> pa.Table:
             "log_len": pa.array(np.log1p(n_chars_np)),
             "n_lines": pc.cast(n_lines, pa.int64()),
             "n_lines_log": pa.array(np.log1p(n_lines_np)),
-            "lang_code": pa.array(lang_code),
-            "n_tokens": pc.cast(n_tokens, pa.int64()),
-            "punct_ratio": pa.array(punct_ratio),
-            "digit_ratio": pa.array(digit_ratio),
+            "lang_code": lang_code,
         }
     )
 
 
-class FeatureExtractor:
-    """Work-item actor: read a row-group range, extract features, write the
-    item's feature file atomically, return one summary row.
+_EXTRACTOR_CACHE: dict = {}
 
-    Used as ``items_ds.map_batches(FeatureExtractor, concurrency=N)`` over a
-    Dataset of work items — the resumable-ETL pattern: each item is skipped
-    instantly on resume if its manifest marker exists.
+
+def make_extract_fn(out_dir: str, cfg, checks, repos_path: str, commits_path: str):
+    """Plain-task wrapper around :class:`FeatureExtractor`: the extractor
+    (dims tables + manifest handle) is built once per reused worker process
+    and cached, so tasks pay no per-item setup and the run pays no
+    actor-pool startup."""
+    key = (out_dir, tuple(sorted(checks or [])))
+
+    def extract_item(batch):
+        ex = _EXTRACTOR_CACHE.get(key)
+        if ex is None:
+            ex = FeatureExtractor(out_dir, cfg, checks, repos_path, commits_path)
+            _EXTRACTOR_CACHE[key] = ex
+        return ex(batch)
+
+    return extract_item
+
+
+class FeatureExtractor:
+    """Work-item processor: read a row-group range, extract features, write
+    the item's feature file atomically, return one summary row.
+
+    Runs as plain tasks over a Dataset of work items (one task per item via
+    ``batch_size=1``, cached per worker process by :func:`make_extract_fn`)
+    — the resumable-ETL pattern: each item is skipped instantly on resume if
+    its manifest marker exists.
     """
 
     def __init__(self, out_dir: str, cfg=None, checks: list[str] | None = None,
@@ -219,11 +235,12 @@ class FeatureExtractor:
                 continue
             pf = pq.ParquetFile(items["path"][i].as_py())
             rgs = list(range(items["rg_start"][i].as_py(), items["rg_end"][i].as_py()))
-            feats = []
-            for rg_batch in pf.iter_batches(batch_size=8192, row_groups=rgs):
-                feats.append(extract_features(pa.Table.from_batches([rg_batch])))
-            if feats:
-                table = pa.concat_tables(feats)
+            # one vectorized pass over the whole item (items are
+            # target_rows-bounded, so this is the intended memory unit —
+            # per-8k-batch calls just multiply fixed kernel overheads)
+            raw = pf.read_row_groups(rgs) if rgs else None
+            if raw is not None and raw.num_rows:
+                table = extract_features(raw)
             else:
                 # empty item: write an empty features file + manifest marker
                 # so resume skips it instead of re-reading it every run

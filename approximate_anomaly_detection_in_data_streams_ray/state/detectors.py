@@ -74,6 +74,15 @@ def _cosine(M: np.ndarray, v: np.ndarray) -> np.ndarray:
 #: kernel ``(M: (n, d), v: (d,)) -> (n,) distances``.
 METRICS = {"euclidean": _euclidean, "manhattan": _manhattan, "cosine": _cosine}
 
+#: Scalar pair fast paths: `_dist` runs ~100k times per work item — going
+#: through the batched kernels costs a numpy-dispatch per call.
+_PAIR_METRICS = {
+    "euclidean": lambda a, b: float(np.sqrt((d := a - b) @ d)),
+    "manhattan": lambda a, b: float(np.abs(a - b).sum()),
+    "cosine": lambda a, b: float(
+        1.0 - (a @ b) / max(np.sqrt((a @ a) * (b @ b)), 1e-12)),
+}
+
 
 def resolve_metric(metric):
     """Accept a metric name or a vectorized ``(M, v) -> distances`` callable."""
@@ -81,6 +90,16 @@ def resolve_metric(metric):
         return metric
     try:
         return METRICS[metric]
+    except KeyError:
+        raise ValueError(f"unknown metric {metric!r}; options: {sorted(METRICS)}")
+
+
+def resolve_pair_metric(metric):
+    """Scalar (a, b) -> float companion of :func:`resolve_metric`."""
+    if callable(metric):
+        return lambda a, b: float(metric(a[None, :], b)[0])
+    try:
+        return _PAIR_METRICS[metric]
     except KeyError:
         raise ValueError(f"unknown metric {metric!r}; options: {sorted(METRICS)}")
 
@@ -134,15 +153,32 @@ class MicroCluster:
     process-unique serial used for Rmc membership (the reference compares
     clusters by center coordinates, `MicroCluster.java:63-103`)."""
 
-    __slots__ = ("center", "entries", "uid")
+    __slots__ = ("center", "entries", "uid", "_mat")
 
     _next_uid = 0
 
     def __init__(self, center: Entry) -> None:
         self.center = center
         self.entries: list[Entry] = [center]
+        self._mat: np.ndarray | None = None  # cached member-vector matrix
         MicroCluster._next_uid += 1
         self.uid = MicroCluster._next_uid
+
+    def add(self, e: Entry) -> None:
+        self.entries.append(e)
+        self._mat = None
+
+    def remove(self, e: Entry) -> None:
+        self.entries.remove(e)
+        self._mat = None
+
+    def matrix(self) -> np.ndarray:
+        """Member vectors, row i == entries[i] — rebuilt lazily so the
+        member-scan distance check is ONE vectorized kernel instead of a
+        Python loop (the per-item hot spot at ~90k scalar calls)."""
+        if self._mat is None:
+            self._mat = np.stack([e.vec for e in self.entries])
+        return self._mat
 
 
 class _SlotIndex:
@@ -211,6 +247,7 @@ class _DetectorBase:
     def __init__(self, window_size: int, slide_size: int, radius: float, k: int,
                  metric="euclidean") -> None:
         self.batch_dist = resolve_metric(metric)
+        self.pair_dist = resolve_pair_metric(metric)
         self.window_size = window_size
         self.slide_size = slide_size
         self.radius = float(radius)
@@ -379,7 +416,18 @@ class _MCODCore(_DetectorBase):
     def _pd_size(self) -> int: ...
 
     def _dist(self, a: Entry, b: Entry) -> float:
-        return float(self.batch_dist(a.vec[None, :], b.vec)[0])
+        return self.pair_dist(a.vec, b.vec)
+
+    def _mc_members_in_range(self, mc: MicroCluster, vec: np.ndarray):
+        """Members of *mc* with dist(member, vec) <= R, in entries order —
+        one batched distance kernel (identical set/order to the scalar scan
+        `for q in mc.entries: if dist <= R`)."""
+        ents = mc.entries
+        if len(ents) <= 4:
+            pd_ = self.pair_dist
+            return [q for q in ents if pd_(q.vec, vec) <= self.radius]
+        d = self.batch_dist(mc.matrix(), vec)
+        return [ents[i] for i in np.nonzero(d <= self.radius)[0]]
 
     # --- addNeighbor (MCOD.java:50-80; identical in all variants)
     def add_neighbor(self, entry: Entry, q: Entry, update_state: bool) -> None:
@@ -422,7 +470,7 @@ class _MCODCore(_DetectorBase):
         for exp in expired_entries:
             mc = exp.mc
             if mc is not None:
-                mc.entries.remove(exp)
+                mc.remove(exp)
                 if len(mc.entries) < self.k + 1:  # dissolve below k+1 members
                     self.remove_micro_cluster(mc)
                     self.entries_reinsert = {q.id for q in mc.entries}
@@ -488,12 +536,14 @@ class MCOD(_MCODCore):
         if found_mc:
             new_entry.mc = mc_closest
             self.set_entry_type(new_entry, INLIER_MC)
-            mc_closest.entries.append(new_entry)
-            # update PD entries whose Rmc contains the target cluster
-            for q in self._pd_all_entries():
+            mc_closest.add(new_entry)
+            # update PD entries whose Rmc contains the target cluster:
+            # ONE vectorized range search (ascending id, like the scalar
+            # _pd_all_entries scan) then the rmc filter
+            entries, _ = self.pd.range_search(new_entry.vec, self.radius)
+            for q in entries:
                 if mc_closest.uid in q.rmc:
-                    if self._dist(q, new_entry) <= self.radius:
-                        self._maybe_update(q, new_entry, is_new)
+                    self._maybe_update(q, new_entry, is_new)
         else:
             self.n_range_queries += 1
             set_nc: list[Entry] = []
@@ -516,7 +566,7 @@ class MCOD(_MCODCore):
                 self.set_entry_type(new_entry, INLIER_MC)
                 for q in set_nc:
                     q.mc = mc_new
-                    mc_new.entries.append(q)
+                    mc_new.add(q)
                     self.set_entry_type(q, INLIER_MC)
                     self._pd_remove(q)
                 for q in set_nnc:
@@ -524,9 +574,8 @@ class MCOD(_MCODCore):
             else:
                 # neighbors from nearby micro-clusters' members
                 for mc, _ in results_mc:
-                    for q in mc.entries:
-                        if self._dist(q, new_entry) <= self.radius:
-                            self.add_neighbor(new_entry, q, False)
+                    for q in self._mc_members_in_range(mc, new_entry.vec):
+                        self.add_neighbor(new_entry, q, False)
                 self._pd_insert(new_entry)
                 self._classify_pd_entry(new_entry)
                 for mc, _ in results_mc:
@@ -597,11 +646,11 @@ class ApproxMCOD(_MCODCore):
         if found_mc:
             new_entry.mc = mc_closest
             self.set_entry_type(new_entry, INLIER_MC)
-            mc_closest.entries.append(new_entry)
-            for q in self._pd_all_entries():
+            mc_closest.add(new_entry)
+            entries, _ = self.pd.range_search(new_entry.vec, self.radius)
+            for q in entries:
                 if mc_closest.uid in q.rmc:
-                    if self._dist(q, new_entry) <= self.radius:
-                        self._maybe_update_safe(q, new_entry, is_new)
+                    self._maybe_update_safe(q, new_entry, is_new)
         else:
             # bounded-PD eviction (ApproxMCOD.java:159-173)
             safe_inlier_deleted = False
@@ -637,7 +686,7 @@ class ApproxMCOD(_MCODCore):
                 for group in (set_nc, set_anc):
                     for q in group:
                         q.mc = mc_new
-                        mc_new.entries.append(q)
+                        mc_new.add(q)
                         self.set_entry_type(q, INLIER_MC)
                         self._pd_remove(q)
                         if self.is_safe_inlier(q):
@@ -646,9 +695,8 @@ class ApproxMCOD(_MCODCore):
                     q.rmc.add(mc_new.uid)
             else:
                 for mc, _ in results_mc:
-                    for q in mc.entries:
-                        if self._dist(q, new_entry) <= self.radius:
-                            self.add_neighbor(new_entry, q, False)
+                    for q in self._mc_members_in_range(mc, new_entry.vec):
+                        self.add_neighbor(new_entry, q, False)
                 self._classify_pd_entry(new_entry)
                 # conditional PD insert (ApproxMCOD.java:293-304)
                 if (not self.is_safe_inlier(new_entry)) or self._pd_size() < self.pd_limit:
@@ -776,7 +824,7 @@ class ApproxMCLSHOD(_MCODCore):
         if found_mc:
             new_entry.mc = mc_closest
             self.set_entry_type(new_entry, INLIER_MC)
-            mc_closest.entries.append(new_entry)
+            mc_closest.add(new_entry)
             for q in self._pd_all_entries():
                 if mc_closest.uid in q.rmc:
                     if self._dist(q, new_entry) <= self.radius:
@@ -802,16 +850,15 @@ class ApproxMCLSHOD(_MCODCore):
                 self.set_entry_type(new_entry, INLIER_MC)
                 for q in set_nc:
                     q.mc = mc_new
-                    mc_new.entries.append(q)
+                    mc_new.add(q)
                     self.set_entry_type(q, INLIER_MC)
                     self._pd_remove(q)
                 for q in set_nnc:
                     q.rmc.add(mc_new.uid)
             else:
                 for mc, _ in results_mc:
-                    for q in mc.entries:
-                        if self._dist(q, new_entry) <= self.radius:
-                            self.add_neighbor(new_entry, q, False)
+                    for q in self._mc_members_in_range(mc, new_entry.vec):
+                        self.add_neighbor(new_entry, q, False)
                 self._pd_insert(new_entry)
                 self._classify_pd_entry(new_entry)
                 for mc, _ in results_mc:
