@@ -26,11 +26,16 @@ def _build_detector(args, dims: int):
     from .state.detectors import MCOD, ApproxMCOD, LSHOD, ApproxMCLSHOD
 
     algo = args.algorithm
+    metric = getattr(args, "metric", "euclidean")
     if algo == "MCOD":
-        return MCOD(args.W, args.slide, args.R, args.k, dims)
+        return MCOD(args.W, args.slide, args.R, args.k, dims, metric=metric)
     if algo == "ApproxMCOD":
         return ApproxMCOD(args.W, args.slide, args.R, args.k, dims,
-                          args.pdLimit, args.arFactor, seed=args.seed)
+                          args.pdLimit, args.arFactor, seed=args.seed,
+                          metric=metric)
+    if metric != "euclidean":
+        raise SystemExit(f"--metric {metric!r} requires MCOD/ApproxMCOD "
+                         "(the LSH variants' hash family is L2-specific)")
     if algo == "LSHOD":
         # Executor defaults: 4 hashes, 10 tables, w=floor(R) (Executor.java:102-104)
         return LSHOD(args.W, args.slide, args.R, args.k, dims, seed=args.seed)
@@ -154,6 +159,11 @@ def main(argv=None) -> int:
     d.add_argument("--partitionCol", default=None,
                    help="CSV column holding the partition key → one window per partition via Ray")
     d.add_argument("--seed", type=int, default=0)
+    d.add_argument("--metric", default="euclidean",
+                   choices=["euclidean", "manhattan", "cosine"],
+                   help="distance function (MCOD/ApproxMCOD; engine "
+                        "extension mirroring the reference's "
+                        "DistanceFunctions generics)")
     d.set_defaults(fn=cmd_detect)
 
     c = sub.add_parser("compare", help="recall of baseline outlier ids (AccuracyComparator parity)")

@@ -64,6 +64,8 @@ class ValidationConfig:
     # run independent checks concurrently (their fixed startup/shuffle
     # overheads overlap; each is a separate streaming execution)
     concurrent_checks: bool = True
+    # merge per-item violation files into one sorted parquet per check
+    compact_violations: bool = True
     # run drift inside the extract pass (feature table already in memory)
     drift_inline: bool = True
     # hash buckets for the uniqueness dup scan (low-cardinality groupby)

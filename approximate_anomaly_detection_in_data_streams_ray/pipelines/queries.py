@@ -489,6 +489,66 @@ def supplier_nation_totals(sf_dir: str):
     return agg.sort_values(["r_name", "n_name"]).reset_index(drop=True)
 
 
+def curate_documents(sf_dir: str):
+    """Flagship training-data CURATION pipeline — the chained shape of a
+    real corpus-cleaning job, SQL-checked end-to-end: language-consistency
+    filter (detected == labeled) → quality gate (score ≥ 0.5) → exact dedup
+    keep-first among survivors → per-language doc/token totals.  One pass
+    computes every per-row signal; the only shuffle carries (hash, doc_id,
+    lang, n_tokens)."""
+    from ..functions.hashing import stable_hash64
+    from ..functions.text import language_id, quality_score
+    from ..stages.dedup import _n_partitions
+
+    P = _n_partitions()
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "text"], spread=True)
+
+    def score(b: pa.Table) -> pa.Table:
+        det = language_id(b["text"])
+        q = pc.round(quality_score(b["text"]), 4)
+        keep = pc.and_(pc.equal(det, b["lang"]),
+                       pc.greater_equal(q, pa.scalar(0.5)))
+        f = b.filter(pc.fill_null(keep, False))
+        ntok = pc.cast(pc.fill_null(pc.count_substring_regex(f["text"], TOKEN_RE), 0),
+                       pa.int64())
+        th = stable_hash64(f["text"])
+        return pa.table(
+            {
+                "doc_id": f["doc_id"],
+                "lang": f["lang"],
+                "n_tokens": ntok,
+                "text_hash": pa.array(th.astype(np.int64)),
+                "pbucket": pa.array((th % np.uint64(P)).astype(np.int32)),
+            }
+        )
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["text_hash", "doc_id"], kind="stable")
+        return g.drop_duplicates("text_hash", keep="first")[["lang", "n_tokens"]]
+
+    agg = ds.map_batches(score, batch_format="pyarrow").groupby("pbucket").map_groups(
+        keep_first, batch_format="pandas"
+    ).groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_tokens", alias_name="sum_tokens")
+    ).to_pandas()
+    return agg.sort_values("lang").reset_index(drop=True)
+
+
+_QUALITY_SQL = r"""round(
+      0.4 * (CASE WHEN n > 200000 THEN 0.2
+                  ELSE least(greatest(ln(1 + n) / ln(5000.0), 0), 1) END)
+    + 0.2 * (1 - least(greatest((np / greatest(n, 1)) / 0.5, 0), 1))
+    + 0.2 * (1 - least(greatest((nd / greatest(n, 1)) / 0.5, 0), 1))
+    + 0.2 * (1 - abs(least(greatest(ns / greatest(n, 1), 0), 1) - 0.15) / 0.85)
+    , 4)"""
+
+_LANGID_SQL = r"""CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'unknown'
+            WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+            WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+            WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+            ELSE 'es' END"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_stats": """
         SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
@@ -647,6 +707,28 @@ ORACLE_SQL: dict[str, str] = {
             + 0.2 * (1 - abs(least(greatest(ns / greatest(n, 1), 0), 1) - 0.15) / 0.85)
             , 4) AS quality
         FROM f
+    """,
+    "curate_documents": rf"""
+        WITH feats AS (
+            SELECT doc_id, lang, text,
+                   length(text)::DOUBLE AS n,
+                   length(regexp_extract_all(text, '[^\w\s]'))::DOUBLE AS np,
+                   length(regexp_extract_all(text, '[0-9]'))::DOUBLE AS nd,
+                   length(regexp_extract_all(text, '\s'))::DOUBLE AS ns,
+                   length(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|for|with)\b'))::BIGINT AS c_en,
+                   length(regexp_extract_all(text, '(?i)\b(der|die|und|das|ist|nicht|mit|ein)\b'))::BIGINT AS c_de,
+                   length(regexp_extract_all(text, '(?i)\b(le|la|les|des|est|une|dans|pour)\b'))::BIGINT AS c_fr,
+                   length(regexp_extract_all(text, '(?i)\b(el|los|las|una|es|para|con|por)\b'))::BIGINT AS c_es,
+                   length(regexp_extract_all(text, '[A-Za-z0-9_]+'))::BIGINT AS ntok
+            FROM documents),
+        kept AS (
+            SELECT doc_id, lang, text, ntok FROM feats
+            WHERE {_LANGID_SQL} = lang AND {_QUALITY_SQL} >= 0.5),
+        surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text)
+        SELECT k.lang AS lang, count(*)::BIGINT AS n_docs,
+               sum(k.ntok)::BIGINT AS sum_tokens
+        FROM kept k JOIN surv s ON k.doc_id = s.doc_id
+        GROUP BY k.lang ORDER BY k.lang
     """,
 }
 
@@ -898,6 +980,7 @@ QUERIES = {
     "supplier_nation_totals": supplier_nation_totals,
     "langid_documents": langid_documents,
     "quality_documents": quality_documents,
+    "curate_documents": curate_documents,
     # rows-only
     "hll_users_per_event_type": hll_users_per_event_type,
     "minhash_dedup_documents": minhash_dedup_documents,

@@ -200,6 +200,15 @@ def run_validation(
             verdict_rows.extend(rows)
             timings[name] = sec
 
+    # --- violations compaction: the per-item violation files are the
+    # resume units and stay untouched; this writes one merged, sorted
+    # parquet per check for consumers (at 10^12-row scale this step would
+    # compact per partition-key range instead of one file per check)
+    if getattr(cfg, "compact_violations", True):
+        t0 = time.time()
+        compact_violations(out_dir)
+        timings["compact"] = time.time() - t0
+
     # --- verdicts table
     if verdict_rows:
         vt = pa.Table.from_pylist(verdict_rows)
@@ -221,6 +230,30 @@ def run_validation(
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(summary, f, indent=1)
     return summary
+
+
+def compact_violations(out_dir: str) -> dict[str, int]:
+    """Merge each check's per-item violation files into one sorted parquet
+    under ``violations_compacted/`` (read side of the small-files problem);
+    the per-item files remain the checkpoint/resume units."""
+    import pyarrow.dataset as pads
+
+    vdir = os.path.join(out_dir, "violations")
+    counts: dict[str, int] = {}
+    if not os.path.isdir(vdir):
+        return counts
+    for check in sorted(os.listdir(vdir)):
+        src = os.path.join(vdir, check)
+        files = sorted(glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True))
+        if not files:
+            continue
+        t = pads.dataset(files).to_table()
+        if t.num_rows:
+            t = t.sort_by([("partition_key", "ascending"), ("row_ref", "ascending")])
+        atomic_write_parquet(t, os.path.join(out_dir, "violations_compacted",
+                                             f"{check}.parquet"))
+        counts[check] = t.num_rows
+    return counts
 
 
 def verify_sha_invariant(source_dir: str, out_dir: str, sample: int = 200) -> bool:

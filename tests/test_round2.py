@@ -191,3 +191,31 @@ def test_stats_verdict_counts_length_violations(ray_session, tmp_path_factory):
     assert per_repo_vio.sum() > 0  # generator injects violations
     for repo, n in per_repo_vio.items():
         assert int(stats_v.loc[repo, "n_violations"]) == int(n), repo
+
+
+def test_violations_compaction_matches_item_files(ray_session, tmp_path_factory):
+    """violations_compacted/<check>.parquet holds exactly the union of the
+    per-item violation files (which remain, as the resume units)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from approximate_anomaly_detection_in_data_streams_ray.checks.base import (
+        ValidationConfig,
+    )
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.runner import (
+        run_validation,
+    )
+
+    base = tmp_path_factory.mktemp("compact")
+    src, out = str(base / "src"), str(base / "out")
+    generate_code_files(src, n_rows=4000, n_repos=6, seed=9, n_shards=2)
+    cfg = ValidationConfig(target_rows_per_item=2000, extract_concurrency=2)
+    run_validation(src, out, cfg, checks=["stats"])
+
+    items = pads.dataset(
+        glob.glob(os.path.join(out, "violations", "stats", "**", "*.parquet"),
+                  recursive=True)
+    ).to_table()
+    compacted = pq.read_table(os.path.join(out, "violations_compacted", "stats.parquet"))
+    assert compacted.num_rows == items.num_rows > 0
+    assert sorted(compacted["row_ref"].to_pylist()) == sorted(items["row_ref"].to_pylist())
