@@ -191,18 +191,31 @@ def customer_order_totals(sf_dir: str):
     cust_ref = ray.put(cust)
     ds = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
-    def join_name(b: pa.Table) -> pa.Table:
+    def partial(b: pa.Table) -> pa.Table:
+        # semi-join + per-batch combiner: the shuffle carries at most one
+        # row per (customer, batch) with an INT key, not one per order
+        # with a string key
         c = ray.get(cust_ref)
-        idx = pc.index_in(b["o_custkey"], value_set=c["c_custkey"].chunk(0))
-        names = pc.take(c["c_name"].chunk(0), idx)  # null where no match
-        t = pa.table({"c_name": names, "o_totalprice": b["o_totalprice"]})
-        return t.filter(pc.is_valid(names))
+        keep = pc.is_in(b["o_custkey"], value_set=c["c_custkey"].chunk(0))
+        f = b.filter(keep)
+        g = f.group_by("o_custkey").aggregate(
+            [("o_custkey", "count"), ("o_totalprice", "sum")])
+        return g.rename_columns(["o_custkey", "n", "total"])
 
-    agg = ds.map_batches(join_name, batch_format="pyarrow").groupby("c_name").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_total")
-    ).to_pandas()
+    # the partial rows are bounded by |customer| × n_blocks and the customer
+    # table is broadcast-small by assumption, so the final merge is a
+    # driver-side pandas groupby — no shuffle at all (were the dimension
+    # huge, this becomes groupby("o_custkey").aggregate(Sum, Sum))
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("o_custkey", as_index=False).agg(
+        n_orders=("n", "sum"), sum_total=("total", "sum"))
+    names = pc.take(cust["c_name"],
+                    pc.index_in(pa.array(agg["o_custkey"].to_numpy()),
+                                value_set=cust["c_custkey"].chunk(0)))
+    agg["c_name"] = names.to_pandas().to_numpy()
     agg["sum_total"] = agg["sum_total"].round(2)
-    return agg.sort_values("c_name").reset_index(drop=True)
+    return (agg[["c_name", "n_orders", "sum_total"]]
+            .sort_values("c_name").reset_index(drop=True))
 
 
 def null_profile_events(sf_dir: str):
@@ -245,21 +258,30 @@ def part_brand_stats(sf_dir: str):
 
 def top_orders_per_customer(sf_dir: str):
     """Per-group top-k: per-batch partial top-3 per customer (vectorized
-    pandas head-after-sort) → tiny groupby merge.  The partial stage bounds
-    the shuffle to ≤3 rows per (customer, batch)."""
+    pandas head-after-sort, bounds the shuffle to ≤3 rows per (customer,
+    batch)) → final merge over COARSE hash partitions, all customers of a
+    partition in one vectorized call (round 1 paid one Python call per
+    customer key)."""
+    from ..stages.dedup import _n_partitions
+
+    P = _n_partitions()
     ds = _t(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
 
     def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
-                               ascending=[True, False, True])
-                .groupby("o_custkey", sort=False).head(3))
+        out = (df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                              ascending=[True, False, True])
+               .groupby("o_custkey", sort=False).head(3))
+        out["c_part"] = (out["o_custkey"].to_numpy() % P).astype(np.int32)
+        return out
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.sort_values(["o_totalprice", "o_orderkey"],
-                              ascending=[False, True]).head(3))
+        return (g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                              ascending=[True, False, True])
+                .groupby("o_custkey", sort=False).head(3)
+                .drop(columns=["c_part"]))
 
     out = ds.map_batches(partial_topk, batch_format="pandas").groupby(
-        "o_custkey").map_groups(final_topk, batch_format="pandas").to_pandas()
+        "c_part").map_groups(final_topk, batch_format="pandas").to_pandas()
     return out.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
                            ascending=[True, False, True]).reset_index(drop=True)
 

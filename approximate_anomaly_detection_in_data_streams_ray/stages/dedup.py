@@ -302,13 +302,15 @@ def ngram_jaccard_verify(ds, candidate_pairs: pd.DataFrame, id_col: str = "doc_i
         lambda b: b.filter(pc.is_in(b[id_col], value_set=vs)).select([id_col, text_col]),
         batch_format="pyarrow",
     ).to_pandas().set_index(id_col)[text_col].to_dict()
-    shingles = {i: set(char_shingle_hashes(t or "", n).tolist()) for i, t in texts.items()}
+    empty = np.empty(0, dtype=np.uint64)
+    shingles = {i: np.unique(char_shingle_hashes(t or "", n)) for i, t in texts.items()}
     ids_a = candidate_pairs["id_a"].to_numpy()
     ids_b = candidate_pairs["id_b"].to_numpy()
     rows = []
     for a_id, b_id in zip(ids_a, ids_b):
-        a, b = shingles.get(a_id, set()), shingles.get(b_id, set())
-        jac = len(a & b) / max(1, len(a | b))
+        a, b = shingles.get(a_id, empty), shingles.get(b_id, empty)
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        jac = inter / max(1, a.size + b.size - inter)
         if jac >= threshold:
             rows.append({"id_a": a_id, "id_b": b_id, "jaccard": jac})
     return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
