@@ -908,8 +908,9 @@ def drift_events_mcod(sf_dir: str):
 
 
 def multimodal_decode(sf_dir: str):
-    """Binary media decode/feature plumbing (deterministic fake payloads —
-    the real decode kernel is stubbed, see stages/multimodal.py)."""
+    """Binary media decode/feature pipeline over a mixed-format table:
+    real PPM + BMP payloads decoded by the pure-numpy kernels plus the
+    synthetic SYN1 format (see stages/multimodal.py)."""
     from ..stages.multimodal import media_pipeline, synth_media_table
 
     t = synth_media_table(256, seed=11)

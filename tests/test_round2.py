@@ -219,3 +219,60 @@ def test_violations_compaction_matches_item_files(ray_session, tmp_path_factory)
     compacted = pq.read_table(os.path.join(out, "violations_compacted", "stats.parquet"))
     assert compacted.num_rows == items.num_rows > 0
     assert sorted(compacted["row_ref"].to_pylist()) == sorted(items["row_ref"].to_pylist())
+
+
+def test_real_media_decoders_roundtrip():
+    """PPM and BMP decode are real format decoders: roundtrip equality,
+    comment handling, row padding, top-down BMP."""
+    from approximate_anomaly_detection_in_data_streams_ray.stages.multimodal import (
+        decode_bmp,
+        decode_payload,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(3)
+    for w, h in [(5, 7), (8, 8), (13, 3), (1, 1)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_ppm(encode_ppm(img)) == img).all()
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+        assert (decode_payload(encode_ppm(img)) == img).all()
+        assert (decode_payload(encode_bmp(img)) == img).all()
+    # PPM with comments in the header
+    img = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    ppm = b"P6\n# a comment\n3 2\n# another\n255\n" + img.tobytes()
+    assert (decode_ppm(ppm) == img).all()
+    # top-down BMP (negative height)
+    bmp = bytearray(encode_bmp(img))
+    import struct
+
+    h_neg = struct.pack("<i", -2)
+    bmp[22:26] = h_neg
+    # rows must be re-ordered to top-down for the flag to mean the same image
+    stride = (3 * 3 + 3) & ~3
+    rows = np.zeros((2, stride), dtype=np.uint8)
+    rows[:, : 3 * 3] = img[:, :, ::-1].reshape(2, 9)
+    assert (decode_bmp(bytes(bmp[:54]) + rows.tobytes()) == img).all()
+    with pytest.raises(ValueError):
+        decode_payload(b"\x89PNG\r\n")
+
+
+def test_media_pipeline_mixed_formats(ray_session):
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.multimodal import (
+        media_pipeline,
+        synth_media_table,
+    )
+
+    t = synth_media_table(48, seed=5)
+    kinds = set(t["kind"].to_pylist())
+    assert kinds == {"syn1", "ppm", "bmp"}
+    decoded, feats = media_pipeline(ray.data.from_arrow([t.slice(i * 8, 8) for i in range(6)]))
+    d = decoded.to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert len(d) == 48
+    # decoded shape matches the metadata regardless of the encoding format
+    for shape, w, h in zip(d["decoded_shape"], t["width"].to_pylist(),
+                           t["height"].to_pylist()):
+        assert list(shape) == [h, w, 3]
