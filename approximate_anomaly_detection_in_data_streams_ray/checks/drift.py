@@ -378,7 +378,12 @@ def run_drift_check(items_ds, cfg: ValidationConfig, ctx):
 
     sum_dir = os.path.join(ctx["out_dir"], "drift_summaries")
     have = {os.path.basename(f)[5:-8] for f in glob.glob(os.path.join(sum_dir, "item=*.parquet"))}
-    want = set(items_ds.to_pandas()["item_id"]) if hasattr(items_ds, "to_pandas") else set()
+    # prefer the plain id list from the runner (free) over a Ray job on the
+    # items dataset just to enumerate ids
+    if ctx.get("item_ids") is not None:
+        want = set(ctx["item_ids"])
+    else:
+        want = set(items_ds.to_pandas()["item_id"]) if hasattr(items_ds, "to_pandas") else set()
     if want and want <= have:
         import pyarrow.dataset as pads
 

@@ -21,6 +21,8 @@ import ray
 
 from .base import ValidationConfig, register_check
 
+_DATASET_CACHE: dict = {}  # per-worker-process parquet dataset handles
+
 
 def _dup_hashes_from_key_files(key_dir: str, P: int) -> list[int]:
     """Explicit bucket exchange over the per-item key files written by the
@@ -35,10 +37,16 @@ def _dup_hashes_from_key_files(key_dir: str, P: int) -> list[int]:
     import pyarrow.dataset as pads
 
     files = sorted(glob.glob(os.path.join(key_dir, "item=*.parquet")))
+    cache_key = (key_dir, len(files))
 
     def scan_bucket(b: pa.Table) -> pa.Table:
+        # dataset handle cached per worker process: re-instantiating it per
+        # task re-parses every key file's footer (hundreds of files)
+        dataset = _DATASET_CACHE.get(cache_key)
+        if dataset is None:
+            dataset = pads.dataset(files)
+            _DATASET_CACHE[cache_key] = dataset
         out: list[np.ndarray] = []
-        dataset = pads.dataset(files)
         for bucket in b["bucket"].to_pylist():
             t = dataset.to_table(filter=pads.field("bucket") == bucket,
                                  columns=["key_hash"])

@@ -145,6 +145,7 @@ def run_validation(
         "source_glob": os.path.join(source_dir, "code_files", "*.parquet"),
         "repos_path": os.path.join(source_dir, "repos.parquet"),
         "commits_path": os.path.join(source_dir, "commits.parquet"),
+        "item_ids": [it.item_id for it in items],
     }
 
     timings["extract"] = time.time() - t_start - timings.get("schema", 0.0)
@@ -232,28 +233,37 @@ def run_validation(
     return summary
 
 
+def _compact_one_check(out_dir: str, check: str) -> int:
+    import pyarrow.dataset as pads
+
+    files = sorted(glob.glob(os.path.join(out_dir, "violations", check,
+                                          "**", "*.parquet"), recursive=True))
+    if not files:
+        return 0
+    t = pads.dataset(files).to_table()
+    if t.num_rows:
+        t = t.sort_by([("partition_key", "ascending"), ("row_ref", "ascending")])
+    atomic_write_parquet(t, os.path.join(out_dir, "violations_compacted",
+                                         f"{check}.parquet"))
+    return t.num_rows
+
+
 def compact_violations(out_dir: str) -> dict[str, int]:
     """Merge each check's per-item violation files into one sorted parquet
     under ``violations_compacted/`` (read side of the small-files problem);
-    the per-item files remain the checkpoint/resume units."""
-    import pyarrow.dataset as pads
-
+    the per-item files remain the checkpoint/resume units.  One Ray task
+    per check — serial driver-side compaction would be a fixed tail that
+    eats scaling efficiency at high parallelism."""
     vdir = os.path.join(out_dir, "violations")
-    counts: dict[str, int] = {}
     if not os.path.isdir(vdir):
-        return counts
-    for check in sorted(os.listdir(vdir)):
-        src = os.path.join(vdir, check)
-        files = sorted(glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True))
-        if not files:
-            continue
-        t = pads.dataset(files).to_table()
-        if t.num_rows:
-            t = t.sort_by([("partition_key", "ascending"), ("row_ref", "ascending")])
-        atomic_write_parquet(t, os.path.join(out_dir, "violations_compacted",
-                                             f"{check}.parquet"))
-        counts[check] = t.num_rows
-    return counts
+        return {}
+    checks = sorted(os.listdir(vdir))
+    if ray.is_initialized():
+        task = ray.remote(num_cpus=1)(_compact_one_check)
+        counts = ray.get([task.remote(out_dir, c) for c in checks])
+    else:
+        counts = [_compact_one_check(out_dir, c) for c in checks]
+    return dict(zip(checks, counts))
 
 
 def verify_sha_invariant(source_dir: str, out_dir: str, sample: int = 200) -> bool:
