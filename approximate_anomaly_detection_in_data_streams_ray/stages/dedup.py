@@ -316,6 +316,68 @@ def ngram_jaccard_verify(ds, candidate_pairs: pd.DataFrame, id_col: str = "doc_i
     return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
 
 
+def ngram_jaccard_verify_distributed(ds, candidate_pairs, id_col: str = "doc_id",
+                                     text_col: str = "text", n: int = 5,
+                                     threshold: float = 0.8,
+                                     B: int | None = None,
+                                     scratch_dir: str | None = None) -> pd.DataFrame:
+    """Scale path for exact n-gram Jaccard verification: the driver never
+    holds texts or the pair list.  Shingle rows (id, sorted-unique uint64
+    hashes as one binary blob) are computed in one streaming pass, then two
+    bucketed hash joins route each pair together with BOTH sides' shingles
+    (pairs ⋈ shingles(id_a) ⋈ shingles(id_b), ``stages/joins.py``), and the
+    Jaccard check runs vectorized inside the join buckets.  Use when the
+    candidate set is too large to collect (the default
+    :func:`ngram_jaccard_verify` is faster for small candidate sets)."""
+    import ray
+
+    from .common import available_cpus
+    from .joins import bucketed_hash_join
+
+    if B is None:
+        B = max(8, int(available_cpus()))
+
+    def shingle_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col]
+        blobs = [np.unique(char_shingle_hashes(t or "", n)).tobytes()
+                 for t in b[text_col].to_pylist()]
+        return pa.table({id_col: ids, "shingles": pa.array(blobs, pa.binary())})
+
+    shingles = ds.map_batches(shingle_rows, batch_format="pyarrow")
+    if isinstance(candidate_pairs, pd.DataFrame):
+        pairs_ds = ray.data.from_pandas(candidate_pairs[["id_a", "id_b"]])
+    else:
+        pairs_ds = candidate_pairs.select_columns(["id_a", "id_b"])
+
+    sh_a = shingles.map_batches(
+        lambda b: b.rename_columns(["id_a", "sh_a"]), batch_format="pyarrow")
+    j1 = bucketed_hash_join(pairs_ds, sh_a, key="id_a", B=B,
+                            scratch_dir=scratch_dir)
+    sh_b = shingles.map_batches(
+        lambda b: b.rename_columns(["id_b", "sh_b"]), batch_format="pyarrow")
+    j2 = bucketed_hash_join(j1, sh_b, key="id_b", B=B, scratch_dir=scratch_dir)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "id_a" not in df.columns:  # empty join buckets
+            return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
+        rows = []
+        for a_id, b_id, sa, sb in zip(df["id_a"], df["id_b"], df["sh_a"], df["sh_b"]):
+            a = np.frombuffer(sa, dtype=np.uint64)
+            b = np.frombuffer(sb, dtype=np.uint64)
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            jac = inter / max(1, a.size + b.size - inter)
+            if jac >= threshold:
+                rows.append({"id_a": a_id, "id_b": b_id, "jaccard": jac})
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+    out = j2.map_batches(verify, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 # ------------------------------------------------------- embedding near-dup
 
 

@@ -276,3 +276,34 @@ def test_media_pipeline_mixed_formats(ray_session):
     for shape, w, h in zip(d["decoded_shape"], t["width"].to_pylist(),
                            t["height"].to_pylist()):
         assert list(shape) == [h, w, 3]
+
+
+def test_distributed_ngram_verify_matches_driver_path(ray_session, tmp_path):
+    """The scale-path verify (pairs joined with both sides' shingles via
+    bucketed hash joins) returns the same verified pairs as the
+    collect-to-driver path."""
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.dedup import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_verify,
+        ngram_jaccard_verify_distributed,
+    )
+
+    base = ("a quick brown fox jumps over the lazy dog and then runs away "
+            "into the woods where nothing else ever happens at all ") * 5
+    texts = [base, base.replace("dog", "cat"), "unrelated text " * 30,
+             base + " tail", "different content entirely " * 20, base]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t)
+    cand = minhash_near_dup_pairs(ds, threshold=0.4)
+    assert len(cand) > 0
+    want = ngram_jaccard_verify(ds, cand, threshold=0.6)
+    got = ngram_jaccard_verify_distributed(ds, cand, threshold=0.6,
+                                           scratch_dir=str(tmp_path))
+    w = want.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    g = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert list(map(tuple, g[["id_a", "id_b"]].to_numpy())) == \
+        list(map(tuple, w[["id_a", "id_b"]].to_numpy()))
+    np.testing.assert_allclose(g["jaccard"].to_numpy(), w["jaccard"].to_numpy())
