@@ -99,3 +99,39 @@ def test_mcod_subset_of_oracle_on_unaligned_windows(n, w, slide, k, seed):
     got, _ = run_detector(MCOD(w, slide, 1.5, k, 2), pts)
     want, _ = brute_force_detect(pts, w, slide, 1.5, k)
     assert set(got) <= set(want)
+
+
+SATIMAGE = "/root/reference/datasets/satimage-2.csv"
+SHUTTLE = "/root/reference/datasets/shuttle.csv"
+
+
+@pytest.mark.skipif(not os.path.exists(SATIMAGE), reason="reference data absent")
+def test_mcod_on_reference_satimage_matches_oracle():
+    """Second real reference dataset (5803 x 36): exact oracle agreement at
+    a window configuration that actually discriminates."""
+    pts = np.loadtxt(SATIMAGE, delimiter=",")
+    assert pts.shape == (5803, 36)
+    W, S, k = 500, 100, 15
+    d = pts[:200, None, :] - pts[None, :200, :]
+    R = float(np.median(np.sqrt(np.einsum("ijk,ijk->ij", d, d)))) * 0.6
+    got, res = run_detector(MCOD(W, S, R, k, pts.shape[1]), pts)
+    want, _ = brute_force_detect(pts, W, S, R, k)
+    assert got == want
+    assert res["nOnlyOutlier"] == len(got)
+    assert 0 < len(got) < len(pts)
+
+
+@pytest.mark.skipif(not os.path.exists(SHUTTLE), reason="reference data absent")
+def test_mcod_on_reference_shuttle_prefix_matches_oracle():
+    """Shuttle (49097 x 9), first 15k rows to keep the O(n*W) oracle fast:
+    exact agreement under a larger window than the other datasets."""
+    pts = np.loadtxt(SHUTTLE, delimiter=",")[:15_000]
+    assert pts.shape == (15_000, 9)
+    W, S, k = 1000, 250, 20
+    d = pts[:300, None, :] - pts[None, :300, :]
+    R = float(np.median(np.sqrt(np.einsum("ijk,ijk->ij", d, d)))) * 0.5
+    got, res = run_detector(MCOD(W, S, R, k, pts.shape[1]), pts)
+    want, _ = brute_force_detect(pts, W, S, R, k)
+    assert got == want
+    assert res["nOnlyOutlier"] == len(got)
+    assert 0 < len(got) < len(pts)
