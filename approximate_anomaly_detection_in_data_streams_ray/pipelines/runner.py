@@ -32,7 +32,6 @@ from ..checks.schema_check import run_schema_check
 from ..checks.referential import run_referential_check
 from ..checks.stats import run_stats_check
 from ..checks.uniqueness import run_uniqueness_check
-from ..stages.features import FeatureExtractor
 from .checkpoint import Manifest, atomic_write_parquet
 from .partitioning import plan_work_items
 

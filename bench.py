@@ -6,10 +6,11 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "validated_rows_per_sec": R}
 
-``--scaling`` runs the headline pipeline in two fresh processes
-(num_cpus=8 and num_cpus=32) on the same input and reports both
-throughputs + scaling efficiency (the sandbox evidence for the
-N-vs-4N-nodes criterion; see BASELINE.md).
+``--scaling`` runs the headline pipeline at N and 4N CPUs (default 4/16,
+``GRAFT_SCALE_N`` overrides) in fresh processes on the same input and
+reports both throughputs + scaling efficiency (the sandbox evidence for
+the N-vs-4N-nodes criterion; corpus sizing, repeats and the shared-host
+noise rationale are documented in BASELINE.md).
 """
 
 from __future__ import annotations
@@ -51,7 +52,6 @@ def warm_workers(num_cpus: int):
     @ray.remote(num_cpus=1)
     def _noop():
         # pay the imports in the warm-up, not the measured run
-        import duckdb  # noqa: F401
         import numpy  # noqa: F401
         import pandas  # noqa: F401
         import pyarrow  # noqa: F401
