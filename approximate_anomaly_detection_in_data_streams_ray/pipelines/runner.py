@@ -4,7 +4,7 @@ Rebuilds `Executor.performOutlierDetection` (`src/Executor.java:94-137`) as
 a streaming, resumable, multi-check pipeline:
 
   plan work items (row-group ranges, salt-aware)
-    → actor-pool feature extraction (wide content → narrow features,
+    → plain-task fused feature extraction (wide content → narrow features,
       sha256 invariant recorded; checkpointed per item)
     → checks over the features Dataset / work items:
         stats (partial+final agg, HLL), uniqueness (hash-shuffle + count),
@@ -37,9 +37,9 @@ from .partitioning import plan_work_items
 
 
 def _items_dataset(items):
-    # longest-processing-time-first dispatch: with one in-flight item per
-    # actor, scheduling the biggest items first minimizes the straggler
-    # tail (a hot-repo item scheduled last would run alone at the end)
+    # longest-processing-time-first dispatch: with one task per item,
+    # scheduling the biggest items first minimizes the straggler tail (a
+    # hot-repo item scheduled last would run alone at the end)
     ordered = sorted(items, key=lambda it: -it.n_rows)
     return ray.data.from_items(
         [
