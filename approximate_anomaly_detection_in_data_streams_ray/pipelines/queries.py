@@ -556,6 +556,47 @@ def curate_documents(sf_dir: str):
     return agg.sort_values("lang").reset_index(drop=True)
 
 
+def purchase_attribution(sf_dir: str):
+    """AS-OF join (the trades-vs-quotes shape): each 'purchase' event is
+    attributed to the same user's most recent 'view' event at-or-before its
+    timestamp, via the bucketed :func:`..stages.joins.bucketed_asof_join`
+    (hash-partition by user → vectorized merge_asof per bucket), then
+    per-user attribution totals.  Oracle = DuckDB ``ASOF LEFT JOIN``."""
+    from ..stages.joins import bucketed_asof_join
+
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+    purchases = ds.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "purchase"))
+                   .select(["user_id", "ts", "event_id"]),
+        batch_format="pyarrow")
+    views = ds.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "view"))
+                   .select(["user_id", "ts", "value"]),
+        batch_format="pyarrow")
+    joined = bucketed_asof_join(purchases, views, on="ts", by="user_id",
+                                B=max(8, int(__import__("ray").available_resources()
+                                             .get("CPU", 8))))
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "user_id" not in df.columns:
+            return pd.DataFrame(columns=["user_id", "n_purchases",
+                                         "n_attributed", "sum_view_value"])
+        g = df.groupby("user_id", as_index=False).agg(
+            n_purchases=("event_id", "size"),
+            n_attributed=("value", "count"),
+            sum_view_value=("value", "sum"),
+        )
+        return g
+
+    # a user's rows land in exactly one bucket → per-bucket aggregation is
+    # final; the concat is user-dimension-sized
+    out = joined.map_batches(per_user, batch_format="pandas").to_pandas()
+    out["sum_view_value"] = out["sum_view_value"].fillna(0.0).round(2)
+    out["n_purchases"] = out["n_purchases"].astype("int64")
+    out["n_attributed"] = out["n_attributed"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 _QUALITY_SQL = r"""round(
       0.4 * (CASE WHEN n > 200000 THEN 0.2
                   ELSE least(greatest(ln(1 + n) / ln(5000.0), 0), 1) END)
@@ -729,6 +770,15 @@ ORACLE_SQL: dict[str, str] = {
             + 0.2 * (1 - abs(least(greatest(ns / greatest(n, 1), 0), 1) - 0.15) / 0.85)
             , 4) AS quality
         FROM f
+    """,
+    "purchase_attribution": """
+        WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+             v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+        SELECT p.user_id AS user_id, count(*)::BIGINT AS n_purchases,
+               count(v.ts)::BIGINT AS n_attributed,
+               round(coalesce(sum(v.value), 0), 2) AS sum_view_value
+        FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        GROUP BY p.user_id ORDER BY p.user_id
     """,
     "curate_documents": rf"""
         WITH feats AS (
@@ -1004,6 +1054,7 @@ QUERIES = {
     "langid_documents": langid_documents,
     "quality_documents": quality_documents,
     "curate_documents": curate_documents,
+    "purchase_attribution": purchase_attribution,
     # rows-only
     "hll_users_per_event_type": hll_users_per_event_type,
     "minhash_dedup_documents": minhash_dedup_documents,

@@ -78,3 +78,53 @@ def bucketed_hash_join(left, right, key: str, B: int = 32, how: str = "inner",
 
     buckets = ray.data.from_items([{"bucket": i} for i in range(B)])
     return buckets.map_batches(join_bucket, batch_format="pyarrow", batch_size=2)
+
+
+def bucketed_asof_join(left, right, on: str, by: str, B: int = 32,
+                       direction: str = "backward",
+                       suffixes: tuple[str, str] = ("", "_r"),
+                       scratch_dir: str | None = None):
+    """AS-OF join (most recent *right* row with ``right.on <= left.on``
+    per ``by`` key, ``direction='backward'``) — the operator Ray Data
+    lacks, composed per the custom-operator contract: hash-partition both
+    sides by the ``by`` key through the bucketed Parquet exchange, then a
+    vectorized ``pandas.merge_asof`` inside each bucket.
+
+    Partitioning assumptions: a ``by``-key's rows land in one bucket (hash
+    partition), and one bucket's two sides fit in a worker's heap — salt by
+    time range if a single key exceeds that.  Matches DuckDB
+    ``ASOF LEFT JOIN`` semantics (inclusive bound)."""
+    import ray
+
+    root = tempfile.mkdtemp(prefix="asof_", dir=scratch_dir)
+    lpath, rpath = os.path.join(root, "l"), os.path.join(root, "r")
+    _write_bucketed(left, by, B, lpath)
+    _write_bucketed(right, by, B, rpath)
+
+    def join_bucket(b: pa.Table) -> pa.Table:
+        import glob
+
+        import pyarrow.dataset as pads
+
+        outs = []
+        for bucket in b["bucket"].to_pylist():
+            lf = glob.glob(os.path.join(lpath, f"bucket={bucket}", "*.parquet"))
+            if not lf:
+                continue
+            rf = glob.glob(os.path.join(rpath, f"bucket={bucket}", "*.parquet"))
+            lg = pads.dataset(lf).to_table().to_pandas().sort_values(on, kind="stable")
+            if rf:
+                rg = pads.dataset(rf).to_table().to_pandas().sort_values(on, kind="stable")
+            else:
+                rg = pd.DataFrame({c: pd.Series(dtype=t) for c, t in lg.dtypes.items()
+                                   if c in (on, by)})
+            joined = pd.merge_asof(lg, rg, on=on, by=by, direction=direction,
+                                   allow_exact_matches=True, suffixes=suffixes)
+            if len(joined):
+                outs.append(pa.Table.from_pandas(joined, preserve_index=False))
+        if not outs:
+            return pa.table({})
+        return pa.concat_tables(outs, promote_options="default")
+
+    buckets = ray.data.from_items([{"bucket": i} for i in range(B)])
+    return buckets.map_batches(join_bucket, batch_format="pyarrow", batch_size=2)
