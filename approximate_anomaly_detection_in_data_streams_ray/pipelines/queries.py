@@ -562,6 +562,7 @@ def purchase_attribution(sf_dir: str):
     timestamp, via the bucketed :func:`..stages.joins.bucketed_asof_join`
     (hash-partition by user → vectorized merge_asof per bucket), then
     per-user attribution totals.  Oracle = DuckDB ``ASOF LEFT JOIN``."""
+    from ..stages.common import available_cpus
     from ..stages.joins import bucketed_asof_join
 
     ds = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
@@ -574,8 +575,7 @@ def purchase_attribution(sf_dir: str):
                    .select(["user_id", "ts", "value"]),
         batch_format="pyarrow")
     joined = bucketed_asof_join(purchases, views, on="ts", by="user_id",
-                                B=max(8, int(__import__("ray").available_resources()
-                                             .get("CPU", 8))))
+                                B=max(8, int(available_cpus())))
 
     def per_user(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty or "user_id" not in df.columns:
