@@ -158,8 +158,18 @@ def pricing_summary(sf_dir: str):
 
 
 def top_orders(sf_dir: str):
+    """Global top-10: per-batch partial top-10 → driver merge of ≤10 rows
+    per block — no global sort shuffle for a 10-row answer."""
     ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True]).head(10)
+
+    out = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return (out.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True]).head(10)
+            .reset_index(drop=True))
 
 
 def events_hourly(sf_dir: str):
@@ -447,10 +457,17 @@ def word_freq_top20(sf_dir: str):
         return pa.table({"token": vc.field("values"),
                          "n": pc.cast(vc.field("counts"), pa.int64())})
 
+    # the aggregated vocabulary can be huge — take a partial top-20 per
+    # output block so only ≤20 rows per block reach the driver
     agg = ds.map_batches(explode, batch_format="pyarrow").groupby("token").aggregate(
         Sum("n", alias_name="n")
-    ).to_pandas()
-    return (agg.sort_values(["n", "token"], ascending=[False, True])
+    )
+
+    def partial_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "token"], ascending=[False, True]).head(20)
+
+    out = agg.map_batches(partial_top, batch_format="pandas").to_pandas()
+    return (out.sort_values(["n", "token"], ascending=[False, True])
             .head(20).reset_index(drop=True))
 
 
