@@ -333,36 +333,45 @@ def merge_all_drift_summaries(sdf: pd.DataFrame, cfg: ValidationConfig) -> list[
         max_rate=("max_slide_outlier_rate", "max"),
     )
     all_rows = sdf.groupby("repo").agg(n_all=("n", "sum"), subs=("item_id", "count"))
-    rows = []
-    for repo in all_rows.index:
-        if repo in agg.index and agg.loc[repo, "n"] > 0:
-            a = agg.loc[repo]
-            frac = a["scored_events"] / max(1, a["scored_points"])
-            max_rate = float(a["max_rate"])
-            passed = (frac <= cfg.drift_max_outlier_event_frac
-                      and max_rate <= cfg.drift_max_slide_outlier_rate)
-            note = ""
-            n_pure, n_rq = int(a["n_pure"]), int(a["n_rq"])
-            ev, pts = int(a["scored_events"]), int(a["scored_points"])
-        else:
-            passed, note = True, "insufficient_rows"
-            frac, max_rate, n_pure, n_rq, ev, pts = 0.0, 0.0, 0, 0, 0, 0
-        rows.append({
+    # vectorized verdict build (per-repo .loc lookups cost real time at
+    # thousands of repos): left-join the scored aggregates, compute the
+    # pass/fail columns with numpy, loop only to emit rows
+    m = all_rows.join(agg, how="left")
+    has = m["n"].fillna(0).to_numpy() > 0
+    ev = m["scored_events"].fillna(0).to_numpy().astype(np.int64)
+    pts = m["scored_points"].fillna(0).to_numpy().astype(np.int64)
+    frac = np.where(has, ev / np.maximum(1, pts), 0.0)
+    max_rate = np.where(has, m["max_rate"].fillna(0).to_numpy(), 0.0)
+    n_pure = np.where(has, m["n_pure"].fillna(0).to_numpy(), 0).astype(np.int64)
+    n_rq = np.where(has, m["n_rq"].fillna(0).to_numpy(), 0).astype(np.int64)
+    passed = np.where(
+        has,
+        (frac <= cfg.drift_max_outlier_event_frac)
+        & (max_rate <= cfg.drift_max_slide_outlier_rate),
+        True,
+    )
+    rows = [
+        {
             "partition_key": repo,
             "check": "drift",
-            "passed": bool(passed),
-            "n_violations": n_pure,
-            "n_rows": int(all_rows.loc[repo, "n_all"]),
+            "passed": bool(p),
+            "n_violations": int(npu),
+            "n_rows": int(na),
             "metrics": json.dumps({
-                "outlier_event_frac": frac,
-                "max_slide_outlier_rate": max_rate,
-                "scored_events": ev,
-                "scored_points": pts,
-                "n_range_queries": n_rq,
-                "n_substreams": int(all_rows.loc[repo, "subs"]),
-                "note": note,
+                "outlier_event_frac": float(f),
+                "max_slide_outlier_rate": float(mr),
+                "scored_events": int(e),
+                "scored_points": int(pt),
+                "n_range_queries": int(rq),
+                "n_substreams": int(sub),
+                "note": "" if h else "insufficient_rows",
             }),
-        })
+        }
+        for repo, p, npu, na, f, mr, e, pt, rq, sub, h in zip(
+            m.index, passed, n_pure, m["n_all"], frac, max_rate, ev, pts,
+            n_rq, m["subs"], has,
+        )
+    ]
     return rows
 
 
@@ -384,7 +393,10 @@ def run_drift_check(items_ds, cfg: ValidationConfig, ctx):
         want = set(ctx["item_ids"])
     else:
         want = set(items_ds.to_pandas()["item_id"]) if hasattr(items_ds, "to_pandas") else set()
-    if want and want <= have:
+    pre = ctx.get("preloaded", {}).get("drift")
+    if pre is not None:
+        sdf = pre.to_pandas()
+    elif want and want <= have:
         import pyarrow.dataset as pads
 
         files = [os.path.join(sum_dir, f"item={i}.parquet") for i in sorted(want)]

@@ -62,8 +62,12 @@ def run_referential_check(features_ds, cfg: ValidationConfig, ctx):
 
     fused = sorted(glob.glob(os.path.join(
         ctx["out_dir"], "violations", "referential", "item=*", "part.parquet"))) if ctx else []
+    pre = (ctx or {}).get("preloaded", {}).get("referential")
     violations = None
-    if fused:
+    if pre is not None:
+        fused = fused or [None]  # preload implies the fused layout
+        vdf = pre.to_pandas()
+    elif fused:
         # fused extract pass already produced per-item violation files;
         # one parallel C++ dataset read, not a per-file Python loop (192
         # serial pq.read_table calls on a GIL-contended driver cost ~1.5 s)

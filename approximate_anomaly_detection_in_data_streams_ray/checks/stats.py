@@ -183,16 +183,21 @@ def run_stats_check(features_ds, cfg: ValidationConfig, ctx=None):
     import pyarrow.parquet as pq
     import ray
 
+    pre = (ctx or {}).get("preloaded", {}).get("stats")
     fused = sorted(glob.glob(os.path.join(
         ctx["out_dir"], "stats_partials", "item=*.parquet"))) if ctx else []
     violations = None
-    if fused:
-        # fused extract pass already produced per-item partial files and
-        # per-item violation files; the merge is driver-side pandas over a
-        # #repos-bounded table — no Ray shuffle at all
-        import pyarrow.dataset as pads
+    if pre is not None or fused:
+        # fused extract pass already produced per-item partial files (and
+        # the runner usually preloaded them during the extract tail); the
+        # merge is driver-side pandas over a #repos-bounded table — no Ray
+        # shuffle at all
+        if pre is not None:
+            pdf = pre.to_pandas()
+        else:
+            import pyarrow.dataset as pads
 
-        pdf = pads.dataset(fused).to_table().to_pandas()
+            pdf = pads.dataset(fused).to_table().to_pandas()
         stats_df = merge_all_stats_partials(pdf)
     else:
         # prune at the read: the partial-agg pass never touches row_ref/sha256
@@ -217,33 +222,42 @@ def run_stats_check(features_ds, cfg: ValidationConfig, ctx=None):
             batch_size=cfg.batch_size,
         )
 
-    verdict_rows = []
-    for _, r in stats_df.iterrows():
-        null_rate = (r["n_null_lang"] + r["n_null_path"]) / max(1, r["n"])
-        n_len_bad = int(r.get("n_len_bad", 0))
-        passed = bool(
-            null_rate <= cfg.max_null_rate
-            and r["len_min"] >= cfg.min_content_len
-            and r["len_max"] < cfg.max_content_len
+    # vectorized verdict build: iterrows costs ~0.5 ms/row — real time at
+    # thousands of repos; compute columns with numpy, loop only to emit
+    if "n_len_bad" not in stats_df.columns:
+        stats_df = stats_df.assign(n_len_bad=0)
+    n = stats_df["n"].to_numpy()
+    n_null = (stats_df["n_null_lang"] + stats_df["n_null_path"]).to_numpy()
+    null_rate = n_null / np.maximum(1, n)
+    len_min = stats_df["len_min"].to_numpy()
+    len_max = stats_df["len_max"].to_numpy()
+    passed = ((null_rate <= cfg.max_null_rate)
+              & (len_min >= cfg.min_content_len)
+              & (len_max < cfg.max_content_len))
+    n_vio = n_null + stats_df["n_len_bad"].to_numpy()
+    verdict_rows = [
+        {
+            "partition_key": repo,
+            "check": "stats",
+            "passed": bool(p),
+            "n_violations": int(v),
+            "n_rows": int(nn),
+            "metrics": json.dumps(
+                {
+                    "null_rate": float(nr),
+                    "len_min": float(lmin),
+                    "len_max": float(lmax),
+                    "len_mean": float(lmean),
+                    "len_std": float(lstd),
+                    "approx_distinct_paths": float(dp),
+                    "approx_distinct_commits": float(dc),
+                }
+            ),
+        }
+        for repo, p, v, nn, nr, lmin, lmax, lmean, lstd, dp, dc in zip(
+            stats_df["repo"], passed, n_vio, n, null_rate, len_min, len_max,
+            stats_df["len_mean"], stats_df["len_std"],
+            stats_df["approx_distinct_paths"], stats_df["approx_distinct_commits"],
         )
-        verdict_rows.append(
-            {
-                "partition_key": r["repo"],
-                "check": "stats",
-                "passed": passed,
-                "n_violations": int(r["n_null_lang"] + r["n_null_path"] + n_len_bad),
-                "n_rows": int(r["n"]),
-                "metrics": json.dumps(
-                    {
-                        "null_rate": null_rate,
-                        "len_min": r["len_min"],
-                        "len_max": r["len_max"],
-                        "len_mean": r["len_mean"],
-                        "len_std": r["len_std"],
-                        "approx_distinct_paths": r["approx_distinct_paths"],
-                        "approx_distinct_commits": r["approx_distinct_commits"],
-                    }
-                ),
-            }
-        )
+    ]
     return violations, verdict_rows  # violations is None on the fused path

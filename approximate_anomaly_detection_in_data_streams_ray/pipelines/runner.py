@@ -128,7 +128,51 @@ def run_validation(
         batch_format="pyarrow",
         batch_size=1,
     )
-    extract_summary = extract_ds.to_pandas()
+    # consume the extract STREAM and overlap the checks' input loading with
+    # the extract tail: as each item completes, a background thread loads
+    # its per-item check products (stats partials, drift summaries,
+    # referential violations) into memory, so the post-extract check phase
+    # starts with its inputs already resident instead of re-reading
+    # hundreds of files — a flat serial tail that eats scaling efficiency
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pandas as pd
+    import pyarrow.parquet as pq_mod
+
+    preload = {"stats": [], "drift": [], "referential": []}
+    preload_specs = {
+        "stats": lambda i: os.path.join(out_dir, "stats_partials", f"item={i}.parquet"),
+        "drift": lambda i: os.path.join(out_dir, "drift_summaries", f"item={i}.parquet"),
+        "referential": lambda i: os.path.join(out_dir, "violations", "referential",
+                                              f"item={i}", "part.parquet"),
+    }
+    wanted_preloads = [c for c in ("stats", "drift", "referential")
+                       if c in fused_checks]
+
+    def _load_item(item_id: str):
+        out = {}
+        for c in wanted_preloads:
+            p = preload_specs[c](item_id)
+            if os.path.exists(p):
+                out[c] = pq_mod.read_table(p)
+        return out
+
+    summary_batches = []
+    with ThreadPoolExecutor(max_workers=4) as loader:
+        futures = []
+        for batch in extract_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            summary_batches.append(batch)
+            for item_id in batch["item_id"].to_pylist():
+                futures.append(loader.submit(_load_item, item_id))
+        for fut in futures:
+            loaded = fut.result()
+            for c, t in loaded.items():
+                preload[c].append(t)
+    extract_summary = pa.concat_tables(
+        [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+         for b in summary_batches]
+    ).to_pandas() if summary_batches else pd.DataFrame(
+        {"item_id": [], "n_rows": [], "skipped": []})
     try:  # persist Ray's per-stage wall/cpu/memory breakdown for tuning
         with open(os.path.join(out_dir, "extract_stage_stats.txt"), "w") as f:
             f.write(extract_ds.stats())
@@ -145,6 +189,12 @@ def run_validation(
         "repos_path": os.path.join(source_dir, "repos.parquet"),
         "commits_path": os.path.join(source_dir, "commits.parquet"),
         "item_ids": [it.item_id for it in items],
+        # preloaded per-item check products (trusted only when every item
+        # contributed a file; otherwise checks fall back to the file paths)
+        "preloaded": {
+            c: pa.concat_tables(ts, promote_options="default")
+            for c, ts in preload.items() if ts and len(ts) == len(items)
+        },
     }
 
     timings["extract"] = time.time() - t_start - timings.get("schema", 0.0)
