@@ -614,6 +614,38 @@ def purchase_attribution(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def events_moving_sum(sf_dir: str):
+    """SLIDING event-time window aggregate: per event_type, the moving sum
+    of hourly value totals over a 2-hour-preceding inclusive window — the
+    windowed-aggregate operator Ray Data lacks, composed as tumbling
+    pre-aggregation (hourly groupby, bounds the series to #types × #hours)
+    → per-type vectorized ``pandas.rolling`` over a time index.  Oracle =
+    DuckDB ``RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW``."""
+    ds = _t(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def hour(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "hour": pc.floor_temporal(b["ts"], unit="hour"),
+            "value": pc.fill_null(b["value"], 0.0),
+        })
+
+    hourly = ds.map_batches(hour, batch_format="pyarrow").groupby(
+        ["event_type", "hour"]).aggregate(Sum("value", alias_name="sv"))
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour")
+        s = pd.Series(g["sv"].to_numpy(), index=pd.DatetimeIndex(g["hour"]))
+        # [t - 2h, t] inclusive == DuckDB RANGE 2 HOUR PRECEDING
+        m = s.rolling("2h", closed="both").sum()
+        return pd.DataFrame({"event_type": g["event_type"].to_numpy(),
+                             "hour": g["hour"].to_numpy(),
+                             "sum_3h": m.to_numpy().round(2)})
+
+    out = hourly.groupby("event_type").map_groups(roll, batch_format="pandas").to_pandas()
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
 _QUALITY_SQL = r"""round(
       0.4 * (CASE WHEN n > 200000 THEN 0.2
                   ELSE least(greatest(ln(1 + n) / ln(5000.0), 0), 1) END)
@@ -787,6 +819,17 @@ ORACLE_SQL: dict[str, str] = {
             + 0.2 * (1 - abs(least(greatest(ns / greatest(n, 1), 0), 1) - 0.15) / 0.85)
             , 4) AS quality
         FROM f
+    """,
+    "events_moving_sum": """
+        WITH h AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   sum(coalesce(value, 0)) AS sv
+            FROM events GROUP BY 1, 2)
+        SELECT event_type, hour, round(sum(sv) OVER w, 2) AS sum_3h
+        FROM h
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_type, hour
     """,
     "purchase_attribution": """
         WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
@@ -1072,6 +1115,7 @@ QUERIES = {
     "quality_documents": quality_documents,
     "curate_documents": curate_documents,
     "purchase_attribution": purchase_attribution,
+    "events_moving_sum": events_moving_sum,
     # rows-only
     "hll_users_per_event_type": hll_users_per_event_type,
     "minhash_dedup_documents": minhash_dedup_documents,
