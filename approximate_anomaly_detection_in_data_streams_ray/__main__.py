@@ -140,6 +140,28 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from .pipelines.queries import QUERIES
+
+    if args.name == "list" or args.name not in QUERIES:
+        for name in QUERIES:
+            print(name)
+        return 0 if args.name == "list" else 2
+    res = QUERIES[args.name](args.sfDir)
+    if hasattr(res, "to_pandas"):
+        res = res.to_pandas()
+    if args.out:
+        res.to_parquet(args.out) if hasattr(res, "to_parquet") else None
+        print(f"wrote {len(res)} rows to {args.out}")
+    else:
+        print(res.to_string())
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="aads-ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -177,6 +199,12 @@ def main(argv=None) -> int:
     v.add_argument("--checks", default=None)
     v.add_argument("--driftAlgorithm", default="mcod")
     v.set_defaults(fn=cmd_validate)
+
+    q = sub.add_parser("query", help="run a named pipeline ('list' to enumerate)")
+    q.add_argument("name")
+    q.add_argument("--sfDir", default="/root/testdata/sf0.001")
+    q.add_argument("--out", default=None, help="write result parquet here")
+    q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -307,3 +307,21 @@ def test_distributed_ngram_verify_matches_driver_path(ray_session, tmp_path):
     assert list(map(tuple, g[["id_a", "id_b"]].to_numpy())) == \
         list(map(tuple, w[["id_a", "id_b"]].to_numpy()))
     np.testing.assert_allclose(g["jaccard"].to_numpy(), w["jaccard"].to_numpy())
+
+
+def test_query_cli_runs_named_pipeline(ray_session):
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "approximate_anomaly_detection_in_data_streams_ray",
+         "query", "doc_stats", "--sfDir", "/root/testdata/sf0.001"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "n_docs" in r.stdout
+    r2 = subprocess.run(
+        [sys.executable, "-m", "approximate_anomaly_detection_in_data_streams_ray",
+         "query", "list"], capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert "minhash_dedup_documents" in r2.stdout
