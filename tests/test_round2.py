@@ -325,3 +325,17 @@ def test_query_cli_runs_named_pipeline(ray_session):
          "query", "list"], capture_output=True, text=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert "minhash_dedup_documents" in r2.stdout
+
+
+def test_chunk_vectors_constant_feature_dim():
+    """Sub-chunk streams are scored in the same d+1 feature space as full
+    chunks (round-1 ADVICE)."""
+    from approximate_anomaly_detection_in_data_streams_ray.checks.drift import (
+        chunk_vectors,
+    )
+
+    rng = np.random.default_rng(0)
+    full, _ = chunk_vectors(rng.normal(size=(100, 3)), 16)
+    short, starts = chunk_vectors(rng.normal(size=(5, 3)), 16)
+    assert full.shape[1] == short.shape[1] == 4  # d means + std of feature 0
+    assert starts.tolist() == [0]
