@@ -149,12 +149,22 @@ def run_validation(
     wanted_preloads = [c for c in ("stats", "drift", "referential")
                        if c in fused_checks]
 
+    # cap the preload: a pathological corpus (every row violating) could
+    # make the referential violation tables exceed driver memory — past the
+    # cap the checks fall back to their file-path reads
+    PRELOAD_CAP_BYTES = 1 << 30
+    preload_bytes = [0]
+
     def _load_item(item_id: str):
+        if preload_bytes[0] > PRELOAD_CAP_BYTES:
+            return {}
         out = {}
         for c in wanted_preloads:
             p = preload_specs[c](item_id)
             if os.path.exists(p):
-                out[c] = pq_mod.read_table(p)
+                t = pq_mod.read_table(p)
+                preload_bytes[0] += t.nbytes
+                out[c] = t
         return out
 
     summary_batches = []
