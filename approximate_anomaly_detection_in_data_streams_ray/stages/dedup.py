@@ -378,6 +378,52 @@ def ngram_jaccard_verify_distributed(ds, candidate_pairs, id_col: str = "doc_id"
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def connected_min_ids(pairs: pd.DataFrame) -> dict:
+    """Union-find over a near-dup pair list (output-sized, driver-side):
+    returns {doc_id: canonical_min_id_of_its_cluster} for every id that
+    appears in a pair."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:  # union by min id so the canonical id is the smallest
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def apply_near_dedup(ds, pairs: pd.DataFrame, id_col: str = "doc_id"):
+    """The APPLY step of near-dedup: drop every document that belongs to a
+    near-dup cluster except the cluster's min-id survivor.  The pair list is
+    output-sized → union-find on the driver, the drop-id set broadcasts via
+    ``ray.put``, and the corpus streams through a vectorized anti-filter —
+    never materialized."""
+    import pyarrow.compute as pc
+    import ray
+
+    if len(pairs) == 0:
+        return ds
+    canon = connected_min_ids(pairs)
+    drop = pa.array([k for k, v in canon.items() if k != v])
+    drop_ref = ray.put(drop)
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(pc.is_in(b[id_col], value_set=ray.get(drop_ref))))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # ------------------------------------------------------- embedding near-dup
 
 

@@ -339,3 +339,23 @@ def test_chunk_vectors_constant_feature_dim():
     short, starts = chunk_vectors(rng.normal(size=(5, 3)), 16)
     assert full.shape[1] == short.shape[1] == 4  # d means + std of feature 0
     assert starts.tolist() == [0]
+
+
+def test_apply_near_dedup_keeps_cluster_minima(ray_session):
+    """Union-find apply: transitively-linked near-dups collapse to the
+    min-id survivor; untouched docs pass through."""
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.dedup import (
+        apply_near_dedup,
+        connected_min_ids,
+    )
+
+    pairs = __import__("pandas").DataFrame(
+        {"id_a": [1, 2, 7], "id_b": [2, 5, 9]})  # clusters {1,2,5}, {7,9}
+    canon = connected_min_ids(pairs)
+    assert canon[5] == 1 and canon[2] == 1 and canon[9] == 7 and canon[1] == 1
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3, 5, 7, 9], pa.int64()),
+                  "text": pa.array(list("abcdefg"), pa.string())})
+    kept = apply_near_dedup(ray.data.from_arrow(t), pairs).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 1, 3, 7]
