@@ -646,6 +646,55 @@ def events_moving_sum(sf_dir: str):
     return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 
+def purchase_view_window_counts(sf_dir: str):
+    """RANGE (interval) join: for each purchase event, the number of view
+    events by the same user in the strictly-preceding 30-minute window —
+    the non-equi join Ray Data lacks, composed as a hash partition on the
+    key + per-bucket vectorized interval counting (two ``searchsorted``
+    calls per bucket, no pairwise expansion).  Aggregated per user.
+    Oracle = DuckDB inequality join."""
+    from ..functions.hashing import stable_hash64
+    from ..stages.dedup import _n_partitions
+
+    P = _n_partitions()
+    WIN_US = 30 * 60 * 1_000_000
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def add_part(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"], value_set=pa.array(["purchase", "view"]))
+        f = b.filter(keep)
+        h = (stable_hash64(f["user_id"]) % np.uint64(P)).astype(np.int32)
+        return f.append_column("u_part", pa.array(h))
+
+    def count_in_window(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        users = g["user_id"].to_numpy()
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        order = np.lexsort((ts, users))
+        ts, users, is_p = ts[order], users[order], is_p[order]
+        out_user, out_np, out_nv = [], [], []
+        starts = np.concatenate([[0], np.nonzero(users[1:] != users[:-1])[0] + 1,
+                                 [len(users)]])
+        for s0, s1 in zip(starts[:-1], starts[1:]):
+            vts = ts[s0:s1][~is_p[s0:s1]]
+            pts = ts[s0:s1][is_p[s0:s1]]
+            if len(pts) == 0:
+                continue
+            # views in [p - 30min, p): two vectorized searchsorted calls
+            hi = np.searchsorted(vts, pts, side="left")
+            lo = np.searchsorted(vts, pts - WIN_US, side="left")
+            out_user.append(users[s0])
+            out_np.append(len(pts))
+            out_nv.append(int((hi - lo).sum()))
+        return pd.DataFrame({"user_id": out_user, "n_purchases": out_np,
+                             "n_views_30m": out_nv})
+
+    out = ds.map_batches(add_part, batch_format="pyarrow").groupby(
+        "u_part").map_groups(count_in_window, batch_format="pandas").to_pandas()
+    out = out.astype({"n_purchases": "int64", "n_views_30m": "int64"})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 _QUALITY_SQL = r"""round(
       0.4 * (CASE WHEN n > 200000 THEN 0.2
                   ELSE least(greatest(ln(1 + n) / ln(5000.0), 0), 1) END)
@@ -819,6 +868,20 @@ ORACLE_SQL: dict[str, str] = {
             + 0.2 * (1 - abs(least(greatest(ns / greatest(n, 1), 0), 1) - 0.15) / 0.85)
             , 4) AS quality
         FROM f
+    """,
+    "purchase_view_window_counts": """
+        WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+             v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+        SELECT user_id, count(*)::BIGINT AS n_purchases,
+               sum(cnt)::BIGINT AS n_views_30m
+        FROM (
+            SELECT p.user_id, p.ts,
+                   (SELECT count(*) FROM v
+                    WHERE v.user_id = p.user_id
+                      AND v.ts >= p.ts - INTERVAL 30 MINUTE
+                      AND v.ts < p.ts) AS cnt
+            FROM p)
+        GROUP BY user_id ORDER BY user_id
     """,
     "events_moving_sum": """
         WITH h AS (
@@ -1116,6 +1179,7 @@ QUERIES = {
     "curate_documents": curate_documents,
     "purchase_attribution": purchase_attribution,
     "events_moving_sum": events_moving_sum,
+    "purchase_view_window_counts": purchase_view_window_counts,
     # rows-only
     "hll_users_per_event_type": hll_users_per_event_type,
     "minhash_dedup_documents": minhash_dedup_documents,
