@@ -359,3 +359,50 @@ def test_apply_near_dedup_keeps_cluster_minima(ray_session):
                   "text": pa.array(list("abcdefg"), pa.string())})
     kept = apply_near_dedup(ray.data.from_arrow(t), pairs).to_pandas()
     assert sorted(kept["doc_id"]) == [0, 1, 3, 7]
+
+
+def test_hll_query_within_epsilon_of_exact(ray_session):
+    """hll_users_per_event_type (rows-only in CORRECTNESS) is within HLL
+    error bounds of DuckDB's exact count(DISTINCT)."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    SF = "/root/testdata/sf0.01"
+    got = e.queries()["hll_users_per_event_type"](SF)
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got).set_index("event_type")
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT event_type, count(DISTINCT user_id) AS n FROM "
+        f"read_parquet('{SF}/events.parquet') GROUP BY event_type"
+    ).df().set_index("event_type")
+    for et in want.index:
+        exact = int(want.loc[et, "n"])
+        approx = float(got.loc[et, "approx_users"])
+        assert abs(approx - exact) / max(1, exact) < 0.05, (et, approx, exact)
+
+
+def test_value_quantiles_within_one_percent(ray_session):
+    """value_quantiles' mergeable stride-sample sketch is within 1% (of the
+    value range) of DuckDB's exact quantile_cont per event_type."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    SF = "/root/testdata/sf0.01"
+    got = e.queries()["value_quantiles"](SF)
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got).set_index("event_type")
+    con = duckdb.connect()
+    want = con.execute(
+        f"""SELECT event_type,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.9) AS p90,
+                   max(value) - min(value) AS rng
+            FROM read_parquet('{SF}/events.parquet')
+            WHERE value IS NOT NULL GROUP BY event_type"""
+    ).df().set_index("event_type")
+    for et in want.index:
+        rng = float(want.loc[et, "rng"])
+        for q in ("p50", "p90"):
+            err = abs(float(got.loc[et, q]) - float(want.loc[et, q]))
+            assert err / max(rng, 1e-9) < 0.01, (et, q, err, rng)
