@@ -45,6 +45,24 @@ def read_stream_csv(path: str, contains_class: bool = False):
     return ds
 
 
+def read_table_auto(path: str, columns: list[str] | None = None):
+    """Format-dispatched table read: Parquet / CSV (with header) / JSONL by
+    extension, so every query pipeline can consume any of the three.
+    Column pruning is a real pushdown for Parquet; for CSV/JSONL the
+    columns are selected after the (row-based) read."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".parquet", ".pq"):
+        return ray.data.read_parquet(path, columns=columns)
+    if ext == ".csv":
+        ds = ray.data.read_csv(path)
+    elif ext in (".jsonl", ".json", ".ndjson"):
+        ds = ray.data.read_json(path)
+    else:
+        raise ValueError(f"unsupported table format {ext!r} "
+                         "(parquet/csv/jsonl supported)")
+    return ds.select_columns(columns) if columns else ds
+
+
 def read_outlier_ids(path: str) -> list[int]:
     """Id-per-line file (the reference's export format,
     `src/Executor.java:209-222`)."""

@@ -406,3 +406,29 @@ def test_value_quantiles_within_one_percent(ray_session):
         for q in ("p50", "p90"):
             err = abs(float(got.loc[et, q]) - float(want.loc[et, q]))
             assert err / max(rng, 1e-9) < 0.01, (et, q, err, rng)
+
+
+def test_read_table_auto_three_formats(ray_session, tmp_path):
+    """The auto reader returns identical rows for parquet, csv and jsonl."""
+    import json as jsonlib
+
+    import pyarrow.parquet as pq
+
+    from approximate_anomaly_detection_in_data_streams_ray.sources.readers import (
+        read_table_auto,
+    )
+
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64()),
+                  "b": pa.array(["x", "y", "z"], pa.string())})
+    pq.write_table(t, str(tmp_path / "t.parquet"))
+    (tmp_path / "t.csv").write_text("a,b\n1,x\n2,y\n3,z\n")
+    with open(tmp_path / "t.jsonl", "w") as f:
+        for r in t.to_pylist():
+            f.write(jsonlib.dumps(r) + "\n")
+    frames = []
+    for name in ("t.parquet", "t.csv", "t.jsonl"):
+        df = read_table_auto(str(tmp_path / name), columns=["a", "b"]).to_pandas()
+        frames.append(df.sort_values("a").reset_index(drop=True))
+    assert frames[0].equals(frames[1]) and frames[1].equals(frames[2])
+    with pytest.raises(ValueError):
+        read_table_auto(str(tmp_path / "t.xml"))
