@@ -24,13 +24,17 @@ from .base import ValidationConfig, register_check
 _DATASET_CACHE: dict = {}  # per-worker-process parquet dataset handles
 
 
-def _dup_hashes_from_key_files(key_dir: str, P: int) -> list[int]:
+def _dup_rows_from_key_files(key_dir: str, P: int) -> pa.Table:
     """Explicit bucket exchange over the per-item key files written by the
     fused extract pass: each of P tasks reads only its bucket's row groups
-    (files are bucket-sorted, so parquet row-group stats prune the rest)
-    and finds duplicate hashes vectorized.  This is a hash-partition
-    shuffle expressed through the checkpointed file layout — near-zero
-    constant cost and resumable, unlike a generic sort shuffle."""
+    (files are bucket-sorted, so parquet row-group stats prune the rest),
+    finds duplicate hashes vectorized, then LATE-MATERIALIZES the few
+    duplicate rows' (repo, row_ref) strings from the same pruned row
+    groups — the whole check is ONE pass over 8-byte hashes plus an
+    output-sized string read; the features table is never re-scanned.
+    This is a hash-partition shuffle expressed through the checkpointed
+    file layout — near-zero constant cost and resumable, unlike a generic
+    sort shuffle."""
     import glob
 
     import numpy as np
@@ -39,34 +43,65 @@ def _dup_hashes_from_key_files(key_dir: str, P: int) -> list[int]:
     files = sorted(glob.glob(os.path.join(key_dir, "item=*.parquet")))
     cache_key = (key_dir, len(files))
 
-    def scan_bucket(b: pa.Table) -> pa.Table:
+    _EMPTY = pa.table({"key_hash": pa.array([], pa.int64()),
+                       "repo": pa.array([], pa.string()),
+                       "row_ref": pa.array([], pa.string())})
+
+    def scan_buckets(b: pa.Table) -> pa.Table:
         # dataset handle cached per worker process: re-instantiating it per
         # task re-parses every key file's footer (hundreds of files)
         dataset = _DATASET_CACHE.get(cache_key)
         if dataset is None:
             dataset = pads.dataset(files)
             _DATASET_CACHE[cache_key] = dataset
-        out: list[np.ndarray] = []
-        for bucket in b["bucket"].to_pylist():
-            t = dataset.to_table(filter=pads.field("bucket") == bucket,
-                                 columns=["key_hash"])
-            vals, cnt = np.unique(t["key_hash"].to_numpy(zero_copy_only=False),
-                                  return_counts=True)
-            out.append(vals[cnt > 1])
-        flat = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
-        return pa.table({"key_hash": pa.array(flat, pa.int64())})
+        # ONE range scan for the whole batch of buckets (per-bucket scans
+        # evaluate row-group stats for every fragment each time — at
+        # hundreds of files × 64 row groups that dominates the check)
+        bs = b["bucket"].to_pylist()
+        lo, hi = min(bs), max(bs)
+        in_range = (pads.field("bucket") >= lo) & (pads.field("bucket") <= hi)
+        t = dataset.to_table(filter=in_range, columns=["bucket", "key_hash"])
+        kh = t["key_hash"].to_numpy(zero_copy_only=False)
+        bk = t["bucket"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((kh, bk))
+        khs, bks = kh[order], bk[order]
+        same = (khs[1:] == khs[:-1]) & (bks[1:] == bks[:-1])
+        if not same.any():
+            return _EMPTY
+        dup_mask = np.concatenate([[False], same]) | np.concatenate([same, [False]])
+        dups = np.unique(khs[dup_mask])
+        # late materialization: re-scan the range for just the dup rows'
+        # strings (output-sized)
+        return dataset.to_table(
+            filter=in_range & pads.field("key_hash").isin(pa.array(dups, pa.int64())),
+            columns=["key_hash", "repo", "row_ref"],
+        )
 
+    from ..stages.common import available_cpus
+
+    bsz = max(1, P // max(1, int(available_cpus())))
     buckets = ray.data.from_items([{"bucket": i} for i in range(P)])
-    res = buckets.map_batches(scan_bucket, batch_format="pyarrow", batch_size=4)
-    return [r["key_hash"] for r in res.take_all()]
+    res = buckets.map_batches(scan_buckets, batch_format="pyarrow", batch_size=bsz)
+    tables = [t for t in res.iter_batches(batch_size=None, batch_format="pyarrow")
+              if t.num_rows]
+    if not tables:
+        return pa.table({"key_hash": pa.array([], pa.int64()),
+                         "repo": pa.array([], pa.string()),
+                         "row_ref": pa.array([], pa.string())})
+    return pa.concat_tables(tables)
 
 
 @register_check("uniqueness")
 def run_uniqueness_check(features_ds, cfg: ValidationConfig, ctx=None):
+    import pandas as pd
+
     P = cfg.uniqueness_buckets
     key_dir = os.path.join(ctx["out_dir"], "keys") if ctx else ""
     if key_dir and os.path.isdir(key_dir):
-        dup_hashes = _dup_hashes_from_key_files(key_dir, P)
+        # fused path: the bucket exchange returns the candidate rows with
+        # their (repo, row_ref) directly — go straight to confirmation
+        cand = _dup_rows_from_key_files(key_dir, P).to_pandas()
+        return _confirm_and_report(cand)
     else:
         # standalone path: bucket groupby + vectorized per-bucket dup scan
         import numpy as np
@@ -120,9 +155,18 @@ def run_uniqueness_check(features_ds, cfg: ValidationConfig, ctx=None):
         )
 
     # exact confirmation (hash collisions) — candidate set is tiny
-    cand = candidates.to_pandas()
+    return _confirm_and_report(candidates.to_pandas())
+
+
+def _confirm_and_report(cand):
+    """Exact-key confirmation (hash collisions are ruled out by grouping on
+    the row_ref key string) → (violations Dataset, verdict rows)."""
+    if len(cand) == 0:
+        return _empty_violations(), []
     sizes = cand.groupby("row_ref")["row_ref"].transform("size")
     dups = cand[sizes > 1]
+    if len(dups) == 0:
+        return _empty_violations(), []
 
     out = pa.table(
         {

@@ -202,8 +202,18 @@ class FeatureExtractor:
                 P = cfg.uniqueness_buckets
                 bucket = (kh % P).astype(np.int32)
                 order = np.argsort(bucket, kind="stable")
+                idx = pa.array(order)
+                # repo/row_ref ride along so the bucket exchange can emit
+                # violation rows directly — no second scan of the features
+                # (late materialization: the dup scan reads key_hash only,
+                # then takes the strings for the few duplicate rows)
                 keys = pa.table(
-                    {"bucket": pa.array(bucket[order]), "key_hash": pa.array(kh[order])}
+                    {
+                        "bucket": pa.array(bucket[order]),
+                        "key_hash": pa.array(kh[order]),
+                        "repo": pc.take(t["repo"], idx),
+                        "row_ref": pc.take(t["row_ref"], idx),
+                    }
                 )
                 # bucket-sorted + one row group per ~bucket → a bucket-merge
                 # task prunes to its row groups via parquet stats
