@@ -56,10 +56,15 @@ def _dup_rows_from_key_files(key_dir: str, P: int) -> pa.Table:
             _DATASET_CACHE[cache_key] = dataset
         # ONE range scan for the whole batch of buckets (per-bucket scans
         # evaluate row-group stats for every fragment each time — at
-        # hundreds of files × 64 row groups that dominates the check)
+        # hundreds of files × 64 row groups that dominates the check).
+        # The isin term makes the filter exact even if Ray hands this task
+        # a non-contiguous bucket batch (block splitting is an
+        # implementation detail) — without it, a gap in the batch would be
+        # scanned here AND by the task that owns it, duplicating violations.
         bs = b["bucket"].to_pylist()
         lo, hi = min(bs), max(bs)
-        in_range = (pads.field("bucket") >= lo) & (pads.field("bucket") <= hi)
+        in_range = ((pads.field("bucket") >= lo) & (pads.field("bucket") <= hi)
+                    & pads.field("bucket").isin(bs))
         t = dataset.to_table(filter=in_range, columns=["bucket", "key_hash"])
         kh = t["key_hash"].to_numpy(zero_copy_only=False)
         bk = t["bucket"].to_numpy(zero_copy_only=False)
@@ -77,9 +82,9 @@ def _dup_rows_from_key_files(key_dir: str, P: int) -> pa.Table:
             columns=["key_hash", "repo", "row_ref"],
         )
 
-    from ..stages.common import available_cpus
+    from ..stages.common import cluster_cpus
 
-    bsz = max(1, P // max(1, int(available_cpus())))
+    bsz = max(1, P // max(1, int(cluster_cpus())))
     buckets = ray.data.from_items([{"bucket": i} for i in range(P)])
     res = buckets.map_batches(scan_buckets, batch_format="pyarrow", batch_size=bsz)
     tables = [t for t in res.iter_batches(batch_size=None, batch_format="pyarrow")

@@ -33,12 +33,19 @@ def _t(sf_dir: str, name: str, columns=None, spread: bool = False):
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    ds = ray.data.read_parquet(path, columns=columns)
+    # read with a metadata-free schema: this pyarrow's Schema is unhashable
+    # while pandas metadata is attached, which makes every downstream
+    # unify_schemas() spam "Failed to hash the schemas" warnings from
+    # workers — stripping at the footer means every block is born clean
+    file_schema = pq.read_schema(path).remove_metadata()
+    if columns:
+        file_schema = pa.schema([file_schema.field(c) for c in columns])
+    ds = ray.data.read_parquet(path, columns=columns, schema=file_schema)
     if spread:
-        from ..stages.common import available_cpus
+        from ..stages.common import cluster_cpus
 
         md = pq.ParquetFile(path).metadata
-        want = int(available_cpus())
+        want = int(cluster_cpus())
         if md.num_row_groups < want and md.num_rows >= 1000:
             ds = ds.repartition(min(want * 2, max(2, md.num_rows // 250)))
     return ds
@@ -579,7 +586,7 @@ def purchase_attribution(sf_dir: str):
     timestamp, via the bucketed :func:`..stages.joins.bucketed_asof_join`
     (hash-partition by user → vectorized merge_asof per bucket), then
     per-user attribution totals.  Oracle = DuckDB ``ASOF LEFT JOIN``."""
-    from ..stages.common import available_cpus
+    from ..stages.common import cluster_cpus
     from ..stages.joins import bucketed_asof_join
 
     ds = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
@@ -592,7 +599,7 @@ def purchase_attribution(sf_dir: str):
                    .select(["user_id", "ts", "value"]),
         batch_format="pyarrow")
     joined = bucketed_asof_join(purchases, views, on="ts", by="user_id",
-                                B=max(8, int(available_cpus())))
+                                B=max(8, int(cluster_cpus())))
 
     def per_user(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty or "user_id" not in df.columns:

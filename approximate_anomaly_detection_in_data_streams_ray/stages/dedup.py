@@ -42,9 +42,9 @@ def _n_partitions(requested: int | None = None) -> int:
     Python-call/task count.  (Round 1 hardcoded 64, capping wide clusters.)"""
     if requested is not None:
         return int(requested)
-    from .common import available_cpus
+    from .common import cluster_cpus
 
-    return max(32, int(2 * available_cpus()))
+    return max(32, int(2 * cluster_cpus()))
 
 
 def _empty_pairs(value_col: str, value_dtype: str = "float64") -> pd.DataFrame:
@@ -211,23 +211,25 @@ class SimHashStage:
         )
 
 
-def simhash_buckets(batch: pa.Table, id_col: str, n_rot: int = 4,
-                    prefix_bits: int = 16) -> pa.Table:
-    """Explode fingerprints into (rotation, prefix) bucket rows: a pair at
-    Hamming ≤ 3 shares at least one of the 4 rotated 16-bit prefixes with
-    high probability (the rotations tile the 64 bits into 16-bit blocks; 3
-    flipped bits cannot hit all 4 blocks)."""
+def simhash_buckets(batch: pa.Table, id_col: str, max_hamming: int = 3) -> pa.Table:
+    """Explode fingerprints into disjoint-bit-block bucket rows with an
+    EXACT recall guarantee (Manku-style pigeonhole): the 64 bits are split
+    into ``max(4, max_hamming + 1)`` disjoint blocks, so ``max_hamming``
+    flipped bits cannot touch every block — any pair at Hamming ≤ t shares
+    at least one block key and is guaranteed to meet in a bucket.  (Round 2
+    used 4 rotated 16-bit prefixes: exact only for t ≤ 3, silently
+    probabilistic for the t = 6 caller.)"""
     f = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
     n = len(f)
-    shift = 64 // n_rot
-    keys = np.empty(n_rot * n, dtype=np.int64)
-    for rot in range(n_rot):
-        s = np.uint64(rot * shift)
-        rotated = (f << s) | (f >> np.uint64(64) - s) if rot else f
-        prefix = (rotated >> np.uint64(64 - prefix_bits)).astype(np.int64)
-        keys[rot * n:(rot + 1) * n] = (np.int64(rot) << np.int64(prefix_bits)) | prefix
-    ids = np.tile(batch[id_col].to_numpy(zero_copy_only=False), n_rot)
-    sims = np.tile(f.view(np.int64), n_rot)
+    n_blocks = max(4, int(max_hamming) + 1)
+    bounds = [round(i * 64 / n_blocks) for i in range(n_blocks + 1)]
+    keys = np.empty(n_blocks * n, dtype=np.int64)
+    for blk in range(n_blocks):
+        lo, hi = bounds[blk], bounds[blk + 1]
+        val = ((f >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1)).astype(np.int64)
+        keys[blk * n:(blk + 1) * n] = (np.int64(blk) << np.int64(32)) | val
+    ids = np.tile(batch[id_col].to_numpy(zero_copy_only=False), n_blocks)
+    sims = np.tile(f.view(np.int64), n_blocks)
     return pa.table({id_col: pa.array(ids), "bucket_key": pa.array(keys),
                      "simhash": pa.array(sims)})
 
@@ -235,8 +237,9 @@ def simhash_buckets(batch: pa.Table, id_col: str, n_rot: int = 4,
 def simhash_near_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                            max_hamming: int = 3, concurrency: int | None = None,
                            n_partitions: int | None = None):
-    """Near-dup pairs with Hamming(simhash) ≤ t, fully distributed: the
-    fingerprint stage emits 4 rotated-prefix bucket rows per doc, pairs are
+    """Near-dup pairs with Hamming(simhash) ≤ t, fully distributed AND
+    exact-recall (pigeonhole bit-blocks, see :func:`simhash_buckets`): the
+    fingerprint stage emits t+1 block-key bucket rows per doc, pairs are
     found inside a coarse-partition ``groupby`` (same exchange shape as
     MinHash) — nothing ever materializes on the driver except the
     output-sized pair list."""
@@ -268,7 +271,7 @@ def simhash_near_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         batch_format="pyarrow", batch_size=512,
     )
     def bucketize(b: pa.Table) -> pa.Table:
-        t = simhash_buckets(b, id_col)
+        t = simhash_buckets(b, id_col, max_hamming=max_hamming)
         pb = (splitmix64(t["bucket_key"].to_numpy(zero_copy_only=False)
                          .view(np.uint64)) % np.uint64(P)).astype(np.int32)
         return t.append_column("pbucket", pa.array(pb))
@@ -331,11 +334,11 @@ def ngram_jaccard_verify_distributed(ds, candidate_pairs, id_col: str = "doc_id"
     :func:`ngram_jaccard_verify` is faster for small candidate sets)."""
     import ray
 
-    from .common import available_cpus
+    from .common import cluster_cpus
     from .joins import bucketed_hash_join
 
     if B is None:
-        B = max(8, int(available_cpus()))
+        B = max(8, int(cluster_cpus()))
 
     def shingle_rows(b: pa.Table) -> pa.Table:
         ids = b[id_col]

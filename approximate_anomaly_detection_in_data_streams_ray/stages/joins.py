@@ -30,7 +30,7 @@ import pyarrow as pa
 from ..functions.hashing import stable_hash64
 
 
-def _write_bucketed(ds, key: str, B: int, path: str) -> None:
+def _write_bucketed(ds, key: str, B: int, path: str) -> pa.Schema | None:
     def add(b: pa.Table) -> pa.Table:
         h = stable_hash64(b[key])
         return b.append_column("bucket", pa.array((h % B).astype(np.int32)))
@@ -38,6 +38,28 @@ def _write_bucketed(ds, key: str, B: int, path: str) -> None:
     ds.map_batches(add, batch_format="pyarrow").write_parquet(
         path, partition_cols=["bucket"]
     )
+    # the side's full schema, from any written file's footer — needed to
+    # synthesize schema-complete empty frames for buckets this side missed
+    # (a bucket with left rows but no right files must still produce the
+    # right value columns, else downstream blocks disagree on schema)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(os.path.join(path, "bucket=*", "*.parquet"))
+    if not files:
+        return None
+    schema = pq.read_schema(files[0])
+    return pa.schema([f for f in schema if f.name != "bucket"])
+
+
+def _empty_frame(schema: pa.Schema | None, fallback_cols: tuple[str, ...],
+                 like: pd.DataFrame) -> pd.DataFrame:
+    """Schema-complete empty pandas frame for a missing join side."""
+    if schema is not None:
+        return schema.empty_table().to_pandas()
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in like.dtypes.items()
+                         if c in fallback_cols})
 
 
 def bucketed_hash_join(left, right, key: str, B: int = 32, how: str = "inner",
@@ -54,7 +76,7 @@ def bucketed_hash_join(left, right, key: str, B: int = 32, how: str = "inner",
     root = tempfile.mkdtemp(prefix="join_", dir=scratch_dir)
     lpath, rpath = os.path.join(root, "l"), os.path.join(root, "r")
     _write_bucketed(left, key, B, lpath)
-    _write_bucketed(right, key, B, rpath)
+    right_schema = _write_bucketed(right, key, B, rpath)
 
     def join_bucket(b: pa.Table) -> pa.Table:
         import glob
@@ -68,7 +90,8 @@ def bucketed_hash_join(left, right, key: str, B: int = 32, how: str = "inner",
             if not lf or (not rf and how == "inner"):
                 continue
             lg = pads.dataset(lf).to_table().to_pandas() if lf else pd.DataFrame()
-            rg = pads.dataset(rf).to_table().to_pandas() if rf else pd.DataFrame(columns=[key])
+            rg = (pads.dataset(rf).to_table().to_pandas() if rf
+                  else _empty_frame(right_schema, (key,), lg))
             joined = lg.merge(rg, on=key, how=how, suffixes=suffixes)
             if len(joined):
                 outs.append(pa.Table.from_pandas(joined, preserve_index=False))
@@ -99,7 +122,7 @@ def bucketed_asof_join(left, right, on: str, by: str, B: int = 32,
     root = tempfile.mkdtemp(prefix="asof_", dir=scratch_dir)
     lpath, rpath = os.path.join(root, "l"), os.path.join(root, "r")
     _write_bucketed(left, by, B, lpath)
-    _write_bucketed(right, by, B, rpath)
+    right_schema = _write_bucketed(right, by, B, rpath)
 
     def join_bucket(b: pa.Table) -> pa.Table:
         import glob
@@ -116,8 +139,7 @@ def bucketed_asof_join(left, right, on: str, by: str, B: int = 32,
             if rf:
                 rg = pads.dataset(rf).to_table().to_pandas().sort_values(on, kind="stable")
             else:
-                rg = pd.DataFrame({c: pd.Series(dtype=t) for c, t in lg.dtypes.items()
-                                   if c in (on, by)})
+                rg = _empty_frame(right_schema, (on, by), lg)
             joined = pd.merge_asof(lg, rg, on=on, by=by, direction=direction,
                                    allow_exact_matches=True, suffixes=suffixes)
             if len(joined):

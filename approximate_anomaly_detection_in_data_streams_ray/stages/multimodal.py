@@ -202,10 +202,14 @@ def media_pipeline(ds, concurrency: int | None = None, batch_size: int = 64):
     from .common import auto_pool
 
     pool = auto_pool(concurrency, 1.0)
+    # max_restarts=0: Ray Data ships the wrapped UDF through the object
+    # store, and an actor restart after object loss would fail anyway (Ray
+    # issue 53727 warns about exactly this); a dead decode actor's work is
+    # re-dispatched to the surviving pool members via lineage instead
     decoded = ds.map_batches(MediaDecode, batch_format="pyarrow",
                              batch_size=batch_size, concurrency=(1, pool),
-                             num_cpus=1)
+                             num_cpus=1, max_restarts=0)
     feats = ds.map_batches(MediaResize, batch_format="pyarrow",
                            batch_size=batch_size, concurrency=(1, pool),
-                           num_cpus=1)
+                           num_cpus=1, max_restarts=0)
     return decoded, feats

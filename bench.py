@@ -27,6 +27,24 @@ def quiet():
 
     logging.getLogger("ray").setLevel(logging.ERROR)
     logging.getLogger("ray.data").setLevel(logging.ERROR)
+    # "Failed to hash the schemas (for deduplication): unhashable type:
+    # 'dict'" — harmless noise from unify_schemas' early-exit hash attempt
+    # on blocks with dict-typed schema metadata; silence so real warnings
+    # stay visible in the bench tail
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)
+
+
+def _worker_quiet():
+    """Silence the harmless unify_schemas hash warning inside WORKERS (it
+    prints from worker stderr, so a driver-side logger level can't catch
+    it)."""
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)
 
 
 def init_ray(num_cpus: int):
@@ -34,7 +52,8 @@ def init_ray(num_cpus: int):
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-                 logging_level="ERROR")
+                 logging_level="ERROR",
+                 runtime_env={"worker_process_setup_hook": _worker_quiet})
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -193,23 +212,34 @@ def scaling():
     # throughput, so the max observed rate is the least-biased estimate of
     # each level's true capability (standard microbenchmark practice)
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
-    results = {}
+    results, samples = {}, {}
     for ncpu in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
                    GRAFT_CORPUS_MULT=mult, GRAFT_HEADLINE_REPEATS="2")
-        best = None
+        best, level_samples = None, []
         for _ in range(repeats):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
                 env=env, capture_output=True, text=True, check=True,
             ).stdout
             r = json.loads(out.strip().splitlines()[-1])
+            level_samples.append(r["validated_rows_per_sec"])
             if best is None or r["validated_rows_per_sec"] > best["validated_rows_per_sec"]:
                 best = r
         results[ncpu] = best
+        samples[ncpu] = level_samples
     r_lo = results[lo]["validated_rows_per_sec"]
     r_hi = results[hi]["validated_rows_per_sec"]
     eff = (r_hi / r_lo) / (hi / lo)
+
+    def median(xs):
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    # headline numbers are best-of-N (each subprocess itself best-of-2
+    # in-process repeats); all samples + medians are recorded so consumers
+    # see the spread, not just the upper-bound estimator
     print(json.dumps(
         {
             f"sec_{lo}": results[lo]["queries"]["validate_code_files"],
@@ -219,6 +249,12 @@ def scaling():
             "n_cpus_low": lo,
             "n_cpus_high": hi,
             "scaling_efficiency": round(eff, 3),
+            "estimator": f"best-of-{repeats} subprocess runs, each best-of-2 in-process",
+            "samples_rows_per_sec": samples,
+            f"median_rows_per_sec_{lo}": round(median(samples[lo]), 1),
+            f"median_rows_per_sec_{hi}": round(median(samples[hi]), 1),
+            "scaling_efficiency_median": round(
+                (median(samples[hi]) / median(samples[lo])) / (hi / lo), 3),
         }
     ))
 

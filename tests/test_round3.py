@@ -1,0 +1,128 @@
+"""Round-3 additions: advisor fixes (asof empty-right schema, SimHash
+pigeonhole guarantee, uniqueness non-contiguous batches), vectorized MinHash
+signatures, distributed connected components, exact-quantile query."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+# ------------------------------------------- asof join: empty-right buckets
+
+
+def test_asof_join_bucket_with_left_but_no_right_keeps_value_columns(ray_session):
+    """A hash bucket whose users have purchases but no views must still
+    produce the right-side value columns (advisor medium finding: the
+    synthesized empty right frame lacked them → downstream KeyError)."""
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.joins import (
+        bucketed_asof_join,
+    )
+
+    ts = pd.date_range("2024-01-01", periods=8, freq="1min")
+    # 8 left users; the right side covers only ONE user, so most of the 8
+    # hash buckets have left rows and zero right files
+    left = pd.DataFrame({"user_id": [f"u{i}" for i in range(8)],
+                         "ts": ts, "event_id": np.arange(8)})
+    right = pd.DataFrame({"user_id": ["u0"], "ts": [ts[0]], "value": [2.5]})
+    out = bucketed_asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        on="ts", by="user_id", B=8,
+    ).to_pandas()
+    assert "value" in out.columns
+    assert len(out) == 8
+    matched = out[out["user_id"] == "u0"]["value"]
+    assert len(matched) == 1 and float(matched.iloc[0]) == 2.5
+    assert out[out["user_id"] != "u0"]["value"].isna().all()
+
+
+def test_asof_join_entirely_empty_right(ray_session):
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.joins import (
+        bucketed_asof_join,
+    )
+
+    ts = pd.date_range("2024-01-01", periods=4, freq="1min")
+    left = pd.DataFrame({"user_id": ["a", "b", "a", "b"], "ts": ts,
+                         "event_id": np.arange(4)})
+    right = pd.DataFrame({"user_id": pd.Series(dtype=str),
+                          "ts": pd.Series(dtype="datetime64[ns]"),
+                          "value": pd.Series(dtype=float)})
+    out = bucketed_asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        on="ts", by="user_id", B=4,
+    ).to_pandas()
+    assert len(out) == 4
+    # an entirely-empty right side writes no files → schema fallback; the
+    # join must still return every left row
+    assert set(out["user_id"]) == {"a", "b"}
+
+
+# --------------------------------------- SimHash pigeonhole block guarantee
+
+
+def test_simhash_blocks_guarantee_collision_up_to_max_hamming():
+    """Any pair at Hamming ≤ t must share at least one block key — exact,
+    not probabilistic (advisor finding: the rotation-prefix scheme only
+    guaranteed t ≤ 3 while the caller used t = 6)."""
+    from approximate_anomaly_detection_in_data_streams_ray.stages.dedup import (
+        simhash_buckets,
+    )
+
+    rng = np.random.default_rng(7)
+    for t in (3, 6):
+        base = rng.integers(0, 2**63, size=200, dtype=np.uint64)
+        flipped = base.copy()
+        for i in range(len(base)):
+            bits = rng.choice(64, size=t, replace=False)
+            for b in bits:
+                flipped[i] ^= np.uint64(1) << np.uint64(b)
+        tbl = pa.table({"doc_id": pa.array(np.arange(400, dtype=np.int64)),
+                        "simhash": pa.array(
+                            np.concatenate([base, flipped]).view(np.int64))})
+        out = simhash_buckets(tbl, "doc_id", max_hamming=t)
+        keys = out["bucket_key"].to_numpy()
+        ids = out["doc_id"].to_numpy()
+        n_blocks = max(4, t + 1)
+        for i in range(200):
+            ka = set(keys[ids == i].tolist())
+            kb = set(keys[ids == i + 200].tolist())
+            assert len(ka) <= n_blocks
+            assert ka & kb, f"pair {i} at hamming {t} shares no block key"
+
+
+def test_simhash_pairs_find_planted_hamming6_pair(ray_session):
+    """End-to-end: a text pair whose fingerprints differ in ≤ 6 bits is
+    reported by simhash_near_dup_pairs(max_hamming=6)."""
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.functions.sketches import (
+        simhash64_batch,
+    )
+    from approximate_anomaly_detection_in_data_streams_ray.stages.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    base = ("the quick brown fox jumps over the lazy dog " * 10).split()
+    docs = []
+    for i in range(40):
+        words = [f"w{rng.integers(0, 5000)}" for _ in range(120)]
+        docs.append(" ".join(words))
+    near = docs[0][:-12] + " tweaked tail"  # near-identical to docs[0]
+    docs.append(near)
+    fps = simhash64_batch([docs[0], near]).view(np.uint64)
+    ham = bin(int(fps[0] ^ fps[1])).count("1")
+    assume_found = ham <= 6
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs}))
+    pairs = simhash_near_dup_pairs(ds, max_hamming=6, n_partitions=8)
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    if assume_found:
+        assert (0, len(docs) - 1) in found
+    assert all(h <= 6 for h in pairs["hamming"])
