@@ -100,30 +100,32 @@ class MinHashSignatures:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, bucket_keys, sigs = [], [], []
-        texts = batch[self.text_col].to_pylist()
-        id_vals = batch[self.id_col].to_pylist()
+        """Whole-batch vectorized: signatures via
+        :meth:`MinHasher.signatures_batch` (one pass over the concatenated
+        Arrow string buffer), band keys as (docs × bands) splitmix rounds,
+        exploded doc-major.  No per-document Python (round 2's hotspot)."""
+        n_docs = len(batch)
+        sigs = self.mh.signatures_batch(batch[self.text_col], n=self.shingle)
         rows_per_band = self.mh.num_perm // self.bands
-        for i, text in enumerate(texts):
-            sig = self.mh.signature(char_shingle_hashes(text or "", self.shingle))
-            sig_b = sig.tobytes()
-            # one combined int64 bucket key per band: band id mixed into the
-            # band's segment hash (single exchange column)
-            seg = sig.reshape(self.bands, rows_per_band)
-            with np.errstate(over="ignore"):
-                h = np.zeros(self.bands, dtype=np.uint64)
-                for j in range(rows_per_band):
-                    h = splitmix64(h + seg[:, j])
-                h = splitmix64(h + np.arange(self.bands, dtype=np.uint64))
-            for k in h.astype(np.int64).tolist():
-                ids.append(id_vals[i])
-                bucket_keys.append(k)
-                sigs.append(sig_b)
+        seg = sigs.reshape(n_docs, self.bands, rows_per_band)
+        with np.errstate(over="ignore"):
+            # band id mixed into the band's segment hash → ONE int64
+            # exchange column
+            h = np.zeros((n_docs, self.bands), dtype=np.uint64)
+            for j in range(rows_per_band):
+                h = splitmix64(h + seg[:, :, j])
+            h = splitmix64(h + np.arange(self.bands, dtype=np.uint64)[None, :])
+        ids = np.repeat(batch[self.id_col].to_numpy(zero_copy_only=False), self.bands)
+        sig_rows = np.repeat(sigs, self.bands, axis=0)
+        sig_arr = pa.Array.from_buffers(
+            pa.binary(self.mh.num_perm * 8), n_docs * self.bands,
+            [None, pa.py_buffer(np.ascontiguousarray(sig_rows).tobytes())],
+        )
         return pa.table(
             {
                 self.id_col: pa.array(ids),
-                "bucket_key": pa.array(bucket_keys, pa.int64()),
-                "sig": pa.array(sigs, pa.binary()),
+                "bucket_key": pa.array(h.ravel().astype(np.int64)),
+                "sig": sig_arr,
             }
         )
 

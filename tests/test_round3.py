@@ -126,3 +126,61 @@ def test_simhash_pairs_find_planted_hamming6_pair(ray_session):
     if assume_found:
         assert (0, len(docs) - 1) in found
     assert all(h <= 6 for h in pairs["hamming"])
+
+
+# ------------------------------------------- vectorized MinHash signatures
+
+
+def test_minhash_signatures_batch_matches_scalar():
+    """signatures_batch must be bit-identical to the per-doc scalar path,
+    including short (< n bytes), empty, null, and non-ASCII docs."""
+    from approximate_anomaly_detection_in_data_streams_ray.functions.sketches import (
+        MinHasher,
+        char_shingle_hashes,
+    )
+
+    rng = np.random.default_rng(11)
+    docs = []
+    for i in range(60):
+        n_words = int(rng.integers(0, 200))
+        docs.append(" ".join(f"w{rng.integers(0, 500)}" for _ in range(n_words)))
+    docs += ["", "ab", "abcd", "héllo wörld ünïcode", None, "exact5"]
+    mh = MinHasher(num_perm=64)
+    texts = pa.array(docs, pa.string())
+    got = mh.signatures_batch(texts, n=5)
+    for i, d in enumerate(docs):
+        want = mh.signature(char_shingle_hashes(d or "", 5))
+        np.testing.assert_array_equal(got[i], want, err_msg=f"doc {i}: {d!r}")
+
+
+def test_minhash_signatures_batch_large_string():
+    from approximate_anomaly_detection_in_data_streams_ray.functions.sketches import (
+        MinHasher,
+        char_shingle_hashes,
+    )
+
+    docs = ["the quick brown fox " * 20, "lorem ipsum dolor sit amet " * 8]
+    mh = MinHasher(num_perm=32)
+    got = mh.signatures_batch(pa.array(docs, pa.large_string()), n=5)
+    for i, d in enumerate(docs):
+        np.testing.assert_array_equal(got[i], mh.signature(char_shingle_hashes(d, 5)))
+
+
+def test_minhash_pairs_unchanged_by_vectorization(ray_session):
+    """End-to-end: the near-dup pair list over a corpus with planted dups
+    is identical to what the scalar signature path produced."""
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.dedup import (
+        minhash_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    docs = [" ".join(f"w{rng.integers(0, 4000)}" for _ in range(150))
+            for _ in range(50)]
+    docs += [docs[3] + " tail", docs[7]]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs}))
+    pairs = minhash_near_dup_pairs(ds, threshold=0.7, n_partitions=8)
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (3, 50) in found and (7, 51) in found
