@@ -400,6 +400,31 @@ def value_quantiles(sf_dir: str):
     return pd.DataFrame(out).sort_values("event_type").reset_index(drop=True)
 
 
+def value_quantiles_exact(sf_dir: str):
+    """EXACT per-type quantiles (discrete / inverted-CDF, the element
+    DuckDB's ``quantile_disc`` picks) — the SQL-checkable twin of the
+    sketch-based ``value_quantiles``.  Per-type ``map_groups`` with a
+    vectorized percentile; the per-group-fits-in-memory assumption is the
+    documented trade for exactness (the sketch query is the 100-TB path).
+    Values are emitted UNROUNDED: both sides return the same element of
+    the data, so equality is bit-exact without any rounding convention."""
+    ds = _t(sf_dir, "events", columns=["event_type", "value"])
+
+    def exact_q(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pd.DataFrame(columns=["event_type", "n", "p50", "p90", "p99"])
+        qs = np.percentile(v, [50, 90, 99], method="inverted_cdf")
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "n": [len(v)], "p50": [qs[0]], "p90": [qs[1]],
+                             "p99": [qs[2]]})
+
+    out = ds.groupby("event_type").map_groups(exact_q, batch_format="pandas").to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def _min_id_embedding(sf_dir: str) -> np.ndarray:
     """The embedding of the smallest vec_id: min-aggregate over the pruned
     id column + a filtered take — two column-pruned scans, NO global sort
@@ -717,6 +742,22 @@ _LANGID_SQL = r"""CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'unknown'
             ELSE 'es' END"""
 
 
+# exact character-5-gram Jaccard self-join over documents (ASCII corpus →
+# char grams == the engine's byte grams; verified in TESTDATA exploration)
+_SHINGLE_JACCARD_CTE = r"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+                                   i -> substring(text, i, 5))) AS g
+      FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS nsz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_stats": """
         SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
@@ -876,6 +917,58 @@ ORACLE_SQL: dict[str, str] = {
             , 4) AS quality
         FROM f
     """,
+    "minhash_dedup_documents": _SHINGLE_JACCARD_CTE + """
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i * 1.0 / (sa.nsz + sb.nsz - i) >= 0.6
+        ORDER BY id_a, id_b
+    """,
+    "ngram_jaccard_dedup_documents": _SHINGLE_JACCARD_CTE + """
+        SELECT id_a, id_b, i::BIGINT AS n_inter,
+               (sa.nsz + sb.nsz - i)::BIGINT AS n_union
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i * 1.0 / (sa.nsz + sb.nsz - i) >= 0.6
+        ORDER BY id_a, id_b
+    """,
+    # the fingerprint side table is written (distributed, deterministic
+    # content) by the simhash query itself; the oracle checks the whole
+    # pair-finding step against the exact Hamming self-join — exact because
+    # the pigeonhole bucketing has recall 1.0 at the threshold
+    "simhash_dedup_documents": """
+        WITH fp AS (
+            SELECT * FROM read_parquet('/tmp/aads_oracle_fp/simhash_current/*.parquet'))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+        ORDER BY id_a, id_b
+    """,
+    "embedding_near_dup": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.92
+        ORDER BY id_a, id_b
+    """,
+    "embedding_near_dup_planted": """
+        WITH low AS (
+            SELECT vec_id + 10000000 AS vec_id, embedding
+            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 20)),
+        aug AS (SELECT vec_id, embedding FROM embeddings
+                UNION ALL SELECT vec_id, embedding FROM low)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        ORDER BY id_a, id_b
+    """,
+    "value_quantiles_exact": """
+        SELECT event_type, count(value)::BIGINT AS n,
+               quantile_disc(value, 0.5) AS p50,
+               quantile_disc(value, 0.9) AS p90,
+               quantile_disc(value, 0.99) AS p99
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+    """,
     "purchase_view_window_counts": """
         WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
              v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
@@ -966,40 +1059,104 @@ def hll_users_per_event_type(sf_dir: str):
 
 
 def minhash_dedup_documents(sf_dir: str):
+    """MinHash-LSH near-dup pair list, SQL-CHECKED against the exact
+    character-5-gram Jaccard self-join: the signature estimate carries
+    ±1/√64 ≈ 0.125 noise, so the 0.6 threshold is only an exact oracle
+    where the corpus's Jaccard distribution is bimodal around it — this
+    testdata's near-dup pairs sit ≥ 0.92 and background pairs ≤ 0.31
+    (measured), giving ≥ 5σ margin on both sides.  The pair IDS are the
+    checked output; the signature estimate itself is not SQL-derivable."""
     from ..stages.dedup import minhash_near_dup_pairs
 
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"], spread=True)
-    return minhash_near_dup_pairs(ds, threshold=0.7)
+    pairs = minhash_near_dup_pairs(ds, threshold=0.6)
+    return pairs[["id_a", "id_b"]].reset_index(drop=True)
+
+
+_ORACLE_FP_ROOT = "/tmp/aads_oracle_fp"
 
 
 def simhash_dedup_documents(sf_dir: str):
+    """SimHash near-dup pairs at Hamming ≤ 6, SQL-CHECKED end-to-end on the
+    pair-finding step: the fingerprint table is materialized as a Parquet
+    side table (distributed write) that the DuckDB oracle self-joins with
+    ``bit_count(xor(a, b)) <= 6`` — exact equality is guaranteed because
+    the pigeonhole bit-block bucketing has recall 1.0 at the threshold
+    (stages/dedup.py:simhash_buckets)."""
     from ..stages.dedup import simhash_near_dup_pairs
 
+    # fixed "current" path: each invocation overwrites it, and the oracle
+    # (which runs right after its query, on the same sf) reads it back —
+    # a static SQL string cannot parameterize on sf_dir
+    fp_dir = os.path.join(_ORACLE_FP_ROOT, "simhash_current")
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"], spread=True)
-    return simhash_near_dup_pairs(ds, max_hamming=6)
+    return simhash_near_dup_pairs(ds, max_hamming=6, fp_out_dir=fp_dir)
 
 
 def ngram_jaccard_dedup_documents(sf_dir: str):
-    from ..stages.dedup import minhash_near_dup_pairs, ngram_jaccard_verify
+    """Exact n-gram Jaccard over MinHash-LSH candidates (auto-routed
+    driver-collect vs distributed verify by candidate count).  Output
+    carries the exact shingle-set sizes (n_inter, n_union) so the DuckDB
+    oracle matches on integers — no float rounding conventions involved."""
+    from ..stages.dedup import minhash_near_dup_pairs, ngram_jaccard_verify_auto
 
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"], spread=True)
     cand = minhash_near_dup_pairs(ds, threshold=0.5)
-    return ngram_jaccard_verify(ds, cand, threshold=0.6)
+    out = ngram_jaccard_verify_auto(ds, cand, threshold=0.6)
+    return out[["id_a", "id_b", "n_inter", "n_union"]].reset_index(drop=True)
 
 
 def embedding_near_dup(sf_dir: str):
+    """Banded-hyperplane cosine near-dup, SQL-CHECKED against the exact
+    ``list_cosine_similarity`` self-join (0 pairs on this testdata — its
+    max natural pair cosine is 0.51; the planted-pair variant below
+    exercises the non-empty path)."""
     from ..stages.dedup import embedding_near_dup_pairs
 
     ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"], spread=True)
-    return embedding_near_dup_pairs(ds, threshold=0.92)
+    pairs = embedding_near_dup_pairs(ds, threshold=0.92)
+    return pairs[["id_a", "id_b"]].reset_index(drop=True)
+
+
+def embedding_near_dup_planted(sf_dir: str):
+    """The non-empty embedding near-dup path, SQL-CHECKED: the 20
+    smallest-id vectors are duplicated (vec_id + 10_000_000) into the
+    stream, and the LSH pipeline must report exactly those 20 pairs at
+    cosine ≥ 0.99 — identical vectors share every hyperplane band, so LSH
+    recall is 1.0 by construction, and the oracle recomputes the exact
+    all-pairs cosine self-join over the same augmented set."""
+    from ..stages.dedup import embedding_near_dup_pairs
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"], spread=True)
+    # smallest-20 via per-batch partial top-k (≤ 20 rows per block reach
+    # the driver — same pattern as top_orders, no full materialization)
+    low = (
+        _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(lambda df: df.sort_values("vec_id").head(20),
+                     batch_format="pandas")
+        .to_pandas().sort_values("vec_id").head(20)
+    )
+    low["vec_id"] = low["vec_id"] + 10_000_000
+    aug = ds.union(ray.data.from_pandas(low))
+    pairs = embedding_near_dup_pairs(aug, threshold=0.99)
+    return pairs[["id_a", "id_b"]].reset_index(drop=True)
 
 
 def ivf_ann_topk(sf_dir: str):
-    from ..stages.ann import ivf_topk
+    """IVF-probed approximate top-10 with the recall vs the exact top-10
+    computed IN the query (rows-only driver check carries the bound; exact
+    equality is impossible by design — nprobe/nlist caps recall on
+    unclustered vectors).  recall_at_10 is constant across the 10 rows."""
+    from ..stages.ann import brute_force_topk, ivf_topk
 
     ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"], spread=True)
     q = _min_id_embedding(sf_dir)
-    return ivf_topk(ds, q, k=10, nlist=16, nprobe=6)
+    approx = ivf_topk(ds, q, k=10, nlist=16, nprobe=6)
+    exact = brute_force_topk(ds, q, k=10)
+    recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / max(1, len(exact))
+    approx = approx.copy()
+    approx["recall_at_10"] = recall
+    return approx
 
 
 def langid_documents(sf_dir: str):
@@ -1187,12 +1344,14 @@ QUERIES = {
     "purchase_attribution": purchase_attribution,
     "events_moving_sum": events_moving_sum,
     "purchase_view_window_counts": purchase_view_window_counts,
-    # rows-only
-    "hll_users_per_event_type": hll_users_per_event_type,
     "minhash_dedup_documents": minhash_dedup_documents,
     "simhash_dedup_documents": simhash_dedup_documents,
     "ngram_jaccard_dedup_documents": ngram_jaccard_dedup_documents,
     "embedding_near_dup": embedding_near_dup,
+    "embedding_near_dup_planted": embedding_near_dup_planted,
+    "value_quantiles_exact": value_quantiles_exact,
+    # rows-only (sketches / detectors / IVF: approximate by nature)
+    "hll_users_per_event_type": hll_users_per_event_type,
     "ivf_ann_topk": ivf_ann_topk,
     "session_windows": session_windows,
     "value_quantiles": value_quantiles,

@@ -238,7 +238,8 @@ def simhash_buckets(batch: pa.Table, id_col: str, max_hamming: int = 3) -> pa.Ta
 
 def simhash_near_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                            max_hamming: int = 3, concurrency: int | None = None,
-                           n_partitions: int | None = None):
+                           n_partitions: int | None = None,
+                           fp_out_dir: str | None = None):
     """Near-dup pairs with Hamming(simhash) ≤ t, fully distributed AND
     exact-recall (pigeonhole bit-blocks, see :func:`simhash_buckets`): the
     fingerprint stage emits t+1 block-key bucket rows per doc, pairs are
@@ -272,6 +273,19 @@ def simhash_near_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         SimHashStage(id_col=id_col, text_col=text_col).__call__,  # plain tasks
         batch_format="pyarrow", batch_size=512,
     )
+    if fp_out_dir is not None:
+        # materialize the fingerprint table as partitioned Parquet (one
+        # distributed write; fingerprints are 16 B/doc) and feed the pair
+        # stage from the files — the side table doubles as the oracle
+        # input for the DuckDB bit_count(xor) self-join check
+        import shutil
+
+        import ray
+
+        shutil.rmtree(fp_out_dir, ignore_errors=True)
+        fps.write_parquet(fp_out_dir)
+        fps = ray.data.read_parquet(fp_out_dir)
+
     def bucketize(b: pa.Table) -> pa.Table:
         t = simhash_buckets(b, id_col, max_hamming=max_hamming)
         pb = (splitmix64(t["bucket_key"].to_numpy(zero_copy_only=False)
@@ -292,14 +306,28 @@ def simhash_near_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 # ------------------------------------------------------------- n-gram Jaccard
 
 
+_VERIFY_COLS = ["id_a", "id_b", "n_inter", "n_union", "jaccard"]
+
+
+def _empty_verify() -> pd.DataFrame:
+    return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                         "id_b": pd.Series(dtype="int64"),
+                         "n_inter": pd.Series(dtype="int64"),
+                         "n_union": pd.Series(dtype="int64"),
+                         "jaccard": pd.Series(dtype="float64")})
+
+
 def ngram_jaccard_verify(ds, candidate_pairs: pd.DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", n: int = 5,
                          threshold: float = 0.8) -> pd.DataFrame:
     """Exact n-gram Jaccard for a (small) candidate pair set: broadcast the
-    candidate ids, collect only those texts, verify vectorized."""
+    candidate ids, collect only those texts, verify vectorized.  Emits the
+    exact shingle-set sizes (``n_inter``, ``n_union``) alongside the ratio
+    so downstream comparisons (and the SQL oracle) can match on integers —
+    immune to float-rounding-convention differences."""
     wanted = set(candidate_pairs["id_a"]) | set(candidate_pairs["id_b"])
     if not wanted:
-        return candidate_pairs.assign(jaccard=pd.Series(dtype=float)).iloc[:0]
+        return _empty_verify()
     import pyarrow.compute as pc
 
     vs = pa.array(list(wanted))
@@ -314,11 +342,14 @@ def ngram_jaccard_verify(ds, candidate_pairs: pd.DataFrame, id_col: str = "doc_i
     rows = []
     for a_id, b_id in zip(ids_a, ids_b):
         a, b = shingles.get(a_id, empty), shingles.get(b_id, empty)
-        inter = np.intersect1d(a, b, assume_unique=True).size
-        jac = inter / max(1, a.size + b.size - inter)
+        inter = int(np.intersect1d(a, b, assume_unique=True).size)
+        union = max(1, a.size + b.size - inter)
+        jac = inter / union
         if jac >= threshold:
-            rows.append({"id_a": a_id, "id_b": b_id, "jaccard": jac})
-    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+            rows.append({"id_a": a_id, "id_b": b_id, "n_inter": inter,
+                         "n_union": int(union), "jaccard": jac})
+    out = pd.DataFrame(rows, columns=_VERIFY_COLS)
+    return out if len(out) else _empty_verify()
 
 
 def ngram_jaccard_verify_distributed(ds, candidate_pairs, id_col: str = "doc_id",
@@ -364,23 +395,51 @@ def ngram_jaccard_verify_distributed(ds, candidate_pairs, id_col: str = "doc_id"
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty or "id_a" not in df.columns:  # empty join buckets
-            return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
+            return _empty_verify()
         rows = []
         for a_id, b_id, sa, sb in zip(df["id_a"], df["id_b"], df["sh_a"], df["sh_b"]):
             a = np.frombuffer(sa, dtype=np.uint64)
             b = np.frombuffer(sb, dtype=np.uint64)
-            inter = np.intersect1d(a, b, assume_unique=True).size
-            jac = inter / max(1, a.size + b.size - inter)
+            inter = int(np.intersect1d(a, b, assume_unique=True).size)
+            union = max(1, a.size + b.size - inter)
+            jac = inter / union
             if jac >= threshold:
-                rows.append({"id_a": a_id, "id_b": b_id, "jaccard": jac})
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+                rows.append({"id_a": a_id, "id_b": b_id, "n_inter": inter,
+                             "n_union": int(union), "jaccard": jac})
+        out = pd.DataFrame(rows, columns=_VERIFY_COLS)
+        return out if len(out) else _empty_verify()
 
     out = j2.map_batches(verify, batch_format="pandas").to_pandas()
     if out.empty:
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                             "id_b": pd.Series(dtype="int64"),
-                             "jaccard": pd.Series(dtype="float64")})
+        return _empty_verify()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def ngram_jaccard_verify_auto(ds, candidate_pairs, id_col: str = "doc_id",
+                              text_col: str = "text", n: int = 5,
+                              threshold: float = 0.8,
+                              driver_collect_max: int = 20_000,
+                              scratch_dir: str | None = None) -> pd.DataFrame:
+    """ONE entry point for exact n-gram verification that routes on the
+    candidate-set size: small sets (≤ *driver_collect_max* pairs) take the
+    broadcast/collect path (faster — no Parquet exchange), larger sets take
+    the fully-distributed bucketed-join path where the driver never holds
+    texts.  The two paths are parity-tested (tests/test_round2.py)."""
+    if not isinstance(candidate_pairs, pd.DataFrame):
+        # Dataset candidates: the count decides the route; counting is a
+        # metadata/aggregate pass, not a materialization
+        n_cand = candidate_pairs.count()
+        if n_cand > driver_collect_max:
+            return ngram_jaccard_verify_distributed(
+                ds, candidate_pairs, id_col=id_col, text_col=text_col, n=n,
+                threshold=threshold, scratch_dir=scratch_dir)
+        candidate_pairs = candidate_pairs.to_pandas()
+    if len(candidate_pairs) > driver_collect_max:
+        return ngram_jaccard_verify_distributed(
+            ds, candidate_pairs, id_col=id_col, text_col=text_col, n=n,
+            threshold=threshold, scratch_dir=scratch_dir)
+    return ngram_jaccard_verify(ds, candidate_pairs, id_col=id_col,
+                                text_col=text_col, n=n, threshold=threshold)
 
 
 def connected_min_ids(pairs: pd.DataFrame) -> dict:

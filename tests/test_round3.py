@@ -184,3 +184,58 @@ def test_minhash_pairs_unchanged_by_vectorization(ray_session):
     pairs = minhash_near_dup_pairs(ds, threshold=0.7, n_partitions=8)
     found = set(zip(pairs["id_a"], pairs["id_b"]))
     assert (3, 50) in found and (7, 51) in found
+
+
+# --------------------------------------------- oracle-semantics properties
+
+
+def test_inverted_cdf_matches_duckdb_quantile_disc():
+    """value_quantiles_exact relies on numpy method='inverted_cdf' picking
+    the same element as DuckDB quantile_disc — property-check on random
+    sizes/values including ties."""
+    import duckdb
+
+    con = duckdb.connect()
+    rng = np.random.default_rng(21)
+    for trial in range(20):
+        n = int(rng.integers(1, 400))
+        vals = np.round(rng.standard_normal(n) * 10, 2)
+        if trial % 3 == 0:
+            vals = np.repeat(vals[: max(1, n // 4)], 4)[:n]  # heavy ties
+        con.execute("CREATE OR REPLACE TABLE v AS SELECT unnest(?) AS x",
+                    [vals.tolist()])
+        want = con.execute(
+            "SELECT quantile_disc(x, 0.5), quantile_disc(x, 0.9), "
+            "quantile_disc(x, 0.99) FROM v").fetchone()
+        got = np.percentile(vals, [50, 90, 99], method="inverted_cdf")
+        assert tuple(got) == want, (n, trial)
+
+
+def test_ngram_verify_auto_routes_by_candidate_count(ray_session, tmp_path):
+    """One entry point: small candidate sets collect to the driver, large
+    ones take the distributed path — identical results either way."""
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.dedup import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_verify_auto,
+    )
+
+    base = ("some shared sentence with plenty of overlapping text tokens "
+            "for jaccard purposes repeated often enough ") * 4
+    texts = [base, base + " tail", base.replace("often", "rarely"),
+             "an unrelated document " * 10]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t)
+    cand = minhash_near_dup_pairs(ds, threshold=0.4)
+    assert len(cand) >= 2
+    small = ngram_jaccard_verify_auto(ds, cand, threshold=0.6)
+    big = ngram_jaccard_verify_auto(ds, cand, threshold=0.6,
+                                    driver_collect_max=0,
+                                    scratch_dir=str(tmp_path))
+    s = small.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = big.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        s[["id_a", "id_b", "n_inter", "n_union"]],
+        b[["id_a", "id_b", "n_inter", "n_union"]], check_dtype=False)
