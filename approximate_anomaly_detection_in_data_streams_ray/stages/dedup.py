@@ -467,25 +467,121 @@ def connected_min_ids(pairs: pd.DataFrame) -> dict:
     return {x: find(x) for x in parent}
 
 
-def apply_near_dedup(ds, pairs: pd.DataFrame, id_col: str = "doc_id"):
+def connected_components_distributed(pairs_ds, max_iters: int = 50):
+    """Connected components over a (id_a, id_b) pair Dataset WITHOUT driver
+    materialization: min-label propagation expressed purely as Ray-native
+    ``groupby`` shuffles — each iteration unions the (symmetric + self-loop)
+    edge rows with the current label rows, propagates every node's label to
+    its neighbors inside one ``map_groups`` pass, and takes the per-node
+    min.  Labels only decrease, so the label SUM is a monotone convergence
+    witness (one tiny aggregate per iteration); iterations = cluster
+    diameter, which is small for near-dup graphs.  Returns a Dataset of
+    ``(node, label)`` where ``label`` is the component's min id.
+
+    Partitioning assumption (custom-operator contract): one node's edge
+    list fits in a worker's heap — salt super-nodes if a single document
+    pairs with millions of others."""
+    import ray
+    from ray.data.aggregate import Min
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False)
+        c = b["id_b"].to_numpy(zero_copy_only=False)
+        src = np.concatenate([a, c, a, c])
+        dst = np.concatenate([c, a, a, c])  # both directions + self loops
+        return pa.table({"key": pa.array(src), "dst": pa.array(dst),
+                         "label": pa.array(np.zeros(len(src), np.int64)),
+                         "kind": pa.array(np.zeros(len(src), np.int8))})
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
+    # iteration 0 for free: label(x) = min(N(x) ∪ {x})
+    labels = edges.groupby("key").aggregate(Min("dst", alias_name="label")) \
+        .map_batches(lambda b: b.rename_columns(["node", "label"]),
+                     batch_format="pyarrow").materialize()
+    prev_sum = labels.sum("label")
+
+    def prop(g: pd.DataFrame) -> pd.DataFrame:
+        lbl = g.loc[g["kind"] == 1, "label"].min()
+        dsts = g.loc[g["kind"] == 0, "dst"].to_numpy()
+        nodes = np.concatenate([dsts, [g["key"].iloc[0]]])
+        return pd.DataFrame({"node": nodes,
+                             "label": np.full(len(nodes), lbl, dtype=np.int64)})
+
+    for _ in range(max_iters):
+        label_rows = labels.map_batches(
+            lambda b: pa.table({"key": b["node"],
+                                "dst": b["node"],
+                                "label": b["label"],
+                                "kind": pa.array(np.ones(len(b), np.int8))}),
+            batch_format="pyarrow")
+        labels = (
+            edges.union(label_rows)
+            .groupby("key").map_groups(prop, batch_format="pandas")
+            .groupby("node").aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
+def apply_near_dedup(ds, pairs, id_col: str = "doc_id",
+                     max_driver_pairs: int = 2_000_000):
     """The APPLY step of near-dedup: drop every document that belongs to a
-    near-dup cluster except the cluster's min-id survivor.  The pair list is
-    output-sized → union-find on the driver, the drop-id set broadcasts via
-    ``ray.put``, and the corpus streams through a vectorized anti-filter —
-    never materialized."""
+    near-dup cluster except the cluster's min-id survivor.
+
+    Routing (round 2 silently assumed the pair list was driver-sized):
+    * pair list ≤ *max_driver_pairs* → union-find on the driver, drop-id
+      set broadcast via ``ray.put``, corpus streams through a vectorized
+      anti-filter;
+    * larger (or already a Dataset over the cap) →
+      :func:`connected_components_distributed` + a bucketed anti-join, so
+      neither the pair list nor the drop set ever materializes on the
+      driver — the high-dup-rate 100 TB case.
+    """
     import pyarrow.compute as pc
     import ray
 
-    if len(pairs) == 0:
-        return ds
-    canon = connected_min_ids(pairs)
-    drop = pa.array([k for k, v in canon.items() if k != v])
-    drop_ref = ray.put(drop)
+    pairs_ds = None
+    if not isinstance(pairs, pd.DataFrame):
+        n_pairs = pairs.count()
+        if n_pairs <= max_driver_pairs:
+            pairs = pairs.to_pandas()
+        else:
+            pairs_ds = pairs
+    if pairs_ds is None and len(pairs) <= max_driver_pairs:
+        if len(pairs) == 0:
+            return ds
+        canon = connected_min_ids(pairs)
+        drop = pa.array([k for k, v in canon.items() if k != v])
+        drop_ref = ray.put(drop)
 
-    def keep(b: pa.Table) -> pa.Table:
-        return b.filter(pc.invert(pc.is_in(b[id_col], value_set=ray.get(drop_ref))))
+        def keep(b: pa.Table) -> pa.Table:
+            return b.filter(pc.invert(pc.is_in(b[id_col], value_set=ray.get(drop_ref))))
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    if pairs_ds is None:
+        pairs_ds = ray.data.from_pandas(pairs[["id_a", "id_b"]])
+    labels = connected_components_distributed(pairs_ds)
+
+    def mark_drop(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.not_equal(b["node"], b["label"]))
+        # float64 marker: pandas left-merge upcasts misses to NaN/float64,
+        # so a uniform dtype keeps every bucket's schema identical
+        return pa.table({id_col: f["node"],
+                         "_drop": pa.array(np.ones(len(f), np.float64))})
+
+    drop = labels.map_batches(mark_drop, batch_format="pyarrow")
+    from .joins import bucketed_hash_join
+
+    joined = bucketed_hash_join(ds, drop, key=id_col, how="left")
+    return joined.map_batches(
+        lambda b: b.filter(pc.is_null(b["_drop"])).drop_columns(["_drop"]),
+        batch_format="pyarrow",
+    )
 
 
 # ------------------------------------------------------- embedding near-dup

@@ -239,3 +239,63 @@ def test_ngram_verify_auto_routes_by_candidate_count(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         s[["id_a", "id_b", "n_inter", "n_union"]],
         b[["id_a", "id_b", "n_inter", "n_union"]], check_dtype=False)
+
+
+# ------------------------------------- distributed connected components
+
+
+def test_distributed_cc_matches_union_find(ray_session):
+    """Min-label propagation over the pair Dataset must assign every node
+    the same canonical min-id as the driver union-find, on a graph with
+    chains (diameter > 1), stars and singleton pairs."""
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.dedup import (
+        connected_components_distributed,
+        connected_min_ids,
+    )
+
+    rng = np.random.default_rng(13)
+    edges = []
+    # chain 0-1-2-...-9 (diameter 9), star around 100, random pairs
+    edges += [(i, i + 1) for i in range(9)]
+    edges += [(100, 100 + i) for i in range(1, 6)]
+    edges += [(int(a), int(b)) for a, b in
+              rng.integers(200, 260, size=(30, 2)) if a != b]
+    pairs = pd.DataFrame(edges, columns=["id_a", "id_b"])
+    want = connected_min_ids(pairs)
+    got = connected_components_distributed(
+        ray.data.from_pandas(pairs)).to_pandas()
+    got_map = dict(zip(got["node"], got["label"]))
+    assert got_map == want
+
+
+def test_apply_near_dedup_distributed_path_high_dup_rate(ray_session):
+    """Forced high dup rate (every doc belongs to a cluster) through the
+    DISTRIBUTED path (max_driver_pairs=0): survivors are exactly the
+    cluster minima; no driver union-find involved."""
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.dedup import (
+        apply_near_dedup,
+        connected_min_ids,
+    )
+
+    n = 300
+    ids = np.arange(n, dtype=np.int64)
+    # clusters of 3: (0,1,2), (3,4,5), ... via chain pairs
+    pairs = pd.DataFrame({
+        "id_a": ids[ids % 3 != 2],
+        "id_b": ids[ids % 3 != 2] + 1,
+    })
+    corpus = pd.DataFrame({"doc_id": ids, "text": [f"doc {i}" for i in ids]})
+    ds = ray.data.from_pandas(corpus)
+    out = apply_near_dedup(ds, ray.data.from_pandas(pairs),
+                           max_driver_pairs=0).to_pandas()
+    canon = connected_min_ids(pairs)
+    want_survivors = set(ids.tolist()) - {k for k, v in canon.items() if k != v}
+    assert set(out["doc_id"]) == want_survivors
+    assert sorted(out.columns) == ["doc_id", "text"]
+    # driver path agrees
+    out2 = apply_near_dedup(ds, pairs).to_pandas()
+    assert set(out2["doc_id"]) == want_survivors
