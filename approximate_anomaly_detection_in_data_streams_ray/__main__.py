@@ -133,7 +133,8 @@ def cmd_validate(args) -> int:
     from .checks.base import ValidationConfig
     from .pipelines.runner import run_validation
 
-    cfg = ValidationConfig(drift_algorithm=args.driftAlgorithm)
+    cfg = ValidationConfig(drift_algorithm=args.driftAlgorithm,
+                           drift_chain_repos=args.driftChainRepos)
     summary = run_validation(args.source, args.out, cfg,
                              checks=args.checks.split(",") if args.checks else None)
     print(json.dumps(summary, indent=1))
@@ -198,6 +199,9 @@ def main(argv=None) -> int:
     v.add_argument("--out", required=True)
     v.add_argument("--checks", default=None)
     v.add_argument("--driftAlgorithm", default="mcod")
+    v.add_argument("--driftChainRepos", action="store_true",
+                   help="exact cross-item window continuation for repos "
+                        "that straddle work-item boundaries")
     v.set_defaults(fn=cmd_validate)
 
     q = sub.add_parser("query", help="run a named pipeline ('list' to enumerate)")

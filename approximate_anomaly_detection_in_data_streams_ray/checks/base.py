@@ -68,6 +68,11 @@ class ValidationConfig:
     compact_violations: bool = True
     # run drift inside the extract pass (feature table already in memory)
     drift_inline: bool = True
+    # cross-item window continuation: repos that straddle work-item
+    # boundaries are excluded from the per-item drift pass and scored by
+    # one sequential chain task each (exact single-window parity instead of
+    # the default salted subset semantics; costs a plan-time boundary read)
+    drift_chain_repos: bool = False
     # hash buckets for the uniqueness dup scan (low-cardinality groupby)
     uniqueness_buckets: int = 64
 

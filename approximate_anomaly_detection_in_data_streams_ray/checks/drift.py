@@ -76,6 +76,92 @@ def calibrate_radius(vectors: np.ndarray, k: int, window: int, factor: float) ->
     return max(r, 1e-6)
 
 
+class StreamDetector:
+    """Incremental form of the per-sub-stream detection loop: ``feed`` chunk
+    arrays in any batch sizes, ``finish`` flushes and returns the results.
+    Exactly equivalent to running the whole stream at once — chunks are
+    re-batched internally into slide-sized micro-batches from position 0,
+    and radius calibration waits for the first window-sized sample (the
+    same ``vectors[:W]`` the one-shot path uses) — so a repo chained across
+    work items scores identically to an unsplit run.  Memory is O(window),
+    independent of stream length."""
+
+    def __init__(self, cfg: ValidationConfig, partition_seed: int) -> None:
+        self.cfg = cfg
+        self.seed = partition_seed
+        self.det = None
+        self.radius = cfg.drift_radius
+        self._calib: list[np.ndarray] = []
+        self._calib_n = 0
+        self._buf: np.ndarray | None = None  # pending partial slide
+        self.max_rate = 0.0
+        self._prev_events = 0
+        self.scored_events = 0
+        self.scored_points = 0
+        self.warmup = max(2 * cfg.drift_k, cfg.drift_window // 4)
+
+    def _ensure_det(self) -> None:
+        vec = (np.concatenate(self._calib, axis=0) if self._calib
+               else np.empty((0, 1)))
+        self._calib = []
+        if self.cfg.drift_auto_radius:
+            self.radius = calibrate_radius(vec, self.cfg.drift_k,
+                                           self.cfg.drift_window,
+                                           self.cfg.drift_radius_factor)
+        self.det = make_detector(self.cfg, vec.shape[1], self.seed, self.radius)
+        self._advance(vec)
+
+    def _slide(self, batch: np.ndarray) -> None:
+        # don't score while the window is too sparse to host k neighbors
+        window_filled = len(self.det.window) >= self.warmup
+        self.det.process_new_stream_objects(batch)
+        events = self.det.n_insert_outliers
+        delta = events - self._prev_events
+        self._prev_events = events
+        if window_filled:
+            self.max_rate = max(self.max_rate, delta / max(1, len(batch)))
+            self.scored_events += delta
+            self.scored_points += len(batch)
+
+    def _advance(self, chunks: np.ndarray) -> None:
+        data = (chunks if self._buf is None or not len(self._buf)
+                else np.concatenate([self._buf, chunks], axis=0))
+        S = self.cfg.drift_slide
+        n_full = len(data) // S
+        for i in range(n_full):
+            self._slide(data[i * S : (i + 1) * S])
+        self._buf = data[n_full * S :]
+
+    def feed(self, chunks: np.ndarray) -> None:
+        if not len(chunks):
+            return
+        if self.det is None:
+            self._calib.append(chunks)
+            self._calib_n += len(chunks)
+            if self._calib_n >= self.cfg.drift_window:
+                self._ensure_det()
+        else:
+            self._advance(chunks)
+
+    def finish(self):
+        if self.det is None:
+            self._ensure_det()
+        if self._buf is not None and len(self._buf):
+            self._slide(self._buf)
+            self._buf = None
+        self.det.evaluate_remaining_elems_in_win()
+        res = self.det.get_results()
+        # ids are 1-based
+        idx = np.array(sorted(self.det.outliers_found), dtype=np.int64) - 1
+        metrics = {
+            "radius": self.radius,
+            "max_slide_outlier_rate": self.max_rate,
+            "scored_events": self.scored_events,
+            "scored_points": self.scored_points,
+        }
+        return idx, res, metrics
+
+
 def detect_partition(vectors: np.ndarray, cfg: ValidationConfig, partition_seed: int):
     """Run one sub-stream through a detector; return (outlier 0-based
     indices, counters, drift metrics).  Mirrors
@@ -84,37 +170,9 @@ def detect_partition(vectors: np.ndarray, cfg: ValidationConfig, partition_seed:
     the per-slide outlier-classification rate — a sustained distribution
     shift shows up as a burst of outlier classifications while the window
     still holds the previous regime."""
-    radius = cfg.drift_radius
-    if cfg.drift_auto_radius:
-        radius = calibrate_radius(vectors, cfg.drift_k, cfg.drift_window,
-                                  cfg.drift_radius_factor)
-    det = make_detector(cfg, vectors.shape[1], partition_seed, radius)
-    S = cfg.drift_slide
-    # don't score while the window is too sparse to host k neighbors
-    warmup = max(2 * cfg.drift_k, cfg.drift_window // 4)
-    max_rate, prev_events = 0.0, 0
-    scored_events, scored_points = 0, 0
-    for start in range(0, len(vectors), S):
-        batch = vectors[start : start + S]
-        window_filled = len(det.window) >= warmup
-        det.process_new_stream_objects(batch)
-        events = det.n_insert_outliers
-        delta = events - prev_events
-        prev_events = events
-        if window_filled:
-            max_rate = max(max_rate, delta / max(1, len(batch)))
-            scored_events += delta
-            scored_points += len(batch)
-    det.evaluate_remaining_elems_in_win()
-    res = det.get_results()
-    idx = np.array(sorted(det.outliers_found), dtype=np.int64) - 1  # ids are 1-based
-    metrics = {
-        "radius": radius,
-        "max_slide_outlier_rate": max_rate,
-        "scored_events": scored_events,
-        "scored_points": scored_points,
-    }
-    return idx, res, metrics
+    sd = StreamDetector(cfg, partition_seed)
+    sd.feed(vectors)
+    return sd.finish()
 
 
 def chunk_vectors(vecs: np.ndarray, chunk_rows: int) -> tuple[np.ndarray, np.ndarray]:
@@ -148,13 +206,82 @@ def chunk_vectors(vecs: np.ndarray, chunk_rows: int) -> tuple[np.ndarray, np.nda
     return chunks, starts
 
 
+class ChunkAccumulator:
+    """Incremental :func:`chunk_vectors` over a stream fed in arbitrary
+    pieces (item slices of a chained repo): carries the <chunk_rows leftover
+    rows (and their row_refs) across feeds so chunk boundaries land exactly
+    where a one-shot call over the concatenated stream would put them.
+    ``feed`` returns the newly completed chunks; ``finish`` applies the tail
+    rules (single-chunk stream when total < C, else keep the tail iff
+    ≥ C//2).  Memory is O(C) rows regardless of stream length."""
+
+    def __init__(self, chunk_rows: int) -> None:
+        self.C = chunk_rows
+        self._left_v: np.ndarray | None = None
+        self._left_r: list = []
+        self.n_rows = 0
+        self._n_full = 0
+
+    @staticmethod
+    def _moments(body: np.ndarray) -> np.ndarray:
+        # same d+1 feature space as chunk_vectors: per-chunk means + std of
+        # feature 0
+        if body.ndim == 2:
+            return np.concatenate([body.mean(axis=0), [body[:, 0].std()]])
+        means = body.mean(axis=1)
+        stds = body[:, :, 0].std(axis=1, keepdims=True)
+        return np.concatenate([means, stds], axis=1)
+
+    def feed(self, vecs: np.ndarray, refs: list):
+        """Returns (chunks, global_row_starts, start_row_refs) for the
+        chunks completed by this feed."""
+        C = self.C
+        if C <= 1:
+            starts = np.arange(self.n_rows, self.n_rows + len(vecs))
+            self.n_rows += len(vecs)
+            self._n_full += len(vecs)
+            return vecs, starts, list(refs)
+        if self._left_v is not None and len(self._left_v):
+            data = np.concatenate([self._left_v, vecs], axis=0)
+            drefs = self._left_r + list(refs)
+        else:
+            data, drefs = vecs, list(refs)
+        base = self.n_rows - len(self._left_r)
+        self.n_rows += len(vecs)
+        n_full = len(data) // C
+        self._left_v = data[n_full * C :]
+        self._left_r = drefs[n_full * C :]
+        if n_full == 0:
+            return (np.empty((0, data.shape[1] + 1)), np.empty(0, np.int64), [])
+        body = data[: n_full * C].reshape(n_full, C, data.shape[1])
+        chunks = self._moments(body)
+        starts = base + np.arange(n_full) * C
+        self._n_full += n_full
+        return chunks, starts, [drefs[i * C] for i in range(n_full)]
+
+    def finish(self):
+        C = self.C
+        n_left = 0 if self._left_v is None else len(self._left_v)
+        if C <= 1 or n_left == 0:
+            return (np.empty((0, 1)), np.empty(0, np.int64), [])
+        # total stream < C → single chunk (chunk_vectors' n_full == 0 path);
+        # otherwise keep the tail only when it is at least half a chunk
+        if self._n_full > 0 and n_left < C // 2:
+            return (np.empty((0, 1)), np.empty(0, np.int64), [])
+        chunk = self._moments(self._left_v)[None, :]
+        start = np.array([self.n_rows - n_left], np.int64)
+        return chunk, start, [self._left_r[0]]
+
+
 def run_drift_item(t: pa.Table, item_id: str, out_dir: str,
-                   cfg: ValidationConfig, manifest) -> pa.Table:
+                   cfg: ValidationConfig, manifest,
+                   exclude_repos: frozenset = frozenset()) -> pa.Table:
     """Run the drift detectors over one work item's feature table: one
     window per contiguous repo run, violations + summary written atomically.
     Called with the in-memory table by the fused extract stage
     (``stages/features.py``) and with a re-read table by the standalone
-    :class:`DriftRunner`."""
+    :class:`DriftRunner`.  *exclude_repos* names the item-straddling repos
+    handled by the sequential chain pass (:func:`run_repo_chain`) instead."""
     from ..functions.hashing import stable_hash64
     from ..pipelines.checkpoint import atomic_write_parquet
 
@@ -185,6 +312,8 @@ def run_drift_item(t: pa.Table, item_id: str, out_dir: str,
     C = max(1, cfg.drift_chunk_rows)
     for b0, b1 in zip(bounds[:-1], bounds[1:]):
         repo = str(repos[b0])
+        if repo in exclude_repos:
+            continue
         n_sub = b1 - b0
         seed = int(stable_hash64([repo])[0] % (2**31)) ^ cfg.drift_seed
         chunks, starts = chunk_vectors(vecs[b0:b1], C)
@@ -251,15 +380,154 @@ def run_drift_item(t: pa.Table, item_id: str, out_dir: str,
     return summary
 
 
+def _chain_id(repo: str) -> str:
+    import hashlib
+
+    return hashlib.sha1(repo.encode()).hexdigest()[:12]
+
+
+def _summary_table(s_rows: dict) -> pa.Table:
+    return pa.table(
+        {
+            "repo": pa.array(s_rows["repo"], pa.string()),
+            "item_id": pa.array(s_rows["item_id"], pa.string()),
+            "n": pa.array(s_rows["n"], pa.int64()),
+            "n_pure_outliers": pa.array(s_rows["n_pure_outliers"], pa.int64()),
+            "n_outlier_events": pa.array(s_rows["n_outlier_events"], pa.int64()),
+            "n_range_queries": pa.array(s_rows["n_range_queries"], pa.int64()),
+            "max_slide_outlier_rate": pa.array(
+                s_rows["max_slide_outlier_rate"], pa.float64()
+            ),
+            "radius": pa.array(s_rows["radius"], pa.float64()),
+            "insufficient": pa.array(s_rows["insufficient"], pa.bool_()),
+            "scored_events": pa.array(s_rows["scored_events"], pa.int64()),
+            "scored_points": pa.array(s_rows["scored_points"], pa.int64()),
+        }
+    )
+
+
+def run_repo_chain(repo: str, item_ids: list[str], out_dir: str,
+                   cfg: ValidationConfig, manifest=None) -> pa.Table:
+    """Sequential cross-item window continuation for one straddling repo:
+    stream its feature slices item by item (plan order) through ONE
+    :class:`ChunkAccumulator` + :class:`StreamDetector`, so the repo scores
+    exactly as if it had never been split — the exact-parity alternative to
+    the default per-sub-stream subset semantics.  One Ray task per chained
+    repo is the maximum available parallelism: the window is inherently
+    sequential, but chains for different repos run concurrently and the
+    detector holds only O(window) state (rows compress C-fold into chunks
+    before the detector ever sees them).  Violations and the summary land in
+    the same layout as per-item drift output; the manifest unit
+    ``drift-chain/<id>`` makes chains resumable."""
+    from ..functions.hashing import stable_hash64
+    from ..pipelines.checkpoint import Manifest, atomic_write_parquet
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    manifest = manifest or Manifest(out_dir)
+    cid = _chain_id(repo)
+    unit = f"drift-chain/{cid}"
+    spath = os.path.join(out_dir, "drift_summaries", f"chain={cid}.parquet")
+    if manifest.is_done(unit) and os.path.exists(spath):
+        return pq.read_table(spath)
+
+    scales = np.array([cfg.feature_scales.get(f, 1.0) for f in DRIFT_FEATURES])
+    seed = int(stable_hash64([repo])[0] % (2**31)) ^ cfg.drift_seed
+    C = max(1, cfg.drift_chunk_rows)
+    acc = ChunkAccumulator(C)
+    sd = StreamDetector(cfg, seed)
+    chunk_starts: list[int] = []
+    chunk_refs: list[str] = []
+    for iid in item_ids:
+        t = pq.read_table(
+            os.path.join(out_dir, "features", f"item={iid}", "part.parquet"),
+            columns=["repo", "row_ref"] + DRIFT_FEATURES,
+        )
+        t = t.filter(pc.equal(t["repo"], repo))
+        if not t.num_rows:
+            continue
+        vecs = np.stack(
+            [t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in DRIFT_FEATURES], axis=1,
+        ) * scales
+        chunks, starts, refs = acc.feed(vecs, t["row_ref"].to_pylist())
+        sd.feed(chunks)
+        chunk_starts.extend(starts.tolist())
+        chunk_refs.extend(refs)
+    chunks, starts, refs = acc.finish()
+    sd.feed(chunks)
+    chunk_starts.extend(starts.tolist())
+    chunk_refs.extend(refs)
+
+    n_sub = acc.n_rows
+    if len(chunk_starts) < cfg.drift_min_points:
+        idx = np.empty(0, dtype=np.int64)
+        res = {"nOnlyOutlier": 0, "nBothInlierOutlier": 0,
+               "nRangeQueriesExecuted": 0}
+        met = {"radius": 0.0, "max_slide_outlier_rate": 0.0,
+               "scored_events": 0, "scored_points": 0}
+        n_points, insufficient = n_sub, True
+    else:
+        idx, res, met = sd.finish()
+        n_points, insufficient = len(chunk_starts), False
+
+    v_rows = {"check": [], "partition_key": [], "row_ref": [], "detail": []}
+    for i in idx.tolist():
+        r0 = chunk_starts[i]
+        r1 = (chunk_starts[i + 1] if i + 1 < len(chunk_starts) else n_sub)
+        v_rows["check"].append("drift")
+        v_rows["partition_key"].append(repo)
+        v_rows["row_ref"].append(chunk_refs[i])
+        v_rows["detail"].append(f"pure_outlier_chunk rows {r0}-{r1 - 1}")
+    atomic_write_parquet(
+        pa.table({k: pa.array(v, pa.string()) for k, v in v_rows.items()}),
+        os.path.join(out_dir, "violations", "drift", f"chain={cid}",
+                     "part.parquet"),
+    )
+    summary = _summary_table({
+        "repo": [repo], "item_id": [f"chain[{len(item_ids)}]"],
+        "n": [n_points], "n_pure_outliers": [len(idx)],
+        "n_outlier_events": [res["nOnlyOutlier"] + res["nBothInlierOutlier"]],
+        "n_range_queries": [res["nRangeQueriesExecuted"]],
+        "max_slide_outlier_rate": [met["max_slide_outlier_rate"]],
+        "radius": [met["radius"]], "insufficient": [insufficient],
+        "scored_events": [met["scored_events"]],
+        "scored_points": [met["scored_points"]],
+    })
+    atomic_write_parquet(summary, spath)
+    manifest.mark_done(unit)
+    return summary
+
+
+def run_chained_repos(chains: dict[str, list[str]], out_dir: str,
+                      cfg: ValidationConfig) -> pa.Table | None:
+    """One Ray task per straddling repo (sequential within, parallel
+    across); serial fallback without a Ray session."""
+    import ray
+
+    if not chains:
+        return None
+    items = sorted(chains.items())
+    if ray.is_initialized():
+        task = ray.remote(num_cpus=1)(run_repo_chain)
+        tables = ray.get([task.remote(r, ids, out_dir, cfg) for r, ids in items])
+    else:
+        tables = [run_repo_chain(r, ids, out_dir, cfg) for r, ids in items]
+    return pa.concat_tables(tables)
+
+
 class DriftRunner:
     """Actor over work items for the standalone drift phase (used when the
     fused extract+drift pass is disabled or summaries are missing)."""
 
-    def __init__(self, out_dir: str, cfg: ValidationConfig) -> None:
+    def __init__(self, out_dir: str, cfg: ValidationConfig,
+                 exclude_repos: frozenset = frozenset()) -> None:
         from ..pipelines.checkpoint import Manifest
 
         self.out_dir = out_dir
         self.cfg = cfg
+        self.exclude_repos = exclude_repos
         self.manifest = Manifest(out_dir)
 
     def _run_item(self, item_id: str) -> pa.Table:
@@ -272,7 +540,8 @@ class DriftRunner:
         feat_path = os.path.join(self.out_dir, "features", f"item={item_id}",
                                  "part.parquet")
         t = pq.read_table(feat_path, columns=["repo", "row_ref"] + DRIFT_FEATURES)
-        return run_drift_item(t, item_id, self.out_dir, self.cfg, self.manifest)
+        return run_drift_item(t, item_id, self.out_dir, self.cfg, self.manifest,
+                              exclude_repos=self.exclude_repos)
 
     def __call__(self, items: pa.Table) -> pa.Table:
         outs = [self._run_item(items["item_id"][i].as_py()) for i in range(len(items))]
@@ -404,12 +673,16 @@ def run_drift_check(items_ds, cfg: ValidationConfig, ctx):
     else:
         summaries = items_ds.map_batches(
             DriftRunner,
-            fn_constructor_args=(ctx["out_dir"], cfg),
+            fn_constructor_args=(ctx["out_dir"], cfg,
+                                 ctx.get("drift_chain_exclude", frozenset())),
             batch_format="pyarrow",
             batch_size=1,
             concurrency=(1, cfg.drift_concurrency),
         )
         sdf = summaries.to_pandas()
+    extra = ctx.get("drift_chain_summaries")
+    if extra is not None:
+        sdf = pd.concat([sdf, extra.to_pandas()], ignore_index=True)
     verdict_rows = merge_all_drift_summaries(sdf, cfg)
     import ray
 

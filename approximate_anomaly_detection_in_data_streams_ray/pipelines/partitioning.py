@@ -31,6 +31,47 @@ class WorkItem:
     n_rows: int
 
 
+def _boundary_repos(path: str, rg_start: int, rg_end: int) -> tuple[str, str]:
+    """(first row's repo, last row's repo) of a row-group range, reading
+    only the two boundary row groups' ``repo`` column (column projection —
+    no content bytes move)."""
+    pf = pq.ParquetFile(path)
+    first_col = pf.read_row_group(rg_start, columns=["repo"])["repo"]
+    last_col = (first_col if rg_end - 1 == rg_start
+                else pf.read_row_group(rg_end - 1, columns=["repo"])["repo"])
+    return (str(first_col[0].as_py() or ""),
+            str(last_col[len(last_col) - 1].as_py() or ""))
+
+
+def find_straddling_repos(items: list[WorkItem]) -> dict[str, list[str]]:
+    """repo → ordered item_ids, for every repo whose contiguous run crosses
+    a work-item boundary (the salted splits).  Used by the optional
+    cross-item window continuation (``cfg.drift_chain_repos``): these repos
+    are excluded from the per-item drift pass and scored by one sequential
+    chain each instead.  Boundary detection reads only each item's first and
+    last row group's ``repo`` column; parallelized as Ray tasks when a
+    session exists (plan-time metadata pass, not a data scan)."""
+    import ray
+
+    if len(items) < 2:
+        return {}
+    args = [(it.path, it.rg_start, it.rg_end) for it in items]
+    if ray.is_initialized() and len(items) > 4:
+        task = ray.remote(num_cpus=0.5)(_boundary_repos)
+        bounds = ray.get([task.remote(*a) for a in args])
+    else:
+        bounds = [_boundary_repos(*a) for a in args]
+    chains: dict[str, list[str]] = {}
+    for i in range(len(items) - 1):
+        last_i, first_next = bounds[i][1], bounds[i + 1][0]
+        if last_i and last_i == first_next:
+            lst = chains.setdefault(last_i, [])
+            if not lst or lst[-1] != items[i].item_id:
+                lst.append(items[i].item_id)
+            lst.append(items[i + 1].item_id)
+    return chains
+
+
 def plan_work_items(paths: list[str], target_rows: int = 250_000) -> list[WorkItem]:
     items: list[WorkItem] = []
     for path in sorted(paths):

@@ -109,6 +109,14 @@ def run_validation(
             }
 
     items = plan_work_items(paths, target_rows=cfg.target_rows_per_item)
+    # optional exact cross-item window continuation: repos straddling item
+    # boundaries (detected from boundary row groups at plan time) are pulled
+    # out of the per-item drift pass and chained sequentially per repo
+    chain_repos: dict[str, list[str]] = {}
+    if cfg.drift_chain_repos and "drift" in checks:
+        from .partitioning import find_straddling_repos
+
+        chain_repos = find_straddling_repos(items)
     items_ds = _items_dataset(items)
 
     # --- Phase 1: fused extraction (plain tasks, checkpoint per item) —
@@ -124,7 +132,8 @@ def run_validation(
     extract_ds = items_ds.map_batches(
         make_extract_fn(out_dir, cfg, fused_checks,
                         os.path.join(source_dir, "repos.parquet"),
-                        os.path.join(source_dir, "commits.parquet")),
+                        os.path.join(source_dir, "commits.parquet"),
+                        chain_repos=frozenset(chain_repos)),
         batch_format="pyarrow",
         batch_size=1,
     )
@@ -208,6 +217,14 @@ def run_validation(
     }
 
     timings["extract"] = time.time() - t_start - timings.get("schema", 0.0)
+
+    if chain_repos:
+        t0 = time.time()
+        from ..checks.drift import run_chained_repos
+
+        ctx["drift_chain_exclude"] = frozenset(chain_repos)
+        ctx["drift_chain_summaries"] = run_chained_repos(chain_repos, out_dir, cfg)
+        timings["drift_chain"] = time.time() - t0
 
     runners = {
         "drift": lambda: run_drift_check(items_ds, cfg, ctx),

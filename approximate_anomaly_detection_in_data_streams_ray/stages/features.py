@@ -80,17 +80,19 @@ def extract_features(batch: pa.Table) -> pa.Table:
 _EXTRACTOR_CACHE: dict = {}
 
 
-def make_extract_fn(out_dir: str, cfg, checks, repos_path: str, commits_path: str):
+def make_extract_fn(out_dir: str, cfg, checks, repos_path: str, commits_path: str,
+                    chain_repos: frozenset = frozenset()):
     """Plain-task wrapper around :class:`FeatureExtractor`: the extractor
     (dims tables + manifest handle) is built once per reused worker process
     and cached, so tasks pay no per-item setup and the run pays no
     actor-pool startup."""
-    key = (out_dir, tuple(sorted(checks or [])))
+    key = (out_dir, tuple(sorted(checks or [])), chain_repos)
 
     def extract_item(batch):
         ex = _EXTRACTOR_CACHE.get(key)
         if ex is None:
-            ex = FeatureExtractor(out_dir, cfg, checks, repos_path, commits_path)
+            ex = FeatureExtractor(out_dir, cfg, checks, repos_path, commits_path,
+                                  chain_repos=chain_repos)
             _EXTRACTOR_CACHE[key] = ex
         return ex(batch)
 
@@ -108,11 +110,13 @@ class FeatureExtractor:
     """
 
     def __init__(self, out_dir: str, cfg=None, checks: list[str] | None = None,
-                 repos_path: str | None = None, commits_path: str | None = None) -> None:
+                 repos_path: str | None = None, commits_path: str | None = None,
+                 chain_repos: frozenset = frozenset()) -> None:
         import os
 
         from ..pipelines.checkpoint import Manifest
 
+        self.chain_repos = chain_repos
         self.out_dir = out_dir
         self.manifest = Manifest(out_dir)
         self.features_dir = os.path.join(out_dir, "features")
@@ -164,7 +168,8 @@ class FeatureExtractor:
 
             sp = os.path.join(self.out_dir, "drift_summaries", f"item={item_id}.parquet")
             if not self._unit_done("drift", item_id, sp):
-                run_drift_item(load(None), item_id, self.out_dir, cfg, self.manifest)
+                run_drift_item(load(None), item_id, self.out_dir, cfg, self.manifest,
+                               exclude_repos=self.chain_repos)
 
         if "stats" in self.checks:
             from ..checks.stats import null_and_length_violations, stats_partials
