@@ -30,26 +30,57 @@ import pyarrow as pa
 from ..functions.hashing import stable_hash64
 
 
-def _write_bucketed(ds, key: str, B: int, path: str) -> pa.Schema | None:
+def _scratch_root(scratch_dir: str | None, prefix: str):
+    """Resolve *scratch_dir* — a local path, or any ``pyarrow.fs`` URI such
+    as ``s3://bucket/tmp`` or ``file:///mnt/shared`` — to a (filesystem,
+    unique run directory) pair.  The exchange's writers and bucket readers
+    all go through this filesystem handle, so pointing ``scratch_dir`` at
+    object storage removes the shared-POSIX-mount assumption (see
+    README "Storage contract")."""
+    import uuid
+
+    from pyarrow import fs as pafs
+
+    if scratch_dir is None:
+        return pafs.LocalFileSystem(), tempfile.mkdtemp(prefix=prefix)
+    if "://" in scratch_dir:
+        fsys, base = pafs.FileSystem.from_uri(scratch_dir)
+    else:
+        fsys, base = pafs.LocalFileSystem(), scratch_dir
+    root = f"{base.rstrip('/')}/{prefix}{uuid.uuid4().hex[:12]}"
+    fsys.create_dir(root, recursive=True)
+    return fsys, root
+
+
+def _bucket_files(fsys, path: str, bucket: int) -> list[str]:
+    from pyarrow import fs as pafs
+
+    sel = pafs.FileSelector(f"{path}/bucket={bucket}", allow_not_found=True)
+    return sorted(f.path for f in fsys.get_file_info(sel)
+                  if f.is_file and f.path.endswith(".parquet"))
+
+
+def _write_bucketed(ds, key: str, B: int, path: str, fsys) -> pa.Schema | None:
     def add(b: pa.Table) -> pa.Table:
         h = stable_hash64(b[key])
         return b.append_column("bucket", pa.array((h % B).astype(np.int32)))
 
     ds.map_batches(add, batch_format="pyarrow").write_parquet(
-        path, partition_cols=["bucket"]
+        path, filesystem=fsys, partition_cols=["bucket"]
     )
     # the side's full schema, from any written file's footer — needed to
     # synthesize schema-complete empty frames for buckets this side missed
     # (a bucket with left rows but no right files must still produce the
     # right value columns, else downstream blocks disagree on schema)
-    import glob
-
     import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
 
-    files = glob.glob(os.path.join(path, "bucket=*", "*.parquet"))
+    sel = pafs.FileSelector(path, recursive=True, allow_not_found=True)
+    files = [f.path for f in fsys.get_file_info(sel)
+             if f.is_file and f.path.endswith(".parquet")]
     if not files:
         return None
-    schema = pq.read_schema(files[0])
+    schema = pq.read_schema(files[0], filesystem=fsys)
     return pa.schema([f for f in schema if f.name != "bucket"])
 
 
@@ -73,24 +104,23 @@ def bucketed_hash_join(left, right, key: str, B: int = 32, how: str = "inner",
     """
     import ray
 
-    root = tempfile.mkdtemp(prefix="join_", dir=scratch_dir)
-    lpath, rpath = os.path.join(root, "l"), os.path.join(root, "r")
-    _write_bucketed(left, key, B, lpath)
-    right_schema = _write_bucketed(right, key, B, rpath)
+    fsys, root = _scratch_root(scratch_dir, "join_")
+    lpath, rpath = f"{root}/l", f"{root}/r"
+    _write_bucketed(left, key, B, lpath, fsys)
+    right_schema = _write_bucketed(right, key, B, rpath, fsys)
 
     def join_bucket(b: pa.Table) -> pa.Table:
-        import glob
-
         import pyarrow.dataset as pads
 
         outs = []
         for bucket in b["bucket"].to_pylist():
-            lf = glob.glob(os.path.join(lpath, f"bucket={bucket}", "*.parquet"))
-            rf = glob.glob(os.path.join(rpath, f"bucket={bucket}", "*.parquet"))
+            lf = _bucket_files(fsys, lpath, bucket)
+            rf = _bucket_files(fsys, rpath, bucket)
             if not lf or (not rf and how == "inner"):
                 continue
-            lg = pads.dataset(lf).to_table().to_pandas() if lf else pd.DataFrame()
-            rg = (pads.dataset(rf).to_table().to_pandas() if rf
+            lg = (pads.dataset(lf, filesystem=fsys).to_table().to_pandas()
+                  if lf else pd.DataFrame())
+            rg = (pads.dataset(rf, filesystem=fsys).to_table().to_pandas() if rf
                   else _empty_frame(right_schema, (key,), lg))
             joined = lg.merge(rg, on=key, how=how, suffixes=suffixes)
             if len(joined):
@@ -119,25 +149,25 @@ def bucketed_asof_join(left, right, on: str, by: str, B: int = 32,
     ``ASOF LEFT JOIN`` semantics (inclusive bound)."""
     import ray
 
-    root = tempfile.mkdtemp(prefix="asof_", dir=scratch_dir)
-    lpath, rpath = os.path.join(root, "l"), os.path.join(root, "r")
-    _write_bucketed(left, by, B, lpath)
-    right_schema = _write_bucketed(right, by, B, rpath)
+    fsys, root = _scratch_root(scratch_dir, "asof_")
+    lpath, rpath = f"{root}/l", f"{root}/r"
+    _write_bucketed(left, by, B, lpath, fsys)
+    right_schema = _write_bucketed(right, by, B, rpath, fsys)
 
     def join_bucket(b: pa.Table) -> pa.Table:
-        import glob
-
         import pyarrow.dataset as pads
 
         outs = []
         for bucket in b["bucket"].to_pylist():
-            lf = glob.glob(os.path.join(lpath, f"bucket={bucket}", "*.parquet"))
+            lf = _bucket_files(fsys, lpath, bucket)
             if not lf:
                 continue
-            rf = glob.glob(os.path.join(rpath, f"bucket={bucket}", "*.parquet"))
-            lg = pads.dataset(lf).to_table().to_pandas().sort_values(on, kind="stable")
+            rf = _bucket_files(fsys, rpath, bucket)
+            lg = pads.dataset(lf, filesystem=fsys).to_table().to_pandas() \
+                .sort_values(on, kind="stable")
             if rf:
-                rg = pads.dataset(rf).to_table().to_pandas().sort_values(on, kind="stable")
+                rg = pads.dataset(rf, filesystem=fsys).to_table().to_pandas() \
+                    .sort_values(on, kind="stable")
             else:
                 rg = _empty_frame(right_schema, (on, by), lg)
             joined = pd.merge_asof(lg, rg, on=on, by=by, direction=direction,

@@ -492,3 +492,43 @@ def test_chained_drift_exact_parity_on_hot_repo(ray_session, tmp_path):
     all_items = pads.dataset(glob.glob(os.path.join(
         out, "drift_summaries", "item=*.parquet"))).to_table().to_pandas()
     assert "hotrepo" not in set(all_items["repo"])
+
+
+# ----------------------------------------- scratch_dir on a filesystem URI
+
+
+def test_bucketed_join_scratch_on_fs_uri(ray_session, tmp_path):
+    """The bucket exchanges must accept a pyarrow.fs URI scratch_dir (the
+    object-store deployment path); exercised with file:// — the same
+    FileSystem.from_uri machinery an s3:// URI takes."""
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.joins import (
+        bucketed_asof_join,
+        bucketed_hash_join,
+    )
+
+    uri = f"file://{tmp_path}/scratch"
+    left = pd.DataFrame({"k": np.arange(100) % 7, "a": np.arange(100)})
+    right = pd.DataFrame({"k": np.arange(7), "b": np.arange(7) * 10})
+    out = bucketed_hash_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        key="k", B=4, scratch_dir=uri,
+    ).to_pandas().sort_values("a").reset_index(drop=True)
+    want = left.merge(right, on="k").sort_values("a").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["k", "a", "b"]], want[["k", "a", "b"]], check_dtype=False)
+    # the exchange actually landed under the URI's path
+    import os
+
+    assert os.path.isdir(tmp_path / "scratch")
+
+    ts = pd.date_range("2024-01-01", periods=10, freq="1min")
+    lft = pd.DataFrame({"u": ["a"] * 10, "ts": ts, "e": np.arange(10)})
+    rgt = pd.DataFrame({"u": ["a"], "ts": [ts[3]], "v": [1.5]})
+    out2 = bucketed_asof_join(
+        ray.data.from_pandas(lft), ray.data.from_pandas(rgt),
+        on="ts", by="u", B=2, scratch_dir=uri,
+    ).to_pandas()
+    assert out2.loc[out2["ts"] >= ts[3], "v"].eq(1.5).all()
+    assert out2.loc[out2["ts"] < ts[3], "v"].isna().all()
