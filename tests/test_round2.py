@@ -87,9 +87,14 @@ def test_simhash_dedup_finds_planted_near_dups(ray_session):
         simhash_near_dup_pairs,
     )
 
-    base = ("the quick brown fox jumps over the lazy dog and runs far away "
-            "into the deep dark forest where nobody ever goes at all ") * 4
-    texts = [base, base.replace("forest", "jungle"),
+    unit = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep dark forest where nobody ever goes at all ")
+    base = unit * 4
+    # near-dup = ONE word changed in ONE of the four repetitions (a
+    # 1-of-~116-token perturbation; replacing all four occurrences puts the
+    # expected SimHash distance right AT the t=6 bucket threshold, where
+    # the pass/fail flips with the token-hash function)
+    texts = [base, unit * 3 + unit.replace("forest", "jungle"),
              "completely unrelated text about maritime navigation " * 12,
              "yet another unrelated piece of writing entirely " * 12]
     t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
