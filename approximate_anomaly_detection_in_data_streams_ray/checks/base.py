@@ -75,6 +75,10 @@ class ValidationConfig:
     drift_chain_repos: bool = False
     # hash buckets for the uniqueness dup scan (low-cardinality groupby)
     uniqueness_buckets: int = 64
+    # buckets per key-file row group AND per exchange scan task: the key
+    # writer aligns row-group boundaries to multiples of this, so a scan
+    # task reading an aligned bucket range decodes exactly its own rows
+    uniqueness_scan_block: int = 4
 
 
 CHECK_REGISTRY: dict[str, Callable] = {}

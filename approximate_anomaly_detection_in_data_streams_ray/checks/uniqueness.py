@@ -24,7 +24,7 @@ from .base import ValidationConfig, register_check
 _DATASET_CACHE: dict = {}  # per-worker-process parquet dataset handles
 
 
-def _dup_rows_from_key_files(key_dir: str, P: int) -> pa.Table:
+def _dup_rows_from_key_files(key_dir: str, P: int, blk: int = 4) -> pa.Table:
     """Explicit bucket exchange over the per-item key files written by the
     fused extract pass: each of P tasks reads only its bucket's row groups
     (files are bucket-sorted, so parquet row-group stats prune the rest),
@@ -65,7 +65,11 @@ def _dup_rows_from_key_files(key_dir: str, P: int) -> pa.Table:
         lo, hi = min(bs), max(bs)
         in_range = ((pads.field("bucket") >= lo) & (pads.field("bucket") <= hi)
                     & pads.field("bucket").isin(bs))
-        t = dataset.to_table(filter=in_range, columns=["bucket", "key_hash"])
+        # use_threads=False: this runs inside a 1-CPU Ray worker — Arrow's
+        # default per-scan thread pool (one thread per hardware core, times
+        # one pool per concurrent task) only adds contention here
+        t = dataset.scanner(filter=in_range, columns=["bucket", "key_hash"],
+                            use_threads=False).to_table()
         kh = t["key_hash"].to_numpy(zero_copy_only=False)
         bk = t["bucket"].to_numpy(zero_copy_only=False)
         order = np.lexsort((kh, bk))
@@ -77,14 +81,16 @@ def _dup_rows_from_key_files(key_dir: str, P: int) -> pa.Table:
         dups = np.unique(khs[dup_mask])
         # late materialization: re-scan the range for just the dup rows'
         # strings (output-sized)
-        return dataset.to_table(
+        return dataset.scanner(
             filter=in_range & pads.field("key_hash").isin(pa.array(dups, pa.int64())),
-            columns=["key_hash", "repo", "row_ref"],
-        )
+            columns=["key_hash", "repo", "row_ref"], use_threads=False,
+        ).to_table()
 
-    from ..stages.common import cluster_cpus
-
-    bsz = max(1, P // max(1, int(cluster_cpus())))
+    # one scan task per key-file row-group block (the writer aligned row
+    # groups to blk-bucket multiples, so each task decodes exactly its own
+    # rows — no neighbour-bucket amplification); P/blk tasks is plenty of
+    # parallelism for an 8-byte-per-row exchange
+    bsz = max(1, int(blk))
     buckets = ray.data.from_items([{"bucket": i} for i in range(P)])
     res = buckets.map_batches(scan_buckets, batch_format="pyarrow", batch_size=bsz)
     tables = [t for t in res.iter_batches(batch_size=None, batch_format="pyarrow")
@@ -105,7 +111,8 @@ def run_uniqueness_check(features_ds, cfg: ValidationConfig, ctx=None):
     if key_dir and os.path.isdir(key_dir):
         # fused path: the bucket exchange returns the candidate rows with
         # their (repo, row_ref) directly — go straight to confirmation
-        cand = _dup_rows_from_key_files(key_dir, P).to_pandas()
+        cand = _dup_rows_from_key_files(
+            key_dir, P, getattr(cfg, "uniqueness_scan_block", 4)).to_pandas()
         return _confirm_and_report(cand)
     else:
         # standalone path: bucket groupby + vectorized per-bucket dup scan

@@ -50,9 +50,6 @@ def extract_features(batch: pa.Table) -> pa.Table:
 
     n_chars_np = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
     n_lines_np = n_lines.to_numpy(zero_copy_only=False).astype(np.float64)
-    key_src = pc.binary_join_element_wise(
-        pc.binary_join_element_wise(repo, path, "\x1f"), commit, "\x1f"
-    )
 
     # NOTE: no regex kernels here on purpose.  Round 1 also emitted token /
     # punctuation / digit profiles (three full RE2 passes over every byte of
@@ -67,7 +64,10 @@ def extract_features(batch: pa.Table) -> pa.Table:
             "lang": batch["lang"],
             "row_ref": row_ref,
             "sha256": batch["sha256"],
-            "key_hash": pa.array(stable_hash64(key_src).astype(np.int64)),
+            # row_ref ("repo/path@commit") IS the uniqueness key string —
+            # hashing it directly saves a second 2-kernel string build, and
+            # the exact-key confirmation already groups on row_ref
+            "key_hash": pa.array(stable_hash64(row_ref).astype(np.int64)),
             "content_len": n_chars,
             "log_len": pa.array(np.log1p(n_chars_np)),
             "n_lines": pc.cast(n_lines, pa.int64()),
@@ -220,13 +220,18 @@ class FeatureExtractor:
                         "row_ref": pc.take(t["row_ref"], idx),
                     }
                 )
-                # bucket-sorted + one row group per ~bucket → a bucket-merge
-                # task prunes to its row groups via parquet stats
+                # bucket-sorted with row-group boundaries ALIGNED to
+                # uniqueness_scan_block-bucket multiples: an exchange task
+                # scanning an aligned bucket range reads exactly one row
+                # group per file and decodes none of its neighbours' rows
                 os.makedirs(os.path.dirname(kp), exist_ok=True)
-                pq.write_table(
-                    keys, kp + ".tmp",
-                    row_group_size=max(2048, len(keys) // P + 1),
-                )
+                blk = max(1, int(getattr(cfg, "uniqueness_scan_block", 4)))
+                bounds = np.searchsorted(
+                    bucket[order], np.arange(0, P + blk, blk, dtype=np.int64))
+                with pq.ParquetWriter(kp + ".tmp", keys.schema) as w:
+                    for s, e in zip(bounds[:-1], bounds[1:]):
+                        if e > s:
+                            w.write_table(keys.slice(s, e - s))
                 os.replace(kp + ".tmp", kp)
                 self.manifest.mark_done(f"keys/{item_id}")
 
