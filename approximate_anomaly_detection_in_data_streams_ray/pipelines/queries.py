@@ -961,6 +961,40 @@ ORACLE_SQL: dict[str, str] = {
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
         ORDER BY id_a, id_b
     """,
+    "dataset_split": """
+        SELECT CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) <= 'b' THEN 'train'
+                    WHEN substr(md5(doc_id::VARCHAR), 1, 1) <= 'd' THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+        FROM documents GROUP BY 1
+    """,
+    "stratified_sample_documents": """
+        SELECT lang, h, doc_id FROM (
+            SELECT lang, md5(text) AS h, doc_id,
+                   row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+            FROM documents)
+        WHERE rn <= 20 ORDER BY lang, h, doc_id
+    """,
+    "token_doc_freq": """
+        SELECT token, count(DISTINCT doc_id)::BIGINT AS df_docs FROM (
+            SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+            FROM documents)
+        WHERE token <> '' GROUP BY token ORDER BY df_docs DESC, token LIMIT 30
+    """,
+    "pack_sequences": """
+        WITH t AS (
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '[A-Za-z0-9_]+'))::BIGINT AS n_tokens
+            FROM documents),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+            FROM t)
+        SELECT (cum // 2048)::BIGINT AS bin_id, count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS bin_tokens
+        FROM c GROUP BY 1 ORDER BY 1
+    """,
     "value_quantiles_exact": """
         SELECT event_type, count(value)::BIGINT AS n,
                quantile_disc(value, 0.5) AS p50,
@@ -1264,6 +1298,106 @@ def multimodal_decode(sf_dir: str):
 _CODE_CACHE = {}
 
 
+def dataset_split(sf_dir: str):
+    """Deterministic train/val/test split by md5 of the document id —
+    the standard leakage-free hash split for training corpora (no state,
+    any worker places any row identically).  md5 (not :func:`stable_hash64`)
+    so DuckDB's ``md5()`` reproduces the buckets bit-for-bit in the oracle.
+    """
+    from ..functions.hashing import md5_hex_arrow
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def classify(b: pa.Table) -> pa.Table:
+        t = pa.table({"doc_id": pc.cast(b["doc_id"], pa.string()),
+                      "n_chars": b["n_chars"]})
+        t = md5_hex_arrow(t, "doc_id", out="h")
+        c = pc.utf8_slice_codeunits(t["h"], 0, 1)
+        # hex chars are ASCII-ordered: 0-b = 12/16 train, c-d val, e-f test
+        split = pc.if_else(
+            pc.less_equal(c, "b"), pa.scalar("train"),
+            pc.if_else(pc.less_equal(c, "d"), pa.scalar("val"), pa.scalar("test")),
+        )
+        return pa.table({"split": split, "n_chars": t["n_chars"]})
+
+    return ds.map_batches(classify, batch_format="pyarrow").groupby("split").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+
+def stratified_sample_documents(sf_dir: str):
+    """Per-language deterministic sample: the 20 docs with the smallest
+    ``(md5(text), doc_id)`` per lang — hash-order sampling is reproducible
+    across runs/cluster sizes (unlike seeded RNG over a nondeterministic
+    row order) and exactly SQL-checkable.  Partial per-block top-k keeps
+    the shuffle at ≤ 20·langs rows per block."""
+    from ..functions.hashing import md5_hex_arrow
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "text"], spread=True)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        t = md5_hex_arrow(b, "text", out="h")
+        df = t.select(["lang", "h", "doc_id"]).to_pandas()
+        return (df.sort_values(["h", "doc_id"]).groupby("lang", sort=False)
+                .head(20))
+
+    out = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (out.sort_values(["h", "doc_id"]).groupby("lang", sort=False).head(20))
+    return (out[["lang", "h", "doc_id"]]
+            .sort_values(["lang", "h", "doc_id"]).reset_index(drop=True))
+
+
+def token_doc_freq(sf_dir: str):
+    """Top-30 tokens by DOCUMENT frequency (distinct docs containing the
+    token).  Each doc's row exists in exactly one batch, so per-batch
+    (doc, token) dedup makes the per-batch counts globally summable — the
+    shuffle carries (token, partial_df) pairs, never the postings."""
+    ds = _t(sf_dir, "documents", columns=["text"], spread=True)
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(b["text"], ""),
+                                      pattern=r"[^A-Za-z0-9_]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        df = pd.DataFrame({"d": parent.filter(mask).to_numpy(zero_copy_only=False),
+                           "token": flat.filter(mask).to_pandas()})
+        vc = df.drop_duplicates()["token"].value_counts()
+        return pa.table({"token": pa.array(vc.index, pa.string()),
+                         "df_docs": pa.array(vc.to_numpy(), pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("token").aggregate(
+        Sum("df_docs", alias_name="df_docs"))
+
+    def top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["df_docs", "token"], ascending=[False, True]).head(30)
+
+    out = agg.map_batches(top, batch_format="pandas").to_pandas()
+    return (out.sort_values(["df_docs", "token"], ascending=[False, True])
+            .head(30).reset_index(drop=True))
+
+
+def pack_sequences(sf_dir: str):
+    """Sequence packing for training batches: docs in doc_id order fill
+    2048-token bins via a distributed exclusive prefix sum
+    (stages/scan.py) — bin membership is a pure function of the running
+    total, so the whole packing is verified bin-for-bin by a SQL window
+    frame.  Returns per-bin (n_docs, bin_tokens)."""
+    from ..stages.scan import pack_bins
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"], spread=True)
+
+    def ntok(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.fill_null(pc.count_substring_regex(b["text"], TOKEN_RE), 0),
+                    pa.int64())
+        return pa.table({"doc_id": b["doc_id"], "n_tokens": n})
+
+    packed = pack_bins(ds.map_batches(ntok, batch_format="pyarrow"),
+                       "doc_id", "n_tokens", cap=2048)
+    return packed.groupby("bin_id").aggregate(
+        Count(alias_name="n_docs"), Sum("n_tokens", alias_name="bin_tokens"))
+
+
 def _code_files_dir(sf_dir: str) -> str:
     """Deterministic synthetic code_files corpus sized by the sf of the
     testdata dir, cached under /tmp."""
@@ -1350,6 +1484,10 @@ QUERIES = {
     "embedding_near_dup": embedding_near_dup,
     "embedding_near_dup_planted": embedding_near_dup_planted,
     "value_quantiles_exact": value_quantiles_exact,
+    "dataset_split": dataset_split,
+    "stratified_sample_documents": stratified_sample_documents,
+    "token_doc_freq": token_doc_freq,
+    "pack_sequences": pack_sequences,
     # rows-only (sketches / detectors / IVF: approximate by nature)
     "hll_users_per_event_type": hll_users_per_event_type,
     "ivf_ann_topk": ivf_ann_topk,

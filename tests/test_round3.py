@@ -532,3 +532,48 @@ def test_bucketed_join_scratch_on_fs_uri(ray_session, tmp_path):
     ).to_pandas()
     assert out2.loc[out2["ts"] >= ts[3], "v"].eq(1.5).all()
     assert out2.loc[out2["ts"] < ts[3], "v"].isna().all()
+
+
+# ------------------------------------------------- ordered-scan operators
+
+
+def test_exclusive_prefix_sum_matches_numpy(ray_session):
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.scan import (
+        exclusive_prefix_sum,
+    )
+
+    rng = np.random.default_rng(7)
+    keys = rng.permutation(5000)          # unique, shuffled arrival order
+    vals = rng.integers(0, 100, size=5000)
+    df = pd.DataFrame({"k": keys, "v": vals})
+    out = exclusive_prefix_sum(
+        ray.data.from_pandas(df).repartition(8), "k", "v", out_col="c"
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    order = np.argsort(keys)
+    want = np.concatenate(([0], np.cumsum(vals[order])[:-1]))
+    assert (out["c"].to_numpy() == want).all()
+    assert (out["v"].to_numpy() == vals[order]).all()
+
+
+def test_pack_bins_invariants(ray_session):
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.scan import pack_bins
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    df = pd.DataFrame({"doc_id": np.arange(n), "n_tokens": rng.integers(1, 400, n)})
+    cap = 1024
+    out = pack_bins(ray.data.from_pandas(df).repartition(6),
+                    "doc_id", "n_tokens", cap=cap).to_pandas()
+    assert len(out) == n                                   # every doc assigned
+    total = df["n_tokens"].sum()
+    assert out["n_tokens"].sum() == total
+    # bins are contiguous in doc order and each bin's EXCLUSIVE start is
+    # inside its boundary (the defining fixed-boundary property)
+    out = out.sort_values("doc_id")
+    cum_excl = np.concatenate(([0], np.cumsum(out["n_tokens"].to_numpy())[:-1]))
+    assert (out["bin_id"].to_numpy() == cum_excl // cap).all()
+    assert (np.diff(out["bin_id"].to_numpy()) >= 0).all()
