@@ -324,3 +324,57 @@ def weighted_quantiles(samples: np.ndarray, weights: np.ndarray, qs) -> list[flo
         pos = np.searchsorted(cw, q * total, side="left")
         out.append(float(s[min(pos, len(s) - 1)]) if len(s) else float("nan"))
     return out
+
+
+# ----------------------------------------------------------------- Bloom
+
+
+class BloomFilter:
+    """Vectorized Bloom filter over int64/uint64 keys.
+
+    Built once on the small side of a semi-join, shipped to every probe
+    task via ``ray.put`` (the packed bit array is ``m/8`` bytes — far
+    smaller than the key hash set it screens for), and probed with pure
+    numpy: ``k`` index derivations per batch, no Python per row.  False
+    positives are expected; callers that need exactness re-check the
+    (rare) bloom-positive rows against the real key set.
+
+    The ``k`` hash functions are successive :func:`splitmix64` rounds of
+    the key — deterministic across processes, so a filter built on the
+    driver probes identically inside every worker.
+    """
+
+    __slots__ = ("m", "k", "bits")
+
+    def __init__(self, n_keys: int, fp_rate: float = 0.01):
+        n_keys = max(int(n_keys), 1)
+        m = int(np.ceil(-n_keys * np.log(fp_rate) / (np.log(2) ** 2)))
+        self.m = max(64, (m + 63) // 64 * 64)  # whole uint64 words
+        self.k = max(1, int(round(self.m / n_keys * np.log(2))))
+        self.bits = np.zeros(self.m // 64, dtype=np.uint64)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        """(k, n) bit positions; successive splitmix rounds as the hashes."""
+        h = keys.astype(np.uint64, copy=True)
+        out = np.empty((self.k, len(keys)), dtype=np.uint64)
+        for i in range(self.k):
+            h = splitmix64(h)
+            out[i] = h % np.uint64(self.m)
+        return out
+
+    def add(self, keys: np.ndarray) -> "BloomFilter":
+        pos = self._positions(np.asarray(keys))
+        word, bit = pos >> np.uint64(6), pos & np.uint64(63)
+        np.bitwise_or.at(self.bits, word.ravel(),
+                         np.uint64(1) << bit.ravel())
+        return self
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        """Boolean mask: True ⇒ key *may* be present (FP rate ≈ fp_rate)."""
+        keys = np.asarray(keys)
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(keys)
+        word, bit = pos >> np.uint64(6), pos & np.uint64(63)
+        hits = (self.bits[word] >> bit) & np.uint64(1)
+        return hits.all(axis=0).astype(bool)

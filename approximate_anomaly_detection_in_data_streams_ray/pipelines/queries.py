@@ -727,6 +727,272 @@ def purchase_view_window_counts(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def user_running_spend(sf_dir: str):
+    """Cumulative (running-total) WINDOW FUNCTION: per-user running sum of
+    purchase values ordered by event time — ``SUM(...) OVER (PARTITION BY
+    user ORDER BY ts)``, which Ray Data has no operator for.  Composed as
+    filter → coarse hash partition on the key (~4 per CPU, so per-group
+    memory is N/P, not the hottest user) → ONE vectorized segmented cumsum
+    per partition (lexsort + cumsum − segment-start offsets), no per-user
+    Python.  Oracle = DuckDB window frame."""
+    from ..functions.hashing import stable_hash64
+    from ..stages.dedup import _n_partitions
+
+    P = _n_partitions()
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "event_type",
+                                       "event_id", "value"])
+
+    def add_part(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["event_type"], "purchase"))
+        h = (stable_hash64(f["user_id"]) % np.uint64(P)).astype(np.int32)
+        return pa.table({
+            "user_id": f["user_id"], "ts": f["ts"], "event_id": f["event_id"],
+            "value": pc.fill_null(f["value"], 0.0),
+            "u_part": pa.array(h),
+        })
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        users = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        # integer cents: the running sum is exact, so it is bit-identical
+        # to the oracle's (which accumulates the same integers) — no
+        # float-accumulation-order rounding hazard at the 2-dp boundary
+        cents = np.round(g["value"].to_numpy(dtype=np.float64) * 100.0
+                         ).astype(np.int64)
+        order = np.lexsort((eid, ts, users))
+        users, eid, cents = users[order], eid[order], cents[order]
+        cs = np.cumsum(cents)
+        starts = np.zeros(len(users), dtype=bool)
+        starts[0] = True
+        starts[1:] = users[1:] != users[:-1]
+        # running[i] = cs[i] - cs[segment_start - 1], via np.repeat of the
+        # per-segment base (values may be negative → cumsum not monotone)
+        starts_idx = np.nonzero(starts)[0]
+        seg_lens = np.diff(np.append(starts_idx, len(users)))
+        seg_base = np.repeat(cs[starts_idx] - cents[starts_idx], seg_lens)
+        return pd.DataFrame({"user_id": users, "event_id": eid,
+                             "running_spend": (cs - seg_base) / 100.0})
+
+    out = ds.map_batches(add_part, batch_format="pyarrow").groupby(
+        "u_part").map_groups(running, batch_format="pandas").to_pandas()
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+def events_type_pivot(sf_dir: str):
+    """PIVOT (long → wide): hourly event counts, one column per event_type.
+    The type vocabulary is discovered with a cheap distinct pass over the
+    pruned column (bounded by #types, broadcast-small), then the pivot is
+    pure partial aggregation: each batch emits one (hour × type-counts) row
+    block via Arrow ``group_by``, and the final shuffle carries only
+    pre-combined wide rows — never one row per event."""
+    types = sorted(
+        _t(sf_dir, "events", columns=["event_type"]).unique("event_type"))
+    ds = _t(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b["ts"], unit="hour")
+        cols = {"hour": hour}
+        for t in types:
+            cols[f"n_{t}"] = pc.cast(pc.equal(b["event_type"], t), pa.int64())
+        g = pa.table(cols).group_by("hour").aggregate(
+            [(f"n_{t}", "sum") for t in types])
+        return g.rename_columns(["hour"] + [f"n_{t}" for t in types])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "hour").aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types])
+    out = agg.to_pandas()
+    return out.sort_values("hour").reset_index(drop=True)
+
+
+def nation_order_percentiles(sf_dir: str):
+    """Grouped EXACT percentiles behind a two-hop broadcast dimension join:
+    orders ⋈ customer ⋈ nation (both dims shipped once via ``ray.put``,
+    probed with ``pc.index_in`` — no shuffle), then per-nation inverted-CDF
+    p50/p95 of order totals.  The per-group-fits-in-memory trade is the
+    same one ``value_quantiles_exact`` documents; the sketch path is the
+    100-TB fallback."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"]).combine_chunks()
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"]).combine_chunks()
+    cust_ref = ray.put(cust)
+    ds = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def add_nation(b: pa.Table) -> pa.Table:
+        c = ray.get(cust_ref)
+        idx = pc.index_in(b["o_custkey"], value_set=c["c_custkey"].chunk(0))
+        nk = pc.take(c["c_nationkey"].chunk(0), idx)
+        return pa.table({"n_nationkey": nk, "o_totalprice": b["o_totalprice"]})
+
+    def exact_q(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["o_totalprice"].to_numpy(dtype=np.float64))
+        qs = np.percentile(v, [50, 95], method="inverted_cdf")
+        return pd.DataFrame({"n_nationkey": [g["n_nationkey"].iloc[0]],
+                             "n_orders": [len(v)], "p50": [qs[0]],
+                             "p95": [qs[1]]})
+
+    out = ds.map_batches(add_nation, batch_format="pyarrow").groupby(
+        "n_nationkey").map_groups(exact_q, batch_format="pandas").to_pandas()
+    names = pc.take(nat["n_name"],
+                    pc.index_in(pa.array(out["n_nationkey"].to_numpy(),
+                                         type=nat["n_nationkey"].type),
+                                value_set=nat["n_nationkey"].chunk(0)))
+    out["n_name"] = names.to_pandas().to_numpy()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (out[["n_name", "n_orders", "p50", "p95"]]
+            .sort_values("n_name").reset_index(drop=True))
+
+
+def bloom_semijoin_revenue(sf_dir: str):
+    """Bloom-filter SEMI-JOIN: revenue of lineitems whose part is large
+    (p_size ≥ 40).  The build side ships TWO objects: a packed Bloom bit
+    array (m/8 bytes — the thing that stays cache-resident at 100 TB) and
+    the exact key set; the probe tests the Bloom first and consults the
+    exact set only on bloom-positive rows, so the result is EXACT while the
+    per-row work is the Bloom's k numpy index derivations.  The probe-side
+    partial is a single (n, revenue) row per batch — no shuffle at all."""
+    from ..functions.sketches import BloomFilter
+
+    keys = _t(sf_dir, "part", columns=["p_partkey", "p_size"]).filter(
+        expr="p_size >= 40").to_pandas()["p_partkey"].to_numpy()
+    bloom_ref = ray.put(BloomFilter(len(keys), 0.01).add(keys))
+    exact_ref = ray.put(pa.array(np.sort(keys)))
+    ds = _t(sf_dir, "lineitem",
+            columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        bloom: BloomFilter = ray.get(bloom_ref)
+        maybe = bloom.contains(b["l_partkey"].to_numpy(zero_copy_only=False))
+        f = b.filter(pa.array(maybe))
+        hit = pc.is_in(f["l_partkey"], value_set=ray.get(exact_ref))
+        f = f.filter(hit)
+        rev = pc.multiply(f["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        return pa.table({"n": pa.array([f.num_rows], pa.int64()),
+                         "rev": pa.array(
+                             [pc.sum(rev).as_py() or 0.0], pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"n_items": [int(parts["n"].sum())],
+                         "revenue": [round(float(parts["rev"].sum()), 2)]})
+
+
+def bigram_top20(sf_dir: str):
+    """Word-BIGRAM frequency top-20 (n-gram language-model counts): token
+    split and adjacent-pair join are fully vectorized off the ListArray
+    buffers (offsets arithmetic masks cross-document and empty-token pairs;
+    ``binary_join_element_wise`` builds the pair strings) — no Python per
+    row or per token.  Partial ``value_counts`` per batch shrinks the
+    shuffle to (bigram, count) pairs."""
+    ds = _t(sf_dir, "documents", columns=["text"])
+
+    def explode_pairs(b: pa.Table) -> pa.Table:
+        col = b["text"].combine_chunks()
+        sp = pc.split_pattern_regex(pc.fill_null(col, ""),
+                                    pattern=r"[^A-Za-z0-9_]+")
+        sp = sp.combine_chunks() if isinstance(sp, pa.ChunkedArray) else sp
+        flat = sp.flatten()
+        offs = np.asarray(sp.offsets)
+        n = len(flat)
+        if n < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        a, bb = flat.slice(0, n - 1), flat.slice(1, n - 1)
+        ok = np.ones(n - 1, dtype=bool)
+        # pair (i, i+1) is invalid when i+1 starts a new document
+        inner = offs[1:-1]
+        ok[inner[(inner > 0) & (inner < n)] - 1] = False
+        # split_pattern_regex yields '' at document edges — drop pairs
+        # touching an empty token
+        lens = np.asarray(pc.utf8_length(flat))
+        ok &= (lens[:-1] > 0) & (lens[1:] > 0)
+        mask = pa.array(ok)
+        pairs = pc.binary_join_element_wise(
+            a.filter(mask), bb.filter(mask), " ")
+        vc = pairs.value_counts()
+        return pa.table({"bigram": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    agg = ds.map_batches(explode_pairs, batch_format="pyarrow").groupby(
+        "bigram").aggregate(Sum("n", alias_name="n"))
+
+    def partial_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "bigram"],
+                              ascending=[False, True]).head(20)
+
+    out = agg.map_batches(partial_top, batch_format="pandas").to_pandas()
+    return (out.sort_values(["n", "bigram"], ascending=[False, True])
+            .head(20).reset_index(drop=True))
+
+
+def heavy_hitter_users(sf_dir: str, k: int = 10, m: int = 4096):
+    """EXACT top-k heavy hitters without a full-key shuffle (the
+    SpaceSaving / Misra-Gries two-pass pattern): pass 1 keeps each batch's
+    top-m counted users as candidates plus the batch's (m+1)-th count (the
+    most a dropped user could have contributed there; 0 when the batch has
+    ≤ m distinct keys, i.e. lossless); pass 2 recounts ONLY the merged
+    candidate set behind a broadcast membership probe.  Exactness is
+    *proven* per run — any non-candidate's global total ≤ Σ batch
+    thresholds — and when the k-th candidate count does not clear that
+    bound the pass is retried at 4×m (geometric escalation; on genuinely
+    flat data this converges to the plain exact count, which is the right
+    answer there).  Candidate volume shipped ≤ m × n_batches rows of
+    (int64, int64) — never one row per event."""
+    ds = _t(sf_dir, "events", columns=["user_id"])
+
+    def make_batch_top(mm: int):
+        def batch_top(b: pa.Table) -> pa.Table:
+            vc = b["user_id"].value_counts()
+            users = np.asarray(vc.field("values"), dtype=np.int64)
+            counts = np.asarray(vc.field("counts"), dtype=np.int64)
+            if len(users) > mm:
+                order = np.argpartition(counts, -mm)
+                thresh = int(counts[order[-(mm + 1)]])
+                keep = order[-mm:]
+                users, counts = users[keep], counts[keep]
+            else:
+                thresh = 0
+            # sentinel row (user_id = -1, impossible key) carries the batch
+            # threshold so the driver can sum one per batch
+            return pa.table({
+                "user_id": pa.array(np.append(users, -1), pa.int64()),
+                "n": pa.array(np.append(counts, thresh), pa.int64()),
+            })
+        return batch_top
+
+    while True:
+        parts = ds.map_batches(make_batch_top(m),
+                               batch_format="pyarrow").to_pandas()
+        sent = parts["user_id"] == -1
+        bound = int(parts.loc[sent, "n"].sum())
+        cand = parts.loc[~sent, "user_id"].unique()
+        if bound == 0:
+            # no batch dropped anything: the partials ARE complete counts
+            exact = parts.loc[~sent].groupby("user_id", as_index=False)["n"].sum()
+        else:
+            cand_ref = ray.put(pa.array(np.sort(cand)))
+
+            def recount(b: pa.Table) -> pa.Table:
+                f = b.filter(pc.is_in(b["user_id"], value_set=ray.get(cand_ref)))
+                vc = f["user_id"].value_counts()
+                return pa.table({"user_id": pc.cast(vc.field("values"), pa.int64()),
+                                 "n": pc.cast(vc.field("counts"), pa.int64())})
+
+            exact = ds.map_batches(recount, batch_format="pyarrow").to_pandas()
+            exact = exact.groupby("user_id", as_index=False)["n"].sum()
+        top = exact.sort_values(["n", "user_id"],
+                                ascending=[False, True]).head(k)
+        if bound == 0 or (len(top) >= k and int(top["n"].iloc[-1]) > bound):
+            break
+        m *= 4  # unproven: widen the candidate net and retry
+    return (top.reset_index(drop=True)
+            .rename(columns={"n": "n_events"})
+            .astype({"user_id": "int64", "n_events": "int64"}))
+
+
 _QUALITY_SQL = r"""round(
       0.4 * (CASE WHEN n > 200000 THEN 0.2
                   ELSE least(greatest(ln(1 + n) / ln(5000.0), 0), 1) END)
@@ -1036,6 +1302,52 @@ ORACLE_SQL: dict[str, str] = {
                round(coalesce(sum(v.value), 0), 2) AS sum_view_value
         FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
         GROUP BY p.user_id ORDER BY p.user_id
+    """,
+    "user_running_spend": """
+        SELECT user_id, event_id,
+               sum(CAST(round(value * 100) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) / 100.0 AS running_spend
+        FROM events WHERE event_type = 'purchase'
+        ORDER BY user_id, event_id
+    """,
+    "events_type_pivot": """
+        SELECT date_trunc('hour', ts) AS hour,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "nation_order_percentiles": """
+        SELECT n.n_name AS n_name, count(*)::BIGINT AS n_orders,
+               quantile_disc(o.o_totalprice, 0.5) AS p50,
+               quantile_disc(o.o_totalprice, 0.95) AS p95
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name
+    """,
+    "bloom_semijoin_revenue": """
+        SELECT count(*)::BIGINT AS n_items,
+               round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0), 2)
+                   AS revenue
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+    """,
+    "bigram_top20": """
+        SELECT bg AS bigram, count(*)::BIGINT AS n FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS bg
+            FROM (SELECT regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks
+                  FROM documents))
+        GROUP BY bg ORDER BY n DESC, bg LIMIT 20
+    """,
+    "heavy_hitter_users": """
+        SELECT user_id, count(*)::BIGINT AS n_events FROM events
+        GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10
     """,
     "curate_documents": rf"""
         WITH feats AS (
@@ -1488,6 +1800,12 @@ QUERIES = {
     "stratified_sample_documents": stratified_sample_documents,
     "token_doc_freq": token_doc_freq,
     "pack_sequences": pack_sequences,
+    "user_running_spend": user_running_spend,
+    "events_type_pivot": events_type_pivot,
+    "nation_order_percentiles": nation_order_percentiles,
+    "bloom_semijoin_revenue": bloom_semijoin_revenue,
+    "bigram_top20": bigram_top20,
+    "heavy_hitter_users": heavy_hitter_users,
     # rows-only (sketches / detectors / IVF: approximate by nature)
     "hll_users_per_event_type": hll_users_per_event_type,
     "ivf_ann_topk": ivf_ann_topk,

@@ -577,3 +577,137 @@ def test_pack_bins_invariants(ray_session):
     cum_excl = np.concatenate(([0], np.cumsum(out["n_tokens"].to_numpy())[:-1]))
     assert (out["bin_id"].to_numpy() == cum_excl // cap).all()
     assert (np.diff(out["bin_id"].to_numpy()) >= 0).all()
+
+
+# ------------------------------------------------------ round-3 wave 2
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp():
+    from approximate_anomaly_detection_in_data_streams_ray.functions.sketches import (
+        BloomFilter,
+    )
+
+    keys = np.arange(5000, dtype=np.int64) * 13 + 7
+    bf = BloomFilter(len(keys), fp_rate=0.01).add(keys)
+    assert bf.contains(keys).all()                      # zero false negatives
+    probe = np.arange(200_000, dtype=np.int64)
+    is_member = np.isin(probe, keys)
+    mask = bf.contains(probe)
+    assert (mask | ~is_member).all()
+    fp = float((mask & ~is_member).mean())
+    assert fp < 0.03, fp
+    assert bf.contains(np.array([], dtype=np.int64)).shape == (0,)
+
+
+def test_bloom_filter_deterministic_across_instances():
+    from approximate_anomaly_detection_in_data_streams_ray.functions.sketches import (
+        BloomFilter,
+    )
+
+    keys = np.array([1, 99, 2**40, -5], dtype=np.int64)
+    a = BloomFilter(4).add(keys)
+    b = BloomFilter(4).add(keys)
+    assert (a.bits == b.bits).all()  # driver-built filter == worker rebuild
+
+
+def test_heavy_hitters_escalates_to_exact_on_flat_data(ray_session, tmp_path):
+    """With m far below the distinct-key count the proof bound fails and the
+    query must escalate — final answer still the exact top-k."""
+    import pyarrow.parquet as pq
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        heavy_hitter_users,
+    )
+
+    rng = np.random.default_rng(3)
+    users = np.repeat(np.arange(400, dtype=np.int64), 3)       # flat: all = 3
+    users = np.concatenate([users, np.full(50, 7, dtype=np.int64)])  # one hot
+    rng.shuffle(users)
+    t = pa.table({
+        "event_id": pa.array(np.arange(len(users)), pa.int64()),
+        "ts": pa.array(np.full(len(users), 1_600_000_000_000_000),
+                       pa.timestamp("us")),
+        "user_id": pa.array(users),
+        "event_type": pa.array(["view"] * len(users)),
+        "value": pa.array(np.ones(len(users))),
+        "props": pa.array([None] * len(users), pa.string()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet", row_group_size=97)
+    got = heavy_hitter_users(str(tmp_path), k=5, m=8)
+    exact = (pd.Series(users).value_counts().rename_axis("user_id")
+             .reset_index(name="n_events")
+             .sort_values(["n_events", "user_id"], ascending=[False, True])
+             .head(5).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"user_id": "int64", "n_events": "int64"}),
+        exact.astype({"user_id": "int64", "n_events": "int64"}))
+
+
+def test_bigram_pairs_match_naive(ray_session, tmp_path):
+    """Vectorized offsets-based bigram explode == per-row reference loop."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        bigram_top20,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "  leading and trailing  ",
+        "one",
+        "",
+        None,
+        "a b a b a b",
+        "punct! split: a_b stays c-d splits",
+    ]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = bigram_top20(str(tmp_path))
+
+    from collections import Counter
+    c: Counter = Counter()
+    for s in texts:
+        toks = re.findall(r"[A-Za-z0-9_]+", s or "")
+        c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    want = (pd.DataFrame(sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20],
+                         columns=["bigram", "n"])
+            .astype({"n": "int64"}))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_running_spend_segmented_cumsum_handles_negatives(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        user_running_spend,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    users = rng.integers(0, 37, n)
+    vals = np.round(rng.normal(0, 50, n), 2)  # negatives exercised
+    ts = np.int64(1_600_000_000_000_000) + rng.permutation(n).astype(np.int64)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(users.astype(np.int64)),
+        "event_type": pa.array(["purchase"] * n),
+        "value": pa.array(vals),
+        "props": pa.array([None] * n, pa.string()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet", row_group_size=257)
+    got = user_running_spend(str(tmp_path))
+
+    df = pd.DataFrame({"user_id": users, "event_id": np.arange(n),
+                       "ts": ts, "value": vals})
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    df["running_spend"] = (
+        df.groupby("user_id")["value"]
+        .transform(lambda s: np.cumsum(np.round(s.to_numpy() * 100))
+                   .astype(np.int64) / 100.0))
+    want = (df.sort_values(["user_id", "event_id"])
+            [["user_id", "event_id", "running_spend"]].reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"user_id": "int64", "event_id": "int64"}), want)
