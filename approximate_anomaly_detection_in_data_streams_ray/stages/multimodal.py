@@ -4,14 +4,17 @@ Images/audio/video are treated as ``binary`` columns with typed metadata
 columns alongside, decoded in actor-pool ``map_batches`` stages with small
 batches (binary rows are wide).
 
-REAL decode kernels, pure numpy (no imaging libraries needed):
+REAL decode kernels, pure numpy + stdlib (no imaging libraries needed):
   * binary PPM ("P6") — header parse incl. comments, raw RGB;
   * uncompressed 24-bit BMP ("BM") — bottom-up rows, 4-byte row padding,
-    BGR→RGB, negative-height top-down variant.
-JPEG/PNG/audio/video codecs are NOT implemented here (they need
-PIL/ffmpeg, absent in this environment) — `_decode` raises a clear error
-for unknown magics; wire PIL.Image.open / PyAV at that dispatch point in a
-full deployment.
+    BGR→RGB, negative-height top-down variant;
+  * PNG — zlib inflate + all five scanline filters, color types
+    gray/RGB/palette/gray+alpha/RGBA at depth 8 (16-bit and Adam7 raise);
+  * WAV — RIFF chunk walk, 8/16/32-bit integer PCM → float32 samples.
+JPEG and video codecs are NOT implemented (they need PIL/ffmpeg, absent
+in this environment) — `decode_payload` raises a clear error for unknown
+magics; wire PIL.Image.open / PyAV at that dispatch point in a full
+deployment.
 
 A deterministic fake payload format ("SYN1") additionally lets tests
 exercise the full path without any encoder: 16-byte header = magic, width,
@@ -96,6 +99,165 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + pixel_bytes
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (h, w, c) uint8, pure numpy + stdlib ``zlib`` (no PIL).
+
+    Supports bit depth 8, color types 0/2/3/4/6 (gray, RGB, palette,
+    gray+alpha, RGBA), non-interlaced.  All five scanline filters are
+    implemented; None/Sub/Up are vectorized (Sub via a per-lane modular
+    cumsum), Average/Paeth fall back to a per-byte scan of the (rare)
+    rows that use them — the x-dependence of those filters is inherently
+    sequential.  16-bit depth and Adam7 interlace raise a clear error."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, n = 8, len(payload)
+    idat = bytearray()
+    plte = None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # skip CRC
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+    if interlace:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    bpp = channels  # bytes per pixel at depth 8
+    stride = w * bpp
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    raw = raw.reshape(h, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:].astype(np.int64)
+    recon = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f, r = int(filters[y]), rows[y]
+        if f == 0:                                   # None
+            cur = r
+        elif f == 2:                                 # Up
+            cur = (r + prev) & 0xFF
+        elif f == 1:                                 # Sub: per-lane cumsum
+            cur = r.copy()
+            for b in range(bpp):
+                cur[b::bpp] = np.cumsum(r[b::bpp]) & 0xFF
+        else:                                        # Average / Paeth
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                ul = prev[x - bpp] if x >= bpp else 0
+                if f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    p = left + up - ul
+                    pa_, pb_, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (left if pa_ <= pb_ and pa_ <= pc_
+                            else up if pb_ <= pc_ else ul)
+                cur[x] = (r[x] + pred) & 0xFF
+        recon[y] = cur
+        prev = cur
+    img = recon.astype(np.uint8).reshape(h, w, bpp)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        img = plte[img[:, :, 0]]
+    return img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG encoder (filter 0 every row) for tests/fixtures."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    scan = np.zeros((h, w * c + 1), dtype=np.uint8)
+    scan[:, 1:] = img.reshape(h, w * c)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+            + chunk(b"IEND", b""))
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """PCM WAV (RIFF) → (n_samples, n_channels) float32 in [-1, 1].
+    Supports 8/16/32-bit integer PCM; pure struct + numpy frombuffer."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        typ = payload[pos:pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are 2-byte aligned
+        if typ == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif typ == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, _rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"only PCM WAV supported (format={audio_format})")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+                   - 128.0) / 128.0
+    elif bits == 32:
+        samples = (np.frombuffer(data, dtype="<i4").astype(np.float32)
+                   / 2147483648.0)
+    else:
+        raise ValueError(f"unsupported WAV bit depth {bits}")
+    return samples.reshape(-1, channels)
+
+
+def wav_sample_rate(payload: bytes) -> int:
+    (rate,) = struct.unpack("<I", payload[24:28])
+    return rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """16-bit PCM WAV encoder for tests/fixtures; samples in [-1, 1]."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, c = samples.shape
+    pcm = np.round(np.clip(samples * 32767.0, -32768, 32767)).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, c, rate, rate * c * 2, c * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
 def synth_media_table(n: int, seed: int = 0) -> pa.Table:
     """Deterministic media table mixing REAL formats (PPM, BMP) with the
     synthetic SYN1 payloads — the same pixel content per row regardless of
@@ -107,11 +269,13 @@ def synth_media_table(n: int, seed: int = 0) -> pa.Table:
         h = int(rng.integers(8, 64))
         c = 3
         img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
-        fmt = ("syn1", "ppm", "bmp")[i % 3]
+        fmt = ("syn1", "ppm", "bmp", "png")[i % 4]
         if fmt == "ppm":
             payloads.append(encode_ppm(img))
         elif fmt == "bmp":
             payloads.append(encode_bmp(img))
+        elif fmt == "png":
+            payloads.append(encode_png(img))
         else:
             payloads.append(MAGIC + struct.pack("<III", w, h, c) + img.tobytes())
         ids.append(i)
@@ -138,10 +302,14 @@ def decode_payload(payload: bytes) -> np.ndarray:
         return decode_ppm(payload)
     if head[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if head == b"RIFF":
+        return decode_wav(payload)
     if head == MAGIC:
         w, h, c = struct.unpack("<III", payload[4:16])
         return np.frombuffer(payload[16: 16 + w * h * c], dtype=np.uint8).reshape(h, w, c)
-    raise ValueError(f"unsupported media magic {head!r} (JPEG/PNG need PIL)")
+    raise ValueError(f"unsupported media magic {head!r} (JPEG needs PIL)")
 
 
 class MediaDecode:

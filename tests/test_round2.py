@@ -273,7 +273,7 @@ def test_media_pipeline_mixed_formats(ray_session):
 
     t = synth_media_table(48, seed=5)
     kinds = set(t["kind"].to_pylist())
-    assert kinds == {"syn1", "ppm", "bmp"}
+    assert kinds == {"syn1", "ppm", "bmp", "png"}
     decoded, feats = media_pipeline(ray.data.from_arrow([t.slice(i * 8, 8) for i in range(6)]))
     d = decoded.to_pandas().sort_values("media_id").reset_index(drop=True)
     assert len(d) == 48

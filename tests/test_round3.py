@@ -711,3 +711,133 @@ def test_running_spend_segmented_cumsum_handles_negatives(ray_session, tmp_path)
             [["user_id", "event_id", "running_spend"]].reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got.astype({"user_id": "int64", "event_id": "int64"}), want)
+
+
+def test_png_roundtrip_all_color_types():
+    from approximate_anomaly_detection_in_data_streams_ray.stages.multimodal import (
+        decode_png, encode_png,
+    )
+
+    rng = np.random.default_rng(9)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(13, 9, c), dtype=np.uint8)
+        out = decode_png(encode_png(img))
+        np.testing.assert_array_equal(out, img)
+    # 2-D grayscale input accepted
+    g = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(g))[:, :, 0], g)
+
+
+def test_png_all_five_scanline_filters():
+    """Hand-filter each scanline with every PNG filter type and check the
+    decoder reconstructs the original pixels."""
+    import zlib
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.multimodal import (
+        _PNG_SIG, decode_png,
+    )
+    import struct as st
+
+    rng = np.random.default_rng(21)
+    h, w, c = 6, 11, 3
+    img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    flat = img.reshape(h, w * c).astype(np.int64)
+    bpp = c
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+        return a if pa_ <= pb_ and pa_ <= pc_ else (b if pb_ <= pc_ else cc)
+
+    scan = bytearray()
+    prev = np.zeros(w * c, dtype=np.int64)
+    for y in range(h):
+        f = y % 5  # exercise every filter type
+        row = flat[y]
+        enc = np.zeros(w * c, dtype=np.int64)
+        for x in range(w * c):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            pred = (0 if f == 0 else left if f == 1 else up if f == 2
+                    else (left + up) >> 1 if f == 3 else paeth(left, up, ul))
+            enc[x] = (row[x] - pred) & 0xFF
+        scan.append(f)
+        scan.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(typ, data):
+        return (st.pack(">I", len(data)) + typ + data
+                + st.pack(">I", zlib.crc32(typ + data)))
+
+    payload = (_PNG_SIG
+               + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(bytes(scan)))
+               + chunk(b"IEND", b""))
+    np.testing.assert_array_equal(decode_png(payload), img)
+
+
+def test_png_palette():
+    import zlib
+    import struct as st
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.multimodal import (
+        _PNG_SIG, decode_png,
+    )
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+                   dtype=np.uint8)
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    scan = bytearray()
+    for y in range(2):
+        scan.append(0)
+        scan.extend(idx[y].tobytes())
+
+    def chunk(typ, data):
+        return (st.pack(">I", len(data)) + typ + data
+                + st.pack(">I", zlib.crc32(typ + data)))
+
+    payload = (_PNG_SIG
+               + chunk(b"IHDR", st.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0))
+               + chunk(b"PLTE", pal.tobytes())
+               + chunk(b"IDAT", zlib.compress(bytes(scan)))
+               + chunk(b"IEND", b""))
+    np.testing.assert_array_equal(decode_png(payload), pal[idx])
+
+
+def test_wav_roundtrip_and_dispatch():
+    from approximate_anomaly_detection_in_data_streams_ray.stages.multimodal import (
+        decode_payload, decode_wav, encode_wav, wav_sample_rate,
+    )
+
+    rng = np.random.default_rng(2)
+    mono = rng.uniform(-1, 1, 480).astype(np.float32)
+    stereo = rng.uniform(-1, 1, (240, 2)).astype(np.float32)
+    for samples in (mono, stereo):
+        blob = encode_wav(samples, rate=8000)
+        out = decode_wav(blob)
+        want = samples[:, None] if samples.ndim == 1 else samples
+        assert out.shape == want.shape
+        # quantization: round-to-int16 at encode (±0.5 LSB) + the 32767
+        # vs 32768 scale mismatch (≤ 1 LSB relative)
+        np.testing.assert_allclose(out, want, atol=2.0 / 32767)
+        assert wav_sample_rate(blob) == 8000
+        assert decode_payload(blob).shape == want.shape  # magic dispatch
+
+
+def test_media_pipeline_decodes_png_rows(ray_session):
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.multimodal import (
+        media_pipeline, synth_media_table,
+    )
+
+    t = synth_media_table(32, seed=4)
+    assert "png" in set(t["kind"].to_pylist())
+    decoded, _ = media_pipeline(ray.data.from_arrow(t), batch_size=8)
+    df = decoded.to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert len(df) == 32
+    # shapes must match the table's typed metadata regardless of format
+    for _, r in df.iterrows():
+        h, w = int(t["height"][r["media_id"]].as_py()), int(t["width"][r["media_id"]].as_py())
+        assert list(r["decoded_shape"]) == [h, w, 3]
