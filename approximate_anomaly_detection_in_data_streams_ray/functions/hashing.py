@@ -27,9 +27,12 @@ import pyarrow as pa
 # modular inverse; per-seed additive tweak derived below
 _POLY_M = np.uint64(0x9E3779B97F4A7C15 | 1)
 _POLY_MINV = np.uint64(pow(int(_POLY_M), -1, 1 << 64))
-# bound the working set of the vectorized pass: ~8 MB of string bytes per
-# chunk keeps the uint64 temporaries (~8 arrays x 8 B/byte) under ~512 MB
-_POLY_CHUNK_BYTES = 8 << 20
+# bound the working set of the vectorized pass: ~1 MB of string bytes per
+# chunk keeps the uint64 temporaries (~8 arrays x 8 B/byte) under ~64 MB —
+# small enough to stay cache/allocator-resident; the per-chunk numpy call
+# overhead is noise at this size, and smaller first-touch allocations are
+# far less exposed to host page-fault stalls
+_POLY_CHUNK_BYTES = 1 << 20
 _POLY_POWERS: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
 
