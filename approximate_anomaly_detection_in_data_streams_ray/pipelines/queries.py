@@ -993,6 +993,41 @@ def heavy_hitter_users(sf_dir: str, k: int = 10, m: int = 4096):
             .astype({"user_id": "int64", "n_events": "int64"}))
 
 
+def partitioned_sink_documents(sf_dir: str):
+    """Hive-partitioned Parquet SINK (the resumable-output contract made a
+    first-class, oracle-checked operator): documents are written
+    ``lang=<v>/``-partitioned via ``write_parquet(partition_cols=...)``,
+    then the verification read runs OVER THE WRITTEN FILES ONLY — per-lang
+    row count and char sum come from the sink, so the check covers the
+    write path (partition routing, schema, no dropped/duplicated rows),
+    not just the upstream scan.  At 100 TB this is the layout every run
+    restarts from: a failed writer re-emits only its own partition files."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="aads_sink_")
+    try:
+        ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+        ds.write_parquet(out, partition_cols=["lang"])
+        back = ray.data.read_parquet(out)
+
+        def per_lang(b: pa.Table) -> pa.Table:
+            g = b.group_by("lang").aggregate(
+                [("doc_id", "count"), ("n_chars", "sum")])
+            return g.rename_columns(["lang", "n_docs", "sum_chars"])
+
+        parts = back.map_batches(per_lang, batch_format="pyarrow").to_pandas()
+        agg = parts.groupby("lang", as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+        # partition dirs materialized on disk — one per lang value
+        n_dirs = len([d for d in os.listdir(out) if d.startswith("lang=")])
+        assert n_dirs == len(agg), (n_dirs, len(agg))
+        return (agg.astype({"n_docs": "int64", "sum_chars": "int64"})
+                .sort_values("lang").reset_index(drop=True))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 _QUALITY_SQL = r"""round(
       0.4 * (CASE WHEN n > 200000 THEN 0.2
                   ELSE least(greatest(ln(1 + n) / ln(5000.0), 0), 1) END)
@@ -1348,6 +1383,11 @@ ORACLE_SQL: dict[str, str] = {
     "heavy_hitter_users": """
         SELECT user_id, count(*)::BIGINT AS n_events FROM events
         GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10
+    """,
+    "partitioned_sink_documents": """
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS sum_chars
+        FROM documents GROUP BY lang ORDER BY lang
     """,
     "curate_documents": rf"""
         WITH feats AS (
@@ -1806,6 +1846,7 @@ QUERIES = {
     "bloom_semijoin_revenue": bloom_semijoin_revenue,
     "bigram_top20": bigram_top20,
     "heavy_hitter_users": heavy_hitter_users,
+    "partitioned_sink_documents": partitioned_sink_documents,
     # rows-only (sketches / detectors / IVF: approximate by nature)
     "hll_users_per_event_type": hll_users_per_event_type,
     "ivf_ann_topk": ivf_ann_topk,

@@ -841,3 +841,29 @@ def test_media_pipeline_decodes_png_rows(ray_session):
     for _, r in df.iterrows():
         h, w = int(t["height"][r["media_id"]].as_py()), int(t["width"][r["media_id"]].as_py())
         assert list(r["decoded_shape"]) == [h, w, 3]
+
+
+def test_partitioned_sink_hive_layout_and_counts(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        partitioned_sink_documents,
+    )
+
+    rng = np.random.default_rng(8)
+    langs = rng.choice(["en", "de", "fr"], 300)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+        "text": pa.array(["x"] * 300),
+        "lang": pa.array(langs),
+        "source": pa.array(["s"] * 300),
+        "n_chars": pa.array(rng.integers(1, 100, 300).astype(np.int64)),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = partitioned_sink_documents(str(tmp_path))
+    df = t.to_pandas()
+    want = (df.groupby("lang", as_index=False)
+            .agg(n_docs=("doc_id", "count"), sum_chars=("n_chars", "sum"))
+            .astype({"n_docs": "int64", "sum_chars": "int64"})
+            .sort_values("lang").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
