@@ -993,6 +993,91 @@ def heavy_hitter_users(sf_dir: str, k: int = 10, m: int = 4096):
             .astype({"user_id": "int64", "n_events": "int64"}))
 
 
+def tfidf_top_terms(sf_dir: str):
+    """TF-IDF over the corpus: global document frequencies (summable
+    per-batch (token, df) partials — the inverted-index pattern of
+    ``token_doc_freq``) joined back to global term frequencies, scored
+    ``tf · ln((N+1)/(df+1))``, top-20.  Both shuffles carry (token, count)
+    pairs, never rows; N comes from the same pass (one partial row per
+    batch).  Floats match the oracle bit-for-bit: both sides compute the
+    identical expression on identical integers, rounded to 6 dp."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(b["text"], ""),
+                                      pattern=r"[^A-Za-z0-9_]+")
+        flat = pc.list_flatten(toks)
+        doc_ids = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        t = pa.table({"doc_id": doc_ids.filter(keep), "token": flat.filter(keep)})
+        # per-batch partials: tf = total occurrences, df = distinct docs
+        tf = t.group_by("token").aggregate([("doc_id", "count")])
+        dedup = t.group_by(["token", "doc_id"]).aggregate([])
+        df = dedup.group_by("token").aggregate([("doc_id", "count")])
+        tf = tf.rename_columns(["token", "tf"])
+        df = df.rename_columns(["token", "df"])
+        joined = tf.join(df, keys="token")
+        # one sentinel row per batch carries the batch's document count so
+        # N needs no second pass (token "" is filtered out above → unique)
+        return pa.table({
+            "token": pa.concat_arrays([joined["token"].combine_chunks(),
+                                       pa.array([""], pa.string())]),
+            "tf": pa.concat_arrays(
+                [pc.cast(joined["tf"], pa.int64()).combine_chunks(),
+                 pa.array([0], pa.int64())]),
+            "df": pa.concat_arrays(
+                [pc.cast(joined["df"], pa.int64()).combine_chunks(),
+                 pa.array([b.num_rows], pa.int64())]),
+        })
+
+    agg = ds.map_batches(explode, batch_format="pyarrow").groupby(
+        "token").aggregate(Sum("tf", alias_name="tf"),
+                           Sum("df", alias_name="df")).to_pandas()
+    n_docs = int(agg.loc[agg["token"] == "", "df"].sum())
+    agg = agg[agg["token"] != ""]
+    # df partials are per-batch distinct counts; a doc never spans batches,
+    # so summing them IS the global distinct-doc count
+    score = (agg["tf"] * np.log((n_docs + 1) / (agg["df"] + 1))).round(6)
+    out = pd.DataFrame({"token": agg["token"], "tf": agg["tf"].astype("int64"),
+                        "df_docs": agg["df"].astype("int64"),
+                        "tfidf": score})
+    return (out.sort_values(["tfidf", "token"], ascending=[False, True])
+            .head(20).reset_index(drop=True))
+
+
+def salted_event_counts(sf_dir: str):
+    """Hot-key-safe aggregation (SALTED groupby): event_type has only ~5
+    values, the canonical skewed key.  Each batch pre-combines to one row
+    per (event_type, salt) with salt = hash(user_id) % 8, the shuffle
+    groups on the COMPOSITE key (≤ types × 8 rows land on any one reducer
+    instead of a whole type), and a driver-side fold removes the salt.
+    Result is identical to the unsalted groupby — the oracle proves it."""
+    from ..functions.hashing import stable_hash64
+
+    SALTS = 8
+    ds = _t(sf_dir, "events", columns=["event_type", "user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        salt = (stable_hash64(b["user_id"]) % np.uint64(SALTS)).astype(np.int32)
+        t = pa.table({
+            "event_type": b["event_type"],
+            "salt": pa.array(salt),
+            "value": pc.fill_null(b["value"], 0.0),
+        })
+        g = t.group_by(["event_type", "salt"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return g.rename_columns(["event_type", "salt", "n", "sv"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["event_type", "salt"]).aggregate(
+            Sum("n", alias_name="n"), Sum("sv", alias_name="sv")).to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        n_events=("n", "sum"), sum_value=("sv", "sum"))
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def partitioned_sink_documents(sf_dir: str):
     """Hive-partitioned Parquet SINK (the resumable-output contract made a
     first-class, oracle-checked operator): documents are written
@@ -1388,6 +1473,25 @@ ORACLE_SQL: dict[str, str] = {
         SELECT lang, count(*)::BIGINT AS n_docs,
                sum(n_chars)::BIGINT AS sum_chars
         FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "tfidf_top_terms": """
+        WITH tok AS (
+            SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+            FROM documents),
+        stats AS (
+            SELECT token, count(*)::BIGINT AS tf,
+                   count(DISTINCT doc_id)::BIGINT AS df_docs
+            FROM tok GROUP BY token),
+        n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+        SELECT token, tf, df_docs,
+               round(tf * ln((n.n_docs + 1) / (df_docs + 1)), 6) AS tfidf
+        FROM stats, n
+        ORDER BY tfidf DESC, token LIMIT 20
+    """,
+    "salted_event_counts": """
+        SELECT event_type, count(*)::BIGINT AS n_events,
+               round(sum(coalesce(value, 0)), 2) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     "curate_documents": rf"""
         WITH feats AS (
@@ -1847,6 +1951,8 @@ QUERIES = {
     "bigram_top20": bigram_top20,
     "heavy_hitter_users": heavy_hitter_users,
     "partitioned_sink_documents": partitioned_sink_documents,
+    "tfidf_top_terms": tfidf_top_terms,
+    "salted_event_counts": salted_event_counts,
     # rows-only (sketches / detectors / IVF: approximate by nature)
     "hll_users_per_event_type": hll_users_per_event_type,
     "ivf_ann_topk": ivf_ann_topk,

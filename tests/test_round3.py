@@ -867,3 +867,69 @@ def test_partitioned_sink_hive_layout_and_counts(ray_session, tmp_path):
             .astype({"n_docs": "int64", "sum_chars": "int64"})
             .sort_values("lang").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_tfidf_matches_naive(ray_session, tmp_path):
+    import re
+
+    import pyarrow.parquet as pq
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        tfidf_top_terms,
+    )
+
+    texts = ["apple banana apple", "banana cherry", "apple", "", None,
+             "date date date banana"]
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet", row_group_size=2)
+    got = tfidf_top_terms(str(tmp_path))
+
+    from collections import Counter
+    tf, df = Counter(), Counter()
+    for s in texts:
+        toks = re.findall(r"[A-Za-z0-9_]+", s or "")
+        tf.update(toks)
+        df.update(set(toks))
+    n = len(texts)
+    rows = [(tok, tf[tok], df[tok],
+             round(tf[tok] * np.log((n + 1) / (df[tok] + 1)), 6))
+            for tok in tf]
+    want = (pd.DataFrame(rows, columns=["token", "tf", "df_docs", "tfidf"])
+            .sort_values(["tfidf", "token"], ascending=[False, True])
+            .head(20).reset_index(drop=True)
+            .astype({"tf": "int64", "df_docs": "int64"}))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_salted_counts_equal_plain_groupby(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        salted_event_counts,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    types = rng.choice(["hot", "hot", "hot", "cold"], n)  # skewed key
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.full(n, 1_600_000_000_000_000), pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 99, n).astype(np.int64)),
+        "event_type": pa.array(types),
+        # real events carry NULLs (not NaN) for missing values
+        "value": pa.Array.from_pandas(
+            pd.Series(np.round(rng.normal(10, 3, n), 2))
+            .mask(rng.random(n) < 0.1)),
+        "props": pa.array([None] * n, pa.string()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet", row_group_size=503)
+    got = salted_event_counts(str(tmp_path))
+    df = t.to_pandas()
+    want = (df.assign(v=df["value"].fillna(0.0))
+            .groupby("event_type", as_index=False)
+            .agg(n_events=("event_id", "count"), sum_value=("v", "sum")))
+    want["sum_value"] = want["sum_value"].round(2)
+    want = (want.astype({"n_events": "int64"})
+            .sort_values("event_type").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
