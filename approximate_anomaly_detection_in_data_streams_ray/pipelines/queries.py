@@ -993,6 +993,55 @@ def heavy_hitter_users(sf_dir: str, k: int = 10, m: int = 4096):
             .astype({"user_id": "int64", "n_events": "int64"}))
 
 
+def orders_sort_weighted_checksum(sf_dir: str):
+    """Distributed GLOBAL SORT, verified by a position-weighted checksum:
+    ``Σ rank_i · price_cents_i`` over orders sorted by (o_totalprice,
+    o_orderkey) — any deviation from the exact total order changes the sum
+    (the composite key is unique, so the order is strict).  ``ds.sort`` is
+    Ray's range-partitioned sort; each output batch contributes one
+    (count, Σ price, Σ local_pos·price) partial and the driver composes
+    global offsets over the ~B batch partials (O(batches) driver work, no
+    row ever collected).  Batch chaining is verified — every batch's min
+    composite key must exceed the previous batch's max — so the checksum
+    is evidence the engine's sort is actually ordered, not assumed."""
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    s = ds.sort(["o_totalprice", "o_orderkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ("n", "sum_cents", "local_weighted", "min_cents",
+                              "min_key", "max_cents", "max_key")})
+        cents = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        local = np.arange(len(cents), dtype=np.int64)
+        return pa.table({
+            "n": pa.array([len(cents)], pa.int64()),
+            "sum_cents": pa.array([int(cents.sum())], pa.int64()),
+            "local_weighted": pa.array([int((local * cents).sum())], pa.int64()),
+            "min_cents": pa.array([int(cents[0])], pa.int64()),
+            "min_key": pa.array([int(keys[0])], pa.int64()),
+            "max_cents": pa.array([int(cents[-1])], pa.int64()),
+            "max_key": pa.array([int(keys[-1])], pa.int64()),
+        })
+
+    parts = s.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["min_cents", "min_key"]).reset_index(drop=True)
+    # strict chaining: sorted batches must tile the total order
+    prev = None
+    for _, r in parts.iterrows():
+        cur = (int(r["min_cents"]), int(r["min_key"]))
+        assert prev is None or prev < cur, f"sort order violated at {cur}"
+        prev = (int(r["max_cents"]), int(r["max_key"]))
+    offsets = np.concatenate(([0], np.cumsum(parts["n"].to_numpy())[:-1]))
+    weighted = int((parts["local_weighted"].to_numpy()
+                    + offsets * parts["sum_cents"].to_numpy()).sum())
+    return pd.DataFrame({"n_orders": [int(parts["n"].sum())],
+                         "weighted_cents": [weighted]})
+
+
 def tfidf_top_terms(sf_dir: str):
     """TF-IDF over the corpus: global document frequencies (summable
     per-batch (token, df) partials — the inverted-index pattern of
@@ -1474,6 +1523,14 @@ ORACLE_SQL: dict[str, str] = {
                sum(n_chars)::BIGINT AS sum_chars
         FROM documents GROUP BY lang ORDER BY lang
     """,
+    "orders_sort_weighted_checksum": """
+        SELECT count(*)::BIGINT AS n_orders,
+               CAST(sum((rn - 1) * cents) AS BIGINT) AS weighted_cents
+        FROM (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+            FROM orders)
+    """,
     "tfidf_top_terms": """
         WITH tok AS (
             SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
@@ -1953,6 +2010,7 @@ QUERIES = {
     "partitioned_sink_documents": partitioned_sink_documents,
     "tfidf_top_terms": tfidf_top_terms,
     "salted_event_counts": salted_event_counts,
+    "orders_sort_weighted_checksum": orders_sort_weighted_checksum,
     # rows-only (sketches / detectors / IVF: approximate by nature)
     "hll_users_per_event_type": hll_users_per_event_type,
     "ivf_ann_topk": ivf_ann_topk,

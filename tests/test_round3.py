@@ -933,3 +933,35 @@ def test_salted_counts_equal_plain_groupby(ray_session, tmp_path):
     want = (want.astype({"n_events": "int64"})
             .sort_values("event_type").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_sort_checksum_detects_misordering(ray_session, tmp_path):
+    """The weighted checksum equals the window-function oracle on correct
+    input, and the batch-chaining assertion is actually exercised by the
+    composite-key tie case (duplicate prices, distinct keys)."""
+    import pyarrow.parquet as pq
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        orders_sort_weighted_checksum,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    # heavy ties: only 40 distinct prices across 4000 orders
+    price = np.round(rng.choice(np.linspace(10, 500, 40), n), 2)
+    t = pa.table({
+        "o_orderkey": pa.array(rng.permutation(n).astype(np.int64)),
+        "o_custkey": pa.array(np.zeros(n, dtype=np.int64)),
+        "o_orderstatus": pa.array(["O"] * n),
+        "o_totalprice": pa.array(price),
+        "o_orderdate": pa.array(np.full(n, 1_600_000_000_000_000),
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1"] * n),
+    })
+    pq.write_table(t, tmp_path / "orders.parquet", row_group_size=251)
+    got = orders_sort_weighted_checksum(str(tmp_path))
+    cents = np.round(price * 100).astype(np.int64)
+    order = np.lexsort((t["o_orderkey"].to_numpy(), cents))
+    want = int((np.arange(n, dtype=np.int64) * cents[order]).sum())
+    assert int(got["n_orders"].iloc[0]) == n
+    assert int(got["weighted_cents"].iloc[0]) == want
