@@ -993,6 +993,45 @@ def heavy_hitter_users(sf_dir: str, k: int = 10, m: int = 4096):
             .astype({"user_id": "int64", "n_events": "int64"}))
 
 
+def label_embedding_stats(sf_dir: str):
+    """Vector-column AGGREGATION over ``list<float>``: per label, the count,
+    the mean of dimension 0, and the mean L2 norm.  Per batch the list
+    column is viewed as a dense (rows × dim) matrix off the Arrow buffers
+    (zero-copy flatten + reshape) and reduced per label with
+    ``np.bincount`` — the shuffle carries one (label, n, Σdim0, Σnorm) row
+    per (label, batch), never a vector.  The pattern scales to centroid
+    computation (ship Σvec instead of Σdim0); the oracle checks the
+    scalar projections DuckDB can express on list columns."""
+    ds = _t(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b["embedding"].combine_chunks()
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        dim = len(flat) // max(len(emb), 1)
+        m = flat.reshape(len(emb), dim)
+        labels = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        n = np.bincount(inv)
+        s0 = np.bincount(inv, weights=m[:, 0])
+        norms = np.sqrt((m * m).sum(axis=1))
+        sn = np.bincount(inv, weights=norms)
+        return pa.table({"label": pa.array(uniq, pa.int64()),
+                         "n": pa.array(n.astype(np.int64)),
+                         "s0": pa.array(s0), "sn": pa.array(sn)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "label").aggregate(Sum("n", alias_name="n"),
+                           Sum("s0", alias_name="s0"),
+                           Sum("sn", alias_name="sn")).to_pandas()
+    out = pd.DataFrame({
+        "label": parts["label"].astype("int64"),
+        "n_vecs": parts["n"].astype("int64"),
+        "mean_dim0": (parts["s0"] / parts["n"]).round(6),
+        "mean_norm": (parts["sn"] / parts["n"]).round(6),
+    })
+    return out.sort_values("label").reset_index(drop=True)
+
+
 def orders_sort_weighted_checksum(sf_dir: str):
     """Distributed GLOBAL SORT, verified by a position-weighted checksum:
     ``Σ rank_i · price_cents_i`` over orders sorted by (o_totalprice,
@@ -1523,6 +1562,13 @@ ORACLE_SQL: dict[str, str] = {
                sum(n_chars)::BIGINT AS sum_chars
         FROM documents GROUP BY lang ORDER BY lang
     """,
+    "label_embedding_stats": """
+        SELECT label::BIGINT AS label, count(*)::BIGINT AS n_vecs,
+               round(avg(embedding[1]), 6) AS mean_dim0,
+               round(avg(sqrt(list_dot_product(embedding, embedding))), 6)
+                   AS mean_norm
+        FROM embeddings GROUP BY label ORDER BY label
+    """,
     "orders_sort_weighted_checksum": """
         SELECT count(*)::BIGINT AS n_orders,
                CAST(sum((rn - 1) * cents) AS BIGINT) AS weighted_cents
@@ -2011,6 +2057,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "salted_event_counts": salted_event_counts,
     "orders_sort_weighted_checksum": orders_sort_weighted_checksum,
+    "label_embedding_stats": label_embedding_stats,
     # rows-only (sketches / detectors / IVF: approximate by nature)
     "hll_users_per_event_type": hll_users_per_event_type,
     "ivf_ann_topk": ivf_ann_topk,

@@ -965,3 +965,33 @@ def test_sort_checksum_detects_misordering(ray_session, tmp_path):
     want = int((np.arange(n, dtype=np.int64) * cents[order]).sum())
     assert int(got["n_orders"].iloc[0]) == n
     assert int(got["weighted_cents"].iloc[0]) == want
+
+
+def test_label_embedding_stats_matches_numpy(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        label_embedding_stats,
+    )
+
+    rng = np.random.default_rng(23)
+    n, dim = 900, 16
+    mat = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    labels = rng.integers(0, 7, n).astype(np.int32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+        "label": pa.array(labels),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet", row_group_size=193)
+    got = label_embedding_stats(str(tmp_path))
+    m64 = mat.astype(np.float64)
+    rows = []
+    for lab in sorted(set(labels.tolist())):
+        sel = m64[labels == lab]
+        rows.append((lab, len(sel), round(sel[:, 0].mean(), 6),
+                     round(np.sqrt((sel * sel).sum(axis=1)).mean(), 6)))
+    want = pd.DataFrame(rows, columns=["label", "n_vecs", "mean_dim0",
+                                       "mean_norm"]).astype(
+        {"label": "int64", "n_vecs": "int64"})
+    pd.testing.assert_frame_equal(got, want, atol=1e-6, rtol=0)
