@@ -787,7 +787,8 @@ def events_type_pivot(sf_dir: str):
     block via Arrow ``group_by``, and the final shuffle carries only
     pre-combined wide rows — never one row per event."""
     types = sorted(
-        _t(sf_dir, "events", columns=["event_type"]).unique("event_type"))
+        t for t in _t(sf_dir, "events", columns=["event_type"])
+        .unique("event_type") if t is not None)
     ds = _t(sf_dir, "events", columns=["event_type", "ts"])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -895,7 +896,10 @@ def bigram_top20(sf_dir: str):
                                     pattern=r"[^A-Za-z0-9_]+")
         sp = sp.combine_chunks() if isinstance(sp, pa.ChunkedArray) else sp
         flat = sp.flatten()
+        # normalize offsets to flat positions (offsets of a sliced/shared
+        # ListArray need not start at 0)
         offs = np.asarray(sp.offsets)
+        offs = offs - offs[0]
         n = len(flat)
         if n < 2:
             return pa.table({"bigram": pa.array([], pa.string()),
