@@ -273,6 +273,20 @@ class ChunkAccumulator:
         return chunk, start, [self._left_r[0]]
 
 
+def drift_unit(item_id: str, exclude_repos: frozenset = frozenset()) -> str:
+    """Manifest unit for one item's drift pass.  The chain-exclusion set is
+    part of the unit name: resuming an out_dir with a toggled/changed
+    ``drift_chain_repos`` config must re-score affected items rather than
+    reuse summaries computed under the other exclusion set (stale reuse
+    double-counts chained repos, or silently never scores them)."""
+    if not exclude_repos:
+        return f"drift/{item_id}"
+    import hashlib
+
+    sig = hashlib.sha1("\x1f".join(sorted(exclude_repos)).encode()).hexdigest()[:10]
+    return f"drift@{sig}/{item_id}"
+
+
 def run_drift_item(t: pa.Table, item_id: str, out_dir: str,
                    cfg: ValidationConfig, manifest,
                    exclude_repos: frozenset = frozenset()) -> pa.Table:
@@ -286,7 +300,7 @@ def run_drift_item(t: pa.Table, item_id: str, out_dir: str,
     from ..pipelines.checkpoint import atomic_write_parquet
 
     summary_path = os.path.join(out_dir, "drift_summaries", f"item={item_id}.parquet")
-    unit = f"drift/{item_id}"
+    unit = drift_unit(item_id, exclude_repos)
     if manifest.is_done(unit) and os.path.exists(summary_path):
         import pyarrow.parquet as pq
 
@@ -535,7 +549,8 @@ class DriftRunner:
 
         summary_path = os.path.join(self.out_dir, "drift_summaries",
                                     f"item={item_id}.parquet")
-        if self.manifest.is_done(f"drift/{item_id}") and os.path.exists(summary_path):
+        if (self.manifest.is_done(drift_unit(item_id, self.exclude_repos))
+                and os.path.exists(summary_path)):
             return pq.read_table(summary_path)
         feat_path = os.path.join(self.out_dir, "features", f"item={item_id}",
                                  "part.parquet")

@@ -171,11 +171,18 @@ def run_uniqueness_check(features_ds, cfg: ValidationConfig, ctx=None):
 
 
 def _confirm_and_report(cand):
-    """Exact-key confirmation (hash collisions are ruled out by grouping on
-    the row_ref key string) → (violations Dataset, verdict rows)."""
+    """Confirmation pass → (violations Dataset, verdict rows).
+
+    Groups on (key_hash, row_ref): key_hash is the \\x1f-separator tuple
+    hash, so distinct (repo, path, commit) tuples whose display strings
+    concatenate identically ('org/app'+'lib/x' vs 'org'+'app/lib/x') get
+    different hashes and are separated here, while a pure 64-bit hash
+    collision between tuples with different display strings is separated
+    by the row_ref term.  A false confirm would need both failure modes
+    in the same pair simultaneously."""
     if len(cand) == 0:
         return _empty_violations(), []
-    sizes = cand.groupby("row_ref")["row_ref"].transform("size")
+    sizes = cand.groupby(["key_hash", "row_ref"])["row_ref"].transform("size")
     dups = cand[sizes > 1]
     if len(dups) == 0:
         return _empty_violations(), []

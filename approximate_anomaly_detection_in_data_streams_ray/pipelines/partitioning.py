@@ -61,14 +61,18 @@ def find_straddling_repos(items: list[WorkItem]) -> dict[str, list[str]]:
         bounds = ray.get([task.remote(*a) for a in args])
     else:
         bounds = [_boundary_repos(*a) for a in args]
+    straddling = {bounds[i][1] for i in range(len(items) - 1)
+                  if bounds[i][1] and bounds[i][1] == bounds[i + 1][0]}
+    # a straddling repo is excluded from the per-item pass EVERYWHERE, so
+    # its chain must cover every item that may hold any of its rows — not
+    # just the boundary-adjacent pair.  Rows are repo-sorted within each
+    # file, so item i can contain repo X iff first_i ≤ X ≤ last_i; the
+    # range test over-includes at worst (an extra item contributes no rows
+    # to the chain), never under-includes.
     chains: dict[str, list[str]] = {}
-    for i in range(len(items) - 1):
-        last_i, first_next = bounds[i][1], bounds[i + 1][0]
-        if last_i and last_i == first_next:
-            lst = chains.setdefault(last_i, [])
-            if not lst or lst[-1] != items[i].item_id:
-                lst.append(items[i].item_id)
-            lst.append(items[i + 1].item_id)
+    for x in straddling:
+        chains[x] = [items[i].item_id for i in range(len(items))
+                     if bounds[i][0] <= x <= bounds[i][1]]
     return chains
 
 

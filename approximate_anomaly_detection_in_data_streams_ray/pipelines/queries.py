@@ -954,7 +954,10 @@ def heavy_hitter_users(sf_dir: str, k: int = 10, m: int = 4096):
             counts = np.asarray(vc.field("counts"), dtype=np.int64)
             if len(users) > mm:
                 order = np.argpartition(counts, -mm)
-                thresh = int(counts[order[-(mm + 1)]])
+                # the bound must be the (m+1)-th LARGEST count — the most a
+                # dropped key could have here; argpartition leaves an
+                # arbitrary element at -(m+1), so partition for it exactly
+                thresh = int(np.partition(counts, -(mm + 1))[-(mm + 1)])
                 keep = order[-mm:]
                 users, counts = users[keep], counts[keep]
             else:
@@ -1009,6 +1012,11 @@ def label_embedding_stats(sf_dir: str):
     ds = _t(sf_dir, "embeddings", columns=["label", "embedding"])
 
     def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s0": pa.array([], pa.float64()),
+                             "sn": pa.array([], pa.float64())})
         emb = b["embedding"].combine_chunks()
         flat = np.asarray(emb.flatten(), dtype=np.float64)
         dim = len(flat) // max(len(emb), 1)
@@ -1076,7 +1084,9 @@ def orders_sort_weighted_checksum(sf_dir: str):
     prev = None
     for _, r in parts.iterrows():
         cur = (int(r["min_cents"]), int(r["min_key"]))
-        assert prev is None or prev < cur, f"sort order violated at {cur}"
+        # a real check, not an assert: it must survive `python -O`
+        if prev is not None and prev >= cur:
+            raise ValueError(f"sort order violated: {prev} !< {cur}")
         prev = (int(r["max_cents"]), int(r["max_key"]))
     offsets = np.concatenate(([0], np.cumsum(parts["n"].to_numpy())[:-1]))
     weighted = int((parts["local_weighted"].to_numpy()
@@ -1122,17 +1132,35 @@ def tfidf_top_terms(sf_dir: str):
                  pa.array([b.num_rows], pa.int64())]),
         })
 
+    # df partials are per-batch distinct counts; a doc never spans batches,
+    # so summing them IS the global distinct-doc count.  The aggregate is
+    # vocabulary-sized — materialize it in the object store (NOT on the
+    # driver), read N from the one sentinel row, then score + partial
+    # top-20 inside each block so at most 20 rows per block reach the
+    # driver.
     agg = ds.map_batches(explode, batch_format="pyarrow").groupby(
         "token").aggregate(Sum("tf", alias_name="tf"),
-                           Sum("df", alias_name="df")).to_pandas()
-    n_docs = int(agg.loc[agg["token"] == "", "df"].sum())
-    agg = agg[agg["token"] != ""]
-    # df partials are per-batch distinct counts; a doc never spans batches,
-    # so summing them IS the global distinct-doc count
-    score = (agg["tf"] * np.log((n_docs + 1) / (agg["df"] + 1))).round(6)
-    out = pd.DataFrame({"token": agg["token"], "tf": agg["tf"].astype("int64"),
-                        "df_docs": agg["df"].astype("int64"),
-                        "tfidf": score})
+                           Sum("df", alias_name="df")).materialize()
+    sent = agg.filter(expr="token == ''").take(1)
+    n_docs = int(sent[0]["df"]) if sent else 0
+
+    def score_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["token"] != ""]
+        if df.empty:
+            return pd.DataFrame({"token": pd.Series(dtype=str),
+                                 "tf": pd.Series(dtype="int64"),
+                                 "df_docs": pd.Series(dtype="int64"),
+                                 "tfidf": pd.Series(dtype=float)})
+        out = pd.DataFrame({
+            "token": df["token"],
+            "tf": df["tf"].astype("int64"),
+            "df_docs": df["df"].astype("int64"),
+            "tfidf": (df["tf"] * np.log((n_docs + 1) / (df["df"] + 1))).round(6),
+        })
+        return out.sort_values(["tfidf", "token"],
+                               ascending=[False, True]).head(20)
+
+    out = agg.map_batches(score_top, batch_format="pandas").to_pandas()
     return (out.sort_values(["tfidf", "token"], ascending=[False, True])
             .head(20).reset_index(drop=True))
 
@@ -1196,9 +1224,12 @@ def partitioned_sink_documents(sf_dir: str):
         parts = back.map_batches(per_lang, batch_format="pyarrow").to_pandas()
         agg = parts.groupby("lang", as_index=False).agg(
             n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
-        # partition dirs materialized on disk — one per lang value
+        # partition dirs materialized on disk — one per lang value (real
+        # check, survives `python -O`)
         n_dirs = len([d for d in os.listdir(out) if d.startswith("lang=")])
-        assert n_dirs == len(agg), (n_dirs, len(agg))
+        if n_dirs != len(agg):
+            raise ValueError(f"partition routing lost values: {n_dirs} dirs "
+                             f"vs {len(agg)} langs")
         return (agg.astype({"n_docs": "int64", "sum_chars": "int64"})
                 .sort_values("lang").reset_index(drop=True))
     finally:

@@ -24,13 +24,6 @@ def cluster_cpus(default: float = 4.0) -> float:
     return float(ray.cluster_resources().get("CPU", default))
 
 
-def available_cpus(default: float = 4.0) -> float:
-    """Deprecated alias — sizing callers now go through
-    :func:`cluster_cpus`; kept for the rare spot that genuinely wants the
-    instantaneous free count (e.g. minimum-size clamping)."""
-    return cluster_cpus(default)
-
-
 def auto_pool(requested: int | None = None, num_cpus_per_actor: float = 1.0) -> int:
     """Actor-pool size: the cluster's CPU budget (minus one for the driver
     and upstream reads) unless a smaller explicit size is requested."""

@@ -274,17 +274,23 @@ def simhash_near_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         batch_format="pyarrow", batch_size=512,
     )
     if fp_out_dir is not None:
-        # materialize the fingerprint table as partitioned Parquet (one
-        # distributed write; fingerprints are 16 B/doc) and feed the pair
-        # stage from the files — the side table doubles as the oracle
-        # input for the DuckDB bit_count(xor) self-join check
+        # side ARTIFACT, not a pipeline hop: materialize the fingerprint
+        # dataset once (16 B/doc — bounded regardless of text size), write
+        # it as Parquet for the DuckDB bit_count(xor) oracle self-join,
+        # and continue the pair stage from the in-memory blocks.  The
+        # write lands via tempdir + rename so a concurrent reader never
+        # sees a half-written table.  fp_out_dir must be on storage every
+        # node can reach (same contract as the join exchange scratch) —
+        # a node-local path only works single-node.
+        import os
         import shutil
 
-        import ray
-
+        fps = fps.materialize()
+        tmp = f"{fp_out_dir}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        fps.write_parquet(tmp)
         shutil.rmtree(fp_out_dir, ignore_errors=True)
-        fps.write_parquet(fp_out_dir)
-        fps = ray.data.read_parquet(fp_out_dir)
+        os.rename(tmp, fp_out_dir)
 
     def bucketize(b: pa.Table) -> pa.Table:
         t = simhash_buckets(b, id_col, max_hamming=max_hamming)
@@ -522,9 +528,13 @@ def connected_components_distributed(pairs_ds, max_iters: int = 50):
         )
         s = labels.sum("label")
         if s == prev_sum:
-            break
+            return labels
         prev_sum = s
-    return labels
+    # non-convergence must be loud: returning partial labels would make
+    # apply_near_dedup keep multiple "survivors" per cluster silently
+    raise RuntimeError(
+        f"connected components did not converge in {max_iters} iterations "
+        "(cluster diameter exceeds max_iters — raise max_iters)")
 
 
 def apply_near_dedup(ds, pairs, id_col: str = "doc_id",

@@ -64,10 +64,15 @@ def extract_features(batch: pa.Table) -> pa.Table:
             "lang": batch["lang"],
             "row_ref": row_ref,
             "sha256": batch["sha256"],
-            # row_ref ("repo/path@commit") IS the uniqueness key string —
-            # hashing it directly saves a second 2-kernel string build, and
-            # the exact-key confirmation already groups on row_ref
-            "key_hash": pa.array(stable_hash64(row_ref).astype(np.int64)),
+            # the uniqueness key hashes the \x1f-SEPARATED tuple, NOT
+            # row_ref: "org/app"+"lib/x.py" and "org"+"app/lib/x.py"
+            # concatenate to the same display string but are different
+            # keys; \x1f cannot appear in the columns, so the join is
+            # unambiguous (costs two short-string kernels per batch)
+            "key_hash": pa.array(stable_hash64(
+                pc.binary_join_element_wise(
+                    pc.binary_join_element_wise(repo, path, "\x1f"),
+                    commit, "\x1f")).astype(np.int64)),
             "content_len": n_chars,
             "log_len": pa.array(np.log1p(n_chars_np)),
             "n_lines": pc.cast(n_lines, pa.int64()),
@@ -166,8 +171,13 @@ class FeatureExtractor:
         if "drift" in self.checks:
             from ..checks.drift import run_drift_item
 
+            from ..checks.drift import drift_unit
+
             sp = os.path.join(self.out_dir, "drift_summaries", f"item={item_id}.parquet")
-            if not self._unit_done("drift", item_id, sp):
+            # unit name encodes the chain-exclusion set: toggling
+            # drift_chain_repos on a resumed out_dir re-scores items
+            if not (self.manifest.is_done(drift_unit(item_id, self.chain_repos))
+                    and os.path.exists(sp)):
                 run_drift_item(load(None), item_id, self.out_dir, cfg, self.manifest,
                                exclude_repos=self.chain_repos)
 

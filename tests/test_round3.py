@@ -995,3 +995,39 @@ def test_label_embedding_stats_matches_numpy(ray_session, tmp_path):
                                        "mean_norm"]).astype(
         {"label": "int64", "n_vecs": "int64"})
     pd.testing.assert_frame_equal(got, want, atol=1e-6, rtol=0)
+
+
+def test_uniqueness_key_hash_separates_ambiguous_row_refs():
+    """'org/app'+'lib/x.py' and 'org'+'app/lib/x.py' share the display
+    row_ref but are DIFFERENT keys: the \\x1f tuple hash must differ and
+    the confirmation grouping must not report them as duplicates."""
+    from approximate_anomaly_detection_in_data_streams_ray.checks.uniqueness import (
+        _confirm_and_report,
+    )
+    from approximate_anomaly_detection_in_data_streams_ray.stages.features import (
+        extract_features,
+    )
+
+    t = pa.table({
+        "repo": pa.array(["org/app", "org"]),
+        "path": pa.array(["lib/x.py", "app/lib/x.py"]),
+        "commit": pa.array(["c" * 40, "c" * 40]),
+        "lang": pa.array(["python", "python"]),
+        "content": pa.array(["a", "b"]),
+    })
+    feats = extract_features(t)
+    refs = feats["row_ref"].to_pylist()
+    assert refs[0] == refs[1]                      # display strings collide
+    kh = feats["key_hash"].to_pylist()
+    assert kh[0] != kh[1]                          # keys must not
+
+    cand = feats.select(["key_hash", "repo", "row_ref"]).to_pandas()
+    vio, verdicts = _confirm_and_report(cand)
+    assert vio.count() == 0 and verdicts == []
+
+    # a REAL duplicate (same tuple twice) is still caught
+    dup = pa.concat_tables([t.slice(0, 1), t.slice(0, 1)])
+    fdup = extract_features(dup)
+    cand2 = fdup.select(["key_hash", "repo", "row_ref"]).to_pandas()
+    vio2, verdicts2 = _confirm_and_report(cand2)
+    assert vio2.count() == 2 and len(verdicts2) == 1
