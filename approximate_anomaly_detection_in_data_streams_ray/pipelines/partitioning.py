@@ -61,19 +61,21 @@ def find_straddling_repos(items: list[WorkItem]) -> dict[str, list[str]]:
         bounds = ray.get([task.remote(*a) for a in args])
     else:
         bounds = [_boundary_repos(*a) for a in args]
-    straddling = {bounds[i][1] for i in range(len(items) - 1)
-                  if bounds[i][1] and bounds[i][1] == bounds[i + 1][0]}
     # a straddling repo is excluded from the per-item pass EVERYWHERE, so
-    # its chain must cover every item that may hold any of its rows — not
-    # just the boundary-adjacent pair.  Rows are repo-sorted within each
-    # file, so item i can contain repo X iff first_i ≤ X ≤ last_i; the
-    # range test over-includes at worst (an extra item contributes no rows
-    # to the chain), never under-includes.
-    chains: dict[str, list[str]] = {}
-    for x in straddling:
-        chains[x] = [items[i].item_id for i in range(len(items))
-                     if bounds[i][0] <= x <= bounds[i][1]]
-    return chains
+    # its chain must cover every item that holds any of its rows — not just
+    # one boundary-adjacent pair.  The module contract is per-repo
+    # CONTIGUITY (not sortedness), so the run is recovered from adjacency
+    # alone: any item strictly inside repo X's run is entirely X, which
+    # makes both of its boundaries straddles of X — the union of X's
+    # straddle-pair indices is therefore the complete run, with no
+    # lexicographic assumption on repo ids within a file.
+    idx_runs: dict[str, set[int]] = {}
+    for i in range(len(items) - 1):
+        x = bounds[i][1]
+        if x and x == bounds[i + 1][0]:
+            idx_runs.setdefault(x, set()).update((i, i + 1))
+    return {x: [items[i].item_id for i in sorted(idxs)]
+            for x, idxs in idx_runs.items()}
 
 
 def plan_work_items(paths: list[str], target_rows: int = 250_000) -> list[WorkItem]:

@@ -962,18 +962,22 @@ def heavy_hitter_users(sf_dir: str, k: int = 10, m: int = 4096):
                 users, counts = users[keep], counts[keep]
             else:
                 thresh = 0
-            # sentinel row (user_id = -1, impossible key) carries the batch
-            # threshold so the driver can sum one per batch
+            # the batch threshold travels in its own boolean column (one
+            # sentinel-flagged row per batch) so no user_id value is
+            # reserved — a dataset that really contains user_id = -1 is
+            # counted like any other key
             return pa.table({
-                "user_id": pa.array(np.append(users, -1), pa.int64()),
+                "user_id": pa.array(np.append(users, 0), pa.int64()),
                 "n": pa.array(np.append(counts, thresh), pa.int64()),
+                "is_sentinel": pa.array(
+                    np.append(np.zeros(len(users), dtype=bool), True)),
             })
         return batch_top
 
     while True:
         parts = ds.map_batches(make_batch_top(m),
                                batch_format="pyarrow").to_pandas()
-        sent = parts["user_id"] == -1
+        sent = parts["is_sentinel"]
         bound = int(parts.loc[sent, "n"].sum())
         cand = parts.loc[~sent, "user_id"].unique()
         if bound == 0:
@@ -1016,10 +1020,21 @@ def label_embedding_stats(sf_dir: str):
             return pa.table({"label": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64()),
                              "s0": pa.array([], pa.float64()),
-                             "sn": pa.array([], pa.float64())})
+                             "sn": pa.array([], pa.float64()),
+                             "dim_min": pa.array([], pa.int64()),
+                             "dim_max": pa.array([], pa.int64())})
         emb = b["embedding"].combine_chunks()
+        if emb.null_count:
+            raise ValueError(
+                f"label_embedding_stats: {emb.null_count} null embeddings "
+                "in batch — dense reshape would misalign rows to labels")
         flat = np.asarray(emb.flatten(), dtype=np.float64)
         dim = len(flat) // max(len(emb), 1)
+        if len(flat) != len(emb) * dim or (
+                np.diff(np.asarray(emb.offsets)) != dim).any():
+            raise ValueError(
+                "label_embedding_stats: ragged embedding lists (not all "
+                f"length {dim}) — dense reshape would misalign rows")
         m = flat.reshape(len(emb), dim)
         labels = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
         uniq, inv = np.unique(labels, return_inverse=True)
@@ -1029,12 +1044,27 @@ def label_embedding_stats(sf_dir: str):
         sn = np.bincount(inv, weights=norms)
         return pa.table({"label": pa.array(uniq, pa.int64()),
                          "n": pa.array(n.astype(np.int64)),
-                         "s0": pa.array(s0), "sn": pa.array(sn)})
+                         "s0": pa.array(s0), "sn": pa.array(sn),
+                         "dim_min": pa.array(np.full(len(uniq), dim,
+                                                     dtype=np.int64)),
+                         "dim_max": pa.array(np.full(len(uniq), dim,
+                                                     dtype=np.int64))})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").groupby(
         "label").aggregate(Sum("n", alias_name="n"),
                            Sum("s0", alias_name="s0"),
-                           Sum("sn", alias_name="sn")).to_pandas()
+                           Sum("sn", alias_name="sn"),
+                           Min("dim_min", alias_name="dim_min"),
+                           Max("dim_max", alias_name="dim_max")).to_pandas()
+    # within-batch raggedness raises in the partial; ACROSS batches each
+    # partial is self-consistent (a 1-row block always is), so the dim
+    # disagreement is only visible at the merge
+    if len(parts) and (parts["dim_min"].min() != parts["dim_max"].max()):
+        raise ValueError(
+            "label_embedding_stats: ragged embedding lists across batches "
+            f"(dims {int(parts['dim_min'].min())}.."
+            f"{int(parts['dim_max'].max())}) — aggregation would mix "
+            "incompatible vector spaces")
     out = pd.DataFrame({
         "label": parts["label"].astype("int64"),
         "n_vecs": parts["n"].astype("int64"),

@@ -278,19 +278,26 @@ def simhash_near_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         # dataset once (16 B/doc — bounded regardless of text size), write
         # it as Parquet for the DuckDB bit_count(xor) oracle self-join,
         # and continue the pair stage from the in-memory blocks.  The
-        # write lands via tempdir + rename so a concurrent reader never
-        # sees a half-written table.  fp_out_dir must be on storage every
-        # node can reach (same contract as the join exchange scratch) —
-        # a node-local path only works single-node.
+        # write lands via tempdir + rename: a concurrent reader never sees
+        # a HALF-WRITTEN table (each version is complete before its rename),
+        # though the path is briefly absent between the rename-aside of the
+        # old version and the rename-in of the new one — single-writer is
+        # the contract here.  fp_out_dir must be on storage every node can
+        # reach (same contract as the join exchange scratch) — a
+        # node-local path only works single-node.
         import os
         import shutil
 
         fps = fps.materialize()
         tmp = f"{fp_out_dir}.tmp.{os.getpid()}"
+        old = f"{fp_out_dir}.old.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         fps.write_parquet(tmp)
-        shutil.rmtree(fp_out_dir, ignore_errors=True)
-        os.rename(tmp, fp_out_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(fp_out_dir):
+            os.rename(fp_out_dir, old)   # rename-aside, not rmtree: the old
+        os.rename(tmp, fp_out_dir)       # version stays readable until here
+        shutil.rmtree(old, ignore_errors=True)
 
     def bucketize(b: pa.Table) -> pa.Table:
         t = simhash_buckets(b, id_col, max_hamming=max_hamming)
