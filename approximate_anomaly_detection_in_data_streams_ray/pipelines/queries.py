@@ -386,7 +386,7 @@ def value_quantiles(sf_dir: str):
         return pd.DataFrame(rows)
 
     pdf = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    out = []
+    out, qvals, rank_bounds = [], {}, {}
     for et, g in pdf.groupby("event_type"):
         samples = np.concatenate([np.frombuffer(b, dtype=np.float64) for b in g["vals"]])
         weights = np.concatenate(
@@ -394,10 +394,44 @@ def value_quantiles(sf_dir: str):
              for b, w in zip(g["vals"], g["weight"])]
         )
         qs = weighted_quantiles(samples, weights, [0.5, 0.9, 0.99])
+        qvals[et] = qs
+        # each batch's stride sample can misplace a rank by at most its
+        # weight (= n_batch/k); the merged estimate by at most the sum
+        rank_bounds[et] = float(g["weight"].sum())
         out.append({"event_type": et, "n": int(g["n"].sum()),
                     "p50": round(qs[0], 3), "p90": round(qs[1], 3),
                     "p99": round(qs[2], 3)})
-    return pd.DataFrame(out).sort_values("event_type").reset_index(drop=True)
+    approx = pd.DataFrame(out).sort_values("event_type").reset_index(drop=True)
+
+    # machine-checkable guarantee: each estimate's RANK in the exact
+    # per-type data must sit within the summed per-batch stride bound of
+    # its target rank — asserted in-query, emitted in the rows (this is
+    # the `no_oracle` entry's self-verification)
+    def rank_check(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].iloc[0]
+        if et not in qvals:
+            return pd.DataFrame(columns=["event_type", "max_rank_err"])
+        v = np.sort(g["value"].to_numpy(dtype=np.float64))
+        v = v[~np.isnan(v)]
+        errs = []
+        for q, qv in zip((0.5, 0.9, 0.99), qvals[et]):
+            lo = np.searchsorted(v, qv, "left")
+            hi = np.searchsorted(v, qv, "right")
+            target = q * len(v)
+            errs.append(0.0 if lo <= target <= hi
+                        else min(abs(lo - target), abs(hi - target)))
+        return pd.DataFrame({"event_type": [et], "max_rank_err": [max(errs)]})
+
+    checked = (ds.groupby("event_type")
+               .map_groups(rank_check, batch_format="pandas").to_pandas())
+    approx = approx.merge(checked, on="event_type", how="left")
+    approx["rank_err_bound"] = approx["event_type"].map(rank_bounds)
+    approx["within_bound"] = (
+        approx["max_rank_err"] <= approx["rank_err_bound"] + 1.0)
+    if not bool(approx["within_bound"].all()):
+        raise AssertionError(
+            f"stride-sample quantile outside rank bound:\n{approx.to_string()}")
+    return approx
 
 
 def value_quantiles_exact(sf_dir: str):
@@ -1174,23 +1208,26 @@ def tfidf_top_terms(sf_dir: str):
     sent = agg.filter(expr="token == ''").take(1)
     n_docs = int(sent[0]["df"]) if sent else 0
 
-    def score_top(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["token"] != ""]
-        if df.empty:
-            return pd.DataFrame({"token": pd.Series(dtype=str),
-                                 "tf": pd.Series(dtype="int64"),
-                                 "df_docs": pd.Series(dtype="int64"),
-                                 "tfidf": pd.Series(dtype=float)})
-        out = pd.DataFrame({
-            "token": df["token"],
-            "tf": df["tf"].astype("int64"),
-            "df_docs": df["df"].astype("int64"),
-            "tfidf": (df["tf"] * np.log((n_docs + 1) / (df["df"] + 1))).round(6),
+    def score_top(b: pa.Table) -> pa.Table:
+        # Arrow in/out with explicit types: an empty PANDAS frame here had
+        # object dtype and spammed "cannot call vectorize on size 0
+        # inputs" from Ray's block-size estimator on every empty block
+        b = b.filter(pc.not_equal(b["token"], ""))
+        tf = np.asarray(b["tf"], dtype=np.int64)
+        dfd = np.asarray(b["df"], dtype=np.int64)
+        scored = pa.table({
+            "token": pc.cast(b["token"].combine_chunks(), pa.string()),
+            "tf": pa.array(tf, pa.int64()),
+            "df_docs": pa.array(dfd, pa.int64()),
+            "tfidf": pa.array(
+                np.round(tf * np.log((n_docs + 1) / (dfd + 1)), 6),
+                pa.float64()),
         })
-        return out.sort_values(["tfidf", "token"],
-                               ascending=[False, True]).head(20)
+        idx = pc.sort_indices(scored, sort_keys=[("tfidf", "descending"),
+                                                 ("token", "ascending")])
+        return scored.take(idx[:20])
 
-    out = agg.map_batches(score_top, batch_format="pandas").to_pandas()
+    out = agg.map_batches(score_top, batch_format="pyarrow").to_pandas()
     return (out.sort_values(["tfidf", "token"], ascending=[False, True])
             .head(20).reset_index(drop=True))
 
@@ -1473,10 +1510,14 @@ ORACLE_SQL: dict[str, str] = {
     # the fingerprint side table is written (distributed, deterministic
     # content) by the simhash query itself; the oracle checks the whole
     # pair-finding step against the exact Hamming self-join — exact because
-    # the pigeonhole bucketing has recall 1.0 at the threshold
-    "simhash_dedup_documents": """
+    # the pigeonhole bucketing has recall 1.0 at the threshold.  The side
+    # path is keyed by PID (interpolated below at import, in the same
+    # process that runs both the query and the oracle) so concurrent runs
+    # on different sf_dirs in separate processes cannot race; within one
+    # process the contract is query-then-its-oracle, sequentially.
+    "simhash_dedup_documents": f"""
         WITH fp AS (
-            SELECT * FROM read_parquet('/tmp/aads_oracle_fp/simhash_current/*.parquet'))
+            SELECT * FROM read_parquet('/tmp/aads_oracle_fp/simhash_current_{os.getpid()}/*.parquet'))
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -1691,29 +1732,71 @@ ORACLE_SQL: dict[str, str] = {
 
 def hll_users_per_event_type(sf_dir: str):
     """Approximate distinct user_id per event_type: HLL partial per batch,
-    registers merged in a tiny groupby (sketches never shuffle raw rows)."""
-    from ..functions.sketches import HyperLogLog, hll_merge_bytes
+    registers merged in a tiny groupby (sketches never shuffle raw rows).
+    The partial is fully vectorized — Arrow dictionary-encode of the group
+    column + one sort + ``np.maximum.reduceat`` register fold over the
+    composite (group, register) key; no ``to_pylist``/per-group Python HLL.
+
+    The returned rows carry a machine-checkable accuracy contract: the
+    exact distinct count (computed in-query by the pair-dedup shuffle the
+    sketch exists to avoid at scale — affordable here, and it turns this
+    ``no_oracle`` entry into a self-verifying one), the relative error,
+    and the 3σ bound for p=12 (3·1.04/√4096 ≈ 0.0488)."""
     from ..functions.hashing import stable_hash64
+    from ..functions.sketches import (
+        HyperLogLog,
+        hll_group_registers,
+        hll_merge_bytes,
+    )
 
     ds = _t(sf_dir, "events", columns=["event_type", "user_id"])
 
     def partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
-                           "h": stable_hash64(b["user_id"])})
-        rows = {"event_type": [], "hll": []}
-        for et, g in df.groupby("event_type"):
-            rows["event_type"].append(et)
-            rows["hll"].append(HyperLogLog(p=12).add_hashes(g["h"].to_numpy()).to_bytes())
-        return pa.table({"event_type": pa.array(rows["event_type"], pa.string()),
-                         "hll": pa.array(rows["hll"], pa.binary())})
+        if b.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "hll": pa.array([], pa.binary())})
+        enc = pc.dictionary_encode(b["event_type"].combine_chunks())
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        regs = hll_group_registers(stable_hash64(b["user_id"]), codes,
+                                   len(enc.dictionary), p=12)
+        blobs = [bytes([12]) + regs[g].tobytes()
+                 for g in range(len(enc.dictionary))]
+        return pa.table({"event_type": pc.cast(enc.dictionary, pa.string()),
+                         "hll": pa.array(blobs, pa.binary())})
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         est = HyperLogLog.from_bytes(hll_merge_bytes(list(g["hll"]))).estimate()
         return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
                              "approx_users": [round(est)]})
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby(
-        "event_type").map_groups(merge, batch_format="pandas")
+    approx = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "event_type").map_groups(merge, batch_format="pandas").to_pandas()
+
+    # exact twin, in-query: per-batch pair dedup (narrow (type, id) rows),
+    # then per-type nunique over the deduped pairs
+    def pair_partial(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["event_type"],
+                         "user_id": b["user_id"]}).group_by(
+            ["event_type", "user_id"]).aggregate([])
+
+    def nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "exact_users": [int(g["user_id"].nunique())]})
+
+    exact = (ds.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby("event_type").map_groups(nunique, batch_format="pandas")
+             .to_pandas())
+    out = approx.merge(exact, on="event_type", how="outer").sort_values(
+        "event_type").reset_index(drop=True)
+    bound = 3 * 1.04 / np.sqrt(1 << 12)
+    out["rel_err"] = ((out["approx_users"] - out["exact_users"]).abs()
+                      / out["exact_users"].clip(lower=1)).round(6)
+    out["rel_err_bound_3sigma"] = round(bound, 6)
+    out["within_bound"] = out["rel_err"] <= bound
+    if not bool(out["within_bound"].all()):
+        raise AssertionError(
+            f"HLL p=12 estimate outside 3σ bound:\n{out.to_string()}")
+    return out
 
 
 def minhash_dedup_documents(sf_dir: str):
@@ -1743,10 +1826,12 @@ def simhash_dedup_documents(sf_dir: str):
     (stages/dedup.py:simhash_buckets)."""
     from ..stages.dedup import simhash_near_dup_pairs
 
-    # fixed "current" path: each invocation overwrites it, and the oracle
-    # (which runs right after its query, on the same sf) reads it back —
-    # a static SQL string cannot parameterize on sf_dir
-    fp_dir = os.path.join(_ORACLE_FP_ROOT, "simhash_current")
+    # pid-keyed "current" path: each invocation overwrites it, and the
+    # oracle (built at import in this same process, so the pid matches)
+    # reads it back right after the query.  Concurrent runs on different
+    # sf_dirs live in different processes → different paths; within one
+    # process the single-writer query-then-oracle order is the contract.
+    fp_dir = os.path.join(_ORACLE_FP_ROOT, f"simhash_current_{os.getpid()}")
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"], spread=True)
     return simhash_near_dup_pairs(ds, max_hamming=6, fp_out_dir=fp_dir)
 

@@ -47,6 +47,43 @@ def _worker_quiet():
     ).setLevel(logging.ERROR)
 
 
+def host_probe() -> float:
+    """Host-health probe: seconds for a single-threaded 2000² matmul after
+    an allocator warm-up pass.  Healthy ≈ 0.3–0.5 s on this box; during
+    shared-host steal bursts it has been observed at 0.4–8 s.  Scaling
+    samples taken while this is above HEALTH_THRESH measure the neighbor's
+    workload, not the engine — the gate skips them (contention only ever
+    subtracts throughput, so discarding unhealthy windows removes a bias,
+    it cannot add one)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((2000, 2000))
+    b = rng.random((2000, 2000))
+    a @ b  # warm-up: first-touch pages + BLAS thread spin-up, untimed
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        a @ b
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+HEALTH_THRESH = float(os.environ.get("GRAFT_HEALTH_THRESH", "0.7"))
+
+
+def wait_healthy(max_wait_sec: float = 900.0) -> float:
+    """Block until the host probe clears HEALTH_THRESH (or max_wait
+    elapses); returns the final probe value.  Used by --scaling to take
+    samples only in healthy windows, per BASELINE.md's methodology."""
+    deadline = time.time() + max_wait_sec
+    p = host_probe()
+    while p > HEALTH_THRESH and time.time() < deadline:
+        time.sleep(20.0)
+        p = host_probe()
+    return p
+
+
 def init_ray(num_cpus: int):
     import ray
 
@@ -166,6 +203,7 @@ def main():
 
     headline_only = "--headline-only" in sys.argv
 
+    probe = host_probe()  # recorded so every bench JSON carries host state
     init_ray(num_cpus)
     warm_cache(sf_dir)
     warm_workers(num_cpus)
@@ -192,6 +230,8 @@ def main():
         "sf": sf,
         "num_cpus": num_cpus,
         "validated_rows_per_sec": round(head["rows_per_sec"], 1),
+        "host_probe_sec": probe,
+        "host_probe_healthy_below_sec": HEALTH_THRESH,
     }
     import ray
 
@@ -223,22 +263,27 @@ def scaling():
     # throughput, so the max observed rate is the least-biased estimate of
     # each level's true capability (standard microbenchmark practice)
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
-    results, samples = {}, {}
+    results, samples, probes = {}, {}, {}
     for ncpu in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
                    GRAFT_CORPUS_MULT=mult, GRAFT_HEADLINE_REPEATS="2")
-        best, level_samples = None, []
+        best, level_samples, level_probes = None, [], []
         for _ in range(repeats):
+            # host-health gate: only sample in a healthy window, and record
+            # the probe value alongside the sample so a reader can audit it
+            probe = wait_healthy()
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
                 env=env, capture_output=True, text=True, check=True,
             ).stdout
             r = json.loads(out.strip().splitlines()[-1])
             level_samples.append(r["validated_rows_per_sec"])
+            level_probes.append(probe)
             if best is None or r["validated_rows_per_sec"] > best["validated_rows_per_sec"]:
                 best = r
         results[ncpu] = best
         samples[ncpu] = level_samples
+        probes[ncpu] = level_probes
     r_lo = results[lo]["validated_rows_per_sec"]
     r_hi = results[hi]["validated_rows_per_sec"]
     eff = (r_hi / r_lo) / (hi / lo)
@@ -261,6 +306,8 @@ def scaling():
             "n_cpus_high": hi,
             "scaling_efficiency": round(eff, 3),
             "estimator": f"best-of-{repeats} subprocess runs, each best-of-2 in-process",
+            "host_probe_sec_per_sample": probes,
+            "host_probe_healthy_below_sec": HEALTH_THRESH,
             "samples_rows_per_sec": samples,
             f"median_rows_per_sec_{lo}": round(median(samples[lo]), 1),
             f"median_rows_per_sec_{hi}": round(median(samples[hi]), 1),
@@ -307,8 +354,9 @@ def scaling_cpu():
     introduces no serialization at 4× parallelism."""
     lo = int(os.environ.get("GRAFT_SCALE_N", "4"))
     hi = 4 * lo
-    results = {}
+    results, probes = {}, {}
     for ncpu in (lo, hi):
+        probes[ncpu] = wait_healthy()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cpu-probe", str(ncpu)],
             capture_output=True, text=True, check=True).stdout
@@ -320,6 +368,8 @@ def scaling_cpu():
         f"rows_per_sec_{hi}": round(results[hi], 1),
         "n_cpus_low": lo, "n_cpus_high": hi,
         "scaling_efficiency": round(eff, 3),
+        "host_probe_sec_per_level": probes,
+        "host_probe_healthy_below_sec": HEALTH_THRESH,
         "estimator": "best-of-2 in-process repeats per level, fresh process per level",
     }))
 

@@ -116,3 +116,91 @@ def test_label_embedding_stats_rejects_ragged_and_null(ray_session, tmp_path):
     nulled = write([[1.0, 2.0], None, [3.0, 4.0]], "nulled")
     with pytest.raises(Exception, match="null"):
         label_embedding_stats(nulled)
+
+
+# ---------------------------------------- fused media decode (one per row)
+
+
+def test_fused_media_stage_decodes_each_payload_once():
+    """VERDICT r3 #3: the media pipeline must pay decode ONCE per payload
+    while producing both the intensity stats and the resize feature."""
+    from approximate_anomaly_detection_in_data_streams_ray.stages.multimodal import (
+        MediaDecode,
+        MediaDecodeFeatures,
+        MediaResize,
+        synth_media_table,
+    )
+
+    t = synth_media_table(48, seed=5)
+    fused = MediaDecodeFeatures()
+    out = fused(t)
+    assert fused.n_decodes == t.num_rows == out.num_rows
+
+    # parity with the two standalone stages
+    d = MediaDecode()(t)
+    r = MediaResize()(t)
+    assert out["mean_intensity"].to_pylist() == d["mean_intensity"].to_pylist()
+    assert out["decoded_shape"].to_pylist() == d["decoded_shape"].to_pylist()
+    assert out["feature"].to_pylist() == r["feature"].to_pylist()
+
+
+def test_media_pipeline_views_share_one_decode_pass(ray_session, tmp_path):
+    """Consuming BOTH returned views must not re-execute the decode chain:
+    the fused output is materialized once and the views are projections.
+    An upstream marker stage (touches a file per task) proves it — before
+    the fusion, each consumed view lazily re-ran the whole chain."""
+    import uuid
+
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.multimodal import (
+        media_pipeline,
+        synth_media_table,
+    )
+
+    marker_dir = str(tmp_path / "marks")
+    os.makedirs(marker_dir)
+
+    def mark(b: pa.Table) -> pa.Table:
+        open(os.path.join(marker_dir, uuid.uuid4().hex), "w").close()
+        return b
+
+    t = synth_media_table(64, seed=9)
+    ds = ray.data.from_arrow([t.slice(i * 16, 16) for i in range(4)]
+                             ).map_batches(mark, batch_format="pyarrow")
+    decoded, feats = media_pipeline(ds, batch_size=16)
+    n_marks_after_build = len(os.listdir(marker_dir))
+    assert n_marks_after_build >= 1  # the fused pass executed at build time
+
+    d = decoded.to_pandas().sort_values("media_id").reset_index(drop=True)
+    f = feats.to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert len(d) == len(f) == 64
+    assert list(d.columns) == ["media_id", "decoded_shape", "mean_intensity"]
+    assert list(f.columns) == ["media_id", "feature"]
+    # neither consumption re-ran the chain
+    assert len(os.listdir(marker_dir)) == n_marks_after_build
+
+
+def test_jpeg_dispatch_optional_pil():
+    """VERDICT r3 #9: JPEG decodes through PIL when importable, raises a
+    clear installation hint otherwise."""
+    from approximate_anomaly_detection_in_data_streams_ray.stages.multimodal import (
+        decode_payload,
+    )
+
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        with pytest.raises(ValueError, match="PIL"):
+            decode_payload(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+        return
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[:, :, 0] = 200
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=95)
+    out = decode_payload(buf.getvalue())
+    assert out.shape == (8, 8, 3)
+    assert abs(float(out[:, :, 0].mean()) - 200.0) < 10.0
