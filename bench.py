@@ -177,8 +177,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 
     timings = {}
     for name, fn in QUERIES.items():
-        if name == "validate_code_files":
-            continue  # the headline covers it
+        if name in ("validate_code_files", "validate_code_files_sql"):
+            continue  # the headline covers validation; the _sql variant
+            # is the correctness gate's vehicle, not a distinct pipeline
         t0 = time.time()
         res = fn(sf_dir)
         if hasattr(res, "to_pandas"):
