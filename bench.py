@@ -318,6 +318,134 @@ def scaling():
     ))
 
 
+def _resume_victim(out_dir: str):
+    """Child process for ``--resume``: run the full validation into
+    *out_dir* (resuming whatever the manifest already marks done) and print
+    one JSON line with the run's own wall time and item counts.  The parent
+    SIGKILLs this process mid-extract for the kill leg."""
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    init_ray(ncpu)
+    warm_workers(ncpu)
+    from approximate_anomaly_detection_in_data_streams_ray.checks.base import (
+        ValidationConfig,
+    )
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        _code_files_dir,
+    )
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.runner import (
+        run_validation,
+    )
+
+    src = _code_files_dir(sf_dir)
+    cfg = ValidationConfig(extract_concurrency=max(3, int(ncpu * 0.9)),
+                           drift_concurrency=max(3, ncpu // 2))
+    t0 = time.time()
+    s = run_validation(src, out_dir, cfg)
+    import ray
+
+    ray.shutdown()
+    print(json.dumps({
+        "sec": round(time.time() - t0, 3),
+        "n_items": s["n_items"],
+        "n_rows_extracted": s["n_rows_extracted"],
+        "n_items_skipped_resume": s["n_items_skipped_resume"],
+    }))
+
+
+def resume_bench():
+    """Kill-and-resume at bench scale (north_rule fault-tolerance record):
+    1. COLD leg — full validation in a fresh process, timed;
+    2. KILL leg — same job, SIGKILLed once ``GRAFT_KILL_FRAC`` (default
+       0.8) of the extraction items have checkpointed;
+    3. RESUME leg — rerun on the killed output dir, timed;
+    then verify 0 row loss (features row count == cold run row count) and
+    the per-row content sha256 invariant on the resumed output."""
+    import glob as globmod
+    import shutil
+    import signal  # noqa: F401  (documented: SIGKILL via Popen.kill)
+    import tempfile
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    kill_frac = float(os.environ.get("GRAFT_KILL_FRAC", "0.8"))
+    root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    base = tempfile.mkdtemp(prefix="aads_resume_", dir=root)
+    out_cold = os.path.join(base, "cold")
+    out_kill = os.path.join(base, "kill")
+
+    def victim(out_dir: str, wait: bool = True):
+        p = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--resume-victim", out_dir],
+            env=dict(os.environ), stdout=subprocess.PIPE, text=True)
+        if not wait:
+            return p
+        out, _ = p.communicate()
+        if p.returncode != 0:
+            raise RuntimeError(f"victim failed rc={p.returncode}")
+        return json.loads(out.strip().splitlines()[-1])
+
+    try:
+        cold = victim(out_cold)
+        n_items = cold["n_items"]
+
+        # kill leg: SIGKILL once kill_frac of the items have checkpointed
+        p = victim(out_kill, wait=False)
+        target = max(1, int(kill_frac * n_items))
+        marker_glob = os.path.join(out_kill, "_manifest", "features__*.json")
+        deadline = time.time() + 30 * 60
+        while time.time() < deadline:
+            if len(globmod.glob(marker_glob)) >= target:
+                break
+            if p.poll() is not None:
+                raise RuntimeError("victim finished before the kill point — "
+                                   "lower GRAFT_KILL_FRAC")
+            time.sleep(0.1)
+        p.kill()
+        p.wait()
+        items_done_at_kill = len(globmod.glob(marker_glob))
+
+        resumed = victim(out_kill)
+
+        # --- 0-row-loss proof: every corpus row present exactly once in
+        # the resumed features, and the content sha256 invariant holds
+        import pyarrow.dataset as pads
+
+        n_rows_resumed = pads.dataset(sorted(globmod.glob(
+            os.path.join(out_kill, "features", "item=*", "part.parquet")
+        ))).count_rows()
+        from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+            _code_files_dir,
+        )
+        from approximate_anomaly_detection_in_data_streams_ray.pipelines.runner import (
+            verify_sha_invariant,
+        )
+
+        src = _code_files_dir(sf_dir)
+        n_rows_cold = pads.dataset(sorted(globmod.glob(
+            os.path.join(out_cold, "features", "item=*", "part.parquet")
+        ))).count_rows()
+        sha_ok = verify_sha_invariant(src, out_kill, sample=500)
+
+        print(json.dumps({
+            "mode": "kill-and-resume at bench scale",
+            "cold_sec": cold["sec"],
+            "resume_sec": resumed["sec"],
+            "resume_over_cold": round(resumed["sec"] / cold["sec"], 3),
+            "n_items": n_items,
+            "items_done_at_kill": items_done_at_kill,
+            "items_redone_after_kill": n_items - resumed["n_items_skipped_resume"],
+            "redone_fraction": round(
+                (n_items - resumed["n_items_skipped_resume"]) / n_items, 3),
+            "rows_cold": n_rows_cold,
+            "rows_resumed": n_rows_resumed,
+            "zero_row_loss": n_rows_resumed == n_rows_cold,
+            "sha256_invariant": bool(sha_ok),
+            "kill_frac": kill_frac,
+        }))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _cpu_probe(ncpu: int) -> float:
     """Compute-bound Ray Data job (sha256 burns, ~zero memory traffic per
     row): rows/s at this parallelism.  Run in-process after init_ray."""
@@ -382,5 +510,9 @@ if __name__ == "__main__":
         scaling_cpu()
     elif "--cpu-probe" in sys.argv:
         print(_cpu_probe(int(sys.argv[sys.argv.index("--cpu-probe") + 1])))
+    elif "--resume-victim" in sys.argv:
+        _resume_victim(sys.argv[sys.argv.index("--resume-victim") + 1])
+    elif "--resume" in sys.argv:
+        resume_bench()
     else:
         main()
