@@ -2209,6 +2209,16 @@ def validate_code_files_sql(sf_dir: str):
     from .runner import run_validation
 
     src = _code_files_dir(sf_dir)
+    # pid-keyed symlink so the static oracle SQL reads THIS run's corpus
+    # whatever its sf (same single-writer query-then-oracle contract as
+    # the simhash fingerprint side table)
+    link = os.path.join(_ORACLE_FP_ROOT, f"vcf_corpus_{os.getpid()}")
+    os.makedirs(_ORACLE_FP_ROOT, exist_ok=True)
+    tmp_link = f"{link}.tmp.{os.getpid()}"
+    if os.path.lexists(tmp_link):
+        os.remove(tmp_link)
+    os.symlink(src, tmp_link)
+    os.replace(tmp_link, link)
     out = tempfile.mkdtemp(prefix="aads_validate_sql_")
     try:
         run_validation(src, out, ValidationConfig(),
@@ -2297,10 +2307,10 @@ QUERIES = {
 }
 
 # the validation-slice oracle recomputes the uniqueness + referential
-# verdicts INDEPENDENTLY from the raw corpus parquet.  The corpus path is
-# baked for sf0.01 (the scale the driver's correctness gate always runs);
-# the query itself generates the corpus before the oracle reads it.
-_VCF_CORPUS = _code_files_cache_path("/root/testdata/sf0.01")
+# verdicts INDEPENDENTLY from the raw corpus parquet.  The path is a
+# pid-keyed symlink the query points at the corpus it just validated
+# (sf-agnostic; import happens in the same process that runs both sides).
+_VCF_CORPUS = os.path.join(_ORACLE_FP_ROOT, f"vcf_corpus_{os.getpid()}")
 ORACLE_SQL["validate_code_files_sql"] = f"""
     WITH cf AS (SELECT repo, path, "commit"
                 FROM read_parquet('{_VCF_CORPUS}/code_files/*.parquet')),
