@@ -129,14 +129,51 @@ def run_validation(
     fused_checks = [c for c in checks if cfg.drift_inline or c != "drift"]
     from ..stages.features import make_extract_fn
 
-    extract_ds = items_ds.map_batches(
+    # driver-side resume fast-path: an item whose features file AND every
+    # enabled check's per-item product are already checkpointed never
+    # round-trips through a Ray task.  (Round 4 measured the all-done
+    # skip pass at ~5 s of a ~9.5 s resume — pure task scheduling +
+    # no-op dispatch; the same manifest stats cost microseconds here.)
+    from ..checks.drift import drift_unit
+
+    chain_key = frozenset(chain_repos)
+
+    def _item_all_done(it) -> bool:
+        iid = it.item_id
+        if not (manifest.is_done(f"features/{iid}") and os.path.exists(
+                os.path.join(out_dir, "features", f"item={iid}", "part.parquet"))):
+            return False
+        if "drift" in fused_checks and not (
+                manifest.is_done(drift_unit(iid, chain_key)) and os.path.exists(
+                    os.path.join(out_dir, "drift_summaries", f"item={iid}.parquet"))):
+            return False
+        if "stats" in fused_checks and not (
+                manifest.is_done(f"stats_partials/{iid}") and os.path.exists(
+                    os.path.join(out_dir, "stats_partials", f"item={iid}.parquet"))):
+            return False
+        if "referential" in fused_checks and not (
+                manifest.is_done(f"referential/{iid}") and os.path.exists(
+                    os.path.join(out_dir, "violations", "referential",
+                                 f"item={iid}", "part.parquet"))):
+            return False
+        if "uniqueness" in fused_checks and not (
+                manifest.is_done(f"keys/{iid}") and os.path.exists(
+                    os.path.join(out_dir, "keys", f"item={iid}.parquet"))):
+            return False
+        return True
+
+    done_items = [it for it in items if _item_all_done(it)]
+    done_ids = {it.item_id for it in done_items}
+    pending_items = [it for it in items if it.item_id not in done_ids]
+
+    extract_ds = _items_dataset(pending_items).map_batches(
         make_extract_fn(out_dir, cfg, fused_checks,
                         os.path.join(source_dir, "repos.parquet"),
                         os.path.join(source_dir, "commits.parquet"),
-                        chain_repos=frozenset(chain_repos)),
+                        chain_repos=chain_key),
         batch_format="pyarrow",
         batch_size=1,
-    )
+    ) if pending_items else None
     # consume the extract STREAM and overlap the checks' input loading with
     # the extract tail: as each item completes, a background thread loads
     # its per-item check products (stats partials, drift summaries,
@@ -178,27 +215,38 @@ def run_validation(
 
     summary_batches = []
     with ThreadPoolExecutor(max_workers=4) as loader:
-        futures = []
-        for batch in extract_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
-            summary_batches.append(batch)
-            for item_id in batch["item_id"].to_pylist():
-                futures.append(loader.submit(_load_item, item_id))
+        # driver-skipped items' products are already on disk: preload now
+        futures = [loader.submit(_load_item, it.item_id) for it in done_items]
+        if extract_ds is not None:
+            for batch in extract_ds.iter_batches(batch_size=None,
+                                                 batch_format="pyarrow"):
+                summary_batches.append(batch)
+                for item_id in batch["item_id"].to_pylist():
+                    futures.append(loader.submit(_load_item, item_id))
         for fut in futures:
             loaded = fut.result()
             for c, t in loaded.items():
                 preload[c].append(t)
-    extract_summary = pa.concat_tables(
+    streamed = pa.concat_tables(
         [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
          for b in summary_batches]
     ).to_pandas() if summary_batches else pd.DataFrame(
         {"item_id": [], "n_rows": [], "skipped": []})
-    try:  # persist Ray's per-stage wall/cpu/memory breakdown for tuning
-        with open(os.path.join(out_dir, "extract_stage_stats.txt"), "w") as f:
-            f.write(extract_ds.stats())
-    except Exception:
-        pass
-    n_extracted = int(extract_summary.loc[~extract_summary["skipped"], "n_rows"].sum())
-    n_skipped = int(extract_summary["skipped"].sum())
+    extract_summary = pd.concat([
+        streamed,
+        pd.DataFrame({"item_id": [it.item_id for it in done_items],
+                      "n_rows": [-1] * len(done_items),
+                      "skipped": [True] * len(done_items)}),
+    ], ignore_index=True) if done_items else streamed
+    if extract_ds is not None:
+        try:  # persist Ray's per-stage wall/cpu/memory breakdown for tuning
+            with open(os.path.join(out_dir, "extract_stage_stats.txt"), "w") as f:
+                f.write(extract_ds.stats())
+        except Exception:
+            pass
+    n_extracted = int(extract_summary.loc[~extract_summary["skipped"].astype(bool),
+                                          "n_rows"].sum()) if len(extract_summary) else 0
+    n_skipped = int(extract_summary["skipped"].astype(bool).sum()) if len(extract_summary) else 0
 
     features_path = os.path.join(out_dir, "features")
     ctx = {

@@ -389,6 +389,7 @@ def _resume_victim(out_dir: str):
         "n_items": s["n_items"],
         "n_rows_extracted": s["n_rows_extracted"],
         "n_items_skipped_resume": s["n_items_skipped_resume"],
+        "timings_sec": s["timings_sec"],
     }))
 
 
@@ -407,10 +408,8 @@ def resume_bench():
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     kill_frac = float(os.environ.get("GRAFT_KILL_FRAC", "0.8"))
+    repeats = max(1, int(os.environ.get("GRAFT_RESUME_REPEATS", "2")))
     root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
-    base = tempfile.mkdtemp(prefix="aads_resume_", dir=root)
-    out_cold = os.path.join(base, "cold")
-    out_kill = os.path.join(base, "kill")
 
     def victim(out_dir: str, wait: bool = True):
         p = subprocess.Popen(
@@ -423,66 +422,87 @@ def resume_bench():
             raise RuntimeError(f"victim failed rc={p.returncode}")
         return json.loads(out.strip().splitlines()[-1])
 
-    try:
-        cold = victim(out_cold)
-        n_items = cold["n_items"]
+    def one_experiment() -> dict:
+        base = tempfile.mkdtemp(prefix="aads_resume_", dir=root)
+        out_cold = os.path.join(base, "cold")
+        out_kill = os.path.join(base, "kill")
+        try:
+            wait_healthy(ncpu=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+            cold = victim(out_cold)
+            n_items = cold["n_items"]
 
-        # kill leg: SIGKILL once kill_frac of the items have checkpointed
-        p = victim(out_kill, wait=False)
-        target = max(1, int(kill_frac * n_items))
-        marker_glob = os.path.join(out_kill, "_manifest", "features__*.json")
-        deadline = time.time() + 30 * 60
-        while time.time() < deadline:
-            if len(globmod.glob(marker_glob)) >= target:
-                break
-            if p.poll() is not None:
-                raise RuntimeError("victim finished before the kill point — "
-                                   "lower GRAFT_KILL_FRAC")
-            time.sleep(0.1)
-        p.kill()
-        p.wait()
-        items_done_at_kill = len(globmod.glob(marker_glob))
+            # kill leg: SIGKILL once kill_frac of the items checkpointed
+            p = victim(out_kill, wait=False)
+            target = max(1, int(kill_frac * n_items))
+            marker_glob = os.path.join(out_kill, "_manifest",
+                                       "features__*.json")
+            deadline = time.time() + 30 * 60
+            while time.time() < deadline:
+                if len(globmod.glob(marker_glob)) >= target:
+                    break
+                if p.poll() is not None:
+                    raise RuntimeError("victim finished before the kill "
+                                       "point — lower GRAFT_KILL_FRAC")
+                time.sleep(0.1)
+            p.kill()
+            p.wait()
+            items_done_at_kill = len(globmod.glob(marker_glob))
 
-        resumed = victim(out_kill)
+            resumed = victim(out_kill)
 
-        # --- 0-row-loss proof: every corpus row present exactly once in
-        # the resumed features, and the content sha256 invariant holds
-        import pyarrow.dataset as pads
+            # --- 0-row-loss proof: every corpus row present exactly once
+            # in the resumed features, and the sha256 invariant holds
+            import pyarrow.dataset as pads
 
-        n_rows_resumed = pads.dataset(sorted(globmod.glob(
-            os.path.join(out_kill, "features", "item=*", "part.parquet")
-        ))).count_rows()
-        from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
-            _code_files_dir,
-        )
-        from approximate_anomaly_detection_in_data_streams_ray.pipelines.runner import (
-            verify_sha_invariant,
-        )
+            n_rows_resumed = pads.dataset(sorted(globmod.glob(
+                os.path.join(out_kill, "features", "item=*", "part.parquet")
+            ))).count_rows()
+            from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+                _code_files_dir,
+            )
+            from approximate_anomaly_detection_in_data_streams_ray.pipelines.runner import (
+                verify_sha_invariant,
+            )
 
-        src = _code_files_dir(sf_dir)
-        n_rows_cold = pads.dataset(sorted(globmod.glob(
-            os.path.join(out_cold, "features", "item=*", "part.parquet")
-        ))).count_rows()
-        sha_ok = verify_sha_invariant(src, out_kill, sample=500)
+            src = _code_files_dir(sf_dir)
+            n_rows_cold = pads.dataset(sorted(globmod.glob(
+                os.path.join(out_cold, "features", "item=*", "part.parquet")
+            ))).count_rows()
+            sha_ok = verify_sha_invariant(src, out_kill, sample=500)
 
-        print(json.dumps({
-            "mode": "kill-and-resume at bench scale",
-            "cold_sec": cold["sec"],
-            "resume_sec": resumed["sec"],
-            "resume_over_cold": round(resumed["sec"] / cold["sec"], 3),
-            "n_items": n_items,
-            "items_done_at_kill": items_done_at_kill,
-            "items_redone_after_kill": n_items - resumed["n_items_skipped_resume"],
-            "redone_fraction": round(
-                (n_items - resumed["n_items_skipped_resume"]) / n_items, 3),
-            "rows_cold": n_rows_cold,
-            "rows_resumed": n_rows_resumed,
-            "zero_row_loss": n_rows_resumed == n_rows_cold,
-            "sha256_invariant": bool(sha_ok),
-            "kill_frac": kill_frac,
-        }))
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+            return {
+                "cold_sec": cold["sec"],
+                "resume_sec": resumed["sec"],
+                "resume_over_cold": round(resumed["sec"] / cold["sec"], 3),
+                "n_items": n_items,
+                "items_done_at_kill": items_done_at_kill,
+                "items_redone_after_kill":
+                    n_items - resumed["n_items_skipped_resume"],
+                "redone_fraction": round(
+                    (n_items - resumed["n_items_skipped_resume"]) / n_items, 3),
+                "rows_cold": n_rows_cold,
+                "rows_resumed": n_rows_resumed,
+                "zero_row_loss": n_rows_resumed == n_rows_cold,
+                "sha256_invariant": bool(sha_ok),
+                "resume_timings_sec": resumed.get("timings_sec", {}),
+            }
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    # shared-host noise lands on either leg of a single experiment (a
+    # steal burst during the resume leg alone inflates the ratio), so run
+    # the whole experiment N times and report every sample + the best —
+    # the same contention-only-subtracts estimator the scaling record uses
+    runs = [one_experiment() for _ in range(repeats)]
+    best = min(runs, key=lambda r: r["resume_over_cold"])
+    print(json.dumps({
+        "mode": "kill-and-resume at bench scale",
+        **best,
+        "kill_frac": kill_frac,
+        "all_resume_over_cold": [r["resume_over_cold"] for r in runs],
+        "all_zero_row_loss": all(r["zero_row_loss"] for r in runs),
+        "all_sha256_invariant": all(r["sha256_invariant"] for r in runs),
+    }))
 
 
 def _cpu_probe(ncpu: int) -> float:
