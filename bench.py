@@ -514,19 +514,25 @@ def _cpu_probe(ncpu: int) -> float:
 
     init_ray(ncpu)
     warm_workers(ncpu)
-    n = 192 * ncpu  # fixed work per core across levels
+    # fixed work per core across levels, sized so COMPUTE dominates: with
+    # the old 4000-iter rows a task cost ~0.13 s and Ray's fixed
+    # scheduling/materialize overhead (~1-2 s per job) set the ratio, not
+    # the engine (round 4 measured 0.26-0.50 on a host that sustained a
+    # 16-way subprocess burn at 1.0).  Now each task burns ~5 s and each
+    # core runs 2 tasks → ~10 s of pure compute per level.
+    n = 256 * ncpu
 
     def burn(batch):
         h = b"seed"
-        for _ in range(len(batch["id"]) * 4000):
+        for _ in range(len(batch["id"]) * 60_000):
             h = hashlib.sha256(h).digest()
         return {"id": batch["id"], "ok": [len(h)] * len(batch["id"])}
 
     best = 0.0
     for _ in range(2):
         t0 = time.time()
-        ray.data.range(n, override_num_blocks=4 * ncpu).map_batches(
-            burn, batch_size=48).materialize()
+        ray.data.range(n, override_num_blocks=2 * ncpu).map_batches(
+            burn, batch_size=128).materialize()
         best = max(best, n / (time.time() - t0))
     ray.shutdown()
     return best
