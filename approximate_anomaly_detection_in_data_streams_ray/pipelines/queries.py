@@ -2037,6 +2037,22 @@ def multimodal_decode(sf_dir: str):
     return d[["media_id", "mean_intensity", "feature_dim"]].reset_index(drop=True)
 
 
+def video_frame_sample(sf_dir: str):
+    """Frame-sampling over a video-payload table: 4 uniformly-spread
+    frames per clip, one output row per sampled frame.  The SYNV
+    container's seek index means only sampled frames are decoded — the
+    contract a 100-TB video corpus needs (see stages/multimodal.py)."""
+    from ..stages.multimodal import synth_video_table, video_pipeline
+
+    t = synth_video_table(192, seed=13)
+    ds = ray.data.from_arrow([t.slice(i * 24, 24) for i in range(8)])
+    out = video_pipeline(ds, n_samples=4).to_pandas()
+    out["mean_intensity"] = out["mean_intensity"].round(4)
+    out["feature_dim"] = out["feature"].map(len).to_numpy()
+    return (out[["media_id", "frame_idx", "mean_intensity", "feature_dim"]]
+            .sort_values(["media_id", "frame_idx"]).reset_index(drop=True))
+
+
 _CODE_CACHE = {}
 
 
@@ -2261,6 +2277,7 @@ QUERIES = {
     "drift_events_mcod": drift_events_mcod,
     "fingerprint_documents": fingerprint_documents,
     "multimodal_decode": multimodal_decode,
+    "video_frame_sample": video_frame_sample,
     # SQL-checked
     "doc_stats": doc_stats,
     "token_totals": token_totals,

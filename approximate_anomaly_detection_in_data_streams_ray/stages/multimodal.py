@@ -11,14 +11,17 @@ REAL decode kernels, pure numpy + stdlib (no imaging libraries needed):
   * PNG — zlib inflate + all five scanline filters, color types
     gray/RGB/palette/gray+alpha/RGBA at depth 8 (16-bit and Adam7 raise);
   * WAV — RIFF chunk walk, 8/16/32-bit integer PCM → float32 samples.
-JPEG and video codecs are NOT implemented (they need PIL/ffmpeg, absent
-in this environment) — `decode_payload` raises a clear error for unknown
-magics; wire PIL.Image.open / PyAV at that dispatch point in a full
-deployment.
+JPEG dispatches to PIL when importable (absent in this sandbox) and raises
+a clear error otherwise; real video codecs need ffmpeg/PyAV — wire them at
+the `decode_payload` dispatch point in a full deployment.
 
 A deterministic fake payload format ("SYN1") additionally lets tests
 exercise the full path without any encoder: 16-byte header = magic, width,
 height, channels (little-endian uint32s) followed by synthetic pixel bytes.
+Video is modeled by the "SYNV" container — MJPEG-style concatenated
+intra-coded frames behind an MP4-stbl-style seek index — so the
+frame-sampling stage (`VideoFrameSample`) exercises the real scale
+contract: sampling k of N frames costs k decodes, not N.
 """
 
 from __future__ import annotations
@@ -418,6 +421,152 @@ class MediaDecodeFeatures:
                                     pa.list_(pa.float32())),
             }
         )
+
+
+# ------------------------------------------------------------ video frames
+
+VIDEO_MAGIC = b"SYNV"
+_VID_HDR = struct.Struct("<III")          # n_frames, fps, reserved
+_VID_IDX = struct.Struct("<QI")           # per-frame (offset, length)
+
+
+def encode_video(frames: list[np.ndarray], fps: int = 30,
+                 frame_format: str = "png") -> bytes:
+    """Deterministic video container: magic + header + a seekable frame
+    index (offset, length per frame) + independently-decodable image
+    payloads (PPM/BMP/PNG/SYN1 via the existing encoders) — the MJPEG
+    pattern (concatenated intra-coded frames) with an MP4-style sample
+    table so frame N is reachable without touching frames 0..N-1."""
+    enc = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png,
+           "syn1": lambda im: MAGIC + struct.pack(
+               "<III", im.shape[1], im.shape[0], im.shape[2]) + im.tobytes(),
+           }[frame_format]
+    blobs = [enc(f) for f in frames]
+    index = bytearray()
+    body = bytearray()
+    base = len(VIDEO_MAGIC) + _VID_HDR.size + _VID_IDX.size * len(blobs)
+    for b in blobs:
+        index += _VID_IDX.pack(base + len(body), len(b))
+        body += b
+    return (VIDEO_MAGIC + _VID_HDR.pack(len(blobs), fps, 0)
+            + bytes(index) + bytes(body))
+
+
+def video_frame_count(payload: bytes) -> int:
+    if payload[:4] != VIDEO_MAGIC:
+        raise ValueError("not a SYNV video")
+    return _VID_HDR.unpack_from(payload, 4)[0]
+
+
+def video_fps(payload: bytes) -> int:
+    if payload[:4] != VIDEO_MAGIC:
+        raise ValueError("not a SYNV video")
+    return _VID_HDR.unpack_from(payload, 4)[1]
+
+
+def decode_video_frame(payload: bytes, i: int) -> np.ndarray:
+    """Decode frame ``i`` ONLY — a header-index seek + one image decode.
+    This is the property frame-sampling at 100 TB depends on: sampling
+    1-in-30 frames must cost ~1/30 of a full decode, so the container
+    must be seekable (real pipelines get this from MP4's stbl / keyframe
+    index via PyAV; this pure-stdlib container models the same contract)."""
+    n = video_frame_count(payload)
+    if not 0 <= i < n:
+        raise IndexError(f"frame {i} out of range (n_frames={n})")
+    off, length = _VID_IDX.unpack_from(
+        payload, len(VIDEO_MAGIC) + _VID_HDR.size + _VID_IDX.size * i)
+    return decode_payload(payload[off:off + length])
+
+
+def sample_video_frames(payload: bytes, every: int = 0,
+                        n_samples: int = 0) -> list[tuple[int, np.ndarray]]:
+    """Uniform frame sampling: either ``every`` k-th frame or a fixed
+    ``n_samples`` spread evenly across the clip.  Decodes ONLY the
+    sampled frames (seekable index)."""
+    n = video_frame_count(payload)
+    if every > 0:
+        idxs = range(0, n, every)
+    elif n_samples > 0:
+        k = min(n_samples, n)
+        idxs = sorted({(j * n) // k for j in range(k)})
+    else:
+        raise ValueError("pass every>0 or n_samples>0")
+    return [(i, decode_video_frame(payload, i)) for i in idxs]
+
+
+class VideoFrameSample:
+    """Actor-pool frame-sampling stage: one OUTPUT ROW PER SAMPLED FRAME
+    (media_id, frame_idx, mean_intensity, feature) — the flat fan-out
+    shape a training pipeline feeds to per-frame embedding/inference.
+    Only sampled frames are decoded (``n_frame_decodes`` instruments it);
+    payload bytes never leave the stage, so the output is narrow."""
+
+    def __init__(self, every: int = 0, n_samples: int = 4,
+                 target: int = 8) -> None:
+        self.every = every
+        self.n_samples = n_samples
+        self.target = target
+        self.n_frame_decodes = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, means, feats = [], [], [], []
+        mids = batch["media_id"].to_pylist()
+        for mid, payload in zip(mids, batch["payload"].to_pylist()):
+            for i, img in sample_video_frames(payload, every=self.every,
+                                              n_samples=self.n_samples):
+                self.n_frame_decodes += 1
+                ids.append(mid)
+                fidx.append(i)
+                means.append(float(img.mean()))
+                feats.append(_resize_feature(img, self.target))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "mean_intensity": pa.array(means, pa.float64()),
+                "feature": pa.array([f.tolist() for f in feats],
+                                    pa.list_(pa.float32())),
+            }
+        )
+
+
+def synth_video_table(n: int, seed: int = 0) -> pa.Table:
+    """Deterministic clips (4-12 frames, mixed frame encodings) with a
+    linear brightness ramp per clip so sampled-frame stats are predictable
+    in tests."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, n_frames_col = [], [], []
+    for i in range(n):
+        nf = int(rng.integers(4, 13))
+        w = int(rng.integers(8, 32))
+        h = int(rng.integers(8, 32))
+        base = rng.integers(0, 128, size=(h, w, 3), dtype=np.uint8)
+        frames = [np.clip(base.astype(np.int32) + 10 * t, 0, 255
+                          ).astype(np.uint8) for t in range(nf)]
+        fmt = ("png", "ppm", "bmp", "syn1")[i % 4]
+        payloads.append(encode_video(frames, fps=24, frame_format=fmt))
+        ids.append(i)
+        n_frames_col.append(nf)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "n_frames": pa.array(n_frames_col, pa.int32()),
+        }
+    )
+
+
+def video_pipeline(ds, every: int = 0, n_samples: int = 4,
+                   concurrency: int | None = None, batch_size: int = 32):
+    """Frame-sampling actor pool over a video table; small batches because
+    clip payloads are wide."""
+    from .common import auto_pool
+
+    pool = auto_pool(concurrency, 1.0)
+    return ds.map_batches(
+        VideoFrameSample, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs={"every": every, "n_samples": n_samples},
+        concurrency=(1, pool), num_cpus=1, max_restarts=0)
 
 
 def media_pipeline(ds, concurrency: int | None = None, batch_size: int = 64):

@@ -254,3 +254,73 @@ def test_queries_cover_previously_uncovered_first():
                           "drift_events_mcod", "fingerprint_documents",
                           "multimodal_decode"}
     assert "validate_code_files_sql" in ORACLE_SQL
+
+
+def test_video_container_roundtrip_all_frame_formats():
+    """SYNV container: every frame decodes bit-exact through the seek
+    index, for each supported frame encoding."""
+    from approximate_anomaly_detection_in_data_streams_ray.stages.multimodal import (
+        decode_video_frame,
+        encode_video,
+        video_fps,
+        video_frame_count,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+              for _ in range(5)]
+    for fmt in ("png", "ppm", "bmp", "syn1"):
+        payload = encode_video(frames, fps=24, frame_format=fmt)
+        assert video_frame_count(payload) == 5
+        assert video_fps(payload) == 24
+        for i, f in enumerate(frames):
+            np.testing.assert_array_equal(decode_video_frame(payload, i), f)
+
+
+def test_video_sampling_decodes_only_sampled_frames():
+    """The scale contract: sampling k of N frames costs exactly k frame
+    decodes (seekable index — no sequential decode of the skipped ones)."""
+    from approximate_anomaly_detection_in_data_streams_ray.stages.multimodal import (
+        VideoFrameSample,
+        sample_video_frames,
+        synth_video_table,
+    )
+
+    t = synth_video_table(32, seed=7)
+    stage = VideoFrameSample(n_samples=3)
+    out = stage(t)
+    # one decode per OUTPUT row, never per input frame
+    assert stage.n_frame_decodes == out.num_rows
+    total_frames = sum(t["n_frames"].to_pylist())
+    assert out.num_rows < total_frames
+    # sampled means match a direct per-frame decode
+    payload0 = t["payload"][0].as_py()
+    direct = sample_video_frames(payload0, n_samples=3)
+    got0 = out.filter(pa.compute.equal(out["media_id"], 0))
+    assert got0["frame_idx"].to_pylist() == [i for i, _ in direct]
+    for mean, (_, img) in zip(got0["mean_intensity"].to_pylist(), direct):
+        assert mean == pytest.approx(float(img.mean()))
+
+
+def test_video_pipeline_distributed(ray_session):
+    """Actor-pool frame sampling over a Dataset: one row per sampled
+    frame, every clip covered, stride-sampling variant included."""
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.multimodal import (
+        synth_video_table,
+        video_pipeline,
+    )
+
+    t = synth_video_table(64, seed=11)
+    ds = ray.data.from_arrow([t.slice(i * 16, 16) for i in range(4)])
+    out = video_pipeline(ds, n_samples=4).to_pandas()
+    assert set(out["media_id"]) == set(range(64))
+    per_clip = out.groupby("media_id").size()
+    n_frames = dict(zip(t["media_id"].to_pylist(), t["n_frames"].to_pylist()))
+    assert all(per_clip[m] == min(4, n_frames[m]) for m in per_clip.index)
+    assert (out["feature"].map(len) == 64).all()
+
+    every = video_pipeline(ds, every=2, n_samples=0).to_pandas()
+    assert (every.groupby("media_id")["frame_idx"].apply(
+        lambda s: (sorted(s) == list(range(0, max(s) + 1, 2)))).all())
