@@ -258,6 +258,11 @@ def main():
         "num_cpus": num_cpus,
         "validated_rows_per_sec": round(head["rows_per_sec"], 1),
         "host_probe_sec": probe,
+        # a healthy START probe does not certify the whole run: steal
+        # bursts arrive mid-suite (r3/r4 saw 5x wall swings) — the END
+        # probe makes a burst that landed during the run visible in the
+        # record instead of silently inflating the suite wall
+        "host_probe_sec_end": host_probe(),
         "host_probe_healthy_below_sec": HEALTH_THRESH,
     }
     import ray
