@@ -2263,6 +2263,417 @@ def validate_code_files_sql(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+# ------------------------------------------------------- round-4 additions
+
+
+def order_priority_revenue(sf_dir: str):
+    """Large×large SHUFFLE HASH JOIN (lineitem ⋈ orders) on Ray Data's
+    native ``Dataset.join`` — the one join shape the engine previously
+    only expressed as broadcast probes or bucketed scratch exchanges.
+    The fact side is pre-combined per batch to one row per orderkey
+    BEFORE the exchange, so the shuffle carries (key, int64 partial)
+    rows rather than raw lineitems; revenue is carried in exact integer
+    ten-thousandths (a 2-dp price × 2-dp discount product has exactly 4
+    decimal digits) so partition-order float drift cannot move the hash."""
+    from ..stages.common import cluster_cpus
+
+    li = _t(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    od = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        myr = pc.cast(pc.round(pc.multiply(rev, pa.scalar(10000.0))),
+                      pa.int64())
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev_myriad": myr})
+        g = t.group_by("l_orderkey").aggregate(
+            [("rev_myriad", "sum"), ("rev_myriad", "count")])
+        return g.rename_columns(["l_orderkey", "rev_myriad", "n_items"])
+
+    joined = li.map_batches(pre, batch_format="pyarrow").join(
+        od, join_type="inner", num_partitions=max(2, int(cluster_cpus())),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def fold(b: pa.Table) -> pa.Table:
+        g = b.group_by("o_orderpriority").aggregate(
+            [("rev_myriad", "sum"), ("n_items", "sum")])
+        return g.rename_columns(["o_orderpriority", "rev_myriad", "n_items"])
+
+    parts = joined.map_batches(fold, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False).agg(
+        rev_myriad=("rev_myriad", "sum"), n_items=("n_items", "sum"))
+    return pd.DataFrame({
+        "o_orderpriority": out["o_orderpriority"],
+        "n_items": out["n_items"].astype("int64"),
+        "revenue": (out["rev_myriad"] / 10000.0).round(4),
+    }).sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def events_rollup(sf_dir: str):
+    """GROUPING SETS / ROLLUP: event counts at (event_type, hour), per
+    event_type, and grand total in ONE scan — the finest grouping is the
+    only one that shuffles (pre-combined per batch, ≤ types×24 rows per
+    reducer) and both coarser levels fold from its tiny result on the
+    driver, the standard rollup-from-finest rewrite."""
+    ds = _t(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": b["event_type"], "hour": pc.hour(b["ts"])})
+        g = t.group_by(["event_type", "hour"]).aggregate([("hour", "count")])
+        return g.rename_columns(["event_type", "hour", "n"])
+
+    fine = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["event_type", "hour"]).aggregate(Sum("n", alias_name="n_events")
+                                          ).to_pandas()
+    fine["n_events"] = fine["n_events"].astype("int64")
+    fine["hour"] = fine["hour"].astype("int64")
+    lvl1 = fine.groupby("event_type", as_index=False)["n_events"].sum()
+    lvl1["hour"] = np.int64(-1)
+    total = pd.DataFrame({"event_type": ["ALL"], "hour": [np.int64(-1)],
+                          "n_events": [fine["n_events"].sum()]})
+    out = pd.concat([fine[["event_type", "hour", "n_events"]],
+                     lvl1[["event_type", "hour", "n_events"]], total],
+                    ignore_index=True)
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+def value_hour_correlation(sf_dir: str):
+    """Pearson CORRELATION aggregate corr(value, hour-of-day) per
+    event_type from single-pass SUMMABLE MOMENTS (n, Σx, Σy, Σxy, Σx²,
+    Σy²) — the canonical "aggregate families beyond sum/count" combiner.
+    Values are folded as exact integer cents so both sides derive the
+    final double from identical integers (int64 partials hold to ~4e9
+    rows per type per batch-tree level; decimal128 is the headroom path)."""
+    ds = _t(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_valid(b["value"]))
+        x = pc.cast(pc.round(pc.multiply(f["value"], pa.scalar(100.0))),
+                    pa.int64())
+        h = pc.hour(f["ts"])
+        t = pa.table({"event_type": f["event_type"], "x": x, "h": h,
+                      "xx": pc.multiply(x, x), "hh": pc.multiply(h, h),
+                      "xh": pc.multiply(x, h)})
+        g = t.group_by("event_type").aggregate(
+            [("x", "count"), ("x", "sum"), ("h", "sum"), ("xx", "sum"),
+             ("hh", "sum"), ("xh", "sum")])
+        return g.rename_columns(
+            ["event_type", "n", "sx", "sh", "sxx", "shh", "sxh"])
+
+    # per-block partials are ≤ n_types rows each → the fold is bounded by
+    # types × blocks; folding on the driver drops the shuffle entirely
+    # (the salted-groupby path is the fallback when the key isn't
+    # dimension-bounded)
+    raw = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    parts = raw.groupby("event_type", as_index=False).sum()
+    import math
+
+    rows = []
+    for r in parts.itertuples(index=False):
+        # Python ints: the big products are exact, rounded to double ONCE
+        # (matching the oracle's HUGEINT → DOUBLE cast points)
+        n, sx, sh = int(r.n), int(r.sx), int(r.sh)
+        sxx, shh, sxh = int(r.sxx), int(r.shh), int(r.sxh)
+        num = n * sxh - sx * sh
+        den = (n * sxx - sx * sx) * (n * shh - sh * sh)
+        corr = round(float(num) / math.sqrt(float(den)), 6) if den > 0 else None
+        rows.append((r.event_type, n, corr))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "corr_cents_hour"])
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def event_props_extract(sf_dir: str):
+    """Semi-structured JSON EXTRACTION: pull ``k`` out of the ``props``
+    JSON column with one vectorized RE2 ``extract_regex`` kernel (Arrow
+    has no JSON kernel; the anchored pattern is exact for this corpus's
+    flat objects), then aggregate per event_type.  Missing / malformed
+    props become nulls and drop out of count/sum/min/max on both sides."""
+    ds = _t(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(b["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        t = pa.table({"event_type": b["event_type"], "k": k})
+        g = t.group_by("event_type").aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")])
+        return g.rename_columns(["event_type", "n_with_k", "sum_k",
+                                 "min_k", "max_k"])
+
+    raw = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = raw.groupby("event_type", as_index=False).agg(
+        n_with_k=("n_with_k", "sum"), sum_k=("sum_k", "sum"),
+        min_k=("min_k", "min"), max_k=("max_k", "max"))
+    for c in ("n_with_k", "sum_k", "min_k", "max_k"):
+        parts[c] = parts[c].astype("int64")
+    return parts.sort_values("event_type").reset_index(drop=True)
+
+
+_REDACT_PAT = r"\b(hash|key|dup)\b"
+
+
+def redact_documents(sf_dir: str):
+    """Regex REDACTION (the PII-scrub shape): count and replace every
+    match of a word-class pattern in one pass of two RE2 kernels
+    (``count_substring_regex`` + ``replace_substring_regex``), aggregated
+    per lang.  Both Arrow and DuckDB compile the same RE2 syntax, so the
+    oracle checks the kernel semantics, not just the plumbing."""
+    ds = _t(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        n_m = pc.cast(pc.count_substring_regex(b["text"],
+                                               pattern=_REDACT_PAT),
+                      pa.int64())
+        red_len = pc.cast(pc.utf8_length(pc.replace_substring_regex(
+            b["text"], pattern=_REDACT_PAT, replacement="<TOK>")), pa.int64())
+        matched = pc.cast(pc.greater(n_m, 0), pa.int64())
+        t = pa.table({"lang": b["lang"], "n_matches": n_m,
+                      "matched": matched, "red_len": red_len})
+        g = t.group_by("lang").aggregate(
+            [("lang", "count"), ("matched", "sum"), ("n_matches", "sum"),
+             ("red_len", "sum")])
+        return g.rename_columns(["lang", "n_docs", "n_docs_matched",
+                                 "n_matches", "sum_redacted_chars"])
+
+    raw = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = raw.groupby("lang", as_index=False).sum()
+    for c in ("n_docs", "n_docs_matched", "n_matches", "sum_redacted_chars"):
+        parts[c] = parts[c].astype("int64")
+    return parts.sort_values("lang").reset_index(drop=True)
+
+
+def value_zscore_outliers(sf_dir: str):
+    """Two-pass grouped Z-SCORE OUTLIER FILTER (the feature-normalization
+    shape): pass 1 folds exact integer-cents moments per event_type (tiny,
+    broadcast back), pass 2 flags rows with \|z\| > 2.  The predicate is
+    evaluated as the INTEGER inequality (n·x − Σx)² > 4(nΣx² − (Σx)²) —
+    vectorized in float64 with a relative guard band, and only rows inside
+    the band (float undecidable) are re-checked with exact Python bigints,
+    so the result is exact at any scale without 128-bit vector math."""
+    ds = _t(sf_dir, "events", columns=["event_type", "value"])
+
+    def mom(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_valid(b["value"]))
+        x = pc.cast(pc.round(pc.multiply(f["value"], pa.scalar(100.0))),
+                    pa.int64())
+        t = pa.table({"event_type": f["event_type"], "x": x,
+                      "xx": pc.multiply(x, x)})
+        g = t.group_by("event_type").aggregate(
+            [("x", "count"), ("x", "sum"), ("xx", "sum")])
+        return g.rename_columns(["event_type", "n", "sx", "sxx"])
+
+    stats = ds.map_batches(mom, batch_format="pyarrow").to_pandas(
+    ).groupby("event_type", as_index=False).sum()
+    lut = {r.event_type: (int(r.n), int(r.sx), int(r.sxx))
+           for r in stats.itertuples(index=False)}
+    lut_ref = ray.put(lut)
+
+    def flag(b: pa.Table) -> pa.Table:
+        st = ray.get(lut_ref)
+        f = b.filter(pc.is_valid(b["value"]))
+        x = np.asarray(pc.cast(pc.round(pc.multiply(f["value"],
+                                                    pa.scalar(100.0))),
+                               pa.int64()))
+        et = f["event_type"].to_pandas().to_numpy()
+        out_n: dict[str, int] = {}
+        tot_n: dict[str, int] = {}
+        for t_name in pd.unique(et):
+            n, sx, sxx = st[t_name]
+            xs = x[et == t_name]
+            lhs = (float(n) * xs - float(sx)) ** 2
+            rhs = 4.0 * (float(n) * float(sxx) - float(sx) ** 2)
+            band = 1e-9 * max(rhs, 1.0)
+            sure = np.abs(lhs - rhs) > band
+            flags = lhs > rhs
+            rhs_i = 4 * (n * sxx - sx * sx)
+            for i in np.nonzero(~sure)[0]:
+                flags[i] = (n * int(xs[i]) - sx) ** 2 > rhs_i
+            out_n[t_name] = int(flags.sum())
+            tot_n[t_name] = len(xs)
+        keys = sorted(tot_n)
+        return pa.table({
+            "event_type": pa.array(keys, pa.string()),
+            "n_total": pa.array([tot_n[k] for k in keys], pa.int64()),
+            "n_outliers": pa.array([out_n[k] for k in keys], pa.int64()),
+        })
+
+    parts = ds.map_batches(flag, batch_format="pyarrow").to_pandas(
+    ).groupby("event_type", as_index=False).sum()
+    parts["n_total"] = parts["n_total"].astype("int64")
+    parts["n_outliers"] = parts["n_outliers"].astype("int64")
+    return parts.sort_values("event_type").reset_index(drop=True)
+
+
+def customer_spend_deciles(sf_dir: str):
+    """Quantile-threshold BINNING (the ntile/feature-bucketize shape):
+    per-customer spend totals (one narrow shuffle of integer cents), exact
+    decile thresholds (inverted-CDF == DuckDB ``quantile_disc``, computed
+    in one worker over the aggregated totals — the documented
+    per-group-fits trade; the stride sketch is the 100-TB path), then a
+    broadcast ``searchsorted`` bin assignment.  Thresholds use strict
+    ``q < total`` membership so ties land identically on both sides."""
+    od = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        t = pa.table({"o_custkey": b["o_custkey"], "cents": cents})
+        g = t.group_by("o_custkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["o_custkey", "cents"])
+
+    tot = od.map_batches(pre, batch_format="pyarrow").groupby(
+        "o_custkey").aggregate(Sum("cents", alias_name="cents")).materialize()
+
+    def thresholds(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["cents"].to_numpy(dtype=np.int64)
+        qs = np.percentile(v, np.arange(10, 100, 10),
+                           method="inverted_cdf").astype(np.int64)
+        return pd.DataFrame({"q": qs})
+
+    th_df = tot.map_batches(
+        lambda b: b.append_column("g", pa.array(np.zeros(len(b), np.int8))),
+        batch_format="pyarrow").groupby("g").map_groups(
+        thresholds, batch_format="pandas").to_pandas()
+    th = np.sort(th_df["q"].to_numpy(dtype=np.int64))
+    th_ref = ray.put(th)
+
+    def assign(b: pa.Table) -> pa.Table:
+        t = ray.get(th_ref)
+        cents = np.asarray(b["cents"])
+        decile = 1 + np.searchsorted(t, cents, side="left")
+        tt = pa.table({"decile": pa.array(decile.astype(np.int64)),
+                       "cents": b["cents"]})
+        g = tt.group_by("decile").aggregate(
+            [("cents", "count"), ("cents", "sum")])
+        return g.rename_columns(["decile", "n_customers", "cents"])
+
+    parts = tot.map_batches(assign, batch_format="pyarrow").to_pandas(
+    ).groupby("decile", as_index=False).sum()
+    out = pd.DataFrame({
+        "decile": parts["decile"].astype("int64"),
+        "n_customers": parts["n_customers"].astype("int64"),
+        "sum_spend": (parts["cents"] / 100.0).round(2),
+    })
+    return out.sort_values("decile").reset_index(drop=True)
+
+
+def view_purchase_overlap(sf_dir: str):
+    """Distinct-set INTERSECT / EXCEPT over two event streams: which users
+    both viewed and purchased, view-only, purchase-only.  Per-batch
+    pre-distinct to one (user, has_view, has_purchase) row, one narrow
+    groupby with max-folds, then a three-way count — the set ops never
+    materialize either side as an id list anywhere."""
+    ds = _t(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["view", "purchase"]))
+        f = b.filter(keep)
+        t = pa.table({
+            "user_id": f["user_id"],
+            "has_view": pc.cast(pc.equal(f["event_type"], "view"),
+                                pa.int64()),
+            "has_purchase": pc.cast(pc.equal(f["event_type"], "purchase"),
+                                    pa.int64()),
+        })
+        g = t.group_by("user_id").aggregate(
+            [("has_view", "max"), ("has_purchase", "max")])
+        return g.rename_columns(["user_id", "has_view", "has_purchase"])
+
+    users = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "user_id").aggregate(
+        Max("has_view", alias_name="has_view"),
+        Max("has_purchase", alias_name="has_purchase"))
+
+    def count3(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["has_view"], dtype=np.int64)
+        p = np.asarray(b["has_purchase"], dtype=np.int64)
+        return pa.table({
+            "n_both": pa.array([int(((v == 1) & (p == 1)).sum())], pa.int64()),
+            "n_view_only": pa.array([int(((v == 1) & (p == 0)).sum())],
+                                    pa.int64()),
+            "n_purchase_only": pa.array([int(((v == 0) & (p == 1)).sum())],
+                                        pa.int64()),
+        })
+
+    parts = users.map_batches(count3, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "n_both": [int(parts["n_both"].sum())],
+        "n_view_only": [int(parts["n_view_only"].sum())],
+        "n_purchase_only": [int(parts["n_purchase_only"].sum())],
+    })
+
+
+def user_event_gaps(sf_dir: str):
+    """LAG / consecutive-diff WINDOW FUNCTION: inter-event gaps per user
+    (``t − lag(t) OVER (PARTITION BY user ORDER BY ts)``), folded to
+    global gap statistics.  Coarse hash partition on the key, ONE
+    vectorized lexsort + diff per partition (gaps are invariant to
+    timestamp-tie order), integer-microsecond sums so the fold is exact."""
+    from ..functions.hashing import stable_hash64
+    from ..stages.dedup import _n_partitions
+
+    P = _n_partitions()
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"])
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = (stable_hash64(b["user_id"]) % np.uint64(P)).astype(np.int32)
+        return b.append_column("u_part", pa.array(h))
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        users = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, users))
+        users, ts = users[order], ts[order]
+        same = np.zeros(len(users), dtype=bool)
+        same[1:] = users[1:] == users[:-1]
+        d = np.diff(ts, prepend=ts[:1])[same]
+        n_multi = int(pd.unique(users[same]).size)
+        if len(d) == 0:
+            return pd.DataFrame({"n_gaps": [0], "sum_gap_us": [0],
+                                 "max_gap_us": [0], "n_users_multi": [0]})
+        return pd.DataFrame({
+            "n_gaps": [int(len(d))], "sum_gap_us": [int(d.sum())],
+            "max_gap_us": [int(d.max())], "n_users_multi": [n_multi]})
+
+    parts = ds.map_batches(add_part, batch_format="pyarrow").groupby(
+        "u_part").map_groups(gaps, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "n_gaps": [int(parts["n_gaps"].sum())],
+        "sum_gap_us": [int(parts["sum_gap_us"].sum())],
+        "max_gap_us": [int(parts["max_gap_us"].max())],
+        "n_users_multi": [int(parts["n_users_multi"].sum())],
+    })
+
+
+def value_histogram(sf_dir: str):
+    """Fixed-width HISTOGRAM of events.value (25.00-wide bins): bin index
+    from exact integer cents (``cents // 2500``, no float boundary
+    ambiguity), per-batch ``group_by`` pre-combine to ≤n_bins rows per
+    block, driver fold (bins × blocks bounded — no shuffle at all).  The
+    binning twin of the quantile queries."""
+    ds = _t(sf_dir, "events", columns=["value"])
+    W = 2500  # cents
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_valid(b["value"]))
+        cents = np.asarray(pc.cast(pc.round(pc.multiply(
+            f["value"], pa.scalar(100.0))), pa.int64()))
+        t = pa.table({"bin": pa.array(cents // W), "cents": pa.array(cents)})
+        g = t.group_by("bin").aggregate([("cents", "count"), ("cents", "sum")])
+        return g.rename_columns(["bin", "n_events", "cents"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas(
+    ).groupby("bin", as_index=False).sum()
+    out = pd.DataFrame({
+        "bin": parts["bin"].astype("int64"),
+        "n_events": parts["n_events"].astype("int64"),
+        "sum_value": (parts["cents"] / 100.0).round(2),
+    })
+    return out.sort_values("bin").reset_index(drop=True)
+
+
 QUERIES = {
     # The driver's correctness harness processes this dict in order with a
     # bounded budget (round 3 recorded exactly the first 50 of 54 names),
@@ -2284,6 +2695,17 @@ QUERIES = {
     "fingerprint_documents": fingerprint_documents,
     "multimodal_decode": multimodal_decode,
     "video_frame_sample": video_frame_sample,
+    # round-4 additions (also never recorded before) — all SQL-checked
+    "order_priority_revenue": order_priority_revenue,
+    "events_rollup": events_rollup,
+    "value_hour_correlation": value_hour_correlation,
+    "event_props_extract": event_props_extract,
+    "redact_documents": redact_documents,
+    "value_zscore_outliers": value_zscore_outliers,
+    "customer_spend_deciles": customer_spend_deciles,
+    "view_purchase_overlap": view_purchase_overlap,
+    "user_event_gaps": user_event_gaps,
+    "value_histogram": value_histogram,
     # SQL-checked
     "doc_stats": doc_stats,
     "token_totals": token_totals,
@@ -2374,3 +2796,129 @@ ORACLE_SQL["validate_code_files_sql"] = f"""
     UNION ALL SELECT * FROM bad_commit
     ORDER BY "check", partition_key
 """
+
+# round-4 additions.  Exactness conventions shared with the Ray side:
+# money folds as CAST(round(col*100) AS BIGINT) cents (2-dp columns → the
+# scaled double is within 1e-9 of an integer, so every rounding mode
+# agrees); 4-dp products fold as *10000 "myriads"; big moment products go
+# through HUGEINT and are cast to DOUBLE at the same points the Python
+# side rounds its exact ints.
+ORACLE_SQL.update({
+    "order_priority_revenue": """
+        SELECT o_orderpriority, count(*)::BIGINT AS n_items,
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                    * 10000) AS BIGINT)) / 10000.0,
+                     4) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "events_rollup": """
+        WITH t AS (SELECT event_type,
+                          CAST(extract(hour FROM ts) AS BIGINT) AS hour
+                   FROM events)
+        SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+                    ELSE event_type END AS event_type,
+               CASE WHEN GROUPING(hour) = 1 THEN CAST(-1 AS BIGINT)
+                    ELSE hour END AS hour,
+               count(*)::BIGINT AS n_events
+        FROM t GROUP BY GROUPING SETS ((event_type, hour), (event_type), ())
+        ORDER BY event_type, hour
+    """,
+    "value_hour_correlation": """
+        WITH t AS (SELECT event_type,
+                          CAST(round(value * 100) AS BIGINT) AS x,
+                          CAST(extract(hour FROM ts) AS BIGINT) AS h
+                   FROM events WHERE value IS NOT NULL),
+        s AS (SELECT event_type, count(*)::BIGINT AS n, sum(x) AS sx,
+                     sum(h) AS sh, sum(x * x) AS sxx, sum(h * h) AS shh,
+                     sum(x * h) AS sxh
+              FROM t GROUP BY event_type)
+        SELECT event_type, n,
+               round(CAST(n * sxh - sx * sh AS DOUBLE)
+                     / sqrt(CAST((n * sxx - sx * sx)
+                                 * (n * shh - sh * sh) AS DOUBLE)),
+                     6) AS corr_cents_hour
+        FROM s ORDER BY event_type
+    """,
+    "event_props_extract": """
+        WITH t AS (SELECT event_type,
+                          CAST(json_extract_string(props, '$.k') AS BIGINT)
+                              AS k
+                   FROM events)
+        SELECT event_type, count(k)::BIGINT AS n_with_k,
+               sum(k)::BIGINT AS sum_k, min(k) AS min_k, max(k) AS max_k
+        FROM t GROUP BY event_type ORDER BY event_type
+    """,
+    "redact_documents": r"""
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN len(regexp_extract_all(
+                       text, '\b(hash|key|dup)\b')) > 0
+                   THEN 1 ELSE 0 END)::BIGINT AS n_docs_matched,
+               sum(len(regexp_extract_all(text, '\b(hash|key|dup)\b')
+                   ))::BIGINT AS n_matches,
+               sum(length(regexp_replace(text, '\b(hash|key|dup)\b',
+                                         '<TOK>', 'g')))::BIGINT
+                   AS sum_redacted_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "value_zscore_outliers": """
+        WITH t AS (SELECT event_type,
+                          CAST(round(value * 100) AS BIGINT) AS x
+                   FROM events WHERE value IS NOT NULL),
+        s AS (SELECT event_type, count(*)::BIGINT AS n, sum(x) AS sx,
+                     sum(x * x) AS sxx
+              FROM t GROUP BY event_type)
+        SELECT t.event_type, count(*)::BIGINT AS n_total,
+               sum(CASE WHEN (s.n * t.x - s.sx) * (s.n * t.x - s.sx)
+                             > 4 * (s.n * s.sxx - s.sx * s.sx)
+                   THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        FROM t JOIN s ON t.event_type = s.event_type
+        GROUP BY t.event_type ORDER BY t.event_type
+    """,
+    "customer_spend_deciles": """
+        WITH tot AS (SELECT o_custkey,
+                            sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                AS cents
+                     FROM orders GROUP BY o_custkey),
+        th AS (SELECT quantile_disc(cents,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+               FROM tot)
+        SELECT CAST(1 + len(list_filter(th.qs, q -> q < tot.cents))
+                    AS BIGINT) AS decile,
+               count(*)::BIGINT AS n_customers,
+               round(sum(tot.cents) / 100.0, 2) AS sum_spend
+        FROM tot, th GROUP BY 1 ORDER BY 1
+    """,
+    "view_purchase_overlap": """
+        WITH v AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'view'),
+        p AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'purchase')
+        SELECT (SELECT count(*) FROM (SELECT * FROM v INTERSECT
+                                      SELECT * FROM p))::BIGINT AS n_both,
+               (SELECT count(*) FROM (SELECT * FROM v EXCEPT
+                                      SELECT * FROM p))::BIGINT
+                   AS n_view_only,
+               (SELECT count(*) FROM (SELECT * FROM p EXCEPT
+                                      SELECT * FROM v))::BIGINT
+                   AS n_purchase_only
+    """,
+    "user_event_gaps": """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        g AS (SELECT user_id,
+                     t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                         AS gap
+              FROM e)
+        SELECT count(*)::BIGINT AS n_gaps, sum(gap)::BIGINT AS sum_gap_us,
+               max(gap)::BIGINT AS max_gap_us,
+               count(DISTINCT user_id)::BIGINT AS n_users_multi
+        FROM g WHERE gap IS NOT NULL
+    """,
+    "value_histogram": """
+        WITH t AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events WHERE value IS NOT NULL)
+        SELECT cents // 2500 AS bin, count(*)::BIGINT AS n_events,
+               round(sum(cents) / 100.0, 2) AS sum_value
+        FROM t GROUP BY 1 ORDER BY 1
+    """,
+})
