@@ -2274,12 +2274,23 @@ def order_priority_revenue(sf_dir: str):
     BEFORE the exchange, so the shuffle carries (key, int64 partial)
     rows rather than raw lineitems; revenue is carried in exact integer
     ten-thousandths (a 2-dp price × 2-dp discount product has exactly 4
-    decimal digits) so partition-order float drift cannot move the hash."""
+    decimal digits) so partition-order float drift cannot move the hash.
+    Join partitions are sized by DATA (≈150k exchanged rows each, from
+    the parquet footers), capped at 4× cluster CPUs — each partition
+    costs a fixed aggregator-actor setup, so CPU-count partitioning
+    wastes seconds at small scale and data-sized partitioning converges
+    to the CPU cap exactly when the cluster is the binding resource."""
+    import pyarrow.parquet as pq
+
     from ..stages.common import cluster_cpus
 
     li = _t(sf_dir, "lineitem",
             columns=["l_orderkey", "l_extendedprice", "l_discount"])
     od = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    n_keys = pq.ParquetFile(
+        os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
+    nparts = int(min(max(2, (2 * n_keys) // 150_000 + 1),
+                     4 * int(cluster_cpus())))
 
     def pre(b: pa.Table) -> pa.Table:
         rev = pc.multiply(b["l_extendedprice"],
@@ -2292,7 +2303,7 @@ def order_priority_revenue(sf_dir: str):
         return g.rename_columns(["l_orderkey", "rev_myriad", "n_items"])
 
     joined = li.map_batches(pre, batch_format="pyarrow").join(
-        od, join_type="inner", num_partitions=max(2, int(cluster_cpus())),
+        od, join_type="inner", num_partitions=nparts,
         on=("l_orderkey",), right_on=("o_orderkey",))
 
     def fold(b: pa.Table) -> pa.Table:
