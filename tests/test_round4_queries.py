@@ -1,0 +1,198 @@
+"""Ground-truth tests for the round-4 query batch's novel internals.
+
+The DuckDB parity test (tests/test_queries.py) already proves row equality
+on the driver testdata; these tests exercise the edge paths that testdata
+does not reach: z-score boundary values that float64 alone cannot decide,
+decile ties, and inner-join semantics with dangling keys on both sides.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write(tmp_path, name, table):
+    p = tmp_path / f"{name}.parquet"
+    pq.write_table(table, p)
+    return str(tmp_path)
+
+
+# ------------------------------------------------ z-score exact boundary
+
+
+def test_zscore_boundary_rows_decided_exactly(ray_session, tmp_path):
+    """Small-spread random integer values maximize the chance of rows
+    landing near the |z| == 2 boundary; a brute-force Python-bigint oracle
+    pins the exact answer and the engine must match it row-for-row."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        value_zscore_outliers,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for t_i in range(4):
+        # small-spread integers make exact boundary collisions plausible
+        xs = rng.integers(-3, 4, size=50)
+        rows += [(f"t{t_i}", float(x) / 100.0) for x in xs]
+    tbl = pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "value": pa.array([r[1] for r in rows], pa.float64()),
+    })
+    sf = _write(tmp_path, "events", tbl)
+
+    got = value_zscore_outliers(sf)
+
+    # brute-force exact oracle in Python bigints
+    df = pd.DataFrame(rows, columns=["event_type", "value"])
+    expect = []
+    for t_name, g in df.groupby("event_type"):
+        x = [int(round(v * 100)) for v in g["value"]]
+        n, sx, sxx = len(x), sum(x), sum(v * v for v in x)
+        rhs = 4 * (n * sxx - sx * sx)
+        n_out = sum(1 for v in x if (n * v - sx) ** 2 > rhs)
+        expect.append((t_name, n, n_out))
+    want = pd.DataFrame(expect, columns=["event_type", "n_total",
+                                         "n_outliers"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.sort_values("event_type").reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_zscore_exact_recheck_branch_fires(ray_session, tmp_path):
+    """Rows sitting EXACTLY on the |z| == 2 boundary — the case the
+    float64 guard band + bigint recheck exist for.  xs = [0,0,0,0,5]:
+    n=5, Σx=5, Σx²=25 → rhs = 4(5·25 − 25) = 400 and
+    lhs(5) = (5·5 − 5)² = 400, so the strict > predicate must classify
+    the 5 as an INLIER; a bigint oracle covers a scale sweep besides."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        value_zscore_outliers,
+    )
+
+    # per-c sweep xs = [-c, 0, c, 2c] (moments scale with c²) plus the
+    # engineered exact-boundary type above
+    rows = []
+    for c in range(1, 41):
+        for x in (-c, 0, c, 2 * c):
+            rows.append((f"sweep{c:02d}", x / 100.0))
+    for x in (0, 0, 0, 0, 5):
+        rows.append(("boundary", x / 100.0))
+    tbl = pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "value": pa.array([r[1] for r in rows], pa.float64()),
+    })
+    sf = _write(tmp_path, "events", tbl)
+    got = value_zscore_outliers(sf)
+
+    b = got[got["event_type"] == "boundary"]
+    # lhs == rhs exactly → strict > excludes it: 0 outliers
+    assert int(b["n_outliers"].iloc[0]) == 0
+    assert int(b["n_total"].iloc[0]) == 5
+
+    # bigint oracle over the sweep
+    df = pd.DataFrame(rows, columns=["event_type", "value"])
+    for t_name, g in df.groupby("event_type"):
+        x = [int(round(v * 100)) for v in g["value"]]
+        n, sx, sxx = len(x), sum(x), sum(v * v for v in x)
+        rhs = 4 * (n * sxx - sx * sx)
+        n_out = sum(1 for v in x if (n * v - sx) ** 2 > rhs)
+        row = got[got["event_type"] == t_name]
+        assert int(row["n_outliers"].iloc[0]) == n_out, t_name
+
+
+# ------------------------------------------------------------ decile ties
+
+
+def test_deciles_with_massive_ties_match_duckdb(ray_session, tmp_path):
+    """80% of customers share one exact total — the strict ``q < total``
+    membership rule must put every tied customer in the SAME decile on
+    both sides (ntile would split them arbitrarily)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        customer_spend_deciles,
+    )
+
+    rng = np.random.default_rng(11)
+    custs, prices = [], []
+    ck = 0
+    for _ in range(160):  # tied block: two orders of 50.00 each
+        ck += 1
+        custs += [ck, ck]
+        prices += [50.0, 50.0]
+    for _ in range(40):  # distinct tails
+        ck += 1
+        custs.append(ck)
+        prices.append(float(rng.integers(1, 30000)) / 100.0)
+    tbl = pa.table({
+        "o_custkey": pa.array(custs, pa.int64()),
+        "o_totalprice": pa.array(prices, pa.float64()),
+    })
+    sf = _write(tmp_path, "orders", tbl)
+    got = customer_spend_deciles(sf)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf}/orders.parquet')")
+    want = con.execute(ORACLE_SQL["customer_spend_deciles"]).df()
+    got = got.sort_values("decile").reset_index(drop=True)
+    want = want.sort_values("decile").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the tied block must land whole in one decile
+    tied = got[got["n_customers"] >= 160]
+    assert len(tied) == 1
+
+
+# ----------------------------------------------- join with dangling keys
+
+
+def test_shuffle_join_drops_dangling_keys_both_sides(ray_session, tmp_path):
+    """Inner-join semantics: lineitems whose order is missing and orders
+    with no lineitems must both vanish; counts are per-lineitem even when
+    one order's items span multiple pre-agg batches."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        order_priority_revenue,
+    )
+
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 99], pa.int64()),  # 99 dangles
+        "l_extendedprice": pa.array([100.0, 200.0, 50.0, 7.0]),
+        "l_discount": pa.array([0.1, 0.0, 0.5, 0.0]),
+    })
+    od = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),  # 3 has no items
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "1-URGENT"]),
+    })
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    pq.write_table(od, tmp_path / "orders.parquet")
+
+    got = order_priority_revenue(str(tmp_path))
+    want = pd.DataFrame({
+        "o_orderpriority": ["1-URGENT", "2-HIGH"],
+        "n_items": [2, 1],
+        "revenue": [100.0 * 0.9 + 200.0, 25.0],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ------------------------------------------------- rollup self-consistency
+
+
+def test_rollup_margins_fold_from_finest(ray_session):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        events_rollup,
+    )
+
+    out = events_rollup("/root/testdata/sf0.001")
+    fine = out[(out["event_type"] != "ALL") & (out["hour"] >= 0)]
+    lvl1 = out[(out["event_type"] != "ALL") & (out["hour"] == -1)]
+    total = out[out["event_type"] == "ALL"]
+    assert len(total) == 1
+    assert int(total["n_events"].iloc[0]) == int(fine["n_events"].sum())
+    per_type = fine.groupby("event_type")["n_events"].sum()
+    for r in lvl1.itertuples(index=False):
+        assert per_type[r.event_type] == r.n_events
