@@ -2685,6 +2685,154 @@ def value_histogram(sf_dir: str):
     return out.sort_values("bin").reset_index(drop=True)
 
 
+def customers_without_orders(sf_dir: str):
+    """Large×large ANTI-JOIN on Ray Data's native ``left_anti`` join:
+    customers with no orders, counted per market segment.  Anti-join
+    semantics never multiply rows, so the raw orders key column streams
+    into the exchange without a pre-distinct; the broadcast-probe twin
+    (`parts_without_lineitem`) is the plan when one side's distinct keys
+    fit a block — this is the plan when neither side does."""
+    import pyarrow.parquet as pq
+
+    from ..stages.common import cluster_cpus
+
+    cu = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    od = _t(sf_dir, "orders", columns=["o_custkey"])
+    n_rows = (pq.ParquetFile(os.path.join(sf_dir, "orders.parquet"))
+              .metadata.num_rows)
+    nparts = int(min(max(2, (2 * n_rows) // 150_000 + 1),
+                     4 * int(cluster_cpus())))
+    anti = cu.join(od, join_type="left_anti", num_partitions=nparts,
+                   on=("c_custkey",), right_on=("o_custkey",))
+
+    _EMPTY = pa.table({"c_mktsegment": pa.array([], pa.string()),
+                       "n_customers": pa.array([], pa.int64())})
+
+    def fold(b: pa.Table) -> pa.Table:
+        # an all-matched anti join emits empty schema-less bundles
+        if "c_mktsegment" not in b.column_names:
+            return _EMPTY
+        g = b.group_by("c_mktsegment").aggregate([("c_custkey", "count")])
+        return g.rename_columns(["c_mktsegment", "n_customers"])
+
+    def segs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_mktsegment": pc.unique(b["c_mktsegment"].combine_chunks())})
+
+    parts = anti.map_batches(fold, batch_format="pyarrow").to_pandas()
+    # total per segment incl. zeros, so the result (and its oracle) stays
+    # non-trivial even when every customer has orders
+    all_segs = sorted(set(_t(sf_dir, "customer", columns=["c_mktsegment"])
+                          .map_batches(segs, batch_format="pyarrow")
+                          .to_pandas()["c_mktsegment"]))
+    counts = (parts.groupby("c_mktsegment")["n_customers"].sum()
+              if len(parts) else pd.Series(dtype="int64"))
+    return pd.DataFrame({
+        "c_mktsegment": all_segs,
+        "n_customers": [int(counts.get(s, 0)) for s in all_segs],
+    })
+
+
+def latest_event_per_user(sf_dir: str):
+    """CDC-style LATEST-PER-KEY dedup (``row_number() OVER (PARTITION BY
+    user ORDER BY ts DESC, event_id DESC) = 1``): per-batch vectorized
+    keep-latest shrinks each block to ≤ distinct-users rows BEFORE the
+    exchange, then one coarse hash partition finishes the argmax — the
+    upsert/compaction primitive of every incrementally-ingested table."""
+    from ..functions.hashing import stable_hash64
+    from ..stages.dedup import _n_partitions
+
+    P = _n_partitions()
+    ds = _t(sf_dir, "events",
+            columns=["user_id", "ts", "event_id", "event_type"])
+
+    def keep_latest(b: pa.Table) -> pa.Table:
+        users = np.asarray(b["user_id"])
+        ts = np.asarray(b["ts"]).astype("datetime64[us]").astype(np.int64)
+        eid = np.asarray(b["event_id"])
+        order = np.lexsort((eid, ts, users))
+        last = np.ones(len(order), dtype=bool)
+        u_sorted = users[order]
+        last[:-1] = u_sorted[1:] != u_sorted[:-1]
+        idx = order[last]
+        t = b.take(pa.array(idx))
+        h = (stable_hash64(t["user_id"]) % np.uint64(P)).astype(np.int32)
+        return t.append_column("u_part", pa.array(h))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        users = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, users))
+        last = np.ones(len(order), dtype=bool)
+        u_sorted = users[order]
+        last[:-1] = u_sorted[1:] != u_sorted[:-1]
+        out = g.iloc[order[last]][["user_id", "ts", "event_id",
+                                   "event_type"]]
+        return out
+
+    out = ds.map_batches(keep_latest, batch_format="pyarrow").groupby(
+        "u_part").map_groups(finish, batch_format="pandas").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def part_metrics_unpivot(sf_dir: str):
+    """UNPIVOT / melt (wide → long): two numeric part columns become
+    (metric, value) rows — built per batch by column slicing + concat
+    (zero row-wise Python), pre-aggregated per (brand, metric) before the
+    fold.  Values are carried as exact int64 units so the long-format
+    sums survive any fold order."""
+    ds = _t(sf_dir, "part", columns=["p_brand", "p_size", "p_retailprice"])
+
+    def melt(b: pa.Table) -> pa.Table:
+        size_units = pc.cast(b["p_size"], pa.int64())
+        price_cents = pc.cast(pc.round(pc.multiply(
+            b["p_retailprice"], pa.scalar(100.0))), pa.int64())
+        long = pa.concat_tables([
+            pa.table({"p_brand": b["p_brand"],
+                      "metric": pa.array(["p_size_units"] * len(b),
+                                         pa.string()),
+                      "val": size_units}),
+            pa.table({"p_brand": b["p_brand"],
+                      "metric": pa.array(["p_retailprice_cents"] * len(b),
+                                         pa.string()),
+                      "val": price_cents}),
+        ])
+        g = long.group_by(["p_brand", "metric"]).aggregate(
+            [("val", "count"), ("val", "sum")])
+        return g.rename_columns(["p_brand", "metric", "n", "sum_value"])
+
+    raw = ds.map_batches(melt, batch_format="pyarrow").to_pandas()
+    out = raw.groupby(["p_brand", "metric"], as_index=False).sum()
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = out["sum_value"].astype("int64")
+    return out.sort_values(["p_brand", "metric"]).reset_index(drop=True)
+
+
+def supplier_names_per_nation(sf_dir: str):
+    """Order-sensitive grouped string concatenation (``string_agg(...
+    ORDER BY ...)``): per nation, the '|'-joined sorted supplier names.
+    One hash exchange on the group key, one vectorized sort + offset-join
+    per partition; per-group memory is the concatenated string — the
+    documented bound (cap or spill per group is the 100-TB variant)."""
+    ds = _t(sf_dir, "supplier", columns=["s_nationkey", "s_name"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.sort_values("s_name").groupby("s_nationkey")["s_name"]
+               .agg("|".join).reset_index())
+        out.columns = ["s_nationkey", "names"]
+        out["n_suppliers"] = (g.groupby("s_nationkey")["s_name"].count()
+                              .reindex(out["s_nationkey"]).to_numpy())
+        return out
+
+    out = ds.groupby("s_nationkey").map_groups(
+        agg, batch_format="pandas").to_pandas()
+    out["s_nationkey"] = out["s_nationkey"].astype("int64")
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return (out[["s_nationkey", "n_suppliers", "names"]]
+            .sort_values("s_nationkey").reset_index(drop=True))
+
+
 QUERIES = {
     # The driver's correctness harness processes this dict in order with a
     # bounded budget (round 3 recorded exactly the first 50 of 54 names),
@@ -2717,6 +2865,10 @@ QUERIES = {
     "view_purchase_overlap": view_purchase_overlap,
     "user_event_gaps": user_event_gaps,
     "value_histogram": value_histogram,
+    "customers_without_orders": customers_without_orders,
+    "latest_event_per_user": latest_event_per_user,
+    "part_metrics_unpivot": part_metrics_unpivot,
+    "supplier_names_per_nation": supplier_names_per_nation,
     # SQL-checked
     "doc_stats": doc_stats,
     "token_totals": token_totals,
@@ -2931,5 +3083,44 @@ ORACLE_SQL.update({
         SELECT cents // 2500 AS bin, count(*)::BIGINT AS n_events,
                round(sum(cents) / 100.0, 2) AS sum_value
         FROM t GROUP BY 1 ORDER BY 1
+    """,
+})
+
+ORACLE_SQL.update({
+    "customers_without_orders": """
+        WITH seg AS (SELECT DISTINCT c_mktsegment FROM customer),
+        a AS (SELECT c_mktsegment, count(*)::BIGINT AS n
+              FROM customer
+              WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                      WHERE o_custkey IS NOT NULL)
+              GROUP BY c_mktsegment)
+        SELECT seg.c_mktsegment, coalesce(a.n, 0)::BIGINT AS n_customers
+        FROM seg LEFT JOIN a USING (c_mktsegment)
+        ORDER BY c_mktsegment
+    """,
+    "latest_event_per_user": """
+        SELECT user_id, ts, event_id, event_type
+        FROM (SELECT user_id, ts, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC)
+                         AS rn
+              FROM events)
+        WHERE rn = 1 ORDER BY user_id
+    """,
+    "part_metrics_unpivot": """
+        SELECT p_brand, name AS metric, count(*)::BIGINT AS n,
+               sum(val)::BIGINT AS sum_value
+        FROM (SELECT p_brand, CAST(p_size AS BIGINT) AS p_size_units,
+                     CAST(round(p_retailprice * 100) AS BIGINT)
+                         AS p_retailprice_cents
+              FROM part) t
+        UNPIVOT (val FOR name IN (p_size_units, p_retailprice_cents))
+        GROUP BY p_brand, name ORDER BY p_brand, name
+    """,
+    "supplier_names_per_nation": """
+        SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+               count(*)::BIGINT AS n_suppliers,
+               string_agg(s_name, '|' ORDER BY s_name) AS names
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
     """,
 })

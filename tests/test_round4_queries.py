@@ -196,3 +196,42 @@ def test_rollup_margins_fold_from_finest(ray_session):
     per_type = fine.groupby("event_type")["n_events"].sum()
     for r in lvl1.itertuples(index=False):
         assert per_type[r.event_type] == r.n_events
+
+
+# ------------------------------------------------ anti-join with real gaps
+
+
+def test_anti_join_counts_planted_orderless_customers(ray_session, tmp_path):
+    """30% of customers have no orders; the native left_anti exchange must
+    count exactly those, per segment, with zero-filled segments intact."""
+    import duckdb
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        customers_without_orders,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 500
+    segs = np.array(["AUTO", "HOUSE", "MACH"])
+    cust = pa.table({
+        "c_custkey": pa.array(np.arange(1, n + 1), pa.int64()),
+        "c_mktsegment": pa.array(segs[rng.integers(0, 3, n)], pa.string()),
+    })
+    with_orders = np.arange(1, n + 1)[rng.random(n) > 0.3]
+    orders = pa.table({
+        "o_custkey": pa.array(np.repeat(with_orders, 2), pa.int64()),
+    })
+    pq.write_table(cust, tmp_path / "customer.parquet")
+    pq.write_table(orders, tmp_path / "orders.parquet")
+
+    got = customers_without_orders(str(tmp_path))
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    want = con.execute(ORACLE_SQL["customers_without_orders"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+    assert got["n_customers"].sum() == n - len(with_orders) > 100
