@@ -235,3 +235,31 @@ def test_anti_join_counts_planted_orderless_customers(ray_session, tmp_path):
                                   want.reset_index(drop=True),
                                   check_dtype=False)
     assert got["n_customers"].sum() == n - len(with_orders) > 100
+
+
+def test_full_outer_reconcile_with_both_side_exclusives(ray_session,
+                                                        tmp_path):
+    """Keys exclusive to EITHER side must be classified correctly (the
+    driver testdata never has lineitem-only keys)."""
+    import duckdb
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        orders_lineitem_reconcile,
+    )
+
+    li = pa.table({"l_orderkey": pa.array([1, 1, 2, 7, 8], pa.int64())})
+    od = pa.table({"o_orderkey": pa.array([1, 2, 3, 4], pa.int64())})
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    pq.write_table(od, tmp_path / "orders.parquet")
+
+    got = orders_lineitem_reconcile(str(tmp_path))
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    want = con.execute(ORACLE_SQL["orders_lineitem_reconcile"]).df()
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  want.astype("int64"), check_dtype=False)
+    assert got.iloc[0].to_dict() == {
+        "n_both": 2, "n_lineitem_only": 2, "n_orders_only": 2}
