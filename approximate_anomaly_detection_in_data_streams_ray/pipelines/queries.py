@@ -2884,6 +2884,77 @@ def orders_lineitem_reconcile(sf_dir: str):
     })
 
 
+def nation_revenue_joinchain(sf_dir: str):
+    """CHAINED shuffle joins (lineitem ⋈ orders ⋈ customer) finished by a
+    broadcast nation probe — the multi-hop fact-to-fact pipeline shape.
+    Each hop pre-combines before its exchange: lineitem → one row per
+    orderkey, the joined result → one row per custkey, so every shuffle
+    carries (key, int64 partial) rows and the final dimension hop is a
+    zero-shuffle ``index_in`` probe."""
+    import pyarrow.parquet as pq
+
+    from ..stages.common import cluster_cpus
+
+    def nparts_for(table: str) -> int:
+        n = pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")
+                           ).metadata.num_rows
+        return int(min(max(2, (2 * n) // 150_000 + 1),
+                       4 * int(cluster_cpus())))
+
+    li = _t(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    od = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cu = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def pre_order(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        myr = pc.cast(pc.round(pc.multiply(rev, pa.scalar(10000.0))),
+                      pa.int64())
+        g = pa.table({"l_orderkey": b["l_orderkey"], "rev_myriad": myr}
+                     ).group_by("l_orderkey").aggregate(
+            [("rev_myriad", "sum")])
+        return g.rename_columns(["l_orderkey", "rev_myriad"])
+
+    hop1 = li.map_batches(pre_order, batch_format="pyarrow").join(
+        od, join_type="inner", num_partitions=nparts_for("orders"),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def pre_cust(b: pa.Table) -> pa.Table:
+        g = pa.table({"o_custkey": b["o_custkey"],
+                      "rev_myriad": b["rev_myriad"]}
+                     ).group_by("o_custkey").aggregate(
+            [("rev_myriad", "sum")])
+        return g.rename_columns(["o_custkey", "rev_myriad"])
+
+    hop2 = hop1.map_batches(pre_cust, batch_format="pyarrow").join(
+        cu, join_type="inner", num_partitions=nparts_for("customer"),
+        on=("o_custkey",), right_on=("c_custkey",))
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"]).combine_chunks()
+    nat_ref = ray.put(nat)
+
+    def fold(b: pa.Table) -> pa.Table:
+        n = ray.get(nat_ref)
+        idx = pc.index_in(b["c_nationkey"],
+                          value_set=n["n_nationkey"].chunk(0))
+        t = pa.table({"n_name": pc.take(n["n_name"].chunk(0), idx),
+                      "rev_myriad": b["rev_myriad"]})
+        g = t.group_by("n_name").aggregate([("rev_myriad", "sum")])
+        return g.rename_columns(["n_name", "rev_myriad"])
+
+    # no count column on purpose: a custkey's partials can span pre-agg
+    # batches, so row counts here are multiplicity-dependent — sums are
+    # the fold-safe aggregate (distinct-count would need its own exchange)
+    parts = hop2.map_batches(fold, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("n_name", as_index=False).sum()
+    return pd.DataFrame({
+        "n_name": out["n_name"],
+        "revenue": (out["rev_myriad"] / 10000.0).round(4),
+    }).sort_values("n_name").reset_index(drop=True)
+
+
 QUERIES = {
     # The driver's correctness harness processes this dict in order with a
     # bounded budget (round 3 recorded exactly the first 50 of 54 names),
@@ -2921,6 +2992,7 @@ QUERIES = {
     "part_metrics_unpivot": part_metrics_unpivot,
     "supplier_names_per_nation": supplier_names_per_nation,
     "orders_lineitem_reconcile": orders_lineitem_reconcile,
+    "nation_revenue_joinchain": nation_revenue_joinchain,
     # SQL-checked
     "doc_stats": doc_stats,
     "token_totals": token_totals,
@@ -3185,4 +3257,21 @@ ORACLE_SQL["orders_lineitem_reconcile"] = """
            count(*) FILTER (WHERE oo.k IS NULL)::BIGINT AS n_lineitem_only,
            count(*) FILTER (WHERE lo.k IS NULL)::BIGINT AS n_orders_only
     FROM lo FULL OUTER JOIN oo ON lo.k = oo.k
+"""
+
+ORACLE_SQL["nation_revenue_joinchain"] = """
+    WITH per_order AS (
+        SELECT l_orderkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)) AS rev_myriad
+        FROM lineitem GROUP BY l_orderkey),
+    per_cust AS (
+        SELECT o_custkey, sum(rev_myriad) AS rev_myriad
+        FROM per_order JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey)
+    SELECT n_name, round(sum(rev_myriad) / 10000.0, 4) AS revenue
+    FROM per_cust
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
 """
