@@ -23,31 +23,64 @@ from ray.data.aggregate import Count, Max, Min, Sum
 TOKEN_RE = r"[A-Za-z0-9_]+"
 
 
-def _t(sf_dir: str, name: str, columns=None, spread: bool = False):
-    """Read one table.  ``spread=True`` is for CPU-heavy per-row stages: the
-    driver's small test files are single-row-group parquet, which Ray reads
-    as ONE block — every downstream ``map_batches`` would run one task wide.
-    When (and only when) the source has fewer row groups than CPUs, split
-    the blocks so the stage fans out; at cluster scale inputs have many
-    files/row groups and this no-ops (no mid-pipeline materialization)."""
+def _table_paths(sf_dir: str, name: str) -> list[str]:
+    """Parquet files of a table: ``<name>.parquet`` as a single file OR a
+    directory of self-contained shards (the layout every 100-TB input and
+    the engine's own resumable sinks use; shards must carry the full
+    schema in-file — hive-encoded partition values are a sink format, not
+    a ``_t`` input format)."""
+    import glob as _glob
+
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(p):
+        files = sorted(_glob.glob(os.path.join(p, "**", "*.parquet"),
+                                  recursive=True))
+        if not files:
+            raise FileNotFoundError(f"no parquet shards under {p}")
+        return files
+    return [p]
+
+
+def _table_rows(sf_dir: str, name: str) -> int:
+    """Total row count from the parquet footers only (no data read) —
+    the data-sized partitioning inputs for join/exchange planning."""
     import pyarrow.parquet as pq
 
-    path = os.path.join(sf_dir, f"{name}.parquet")
+    return sum(pq.ParquetFile(f).metadata.num_rows
+               for f in _table_paths(sf_dir, name))
+
+
+def _t(sf_dir: str, name: str, columns=None, spread: bool = False):
+    """Read one table (single file or shard directory).  ``spread=True``
+    is for CPU-heavy per-row stages: the driver's small test files are
+    single-row-group parquet, which Ray reads as ONE block — every
+    downstream ``map_batches`` would run one task wide.  When (and only
+    when) the source has fewer row groups than CPUs, split the blocks so
+    the stage fans out; at cluster scale inputs have many files/row
+    groups and this no-ops (no mid-pipeline materialization)."""
+    import pyarrow.parquet as pq
+
+    paths = _table_paths(sf_dir, name)
     # read with a metadata-free schema: this pyarrow's Schema is unhashable
     # while pandas metadata is attached, which makes every downstream
     # unify_schemas() spam "Failed to hash the schemas" warnings from
     # workers — stripping at the footer means every block is born clean
-    file_schema = pq.read_schema(path).remove_metadata()
+    file_schema = pq.read_schema(paths[0]).remove_metadata()
     if columns:
         file_schema = pa.schema([file_schema.field(c) for c in columns])
-    ds = ray.data.read_parquet(path, columns=columns, schema=file_schema)
+    ds = ray.data.read_parquet(paths if len(paths) > 1 else paths[0],
+                               columns=columns, schema=file_schema)
     if spread:
         from ..stages.common import cluster_cpus
 
-        md = pq.ParquetFile(path).metadata
+        n_rgs = n_rows = 0
+        for f in paths:
+            md = pq.ParquetFile(f).metadata
+            n_rgs += md.num_row_groups
+            n_rows += md.num_rows
         want = int(cluster_cpus())
-        if md.num_row_groups < want and md.num_rows >= 1000:
-            ds = ds.repartition(min(want * 2, max(2, md.num_rows // 250)))
+        if n_rgs < want and n_rows >= 1000:
+            ds = ds.repartition(min(want * 2, max(2, n_rows // 250)))
     return ds
 
 
@@ -2287,8 +2320,7 @@ def order_priority_revenue(sf_dir: str):
     li = _t(sf_dir, "lineitem",
             columns=["l_orderkey", "l_extendedprice", "l_discount"])
     od = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    n_keys = pq.ParquetFile(
-        os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
+    n_keys = _table_rows(sf_dir, "orders")
     nparts = int(min(max(2, (2 * n_keys) // 150_000 + 1),
                      4 * int(cluster_cpus())))
 
@@ -2698,8 +2730,7 @@ def customers_without_orders(sf_dir: str):
 
     cu = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     od = _t(sf_dir, "orders", columns=["o_custkey"])
-    n_rows = (pq.ParquetFile(os.path.join(sf_dir, "orders.parquet"))
-              .metadata.num_rows)
+    n_rows = _table_rows(sf_dir, "orders")
     nparts = int(min(max(2, (2 * n_rows) // 150_000 + 1),
                      4 * int(cluster_cpus())))
     anti = cu.join(od, join_type="left_anti", num_partitions=nparts,
@@ -2896,8 +2927,7 @@ def nation_revenue_joinchain(sf_dir: str):
     from ..stages.common import cluster_cpus
 
     def nparts_for(table: str) -> int:
-        n = pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")
-                           ).metadata.num_rows
+        n = _table_rows(sf_dir, table)
         return int(min(max(2, (2 * n) // 150_000 + 1),
                        4 * int(cluster_cpus())))
 

@@ -263,3 +263,39 @@ def test_full_outer_reconcile_with_both_side_exclusives(ray_session,
                                   want.astype("int64"), check_dtype=False)
     assert got.iloc[0].to_dict() == {
         "n_both": 2, "n_lineitem_only": 2, "n_orders_only": 2}
+
+
+# ------------------------------------------- sharded-directory table input
+
+
+def test_queries_read_sharded_table_directories(ray_session, tmp_path):
+    """At 100 TB every table is a DIRECTORY of parquet shards, not one
+    file.  Shard events/orders/lineitem/customer/nation 4-ways and assert
+    a scan query, a native join, a keyed window query and an anti-join
+    return byte-identical results to the single-file layout."""
+    import pyarrow.parquet as pqt
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        customers_without_orders,
+        latest_event_per_user,
+        order_priority_revenue,
+        value_histogram,
+    )
+
+    src = "/root/testdata/sf0.001"
+    for t in ("events", "orders", "lineitem", "customer", "nation"):
+        tbl = pqt.read_table(f"{src}/{t}.parquet")
+        d = tmp_path / f"{t}.parquet"
+        d.mkdir()
+        n = tbl.num_rows
+        cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+        for i in range(4):
+            pqt.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]),
+                            d / f"shard-{i:02d}.parquet")
+
+    for fn in (value_histogram, order_priority_revenue,
+               latest_event_per_user, customers_without_orders):
+        got = fn(str(tmp_path))
+        want = fn(src)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      obj=fn.__name__)
