@@ -153,6 +153,10 @@ def cmd_query(args) -> int:
             print(name)
         return 0 if args.name == "list" else 2
     res = QUERIES[args.name](args.sfDir)
+    if getattr(args, "stats", False) and hasattr(res, "stats"):
+        # only queries returning a live Dataset carry Ray stats; most
+        # fold to pandas — print per-operator stats when available
+        print(res.stats())
     if hasattr(res, "to_pandas"):
         res = res.to_pandas()
     if args.out:
@@ -208,6 +212,8 @@ def main(argv=None) -> int:
     q.add_argument("name")
     q.add_argument("--sfDir", default="/root/testdata/sf0.001")
     q.add_argument("--out", default=None, help="write result parquet here")
+    q.add_argument("--stats", action="store_true",
+                   help="print Ray Data per-operator stats (Dataset results)")
     q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
