@@ -153,12 +153,13 @@ def cmd_query(args) -> int:
             print(name)
         return 0 if args.name == "list" else 2
     res = QUERIES[args.name](args.sfDir)
-    if getattr(args, "stats", False) and hasattr(res, "stats"):
-        # only queries returning a live Dataset carry Ray stats; most
-        # fold to pandas — print per-operator stats when available
-        print(res.stats())
+    ds_handle = res if hasattr(res, "stats") else None
     if hasattr(res, "to_pandas"):
         res = res.to_pandas()
+    if getattr(args, "stats", False) and ds_handle is not None:
+        # only queries returning a live Dataset carry Ray stats; stats()
+        # is empty until execution, so print AFTER to_pandas() ran it
+        print(ds_handle.stats())
     if args.out:
         res.to_parquet(args.out) if hasattr(res, "to_parquet") else None
         print(f"wrote {len(res)} rows to {args.out}")

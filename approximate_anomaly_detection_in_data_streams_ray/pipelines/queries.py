@@ -50,6 +50,18 @@ def _table_rows(sf_dir: str, name: str) -> int:
                for f in _table_paths(sf_dir, name))
 
 
+def _join_partitions(sf_dir: str, table: str) -> int:
+    """Size a join exchange by DATA (≈150k exchanged rows per partition,
+    from the parquet footers), capped at 4× cluster CPUs — each partition
+    costs a fixed aggregator-actor setup, so CPU-count partitioning
+    wastes seconds at small scale while data-sized partitioning converges
+    to the CPU cap exactly when the cluster is the binding resource."""
+    from ..stages.common import cluster_cpus
+
+    n = _table_rows(sf_dir, table)
+    return int(min(max(2, (2 * n) // 150_000 + 1), 4 * int(cluster_cpus())))
+
+
 def _t(sf_dir: str, name: str, columns=None, spread: bool = False):
     """Read one table (single file or shard directory).  ``spread=True``
     is for CPU-heavy per-row stages: the driver's small test files are
@@ -1785,6 +1797,10 @@ def hll_users_per_event_type(sf_dir: str):
     ds = _t(sf_dir, "events", columns=["event_type", "user_id"])
 
     def partial(b: pa.Table) -> pa.Table:
+        # drop null group keys: null dictionary indices would np.asarray
+        # to INT64_MIN and corrupt the register fold (the old pandas
+        # partial dropped null groups; keep that contract)
+        b = b.filter(pc.is_valid(b["event_type"]))
         if b.num_rows == 0:
             return pa.table({"event_type": pa.array([], pa.string()),
                              "hll": pa.array([], pa.binary())})
@@ -1808,6 +1824,7 @@ def hll_users_per_event_type(sf_dir: str):
     # exact twin, in-query: per-batch pair dedup (narrow (type, id) rows),
     # then per-type nunique over the deduped pairs
     def pair_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["event_type"]))  # match partial()
         return pa.table({"event_type": b["event_type"],
                          "user_id": b["user_id"]}).group_by(
             ["event_type", "user_id"]).aggregate([])
@@ -2313,16 +2330,10 @@ def order_priority_revenue(sf_dir: str):
     costs a fixed aggregator-actor setup, so CPU-count partitioning
     wastes seconds at small scale and data-sized partitioning converges
     to the CPU cap exactly when the cluster is the binding resource."""
-    import pyarrow.parquet as pq
-
-    from ..stages.common import cluster_cpus
-
     li = _t(sf_dir, "lineitem",
             columns=["l_orderkey", "l_extendedprice", "l_discount"])
     od = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    n_keys = _table_rows(sf_dir, "orders")
-    nparts = int(min(max(2, (2 * n_keys) // 150_000 + 1),
-                     4 * int(cluster_cpus())))
+    nparts = _join_partitions(sf_dir, "orders")
 
     def pre(b: pa.Table) -> pa.Table:
         rev = pc.multiply(b["l_extendedprice"],
@@ -2362,6 +2373,9 @@ def events_rollup(sf_dir: str):
     ds = _t(sf_dir, "events", columns=["event_type", "ts"])
 
     def partial(b: pa.Table) -> pa.Table:
+        # drop null timestamps: a null hour group would crash the int64
+        # cast of the finest level (and the oracle filters identically)
+        b = b.filter(pc.is_valid(b["ts"]))
         t = pa.table({"event_type": b["event_type"], "hour": pc.hour(b["ts"])})
         g = t.group_by(["event_type", "hour"]).aggregate([("hour", "count")])
         return g.rename_columns(["event_type", "hour", "n"])
@@ -2521,15 +2535,25 @@ def value_zscore_outliers(sf_dir: str):
         et = f["event_type"].to_pandas().to_numpy()
         out_n: dict[str, int] = {}
         tot_n: dict[str, int] = {}
+        eps = 2.0 ** -52
         for t_name in pd.unique(et):
             n, sx, sxx = st[t_name]
             xs = x[et == t_name]
-            lhs = (float(n) * xs - float(sx)) ** 2
-            rhs = 4.0 * (float(n) * float(sxx) - float(sx) ** 2)
-            band = 1e-9 * max(rhs, 1.0)
+            # rhs from the EXACT integer (correctly rounded single float
+            # conversion) — computing n*sxx - sx**2 in float64 suffers
+            # catastrophic cancellation and would corrupt the guard band.
+            rhs_i = 4 * (n * sxx - sx * sx)
+            rhs = float(rhs_i)
+            nx = float(n) * xs.astype(np.float64)
+            diff = nx - float(sx)
+            lhs = diff * diff
+            # Forward error bound on lhs (each float op adds <= eps rel.
+            # error; factor 4 is a safety margin) plus rhs conversion ulp.
+            err_diff = 4.0 * eps * (np.abs(nx) + abs(float(sx)))
+            band = 2.0 * np.abs(diff) * err_diff + err_diff ** 2 \
+                + 4.0 * eps * abs(rhs)
             sure = np.abs(lhs - rhs) > band
             flags = lhs > rhs
-            rhs_i = 4 * (n * sxx - sx * sx)
             for i in np.nonzero(~sure)[0]:
                 flags[i] = (n * int(xs[i]) - sx) ** 2 > rhs_i
             out_n[t_name] = int(flags.sum())
@@ -2724,15 +2748,9 @@ def customers_without_orders(sf_dir: str):
     into the exchange without a pre-distinct; the broadcast-probe twin
     (`parts_without_lineitem`) is the plan when one side's distinct keys
     fit a block — this is the plan when neither side does."""
-    import pyarrow.parquet as pq
-
-    from ..stages.common import cluster_cpus
-
     cu = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     od = _t(sf_dir, "orders", columns=["o_custkey"])
-    n_rows = _table_rows(sf_dir, "orders")
-    nparts = int(min(max(2, (2 * n_rows) // 150_000 + 1),
-                     4 * int(cluster_cpus())))
+    nparts = _join_partitions(sf_dir, "orders")
     anti = cu.join(od, join_type="left_anti", num_partitions=nparts,
                    on=("c_custkey",), right_on=("o_custkey",))
 
@@ -2922,14 +2940,8 @@ def nation_revenue_joinchain(sf_dir: str):
     orderkey, the joined result → one row per custkey, so every shuffle
     carries (key, int64 partial) rows and the final dimension hop is a
     zero-shuffle ``index_in`` probe."""
-    import pyarrow.parquet as pq
-
-    from ..stages.common import cluster_cpus
-
     def nparts_for(table: str) -> int:
-        n = _table_rows(sf_dir, table)
-        return int(min(max(2, (2 * n) // 150_000 + 1),
-                       4 * int(cluster_cpus())))
+        return _join_partitions(sf_dir, table)
 
     li = _t(sf_dir, "lineitem",
             columns=["l_orderkey", "l_extendedprice", "l_discount"])
@@ -2961,8 +2973,11 @@ def nation_revenue_joinchain(sf_dir: str):
         cu, join_type="inner", num_partitions=nparts_for("customer"),
         on=("o_custkey",), right_on=("c_custkey",))
 
-    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
-                        columns=["n_nationkey", "n_name"]).combine_chunks()
+    import pyarrow.parquet as pq
+
+    nat = pa.concat_tables(
+        [pq.read_table(f, columns=["n_nationkey", "n_name"])
+         for f in _table_paths(sf_dir, "nation")]).combine_chunks()
     nat_ref = ray.put(nat)
 
     def fold(b: pa.Table) -> pa.Table:
@@ -3132,7 +3147,7 @@ ORACLE_SQL.update({
     "events_rollup": """
         WITH t AS (SELECT event_type,
                           CAST(extract(hour FROM ts) AS BIGINT) AS hour
-                   FROM events)
+                   FROM events WHERE ts IS NOT NULL)
         SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
                     ELSE event_type END AS event_type,
                CASE WHEN GROUPING(hour) = 1 THEN CAST(-1 AS BIGINT)
@@ -3226,8 +3241,9 @@ ORACLE_SQL.update({
                      t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
                          AS gap
               FROM e)
-        SELECT count(*)::BIGINT AS n_gaps, sum(gap)::BIGINT AS sum_gap_us,
-               max(gap)::BIGINT AS max_gap_us,
+        SELECT count(*)::BIGINT AS n_gaps,
+               coalesce(sum(gap), 0)::BIGINT AS sum_gap_us,
+               coalesce(max(gap), 0)::BIGINT AS max_gap_us,
                count(DISTINCT user_id)::BIGINT AS n_users_multi
         FROM g WHERE gap IS NOT NULL
     """,

@@ -90,7 +90,13 @@ def host_probe_multi(ncpu: int) -> float:
     procs = [subprocess.Popen([sys.executable, "-c", _MULTI_PROBE_CODE],
                               stdout=subprocess.PIPE, text=True)
              for _ in range(ncpu)]
-    times = [float(p.communicate()[0].strip()) for p in procs]
+    times = []
+    for p in procs:
+        out = p.communicate()[0].strip()
+        # a worker dying (e.g. OOM-killed during the very burst the probe
+        # is detecting) reads as an UNHEALTHY window, not a crash
+        times.append(float(out) if p.returncode == 0 and out
+                     else MULTI_HEALTH_THRESH * 10)
     return round(max(times), 3)
 
 
@@ -317,10 +323,15 @@ def scaling():
             post = host_probe_multi(ncpu) if ncpu > 1 else host_probe()
             healthy_after = post <= (MULTI_HEALTH_THRESH if ncpu > 1
                                      else HEALTH_THRESH)
+            # keep = the ACTUAL decision (a final-attempt sample is kept
+            # even when its post-probe is unhealthy, so the audit record
+            # must say so rather than contradict the published estimator)
+            keep = healthy_after or attempts >= max_attempts
             level_probes.append({"pre": pre, "post": post,
-                                 "kept": bool(healthy_after),
+                                 "kept": bool(keep),
+                                 "post_healthy": bool(healthy_after),
                                  "rows_per_sec": r["validated_rows_per_sec"]})
-            if not healthy_after and attempts < max_attempts:
+            if not keep:
                 continue  # burst hit mid-sample: resample (bounded)
             level_samples.append(r["validated_rows_per_sec"])
             if best is None or r["validated_rows_per_sec"] > best["validated_rows_per_sec"]:

@@ -299,3 +299,78 @@ def test_queries_read_sharded_table_directories(ray_session, tmp_path):
         want = fn(src)
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       obj=fn.__name__)
+
+
+# --------------------------------------------- null-key robustness (r4 review)
+
+
+def test_events_rollup_null_ts_dropped(ray_session, tmp_path):
+    """A shard with a NULL ts must not crash the rollup's int64 hour cast;
+    null-ts rows are excluded on both the engine and oracle sides."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        events_rollup,
+    )
+
+    ts = pa.array([pd.Timestamp("2024-01-01 03:00"), None,
+                   pd.Timestamp("2024-01-01 05:30"),
+                   pd.Timestamp("2024-01-02 03:59")],
+                  pa.timestamp("us"))
+    tbl = pa.table({"event_type": pa.array(["a", "a", "b", "a"]),
+                    "ts": ts})
+    sf = _write(tmp_path, "events", tbl)
+
+    got = events_rollup(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(ORACLE_SQL["events_rollup"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_hll_partial_tolerates_null_event_type(ray_session, tmp_path):
+    """Null group keys must be dropped by the vectorized HLL partial (a
+    null dictionary index would otherwise read as INT64_MIN and corrupt
+    the register fold) — and the exact twin must drop them identically so
+    the in-query bound check still passes."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        hll_users_per_event_type,
+    )
+
+    tbl = pa.table({
+        "event_type": pa.array(["a", None, "b", "a", None], pa.string()),
+        "user_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    sf = _write(tmp_path, "events", tbl)
+
+    out = hll_users_per_event_type(sf)
+    assert sorted(out["event_type"]) == ["a", "b"]
+    assert out.set_index("event_type")["exact_users"].to_dict() == {
+        "a": 2, "b": 1}
+    assert bool(out["within_bound"].all())
+
+
+def test_user_event_gaps_gap_free_input_matches_oracle(ray_session, tmp_path):
+    """Every user appears exactly once → no gaps anywhere; both sides
+    must agree on (0, 0, 0, 0) rather than engine-0 vs oracle-NULL."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        user_event_gaps,
+    )
+
+    tbl = pa.table({
+        "user_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([pd.Timestamp("2024-01-01"),
+                        pd.Timestamp("2024-01-02"),
+                        pd.Timestamp("2024-01-03")], pa.timestamp("us")),
+    })
+    sf = _write(tmp_path, "events", tbl)
+
+    got = user_event_gaps(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(ORACLE_SQL["user_event_gaps"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
