@@ -50,6 +50,37 @@ def _table_rows(sf_dir: str, name: str) -> int:
                for f in _table_paths(sf_dir, name))
 
 
+def _agg_partitioned(ds, keys: list[str], fold, P: int | None = None):
+    """Key-level aggregation as a COARSE hash exchange + one vectorized
+    fold per partition: tag each (pre-combined) batch row with
+    ``hash(key) % P``, groupby the tiny int partition column, and apply
+    ``fold`` (a pandas fn, e.g. ``g.groupby(keys).sum()``) per partition.
+
+    This replaces ``ds.groupby(key).aggregate(...)`` where the exchange
+    carries many key rows: Ray 2.49's sort-aggregate map/reduce costs
+    ~60µs/row (measured 5.5 s remote for an 85k-row exchange the fold
+    does in 0.25 s), because its combine path is per-key Python.  The
+    caller must pre-combine per batch first so the exchange stays
+    narrow."""
+    from ..functions.hashing import stable_hash64
+    from ..stages.dedup import _n_partitions
+
+    P = P or _n_partitions()
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = stable_hash64(b[keys[0]])
+        for k in keys[1:]:
+            h = (h * np.uint64(1099511628211)) ^ stable_hash64(b[k])
+        part = (h % np.uint64(P)).astype(np.int32)
+        return b.append_column("part", pa.array(part))
+
+    def run_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return fold(g.drop(columns=["part"]))
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby(
+        "part").map_groups(run_fold, batch_format="pandas")
+
+
 def _join_partitions(sf_dir: str, table: str) -> int:
     """Size a join exchange by DATA (≈150k exchanged rows per partition,
     from the parquet footers), capped at 4× cluster CPUs — each partition
@@ -62,14 +93,21 @@ def _join_partitions(sf_dir: str, table: str) -> int:
     return int(min(max(2, (2 * n) // 150_000 + 1), 4 * int(cluster_cpus())))
 
 
-def _t(sf_dir: str, name: str, columns=None, spread: bool = False):
+def _t(sf_dir: str, name: str, columns=None, spread: bool = False,
+       blocks: int | None = None):
     """Read one table (single file or shard directory).  ``spread=True``
     is for CPU-heavy per-row stages: the driver's small test files are
     single-row-group parquet, which Ray reads as ONE block — every
     downstream ``map_batches`` would run one task wide.  When (and only
     when) the source has fewer row groups than CPUs, split the blocks so
     the stage fans out; at cluster scale inputs have many files/row
-    groups and this no-ops (no mid-pipeline materialization)."""
+    groups and this no-ops (no mid-pipeline materialization).
+
+    ``blocks`` caps/pins the block count instead: narrow single-column
+    reads feeding an all-to-all want FEWER, data-sized blocks (each sort
+    map/reduce task has a fixed scheduling cost, so Ray's 2×-CPU default
+    makes tiny-row exchanges scheduling-bound — measured 4.4× wall on the
+    key-reconcile query)."""
     import pyarrow.parquet as pq
 
     paths = _table_paths(sf_dir, name)
@@ -81,7 +119,9 @@ def _t(sf_dir: str, name: str, columns=None, spread: bool = False):
     if columns:
         file_schema = pa.schema([file_schema.field(c) for c in columns])
     ds = ray.data.read_parquet(paths if len(paths) > 1 else paths[0],
-                               columns=columns, schema=file_schema)
+                               columns=columns, schema=file_schema,
+                               **({"override_num_blocks": int(blocks)}
+                                  if blocks else {}))
     if spread:
         from ..stages.common import cluster_cpus
 
@@ -327,7 +367,7 @@ def top_orders_per_customer(sf_dir: str):
     from ..stages.dedup import _n_partitions
 
     P = _n_partitions()
-    ds = _t(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    ds = _t(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"], blocks=_join_partitions(sf_dir, "orders"))
 
     def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
         out = (df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
@@ -374,7 +414,7 @@ def session_windows(sf_dir: str):
     from ..functions.hashing import stable_hash64
     from ..stages.dedup import _n_partitions
 
-    ds = _t(sf_dir, "events", columns=["user_id", "ts"])
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"], blocks=_join_partitions(sf_dir, "events"))
     GAP_US = 30 * 60 * 1_000_000
     P = _n_partitions()
 
@@ -557,7 +597,7 @@ def word_freq_top20(sf_dir: str):
     """Global token frequency top-20: Arrow split+flatten per batch, partial
     ``value_counts`` shrinks the shuffle to (token, count) pairs, tiny
     groupby-sum, driver top-k (count desc, token asc — deterministic)."""
-    ds = _t(sf_dir, "documents", columns=["text"])
+    ds = _t(sf_dir, "documents", columns=["text"], blocks=_join_partitions(sf_dir, "documents"))
 
     def explode(b: pa.Table) -> pa.Table:
         toks = pc.list_flatten(
@@ -732,28 +772,31 @@ def events_moving_sum(sf_dir: str):
     pre-aggregation (hourly groupby, bounds the series to #types × #hours)
     → per-type vectorized ``pandas.rolling`` over a time index.  Oracle =
     DuckDB ``RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW``."""
-    ds = _t(sf_dir, "events", columns=["event_type", "ts", "value"])
+    ds = _t(sf_dir, "events", columns=["event_type", "ts", "value"], blocks=_join_partitions(sf_dir, "events"))
 
     def hour(b: pa.Table) -> pa.Table:
-        return pa.table({
+        # tumbling pre-aggregation INSIDE the batch: the exchange carries
+        # (type, hour, partial) rows, never raw events
+        t = pa.table({
             "event_type": b["event_type"],
             "hour": pc.floor_temporal(b["ts"], unit="hour"),
             "value": pc.fill_null(b["value"], 0.0),
         })
-
-    hourly = ds.map_batches(hour, batch_format="pyarrow").groupby(
-        ["event_type", "hour"]).aggregate(Sum("value", alias_name="sv"))
+        g = t.group_by(["event_type", "hour"]).aggregate([("value", "sum")])
+        return g.rename_columns(["event_type", "hour", "sv"])
 
     def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("hour")
+        et = g["event_type"].iloc[0]
+        g = g.groupby("hour", as_index=False)["sv"].sum().sort_values("hour")
         s = pd.Series(g["sv"].to_numpy(), index=pd.DatetimeIndex(g["hour"]))
         # [t - 2h, t] inclusive == DuckDB RANGE 2 HOUR PRECEDING
         m = s.rolling("2h", closed="both").sum()
-        return pd.DataFrame({"event_type": g["event_type"].to_numpy(),
+        return pd.DataFrame({"event_type": et,
                              "hour": g["hour"].to_numpy(),
                              "sum_3h": m.to_numpy().round(2)})
 
-    out = hourly.groupby("event_type").map_groups(roll, batch_format="pandas").to_pandas()
+    out = ds.map_batches(hour, batch_format="pyarrow").groupby(
+        "event_type").map_groups(roll, batch_format="pandas").to_pandas()
     return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 
@@ -769,7 +812,7 @@ def purchase_view_window_counts(sf_dir: str):
 
     P = _n_partitions()
     WIN_US = 30 * 60 * 1_000_000
-    ds = _t(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "event_type"], blocks=_join_partitions(sf_dir, "events"))
 
     def add_part(b: pa.Table) -> pa.Table:
         keep = pc.is_in(b["event_type"], value_set=pa.array(["purchase", "view"]))
@@ -819,7 +862,8 @@ def user_running_spend(sf_dir: str):
 
     P = _n_partitions()
     ds = _t(sf_dir, "events", columns=["user_id", "ts", "event_type",
-                                       "event_id", "value"])
+                                       "event_id", "value"],
+            blocks=_join_partitions(sf_dir, "events"))
 
     def add_part(b: pa.Table) -> pa.Table:
         f = b.filter(pc.equal(b["event_type"], "purchase"))
@@ -868,7 +912,7 @@ def events_type_pivot(sf_dir: str):
     types = sorted(
         t for t in _t(sf_dir, "events", columns=["event_type"])
         .unique("event_type") if t is not None)
-    ds = _t(sf_dir, "events", columns=["event_type", "ts"])
+    ds = _t(sf_dir, "events", columns=["event_type", "ts"], blocks=_join_partitions(sf_dir, "events"))
 
     def partial(b: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(b["ts"], unit="hour")
@@ -899,7 +943,7 @@ def nation_order_percentiles(sf_dir: str):
     nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                         columns=["n_nationkey", "n_name"]).combine_chunks()
     cust_ref = ray.put(cust)
-    ds = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    ds = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"], blocks=_join_partitions(sf_dir, "orders"))
 
     def add_nation(b: pa.Table) -> pa.Table:
         c = ray.get(cust_ref)
@@ -967,7 +1011,8 @@ def bigram_top20(sf_dir: str):
     ``binary_join_element_wise`` builds the pair strings) — no Python per
     row or per token.  Partial ``value_counts`` per batch shrinks the
     shuffle to (bigram, count) pairs."""
-    ds = _t(sf_dir, "documents", columns=["text"])
+    ds = _t(sf_dir, "documents", columns=["text"],
+            blocks=_join_partitions(sf_dir, "documents"))
 
     def explode_pairs(b: pa.Table) -> pa.Table:
         col = b["text"].combine_chunks()
@@ -999,8 +1044,10 @@ def bigram_top20(sf_dir: str):
         return pa.table({"bigram": vc.field("values"),
                          "n": pc.cast(vc.field("counts"), pa.int64())})
 
-    agg = ds.map_batches(explode_pairs, batch_format="pyarrow").groupby(
-        "bigram").aggregate(Sum("n", alias_name="n"))
+    agg = _agg_partitioned(
+        ds.map_batches(explode_pairs, batch_format="pyarrow"), ["bigram"],
+        lambda g: g.groupby("bigram", as_index=False)["n"].sum(),
+    )
 
     def partial_top(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["n", "bigram"],
@@ -1212,7 +1259,8 @@ def tfidf_top_terms(sf_dir: str):
     pairs, never rows; N comes from the same pass (one partial row per
     batch).  Floats match the oracle bit-for-bit: both sides compute the
     identical expression on identical integers, rounded to 6 dp."""
-    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"],
+            blocks=_join_partitions(sf_dir, "documents"))
 
     def explode(b: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(pc.fill_null(b["text"], ""),
@@ -1247,9 +1295,10 @@ def tfidf_top_terms(sf_dir: str):
     # driver), read N from the one sentinel row, then score + partial
     # top-20 inside each block so at most 20 rows per block reach the
     # driver.
-    agg = ds.map_batches(explode, batch_format="pyarrow").groupby(
-        "token").aggregate(Sum("tf", alias_name="tf"),
-                           Sum("df", alias_name="df")).materialize()
+    agg = _agg_partitioned(
+        ds.map_batches(explode, batch_format="pyarrow"), ["token"],
+        lambda g: g.groupby("token", as_index=False)[["tf", "df"]].sum(),
+    ).materialize()
     sent = agg.filter(expr="token == ''").take(1)
     n_docs = int(sent[0]["df"]) if sent else 0
 
@@ -1794,7 +1843,7 @@ def hll_users_per_event_type(sf_dir: str):
         hll_merge_bytes,
     )
 
-    ds = _t(sf_dir, "events", columns=["event_type", "user_id"])
+    ds = _t(sf_dir, "events", columns=["event_type", "user_id"], blocks=_join_partitions(sf_dir, "events"))
 
     def partial(b: pa.Table) -> pa.Table:
         # drop null group keys: null dictionary indices would np.asarray
@@ -2370,7 +2419,7 @@ def events_rollup(sf_dir: str):
     only one that shuffles (pre-combined per batch, ≤ types×24 rows per
     reducer) and both coarser levels fold from its tiny result on the
     driver, the standard rollup-from-finest rewrite."""
-    ds = _t(sf_dir, "events", columns=["event_type", "ts"])
+    ds = _t(sf_dir, "events", columns=["event_type", "ts"], blocks=_join_partitions(sf_dir, "events"))
 
     def partial(b: pa.Table) -> pa.Table:
         # drop null timestamps: a null hour group would crash the int64
@@ -2580,7 +2629,8 @@ def customer_spend_deciles(sf_dir: str):
     per-group-fits trade; the stride sketch is the 100-TB path), then a
     broadcast ``searchsorted`` bin assignment.  Thresholds use strict
     ``q < total`` membership so ties land identically on both sides."""
-    od = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    od = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
+            blocks=_join_partitions(sf_dir, "orders"))
 
     def pre(b: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"],
@@ -2589,8 +2639,10 @@ def customer_spend_deciles(sf_dir: str):
         g = t.group_by("o_custkey").aggregate([("cents", "sum")])
         return g.rename_columns(["o_custkey", "cents"])
 
-    tot = od.map_batches(pre, batch_format="pyarrow").groupby(
-        "o_custkey").aggregate(Sum("cents", alias_name="cents")).materialize()
+    tot = _agg_partitioned(
+        od.map_batches(pre, batch_format="pyarrow"), ["o_custkey"],
+        lambda g: g.groupby("o_custkey", as_index=False)["cents"].sum(),
+    ).materialize()
 
     def thresholds(g: pd.DataFrame) -> pd.DataFrame:
         v = g["cents"].to_numpy(dtype=np.int64)
@@ -2631,7 +2683,7 @@ def view_purchase_overlap(sf_dir: str):
     pre-distinct to one (user, has_view, has_purchase) row, one narrow
     groupby with max-folds, then a three-way count — the set ops never
     materialize either side as an id list anywhere."""
-    ds = _t(sf_dir, "events", columns=["user_id", "event_type"])
+    ds = _t(sf_dir, "events", columns=["user_id", "event_type"], blocks=_join_partitions(sf_dir, "events"))
 
     def partial(b: pa.Table) -> pa.Table:
         keep = pc.is_in(b["event_type"],
@@ -2682,7 +2734,7 @@ def user_event_gaps(sf_dir: str):
     from ..stages.dedup import _n_partitions
 
     P = _n_partitions()
-    ds = _t(sf_dir, "events", columns=["user_id", "ts"])
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"], blocks=_join_partitions(sf_dir, "events"))
 
     def add_part(b: pa.Table) -> pa.Table:
         h = (stable_hash64(b["user_id"]) % np.uint64(P)).astype(np.int32)
@@ -2793,7 +2845,8 @@ def latest_event_per_user(sf_dir: str):
 
     P = _n_partitions()
     ds = _t(sf_dir, "events",
-            columns=["user_id", "ts", "event_id", "event_type"])
+            columns=["user_id", "ts", "event_id", "event_type"],
+            blocks=_join_partitions(sf_dir, "events"))
 
     def keep_latest(b: pa.Table) -> pa.Table:
         users = np.asarray(b["user_id"])
@@ -2891,41 +2944,51 @@ def orders_lineitem_reconcile(sf_dir: str):
     one exchange instead of two distinct-groupbys plus a join (Ray's
     native full_outer also can't take the schema-less empty blocks a
     tiny-input sort-aggregate emits, which map operators skip rather
-    than normalize)."""
-    def tag(col, l_val, o_val):
+    than normalize).
+
+    The exchange is COARSE: keys carry only a hash-partition id (P ≈
+    2×CPUs groups, not one group per key), so the shuffle sorts a tiny
+    int column and each partition classifies its keys in one vectorized
+    ``np.unique`` + bitmask-OR fold — the key-level sort-aggregate this
+    replaces cost ~4× more wall on the same input."""
+    from ..functions.hashing import stable_hash64
+    from ..stages.dedup import _n_partitions
+
+    P = _n_partitions()
+
+    def tag(col, mask):
         def pre(b: pa.Table) -> pa.Table:
             u = pc.unique(b[col].combine_chunks())
-            n = len(u)
+            part = (stable_hash64(u) % np.uint64(P)).astype(np.int32)
             return pa.table({
                 "k": u,
-                "n_l": pa.array(np.full(n, l_val, np.int64)),
-                "n_o": pa.array(np.full(n, o_val, np.int64)),
+                "part": pa.array(part),
+                "m": pa.array(np.full(len(u), mask, np.int64)),
             })
 
         return pre
 
-    lo = _t(sf_dir, "lineitem", columns=["l_orderkey"]).map_batches(
-        tag("l_orderkey", 1, 0), batch_format="pyarrow")
-    oo = _t(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
-        tag("o_orderkey", 0, 1), batch_format="pyarrow")
-    per_key = lo.union(oo).groupby("k").aggregate(
-        Sum("n_l", alias_name="n_l"), Sum("n_o", alias_name="n_o"))
+    lo = _t(sf_dir, "lineitem", columns=["l_orderkey"],
+            blocks=_join_partitions(sf_dir, "lineitem")).map_batches(
+        tag("l_orderkey", 1), batch_format="pyarrow")
+    oo = _t(sf_dir, "orders", columns=["o_orderkey"],
+            blocks=_join_partitions(sf_dir, "orders")).map_batches(
+        tag("o_orderkey", 2), batch_format="pyarrow")
 
-    def classify(b: pa.Table) -> pa.Table:
-        if "n_l" not in b.column_names:  # tiny-scale empty aggregate block
-            return pa.table({"n_both": pa.array([0], pa.int64()),
-                             "n_lineitem_only": pa.array([0], pa.int64()),
-                             "n_orders_only": pa.array([0], pa.int64())})
-        has_l = pc.greater(b["n_l"], 0)
-        has_o = pc.greater(b["n_o"], 0)
-        both = pc.sum(pc.and_(has_l, has_o)).as_py() or 0
-        l_only = pc.sum(pc.and_(has_l, pc.invert(has_o))).as_py() or 0
-        o_only = pc.sum(pc.and_(has_o, pc.invert(has_l))).as_py() or 0
-        return pa.table({"n_both": pa.array([both], pa.int64()),
-                         "n_lineitem_only": pa.array([l_only], pa.int64()),
-                         "n_orders_only": pa.array([o_only], pa.int64())})
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["k"].to_numpy()
+        m = g["m"].to_numpy()
+        _, inv = np.unique(keys, return_inverse=True)
+        acc = np.zeros(inv.max() + 1 if len(inv) else 0, dtype=np.int64)
+        np.bitwise_or.at(acc, inv, m)
+        return pd.DataFrame({
+            "n_both": [int((acc == 3).sum())],
+            "n_lineitem_only": [int((acc == 1).sum())],
+            "n_orders_only": [int((acc == 2).sum())],
+        })
 
-    parts = per_key.map_batches(classify, batch_format="pyarrow").to_pandas()
+    parts = lo.union(oo).groupby("part").map_groups(
+        classify, batch_format="pandas").to_pandas()
     return pd.DataFrame({
         "n_both": [int(parts["n_both"].sum())],
         "n_lineitem_only": [int(parts["n_lineitem_only"].sum())],
