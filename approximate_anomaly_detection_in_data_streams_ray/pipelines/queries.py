@@ -341,9 +341,18 @@ def null_profile_events(sf_dir: str):
 
 def distinct_users_exact(sf_dir: str):
     """Exact distinct count via groupby (contrast with the HLL sketch)."""
-    ds = _t(sf_dir, "events", columns=["user_id"])
-    n = ds.groupby("user_id").aggregate(Count(alias_name="c")).count()
-    return pd.DataFrame({"n_users": [int(n)]})
+    ds = _t(sf_dir, "events", columns=["user_id"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def uniq(b: pa.Table) -> pa.Table:
+        u = pc.unique(b["user_id"].combine_chunks())
+        return pa.table({"user_id": u.filter(pc.is_valid(u))})
+
+    parts = _agg_partitioned(
+        ds.map_batches(uniq, batch_format="pyarrow"), ["user_id"],
+        lambda g: pd.DataFrame({"n": [int(g["user_id"].nunique())]}),
+    ).to_pandas()
+    return pd.DataFrame({"n_users": [int(parts["n"].sum())]})
 
 
 def part_brand_stats(sf_dir: str):
@@ -527,7 +536,8 @@ def value_quantiles_exact(sf_dir: str):
     documented trade for exactness (the sketch query is the 100-TB path).
     Values are emitted UNROUNDED: both sides return the same element of
     the data, so equality is bit-exact without any rounding convention."""
-    ds = _t(sf_dir, "events", columns=["event_type", "value"])
+    ds = _t(sf_dir, "events", columns=["event_type", "value"],
+            blocks=_join_partitions(sf_dir, "events"))
 
     def exact_q(g: pd.DataFrame) -> pd.DataFrame:
         v = g["value"].to_numpy(dtype=np.float64)
@@ -733,7 +743,9 @@ def purchase_attribution(sf_dir: str):
     from ..stages.common import cluster_cpus
     from ..stages.joins import bucketed_asof_join
 
-    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                       "event_type", "value"],
+            blocks=_join_partitions(sf_dir, "events"))
     purchases = ds.map_batches(
         lambda b: b.filter(pc.equal(b["event_type"], "purchase"))
                    .select(["user_id", "ts", "event_id"]),
