@@ -2392,8 +2392,10 @@ def order_priority_revenue(sf_dir: str):
     wastes seconds at small scale and data-sized partitioning converges
     to the CPU cap exactly when the cluster is the binding resource."""
     li = _t(sf_dir, "lineitem",
-            columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    od = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+    od = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"],
+            blocks=_join_partitions(sf_dir, "orders"))
     nparts = _join_partitions(sf_dir, "orders")
 
     def pre(b: pa.Table) -> pa.Table:
@@ -2812,8 +2814,10 @@ def customers_without_orders(sf_dir: str):
     into the exchange without a pre-distinct; the broadcast-probe twin
     (`parts_without_lineitem`) is the plan when one side's distinct keys
     fit a block — this is the plan when neither side does."""
-    cu = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    od = _t(sf_dir, "orders", columns=["o_custkey"])
+    cu = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
+            blocks=_join_partitions(sf_dir, "customer"))
+    od = _t(sf_dir, "orders", columns=["o_custkey"],
+            blocks=_join_partitions(sf_dir, "orders"))
     nparts = _join_partitions(sf_dir, "orders")
     anti = cu.join(od, join_type="left_anti", num_partitions=nparts,
                    on=("c_custkey",), right_on=("o_custkey",))
@@ -3019,9 +3023,12 @@ def nation_revenue_joinchain(sf_dir: str):
         return _join_partitions(sf_dir, table)
 
     li = _t(sf_dir, "lineitem",
-            columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    od = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    cu = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+    od = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+            blocks=_join_partitions(sf_dir, "orders"))
+    cu = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"],
+            blocks=_join_partitions(sf_dir, "customer"))
 
     def pre_order(b: pa.Table) -> pa.Table:
         rev = pc.multiply(b["l_extendedprice"],
