@@ -223,10 +223,12 @@ def pricing_summary(sf_dir: str):
                      "l_extendedprice", "l_discount", "l_shipdate"])
 
     def derive(b: pa.Table) -> pa.Table:
+        # pre-combine inside the batch: ≤ flag×status (6) partial rows per
+        # block → the final fold is driver-side, no exchange
         keep = pc.less_equal(b["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us")))
         b = b.filter(keep)
         disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return pa.table(
+        t = pa.table(
             {
                 "l_returnflag": b["l_returnflag"],
                 "l_linestatus": b["l_linestatus"],
@@ -235,15 +237,17 @@ def pricing_summary(sf_dir: str):
                 "disc_price": disc,
             }
         )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                                 "sum_base_price", "sum_disc_price",
+                                 "count_order"])
 
-    agg = ds.map_batches(derive, batch_format="pyarrow").groupby(
-        ["l_returnflag", "l_linestatus"]
-    ).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("disc_price", alias_name="sum_disc_price"),
-        Count(alias_name="count_order"),
-    ).to_pandas()
+    parts = ds.map_batches(derive, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["l_returnflag", "l_linestatus"],
+                        as_index=False).sum()
+    agg["count_order"] = agg["count_order"].astype("int64")
     for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
         agg[c] = agg[c].round(2)
     return agg.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
@@ -268,17 +272,25 @@ def events_hourly(sf_dir: str):
     ds = _t(sf_dir, "events", columns=["event_type", "ts", "value"])
 
     def hour(b: pa.Table) -> pa.Table:
-        return pa.table(
+        # pre-combine inside the batch: ≤ types×hours partial rows per
+        # block, so the final fold is dimension-bounded (driver fold —
+        # no exchange at all; _agg_partitioned is the unbounded-key path)
+        t = pa.table(
             {
                 "event_type": b["event_type"],
                 "hour": pc.floor_temporal(b["ts"], unit="hour"),
                 "value": b["value"],
             }
         )
+        g = t.group_by(["event_type", "hour"]).aggregate(
+            [("hour", "count"), ("value", "sum")])
+        return g.rename_columns(["event_type", "hour", "n_events",
+                                 "sum_value"])
 
-    agg = ds.map_batches(hour, batch_format="pyarrow").groupby(
-        ["event_type", "hour"]
-    ).aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value")).to_pandas()
+    parts = ds.map_batches(hour, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["event_type", "hour"], as_index=False).agg(
+        n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+    agg["n_events"] = agg["n_events"].astype("int64")
     agg["sum_value"] = agg["sum_value"].round(2)
     return agg.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
