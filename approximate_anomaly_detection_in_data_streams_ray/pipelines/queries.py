@@ -3415,3 +3415,124 @@ ORACLE_SQL["nation_revenue_joinchain"] = """
     JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name ORDER BY n_name
 """
+
+
+def inverted_index_tokens(sf_dir: str):
+    """INVERTED-INDEX materialization (the retrieval-pipeline build step):
+    per-batch distinct (token, doc_id) postings — a doc lives in exactly
+    one batch, so batch dedup is global dedup — then ONE coarse-partitioned
+    exchange co-locates each token's postings and the per-partition fold
+    emits (token, df_docs, postings) with the posting list as the
+    ascending comma-joined doc_id string (== SQL ``string_agg(... ORDER
+    BY doc_id)``).  Top-30 tokens by document frequency keep the result
+    bounded; at index scale the same fold writes per-partition posting
+    shards instead of returning rows."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"], spread=True)
+
+    def postings(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(b["text"], ""),
+                                      pattern=r"[^A-Za-z0-9_]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        doc = pc.take(b["doc_id"].combine_chunks(), parent.filter(mask))
+        t = pa.table({"token": flat.filter(mask), "doc_id": doc})
+        return t.group_by(["token", "doc_id"]).aggregate([])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", "doc_id"])
+        return g.groupby("token", as_index=False).agg(
+            df_docs=("doc_id", "size"),
+            postings=("doc_id", lambda s: ",".join(map(str, s))))
+
+    parts = _agg_partitioned(
+        ds.map_batches(postings, batch_format="pyarrow"), ["token"], fold,
+    ).to_pandas()
+    out = parts.sort_values(["df_docs", "token"],
+                            ascending=[False, True]).head(30)
+    out["df_docs"] = out["df_docs"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def vocab_coverage(sf_dir: str, vocab_size: int = 1000):
+    """Tokenizer VOCABULARY COVERAGE (two-pass): pass 1 builds the top-V
+    vocabulary by global token count (count desc, token asc ties) via the
+    coarse-partitioned fold; pass 2 broadcasts the vocabulary once
+    (``ray.put`` of an Arrow value_set — V is model-dimension-bounded)
+    and measures per-lang OOV occurrence rates with one ``is_in`` kernel
+    per batch.  The canonical pre-training question "what does this
+    tokenizer miss, and in which language"."""
+    V = int(vocab_size)
+    ds = _t(sf_dir, "documents", columns=["lang", "text"],
+            blocks=_join_partitions(sf_dir, "documents"))
+
+    def counts(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(b["text"], ""),
+                                      pattern=r"[^A-Za-z0-9_]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    tok_counts = _agg_partitioned(
+        ds.map_batches(counts, batch_format="pyarrow"), ["token"],
+        lambda g: g.groupby("token", as_index=False)["n"].sum(),
+    ).to_pandas()
+    vocab = (tok_counts.sort_values(["n", "token"], ascending=[False, True])
+             .head(V)["token"])
+    vocab_ref = ray.put(pa.array(vocab.to_numpy(), pa.string()))
+
+    def oov(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(b["text"], ""),
+                                      pattern=r"[^A-Za-z0-9_]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        flat, parent = flat.filter(mask), parent.filter(mask)
+        lang = pc.take(b["lang"].combine_chunks(), parent)
+        miss = pc.cast(pc.invert(
+            pc.is_in(flat, value_set=ray.get(vocab_ref))), pa.int64())
+        t = pa.table({"lang": lang, "one": pa.array(
+            np.ones(len(flat), np.int64)), "miss": miss})
+        g = t.group_by("lang").aggregate([("one", "sum"), ("miss", "sum")])
+        return g.rename_columns(["lang", "n_tokens", "n_oov"])
+
+    parts = ds.map_batches(oov, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("lang", as_index=False).sum()
+    agg["n_tokens"] = agg["n_tokens"].astype("int64")
+    agg["n_oov"] = agg["n_oov"].astype("int64")
+    agg["oov_rate"] = (agg["n_oov"] / agg["n_tokens"]).round(6)
+    return agg.sort_values("lang").reset_index(drop=True)
+
+
+QUERIES["inverted_index_tokens"] = inverted_index_tokens
+QUERIES["vocab_coverage"] = vocab_coverage
+
+ORACLE_SQL["inverted_index_tokens"] = """
+    WITH raw AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+        FROM documents),
+    t AS (SELECT DISTINCT doc_id, token FROM raw WHERE token <> '')
+    SELECT token, count(*)::BIGINT AS df_docs,
+           string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+    FROM t GROUP BY token ORDER BY df_docs DESC, token LIMIT 30
+"""
+
+ORACLE_SQL["vocab_coverage"] = """
+    WITH raw AS (
+        SELECT lang,
+               unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+        FROM documents),
+    tk AS (SELECT lang, token FROM raw WHERE token <> ''),
+    vocab AS (SELECT token FROM (
+        SELECT token, count(*) AS n FROM tk GROUP BY token
+        ORDER BY n DESC, token LIMIT 1000))
+    SELECT lang, count(*)::BIGINT AS n_tokens,
+           count(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab))
+               ::BIGINT AS n_oov,
+           round(count(*) FILTER (WHERE token NOT IN
+               (SELECT token FROM vocab))::DOUBLE / count(*), 6) AS oov_rate
+    FROM tk GROUP BY lang ORDER BY lang
+"""

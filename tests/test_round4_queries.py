@@ -374,3 +374,46 @@ def test_user_event_gaps_gap_free_input_matches_oracle(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   want.reset_index(drop=True),
                                   check_dtype=False)
+
+
+# ------------------------------------------ round-4b breadth: index + vocab
+
+
+def test_inverted_index_posting_lists_exact(ray_session, tmp_path):
+    """Posting lists must be ascending-doc_id joined strings with exact
+    document frequencies — duplicate tokens inside one doc count once."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        inverted_index_tokens,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array([10, 2, 7], pa.int64()),
+        "text": pa.array(["alpha beta alpha", "beta gamma", "alpha beta"],
+                         pa.string()),
+    })
+    sf = _write(tmp_path, "documents", tbl)
+    out = inverted_index_tokens(sf).set_index("token")
+    assert out.loc["alpha", "postings"] == "7,10"
+    assert out.loc["beta", "postings"] == "2,7,10"
+    assert out.loc["gamma", "postings"] == "2"
+    assert out["df_docs"].to_dict() == {"beta": 3, "alpha": 2, "gamma": 1}
+
+
+def test_vocab_coverage_planted_oov(ray_session, tmp_path):
+    """With vocab_size=2, the two most frequent tokens form the vocabulary
+    and every other occurrence is OOV; per-lang rates must be exact."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        vocab_coverage,
+    )
+
+    tbl = pa.table({
+        "lang": pa.array(["en", "en", "de"], pa.string()),
+        "text": pa.array(["aa aa bb rare1", "aa bb", "aa rare2 rare2"],
+                         pa.string()),
+    })
+    sf = _write(tmp_path, "documents", tbl)
+    out = vocab_coverage(sf, vocab_size=2).set_index("lang")
+    # counts: aa=4, bb=2, rare2=2, rare1=1 -> vocab = {aa, bb} (ties: bb < rare2)
+    assert out.loc["en", "n_tokens"] == 6 and out.loc["en", "n_oov"] == 1
+    assert out.loc["de", "n_tokens"] == 3 and out.loc["de", "n_oov"] == 2
+    assert out.loc["de", "oov_rate"] == round(2 / 3, 6)
