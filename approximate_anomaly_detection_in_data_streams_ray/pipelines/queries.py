@@ -3536,3 +3536,131 @@ ORACLE_SQL["vocab_coverage"] = """
                (SELECT token FROM vocab))::DOUBLE / count(*), 6) AS oov_rate
     FROM tk GROUP BY lang ORDER BY lang
 """
+
+
+def snapshot_diff_orders(sf_dir: str):
+    """TABLE DIFF between two snapshots (the migration-audit validation
+    op): snapshot A = orders; snapshot B is derived deterministically
+    (keys divisible by 97 deleted, totalprice +10% where divisible by
+    101) so both sides of the oracle see identical inputs.  The diff is
+    the generic ONE-exchange tagged union: each side emits (key,
+    row-fingerprint, side-tag), the coarse partition co-locates a key's
+    two versions, and the per-partition fold classifies added / removed /
+    changed / identical — no join, no full-row shuffle (fingerprints
+    travel, payloads don't)."""
+    from ..functions.hashing import stable_hash64
+
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"],
+            blocks=_join_partitions(sf_dir, "orders"))
+
+    def tag(side: int):
+        def pre(b: pa.Table) -> pa.Table:
+            k = np.asarray(b["o_orderkey"], dtype=np.int64)
+            cents = np.asarray(pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], pa.scalar(100.0))), pa.int64()))
+            if side == 2:  # derive snapshot B
+                ins = (k % 103) == 0  # inserted rows: fresh keys
+                new_k = k[ins] + 10_000_000
+                new_c = cents[ins]
+                keep = (k % 97) != 0
+                k, cents = k[keep], cents[keep]
+                bump = (k % 101) == 0
+                # +10% on exact cents, half-up like round(x*1.1, 2)
+                cents = np.where(bump, (cents * 110 + 50) // 100, cents)
+                k = np.concatenate([k, new_k])
+                cents = np.concatenate([cents, new_c])
+            fp = stable_hash64(cents).astype(np.int64)
+            return pa.table({
+                "k": pa.array(k), "fp": pa.array(fp),
+                "side": pa.array(np.full(len(k), side, np.int8)),
+            })
+
+        return pre
+
+    a = ds.map_batches(tag(1), batch_format="pyarrow")
+    b = ds.map_batches(tag(2), batch_format="pyarrow")
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        piv = g.pivot_table(index="k", columns="side", values="fp",
+                            aggfunc="first")
+        fa = piv[1] if 1 in piv.columns else pd.Series(dtype="float64")
+        fb = piv[2] if 2 in piv.columns else pd.Series(dtype="float64")
+        in_a, in_b = piv.get(1), piv.get(2)
+        has_a = in_a.notna() if in_a is not None else pd.Series(False, piv.index)
+        has_b = in_b.notna() if in_b is not None else pd.Series(False, piv.index)
+        both = has_a & has_b
+        changed = both & (piv.get(1) != piv.get(2))
+        return pd.DataFrame({
+            "n_added": [int((~has_a & has_b).sum())],
+            "n_removed": [int((has_a & ~has_b).sum())],
+            "n_changed": [int(changed.sum())],
+            "n_identical": [int((both & ~changed).sum())],
+        })
+
+    parts = _agg_partitioned(a.union(b), ["k"], classify).to_pandas()
+    return pd.DataFrame({c: [int(parts[c].sum())] for c in
+                         ("n_added", "n_removed", "n_changed",
+                          "n_identical")})
+
+
+def top_suppliers_per_nation(sf_dir: str):
+    """Grouped TOP-K WITH TIES (``RANK() <= 2``, not row_number): per
+    nation the suppliers whose account balance ranks in the top 2, ties
+    kept — so group sizes vary and pre-pruning must keep whole tie
+    classes.  One exchange on the bounded nation key; the per-group rank
+    is a vectorized sort + boundary count."""
+    ds = _t(sf_dir, "supplier",
+            columns=["s_nationkey", "s_name", "s_acctbal"],
+            blocks=_join_partitions(sf_dir, "supplier"))
+
+    def ranked(g: pd.DataFrame) -> pd.DataFrame:
+        cents = (g["s_acctbal"] * 100).round().astype("int64")
+        g = g.assign(cents=cents)
+        r = g["cents"].rank(method="min", ascending=False).astype("int64")
+        out = g[r <= 2].copy()
+        out["rnk"] = r[r <= 2]
+        return out[["s_nationkey", "s_name", "cents", "rnk"]]
+
+    out = ds.groupby("s_nationkey").map_groups(
+        ranked, batch_format="pandas").to_pandas()
+    out["s_acctbal"] = (out["cents"] / 100.0).round(2)
+    out = out.drop(columns=["cents"])
+    out["s_nationkey"] = out["s_nationkey"].astype("int64")
+    out["rnk"] = out["rnk"].astype("int64")
+    return out.sort_values(["s_nationkey", "rnk", "s_name"]).reset_index(
+        drop=True)
+
+
+QUERIES["snapshot_diff_orders"] = snapshot_diff_orders
+QUERIES["top_suppliers_per_nation"] = top_suppliers_per_nation
+
+ORACLE_SQL["snapshot_diff_orders"] = """
+    WITH a AS (SELECT o_orderkey AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    b AS (SELECT k,
+                 CASE WHEN k % 101 = 0
+                      THEN (cents * 110 + 50) // 100 ELSE cents END AS cents
+          FROM a WHERE k % 97 <> 0
+          UNION ALL
+          SELECT k + 10000000 AS k, cents FROM a WHERE k % 103 = 0)
+    SELECT count(*) FILTER (WHERE a.k IS NULL)::BIGINT AS n_added,
+           count(*) FILTER (WHERE b.k IS NULL)::BIGINT AS n_removed,
+           count(*) FILTER (WHERE a.k IS NOT NULL AND b.k IS NOT NULL
+                            AND a.cents <> b.cents)::BIGINT AS n_changed,
+           count(*) FILTER (WHERE a.k IS NOT NULL AND b.k IS NOT NULL
+                            AND a.cents = b.cents)::BIGINT AS n_identical
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+"""
+
+ORACLE_SQL["top_suppliers_per_nation"] = """
+    WITH r AS (
+        SELECT s_nationkey, s_name,
+               round(s_acctbal, 2) AS s_acctbal,
+               rank() OVER (PARTITION BY s_nationkey
+                            ORDER BY CAST(round(s_acctbal * 100) AS BIGINT)
+                            DESC) AS rnk
+        FROM supplier)
+    SELECT s_nationkey, s_name, s_acctbal, rnk::BIGINT AS rnk
+    FROM r WHERE rnk <= 2 ORDER BY s_nationkey, rnk, s_name
+"""

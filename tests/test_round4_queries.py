@@ -417,3 +417,33 @@ def test_vocab_coverage_planted_oov(ray_session, tmp_path):
     assert out.loc["en", "n_tokens"] == 6 and out.loc["en", "n_oov"] == 1
     assert out.loc["de", "n_tokens"] == 3 and out.loc["de", "n_oov"] == 2
     assert out.loc["de", "oov_rate"] == round(2 / 3, 6)
+
+
+def test_snapshot_diff_all_classes_nonzero(ray_session):
+    """The derived snapshot plants all four diff classes; each count must
+    be non-zero at sf0.001 and the classes must partition the key union."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        snapshot_diff_orders,
+    )
+
+    out = snapshot_diff_orders("/root/testdata/sf0.001").iloc[0]
+    assert out["n_added"] > 0 and out["n_removed"] > 0
+    assert out["n_changed"] > 0 and out["n_identical"] > 0
+
+
+def test_top_suppliers_rank_keeps_ties(ray_session, tmp_path):
+    """rank() semantics: a two-way tie at rank 1 keeps BOTH rows and the
+    next row ranks 3 (excluded by <= 2 only if a full tie class fits)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        top_suppliers_per_nation,
+    )
+
+    tbl = pa.table({
+        "s_nationkey": pa.array([1, 1, 1, 1], pa.int64()),
+        "s_name": pa.array(["a", "b", "c", "d"], pa.string()),
+        "s_acctbal": pa.array([50.0, 50.0, 40.0, 30.0], pa.float64()),
+    })
+    sf = _write(tmp_path, "supplier", tbl)
+    out = top_suppliers_per_nation(sf)
+    assert list(out["s_name"]) == ["a", "b"]
+    assert list(out["rnk"]) == [1, 1]
