@@ -3664,3 +3664,105 @@ ORACLE_SQL["top_suppliers_per_nation"] = """
     SELECT s_nationkey, s_name, s_acctbal, rnk::BIGINT AS rnk
     FROM r WHERE rnk <= 2 ORDER BY s_nationkey, rnk, s_name
 """
+
+
+def benford_totalprice(sf_dir: str):
+    """BENFORD leading-digit audit (the classic numeric-fraud / data-entry
+    validation): distribution of o_totalprice's first significant digit
+    vs the Benford expectation log10(1 + 1/d).  Digits come from the
+    exact integer cents cast to string (no float log at the 10^k
+    boundaries); per-batch Arrow group_by pre-combines, the driver folds
+    the 9-row result.  Shares are computed from identical integers on
+    both sides, rounded to 6 dp."""
+    ds = _t(sf_dir, "orders", columns=["o_totalprice"],
+            blocks=_join_partitions(sf_dir, "orders"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        cents = cents.filter(pc.greater(cents, 0))
+        digit = pc.utf8_slice_codeunits(
+            pc.cast(cents, pa.string()), start=0, stop=1)
+        t = pa.table({"digit": digit})
+        g = t.group_by("digit").aggregate([("digit", "count")])
+        return g.rename_columns(["digit", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("digit", as_index=False)["n"].sum()
+    total = int(agg["n"].sum())
+    agg["n_orders"] = agg["n"].astype("int64")
+    agg["share"] = (agg["n_orders"] / total).round(6)
+    d = agg["digit"].astype("int64")
+    agg["benford_expected"] = np.round(np.log10(1.0 + 1.0 / d), 6)
+    out = agg[["digit", "n_orders", "share", "benford_expected"]]
+    return out.sort_values("digit").reset_index(drop=True)
+
+
+def user_event_inversions(sf_dir: str):
+    """OUT-OF-ORDER-INGESTION rate (stream-quality validation): for
+    consecutive events of a user in event_id order, the fraction whose
+    timestamp goes BACKWARDS — `ts < lag(ts) OVER (PARTITION BY user
+    ORDER BY event_id)`.  Coarse hash partition on the user key, one
+    lexsort + vectorized diff per partition, integer fold."""
+    from ..functions.hashing import stable_hash64
+    from ..stages.dedup import _n_partitions
+
+    P = _n_partitions()
+    ds = _t(sf_dir, "events", columns=["user_id", "event_id", "ts"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = (stable_hash64(b["user_id"]) % np.uint64(P)).astype(np.int32)
+        return b.append_column("u_part", pa.array(h))
+
+    def inv(g: pd.DataFrame) -> pd.DataFrame:
+        users = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((eid, users))
+        users, ts = users[order], ts[order]
+        same = np.zeros(len(users), dtype=bool)
+        same[1:] = users[1:] == users[:-1]
+        d = np.diff(ts, prepend=ts[:1])[same]
+        return pd.DataFrame({"n_pairs": [int(same.sum())],
+                             "n_inversions": [int((d < 0).sum())]})
+
+    parts = ds.map_batches(add_part, batch_format="pyarrow").groupby(
+        "u_part").map_groups(inv, batch_format="pandas").to_pandas()
+    n_pairs = int(parts["n_pairs"].sum())
+    n_inv = int(parts["n_inversions"].sum())
+    return pd.DataFrame({
+        "n_pairs": [n_pairs], "n_inversions": [n_inv],
+        "inversion_rate": [round(n_inv / n_pairs, 6) if n_pairs else 0.0],
+    })
+
+
+QUERIES["benford_totalprice"] = benford_totalprice
+QUERIES["user_event_inversions"] = user_event_inversions
+
+ORACLE_SQL["benford_totalprice"] = """
+    WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    d AS (SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit, count(*) AS n
+          FROM c WHERE cents > 0 GROUP BY 1)
+    SELECT digit, n::BIGINT AS n_orders,
+           round(n::DOUBLE / (SELECT sum(n) FROM d), 6) AS share,
+           round(log10(1.0 + 1.0 / CAST(digit AS BIGINT)), 6)
+               AS benford_expected
+    FROM d ORDER BY digit
+"""
+
+ORACLE_SQL["user_event_inversions"] = """
+    WITH g AS (SELECT ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+                          AS prev
+               FROM events),
+    p AS (SELECT count(*)::BIGINT AS n_pairs,
+                 count(*) FILTER (WHERE ts < prev)::BIGINT AS n_inversions
+          FROM g WHERE prev IS NOT NULL)
+    SELECT n_pairs, n_inversions,
+           CASE WHEN n_pairs > 0
+                THEN round(n_inversions::DOUBLE / n_pairs, 6)
+                ELSE 0.0 END AS inversion_rate
+    FROM p
+"""

@@ -447,3 +447,40 @@ def test_top_suppliers_rank_keeps_ties(ray_session, tmp_path):
     out = top_suppliers_per_nation(sf)
     assert list(out["s_name"]) == ["a", "b"]
     assert list(out["rnk"]) == [1, 1]
+
+
+def test_benford_digits_partition_and_zero_filter(ray_session, tmp_path):
+    """Leading digits must come from exact cents (boundary value 10.00 ->
+    digit 1, 0.09 -> 9), zero/negative totals excluded, shares sum to 1."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        benford_totalprice,
+    )
+
+    tbl = pa.table({"o_totalprice": pa.array(
+        [10.00, 0.09, 99.99, 0.0, 923.11, 10.00], pa.float64())})
+    sf = _write(tmp_path, "orders", tbl)
+    out = benford_totalprice(sf).set_index("digit")
+    assert out.loc["1", "n_orders"] == 2   # 1000, 1000 cents
+    assert out.loc["9", "n_orders"] == 3   # 9, 9999, 92311 cents
+    assert abs(out["share"].sum() - 1.0) < 1e-9
+
+
+def test_user_event_inversions_planted(ray_session, tmp_path):
+    """One user with a backwards timestamp between consecutive event_ids
+    must count exactly one inversion of two pairs."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        user_event_inversions,
+    )
+
+    tbl = pa.table({
+        "user_id": pa.array([7, 7, 7], pa.int64()),
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([pd.Timestamp("2024-01-01 00:02"),
+                        pd.Timestamp("2024-01-01 00:01"),
+                        pd.Timestamp("2024-01-01 00:03")],
+                       pa.timestamp("us")),
+    })
+    sf = _write(tmp_path, "events", tbl)
+    out = user_event_inversions(sf).iloc[0]
+    assert out["n_pairs"] == 2 and out["n_inversions"] == 1
+    assert out["inversion_rate"] == 0.5
