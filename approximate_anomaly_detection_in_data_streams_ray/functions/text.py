@@ -176,3 +176,104 @@ def doc_fingerprints(texts, n: int = 8) -> np.ndarray:
         out[i:j] = np.minimum.reduceat(h, starts)
         i = j
     return out.view(np.int64)
+
+
+# ------------------------------------------------ fuzzy matching (edit dist)
+
+_FNV_PRIME = np.uint64(1099511628211)
+_FNV_BASIS = np.uint64(14695981039346656037)
+_LEN_SALT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _pad_rows(strs) -> tuple[np.ndarray, np.ndarray]:
+    """UTF-8 byte matrix (n, Lmax) zero-padded + per-row byte lengths —
+    built by ONE scatter from the concatenated buffer, no per-row loop."""
+    enc = [s.encode("utf-8") for s in strs]
+    lens = np.fromiter((len(e) for e in enc), np.int64, len(enc))
+    n, L = len(enc), int(lens.max()) if len(enc) else 0
+    M = np.zeros((n, max(L, 1)), np.uint8)
+    if lens.sum():
+        flat = np.frombuffer(b"".join(enc), np.uint8)
+        row = np.repeat(np.arange(n), lens)
+        starts = np.cumsum(lens) - lens
+        col = np.arange(len(flat)) - np.repeat(starts, lens)
+        M[row, col] = flat
+    return M, lens
+
+
+def _poly_hash_rows(M: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """FNV-1a over each row's first ``lens`` bytes, vectorized over rows
+    (the column loop is bounded by the max string length).  Length is
+    folded in so a shorter variant can never alias a longer one."""
+    h = np.full(M.shape[0], _FNV_BASIS, np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(M.shape[1]):
+            live = lens > k
+            hk = (h ^ M[:, k].astype(np.uint64)) * _FNV_PRIME
+            h = np.where(live, hk, h)
+        return h ^ (lens.astype(np.uint64) * _LEN_SALT)
+
+
+def levenshtein_batch(a_strs, b_strs) -> np.ndarray:
+    """Exact Levenshtein distance for N pairs at once: ONE shared numpy
+    DP — O(Lmax²) vectorized steps over all pairs instead of N Python
+    DPs.  Byte-level (UTF-8), matching DuckDB's ``levenshtein``."""
+    n = len(a_strs)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    Am, la = _pad_rows(a_strs)
+    Bm, lb = _pad_rows(b_strs)
+    La, Lb = Am.shape[1], Bm.shape[1]
+    prev = np.tile(np.arange(Lb + 1, dtype=np.int32), (n, 1))
+    res = lb.astype(np.int64).copy()          # rows with la == 0
+    rows = np.arange(n)
+    for i in range(1, La + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub = (Am[:, i - 1:i] != Bm).astype(np.int32)
+        for j in range(1, Lb + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + sub[:, j - 1])
+        done = la == i
+        if done.any():
+            res[done] = cur[rows[done], lb[done]]
+        prev = cur
+    return res
+
+
+def deletion_variant_hashes(strs, k: int = 2) -> tuple[np.ndarray, np.ndarray]:
+    """SymSpell-style blocking keys: the FNV hash of every ≤``k``-deletion
+    variant of each string (k ≤ 2).  If ``lev(a, b) <= k`` then a and b
+    share at least one common variant (delete, from each side, the bytes
+    an optimal edit script touches — ≤ 1 per edit per side), so grouping
+    by these hashes is a complete candidate generator for edit distance
+    ≤ k.  Neighborhood size is O(L^k) per string — loops run over byte
+    POSITIONS (≤ Lmax², tiny), every position vectorized over all rows.
+
+    Returns (variant_hash, row_index) arrays, duplicates included."""
+    if k > 2:
+        raise ValueError("deletion_variant_hashes supports k <= 2")
+    M, lens = _pad_rows(strs)
+    n, L = M.shape
+    hs = [_poly_hash_rows(M, lens)]
+    idxs = [np.arange(n)]
+    for i in range(L):                       # single deletions at byte i
+        sel = lens > max(i, 0)
+        sel &= lens >= 1
+        sel &= i < lens
+        if not sel.any():
+            continue
+        V = np.delete(M, i, axis=1)
+        hs.append(_poly_hash_rows(V[sel], lens[sel] - 1))
+        idxs.append(np.flatnonzero(sel))
+    if k >= 2:
+        for i in range(L):                   # double deletions at (i, j)
+            for j in range(i + 1, L):
+                sel = lens > j               # both positions must exist
+                if not sel.any():
+                    continue
+                V = np.delete(M, (i, j), axis=1)
+                hs.append(_poly_hash_rows(V[sel], lens[sel] - 2))
+                idxs.append(np.flatnonzero(sel))
+    return np.concatenate(hs), np.concatenate(idxs)

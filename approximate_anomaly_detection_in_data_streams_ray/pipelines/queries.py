@@ -3766,3 +3766,279 @@ ORACLE_SQL["user_event_inversions"] = """
                 ELSE 0.0 END AS inversion_rate
     FROM p
 """
+
+
+def user_sessions(sf_dir: str):
+    """SESSIONIZATION (session windows): split each user's event stream
+    into sessions at inactivity gaps > 30 min, the canonical streaming
+    window the reference's slide/window machinery approximates for
+    anomaly scoring (reference windows: src/core/outlierdetection/*.java
+    fill-before-slide).  Coarse hash partition on the user key, then per
+    partition ONE lexsort + vectorized boundary scan (``reduceat``-style
+    segment math — no per-session Python), per-user fold.  Boundaries
+    depend only on the sorted timestamp multiset, so timestamp ties
+    cannot flip the result."""
+    from ..functions.hashing import stable_hash64
+    from ..stages.dedup import _n_partitions
+
+    GAP_US = 30 * 60 * 1_000_000  # 30-min inactivity closes a session
+    P = _n_partitions()
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = (stable_hash64(b["user_id"]) % np.uint64(P)).astype(np.int32)
+        return b.append_column("u_part", pa.array(h))
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        users = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, users))
+        users, ts = users[order], ts[order]
+        first = np.ones(len(users), dtype=bool)
+        first[1:] = users[1:] != users[:-1]
+        gap = np.diff(ts, prepend=ts[:1])
+        start = first | (gap > GAP_US)
+        idx = np.flatnonzero(start)                    # session first rows
+        ends = np.append(idx[1:], len(users))          # one past last row
+        per = pd.DataFrame({
+            "user_id": users[idx],
+            "n": ends - idx,                           # events per session
+            "dur": ts[ends - 1] - ts[idx],             # last − first, µs
+        })
+        out = per.groupby("user_id", as_index=False).agg(
+            n_sessions=("n", "size"), n_events=("n", "sum"),
+            max_session_events=("n", "max"), max_session_dur_us=("dur", "max"))
+        return out
+
+    parts = ds.map_batches(add_part, batch_format="pyarrow").groupby(
+        "u_part").map_groups(sessions, batch_format="pandas").to_pandas()
+    out = parts.sort_values("user_id").reset_index(drop=True)
+    for c in ("n_sessions", "n_events", "max_session_events",
+              "max_session_dur_us"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def top_event_type_per_user(sf_dir: str):
+    """MODE per key (grouped argmax): each user's most frequent event
+    type, ties broken by the lexicographically smallest type.  Per-batch
+    Arrow ``group_by`` pre-combines to ≤(users × types) rows per block,
+    ONE coarse exchange on the user key, per-partition vectorized
+    sort + keep-first fold — the grouped-argmax primitive behind
+    dominant-label / majority-vote stages."""
+    ds = _t(sf_dir, "events", columns=["user_id", "event_type"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")])
+        return g.rename_columns(["user_id", "event_type", "n_events"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "event_type"], as_index=False)[
+            "n_events"].sum()
+        c = c.sort_values(["user_id", "n_events", "event_type"],
+                          ascending=[True, False, True])
+        return c.drop_duplicates("user_id", keep="first")
+
+    parts = _agg_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"), ["user_id"], fold
+    ).to_pandas()
+    out = parts.sort_values("user_id").reset_index(drop=True)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out[["user_id", "event_type", "n_events"]]
+
+
+def monthly_revenue_mom(sf_dir: str):
+    """TIME-SERIES DELTA: monthly revenue with LAG month-over-month
+    change — exact integer cents per month pre-combined per batch
+    (months × blocks rows), driver fold + shift.  The per-period-delta
+    primitive for trend validation dashboards."""
+    ds = _t(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        month = pc.strftime(b["o_orderdate"], format="%Y-%m")
+        t = pa.table({"month": month, "cents": cents})
+        g = t.group_by("month").aggregate([("cents", "sum")])
+        return g.rename_columns(["month", "cents"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    m = parts.groupby("month", as_index=False)["cents"].sum().sort_values(
+        "month").reset_index(drop=True)
+    cents = m["cents"].to_numpy().astype("int64")
+    # delta in exact int64 BEFORE the float conversion (DuckDB subtracts
+    # the BIGINTs first too — at 100-TB monthly sums this is where
+    # float64 rounding would otherwise diverge); the first month has no
+    # predecessor and is dropped on BOTH sides (NULL-free output keeps
+    # the driver's value-hash deterministic across NULL encodings)
+    cur, prev = cents[1:], cents[:-1]
+    mom = np.round((cur - prev).astype("float64") * 100.0
+                   / prev.astype("float64"), 4)
+    return pd.DataFrame({
+        "month": m["month"].to_numpy()[1:],
+        "revenue": np.round(cur.astype("float64") / 100.0, 2),
+        "prev_revenue": np.round(prev.astype("float64") / 100.0, 2),
+        "mom_pct": mom,
+    })
+
+
+def order_priority_share(sf_dir: str):
+    """PERCENT-OF-TOTAL window (``ratio_to_report``): revenue share per
+    order priority — exact cents partials per batch, driver fold, share
+    computed once against the grand total.  No shuffle at all
+    (priorities × blocks partial rows)."""
+    ds = _t(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        t = pa.table({"o_orderpriority": b["o_orderpriority"],
+                      "cents": cents})
+        g = t.group_by("o_orderpriority").aggregate([("cents", "sum")])
+        return g.rename_columns(["o_orderpriority", "cents"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    p = parts.groupby("o_orderpriority", as_index=False)["cents"].sum(
+    ).sort_values("o_orderpriority").reset_index(drop=True)
+    total = float(p["cents"].sum())
+    return pd.DataFrame({
+        "o_orderpriority": p["o_orderpriority"],
+        "revenue": np.round(p["cents"].to_numpy() / 100.0, 2),
+        "revenue_share": np.round(p["cents"].to_numpy() / total, 6),
+    })
+
+
+QUERIES["user_sessions"] = user_sessions
+QUERIES["top_event_type_per_user"] = top_event_type_per_user
+QUERIES["monthly_revenue_mom"] = monthly_revenue_mom
+QUERIES["order_priority_share"] = order_priority_share
+
+ORACLE_SQL["user_sessions"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+    m AS (SELECT user_id, t,
+                 CASE WHEN lag(t) OVER w IS NULL
+                      OR t - lag(t) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS is_start
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+    s AS (SELECT user_id, t,
+                 sum(is_start) OVER (PARTITION BY user_id ORDER BY t
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+          FROM m),
+    per AS (SELECT user_id, sess, count(*) AS n, max(t) - min(t) AS dur
+            FROM s GROUP BY user_id, sess)
+    SELECT user_id, count(*)::BIGINT AS n_sessions,
+           sum(n)::BIGINT AS n_events,
+           max(n)::BIGINT AS max_session_events,
+           max(dur)::BIGINT AS max_session_dur_us
+    FROM per GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLE_SQL["top_event_type_per_user"] = """
+    WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n_events
+               FROM events GROUP BY user_id, event_type)
+    SELECT user_id, event_type, n_events
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY n_events DESC, event_type)
+                        AS rn
+          FROM c)
+    WHERE rn = 1 ORDER BY user_id
+"""
+
+ORACLE_SQL["monthly_revenue_mom"] = """
+    WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS cents
+               FROM orders GROUP BY 1),
+    l AS (SELECT month, cents,
+                 lag(cents) OVER (ORDER BY month) AS prev
+          FROM m)
+    SELECT month, round(cents / 100.0, 2) AS revenue,
+           round(prev / 100.0, 2) AS prev_revenue,
+           round((cents - prev) * 100.0 / prev, 4) AS mom_pct
+    FROM l WHERE prev IS NOT NULL ORDER BY month
+"""
+
+ORACLE_SQL["order_priority_share"] = """
+    WITH p AS (SELECT o_orderpriority,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS cents
+               FROM orders GROUP BY 1)
+    SELECT o_orderpriority, round(cents / 100.0, 2) AS revenue,
+           round(cents::DOUBLE / (SELECT sum(cents) FROM p), 6)
+               AS revenue_share
+    FROM p ORDER BY o_orderpriority
+"""
+
+
+def part_name_fuzzy_pairs(sf_dir: str):
+    """FUZZY RECORD LINKAGE: distinct part-name pairs within edit
+    distance ≤ 2, WITHOUT an all-pairs join.  SymSpell-style blocking —
+    every name emits the hashes of its ≤2-deletion variants (a COMPLETE
+    candidate generator for lev ≤ 2: an optimal edit script touches ≤ 1
+    byte per edit per side, so both names reach a common variant), one
+    coarse exchange on the variant hash, per-partition vectorized
+    pair-merge + ONE batched-DP Levenshtein verify.  The driver sees only
+    verified pairs.  At 100 TB the neighborhood is O(L²) rows per
+    distinct name — shuffle volume scales with the vocabulary, never
+    with the corpus."""
+    from ..functions.text import deletion_variant_hashes, levenshtein_batch
+    from ..stages.dedup import _n_partitions
+
+    P = _n_partitions()
+    ds = _t(sf_dir, "part", columns=["p_name"])
+
+    def variants(b: pa.Table) -> pa.Table:
+        names = pc.unique(b["p_name"]).to_pylist()
+        h, ix = deletion_variant_hashes(names, k=2)
+        order = np.argsort(h, kind="stable")     # group duplicates locally
+        h, ix = h[order], ix[order]
+        name_arr = pa.array(names, pa.string()).take(pa.array(ix))
+        return pa.table({
+            "v_part": pa.array((h % np.uint64(P)).astype(np.int32)),
+            "vh": pa.array(h),
+            "p_name": name_arr,
+        })
+
+    def verify(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["vh", "p_name"])
+        pairs = d.merge(d, on="vh")
+        pairs = pairs[pairs["p_name_x"] < pairs["p_name_y"]]
+        pairs = pairs.drop_duplicates(["p_name_x", "p_name_y"])
+        if len(pairs) == 0:
+            # Arrow out with explicit types: an empty object-dtype pandas
+            # frame makes Ray's size estimator warn per empty partition
+            return pa.table({"name_a": pa.array([], pa.string()),
+                             "name_b": pa.array([], pa.string()),
+                             "lev_dist": pa.array([], pa.int64())})
+        dist = levenshtein_batch(pairs["p_name_x"].tolist(),
+                                 pairs["p_name_y"].tolist())
+        keep = dist <= 2
+        return pa.table({
+            "name_a": pa.array(pairs["p_name_x"].to_numpy()[keep],
+                               pa.string()),
+            "name_b": pa.array(pairs["p_name_y"].to_numpy()[keep],
+                               pa.string()),
+            "lev_dist": pa.array(dist[keep], pa.int64())})
+
+    parts = ds.map_batches(variants, batch_format="pyarrow").groupby(
+        "v_part").map_groups(verify, batch_format="pandas").to_pandas()
+    # a pair that shares several variants lands in several partitions
+    out = parts.drop_duplicates(["name_a", "name_b"]).sort_values(
+        ["name_a", "name_b"]).reset_index(drop=True)
+    out["lev_dist"] = out["lev_dist"].astype("int64")
+    return out
+
+
+QUERIES["part_name_fuzzy_pairs"] = part_name_fuzzy_pairs
+
+ORACLE_SQL["part_name_fuzzy_pairs"] = """
+    WITH n AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name)::BIGINT AS lev_dist
+    FROM n a JOIN n b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY name_a, name_b
+"""

@@ -484,3 +484,185 @@ def test_user_event_inversions_planted(ray_session, tmp_path):
     out = user_event_inversions(sf).iloc[0]
     assert out["n_pairs"] == 2 and out["n_inversions"] == 1
     assert out["inversion_rate"] == 0.5
+
+
+# ------------------------------------------ round-4c: sessions, mode, deltas
+
+
+def test_user_sessions_boundary_exactly_30min_is_same_session(ray_session,
+                                                              tmp_path):
+    """Gap == 30 min exactly stays in-session (strict >); 30 min + 1 µs
+    splits.  Also plants timestamp TIES inside one session — boundaries
+    must depend only on the sorted multiset."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        user_sessions,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    gap = pd.Timedelta(minutes=30)
+    us = pd.Timedelta(microseconds=1)
+    rows = [
+        (1, t0), (1, t0), (1, t0 + gap),           # tie + exact-30min: one session
+        (1, t0 + gap + gap + us),                   # 30min+1µs after: new session
+        (2, t0), (2, t0 + gap + us),                # user 2: immediate split
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    sf = _write(tmp_path, "events", tbl)
+
+    got = user_sessions(sf)
+    assert got.set_index("user_id")["n_sessions"].to_dict() == {1: 2, 2: 2}
+    assert int(got.set_index("user_id").loc[1, "max_session_events"]) == 3
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(ORACLE_SQL["user_sessions"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_top_event_type_tie_breaks_lexicographically(ray_session, tmp_path):
+    """Two types with equal counts → the lexicographically smaller type
+    wins on both the engine and the oracle side."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        top_event_type_per_user,
+    )
+
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2], pa.int64()),
+        "event_type": pa.array(
+            ["view", "view", "click", "click",       # tie → "click" wins
+             "purchase", "view", "purchase"],        # purchase 2 > view 1
+            pa.string()),
+    })
+    sf = _write(tmp_path, "events", tbl)
+
+    got = top_event_type_per_user(sf)
+    assert got.set_index("user_id")["event_type"].to_dict() == {
+        1: "click", 2: "purchase"}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(ORACLE_SQL["top_event_type_per_user"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_monthly_mom_first_month_dropped_and_exact_deltas(ray_session,
+                                                          tmp_path):
+    """The predecessor-less first month is dropped on both sides (the
+    output stays NULL-free); deltas come from exact integer cents
+    (0.01-granular inputs that would round differently through naive
+    float sums)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        monthly_revenue_mom,
+    )
+
+    dates = [pd.Timestamp("2024-01-15"), pd.Timestamp("2024-01-20"),
+             pd.Timestamp("2024-02-10"), pd.Timestamp("2024-03-05")]
+    tbl = pa.table({
+        "o_orderdate": pa.array(dates, pa.timestamp("us")),
+        "o_totalprice": pa.array([10.02, 20.02, 45.06, 22.53], pa.float64()),
+    })
+    sf = _write(tmp_path, "orders", tbl)
+
+    got = monthly_revenue_mom(sf)
+    assert list(got["month"]) == ["2024-02", "2024-03"]
+    assert got.loc[0, "mom_pct"] == 50.0        # 30.04 → 45.06
+    assert got.loc[1, "mom_pct"] == -50.0       # 45.06 → 22.53
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    want = con.execute(ORACLE_SQL["monthly_revenue_mom"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_levenshtein_batch_matches_reference_dp():
+    """Batched-DP distances equal the classic per-pair DP on a mix of
+    empties, transpositions, prefixes, and unequal lengths."""
+    import itertools
+
+    from approximate_anomaly_detection_in_data_streams_ray.functions.text import (
+        levenshtein_batch,
+    )
+
+    def lev(a, b):
+        a, b = a.encode(), b.encode()
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            nd = [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                nd[j] = min(dp[j] + 1, nd[j - 1] + 1,
+                            dp[j - 1] + (a[i - 1] != b[j - 1]))
+            dp = nd
+        return dp[-1]
+
+    words = ["", "x", "ab", "ba", "abc", "acb", "cold bolt", "old bolt",
+             "widget", "widgett", "hot gear"]
+    pairs = list(itertools.product(words, repeat=2))
+    got = levenshtein_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    assert got.tolist() == [lev(*p) for p in pairs]
+
+
+def test_deletion_blocking_is_complete_for_lev_le_2():
+    """Every pair within edit distance 2 must share a variant hash —
+    the SymSpell completeness property the fuzzy query relies on."""
+    import random
+    from collections import defaultdict
+
+    from approximate_anomaly_detection_in_data_streams_ray.functions.text import (
+        deletion_variant_hashes,
+        levenshtein_batch,
+    )
+
+    random.seed(11)
+    ws = sorted({"".join(random.choice("abcd") for _ in
+                         range(random.randint(1, 8))) for _ in range(150)})
+    h, ix = deletion_variant_hashes(ws, 2)
+    buckets = defaultdict(set)
+    for hh, ii in zip(h.tolist(), ix.tolist()):
+        buckets[hh].add(ii)
+    cand = {(a, b) for s in buckets.values() for a in s for b in s if a < b}
+    import itertools
+
+    all_pairs = list(itertools.combinations(range(len(ws)), 2))
+    d = levenshtein_batch([ws[a] for a, _ in all_pairs],
+                          [ws[b] for _, b in all_pairs])
+    missed = [p for p, dd in zip(all_pairs, d) if dd <= 2 and p not in cand]
+    assert not missed, missed[:5]
+
+
+def test_part_name_fuzzy_pairs_planted(ray_session, tmp_path):
+    """Planted near-names must pair up; far names must not; result
+    matches the quadratic DuckDB oracle exactly."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        part_name_fuzzy_pairs,
+    )
+
+    names = ["cold bolt", "old bolt", "cold bolts", "anvil", "anvvil",
+             "completely different", "zzz"] * 3  # duplicates across rows
+    tbl = pa.table({"p_name": pa.array(names, pa.string())})
+    sf = _write(tmp_path, "part", tbl)
+
+    got = part_name_fuzzy_pairs(sf)
+    pairs = set(zip(got["name_a"], got["name_b"]))
+    assert ("cold bolt", "old bolt") in pairs
+    assert ("anvil", "anvvil") in pairs
+    assert all("completely different" not in p for p in pairs)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM '{sf}/part.parquet'")
+    want = con.execute(ORACLE_SQL["part_name_fuzzy_pairs"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
