@@ -4042,3 +4042,230 @@ ORACLE_SQL["part_name_fuzzy_pairs"] = """
     WHERE levenshtein(a.p_name, b.p_name) <= 2
     ORDER BY name_a, name_b
 """
+
+
+# --------------------------------------------- round-4d: profiling primitives
+
+
+def embedding_position_stats(sf_dir: str):
+    """UNNEST / FLATTEN a ``list<float>`` column to (position, value)
+    rows and aggregate per position — the per-dimension profile
+    (count / min / max) a feature-drift check runs over every embedding
+    column.  Per batch the list is flattened zero-copy off the Arrow
+    buffers; fixed-dim batches reduce by a single reshape + column
+    min/max, ragged ones by one argsort + ``reduceat``.  Partials are
+    dimension-bounded (dims × blocks rows) so the driver folds them —
+    the full (rows × dims) explosion never leaves the map stage."""
+    ds = _t(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b["embedding"].combine_chunks()
+        if len(emb) == 0 or emb.null_count:
+            return pa.table({"pos": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "vmin": pa.array([], pa.float64()),
+                             "vmax": pa.array([], pa.float64())})
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        lens = np.diff(np.asarray(emb.offsets))
+        if (lens == lens[0]).all():              # fixed-dim fast path
+            m = flat.reshape(len(emb), int(lens[0]))
+            pos = np.arange(1, int(lens[0]) + 1)
+            return pa.table({"pos": pa.array(pos, pa.int64()),
+                             "n": pa.array(np.full(len(pos), len(emb),
+                                                   dtype=np.int64)),
+                             "vmin": pa.array(m.min(axis=0)),
+                             "vmax": pa.array(m.max(axis=0))})
+        starts = np.cumsum(lens) - lens
+        pos = np.arange(len(flat)) - np.repeat(starts, lens) + 1
+        order = np.argsort(pos, kind="stable")
+        pos_s, val_s = pos[order], flat[order]
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(pos_s)) + 1))
+        return pa.table({
+            "pos": pa.array(pos_s[bounds], pa.int64()),
+            "n": pa.array(np.diff(np.append(bounds, len(pos_s)))
+                          .astype(np.int64)),
+            "vmin": pa.array(np.minimum.reduceat(val_s, bounds)),
+            "vmax": pa.array(np.maximum.reduceat(val_s, bounds))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("pos", as_index=False).agg(
+        n=("n", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max")
+    ).sort_values("pos").reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def user_event_entropy(sf_dir: str):
+    """GROUPED SHANNON ENTROPY: the event-type distribution entropy per
+    user — the behavioral-diversity / distribution-profiling primitive.
+    Per-batch Arrow ``group_by`` pre-combines to (user, type, count),
+    ONE coarse exchange on the user key, vectorized fold computing
+    ``log2(n) − Σ c·log2(c) / n`` from exact integer counts (the log
+    form that avoids forming p = c/n per term)."""
+    ds = _t(sf_dir, "events", columns=["user_id", "event_type"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")])
+        return g.rename_columns(["user_id", "event_type", "c"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "event_type"], as_index=False)["c"].sum()
+        cc = c["c"].to_numpy().astype(np.float64)
+        c["clog"] = cc * np.log2(cc)
+        per = c.groupby("user_id", as_index=False).agg(
+            n_events=("c", "sum"), s=("clog", "sum"))
+        n = per["n_events"].to_numpy().astype(np.float64)
+        per["entropy"] = np.round(np.log2(n) - per["s"].to_numpy() / n, 6)
+        return per[["user_id", "n_events", "entropy"]]
+
+    parts = _agg_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"), ["user_id"], fold
+    ).to_pandas()
+    out = parts.sort_values("user_id").reset_index(drop=True)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def daily_new_users(sf_dir: str):
+    """RUNNING DISTINCT via FIRST TOUCH: cumulative unique users per day
+    without a distinct-over-window (two-level aggregation: per-batch
+    Arrow min(ts) per user, ONE coarse exchange on the user key folding
+    the global first-touch day, then a dimension-bounded per-day count
+    the driver folds + cumsums).  ``min(day) == day(min(ts))`` because
+    the day function is monotone in ts, so partials stay one row per
+    (user, block)."""
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("user_id").aggregate([("ts", "min")])
+        return g.rename_columns(["user_id", "ts"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("user_id")["ts"].min()
+        day = first.to_numpy().astype("datetime64[D]").astype(str)
+        d = pd.DataFrame({"day": day}).groupby("day", as_index=False).size()
+        return d.rename(columns={"size": "new_users"})
+
+    parts = _agg_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"), ["user_id"], fold
+    ).to_pandas()
+    out = parts.groupby("day", as_index=False)["new_users"].sum(
+    ).sort_values("day").reset_index(drop=True)
+    out["new_users"] = out["new_users"].astype("int64")
+    out["cum_users"] = out["new_users"].cumsum().astype("int64")
+    return out
+
+
+def fd_orderkey_returnflag(sf_dir: str):
+    """FUNCTIONAL-DEPENDENCY AUDIT: does ``l_orderkey → l_returnflag``
+    hold, and how badly does it not — the key-consistency check a schema
+    validator runs on every candidate FD (BASELINE.json north_star's
+    constraint-check family).  Per-batch Arrow distinct on the pair, ONE
+    coarse exchange on the determinant key, per-partition distinct-count
+    fold; the driver sees only one partial row per partition."""
+    ds = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["l_orderkey", "l_returnflag"]).aggregate([])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        k = g.drop_duplicates(["l_orderkey", "l_returnflag"]).groupby(
+            "l_orderkey")["l_returnflag"].size()
+        return pd.DataFrame({
+            "n_keys": [len(k)],
+            "n_violating_keys": [int((k > 1).sum())],
+            "max_distinct_flags": [int(k.max()) if len(k) else 0]})
+
+    parts = _agg_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"), ["l_orderkey"],
+        fold).to_pandas()
+    n_keys = int(parts["n_keys"].sum())
+    n_bad = int(parts["n_violating_keys"].sum())
+    return pd.DataFrame({
+        "n_keys": [n_keys], "n_violating_keys": [n_bad],
+        "max_distinct_flags": [int(parts["max_distinct_flags"].max())],
+        "violation_rate": [round(n_bad / n_keys, 6) if n_keys else 0.0]})
+
+
+def orderkey_skew_profile(sf_dir: str):
+    """KEY-SKEW PROFILE (count-of-counts): the histogram of rows per
+    join key — the diagnostic that decides when a shuffle needs salting
+    (north_rule: "skew-aware salting of hot repos").  Per-batch Arrow
+    count per key, ONE coarse exchange on the key, per-partition
+    count-of-counts fold; the exchange carries one row per (key, block)
+    and the driver only ever sees the tiny histogram."""
+    ds = _t(sf_dir, "lineitem", columns=["l_orderkey"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("l_orderkey").aggregate([("l_orderkey", "count")])
+        return g.rename_columns(["l_orderkey", "c"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("l_orderkey")["c"].sum()
+        h = per.groupby(per).size()
+        return pd.DataFrame({"rows_per_key": h.index.to_numpy(),
+                             "n_keys": h.to_numpy()})
+
+    parts = _agg_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"), ["l_orderkey"],
+        fold).to_pandas()
+    out = parts.groupby("rows_per_key", as_index=False)["n_keys"].sum(
+    ).sort_values("rows_per_key").reset_index(drop=True)
+    return out.astype({"rows_per_key": "int64", "n_keys": "int64"})
+
+
+QUERIES["embedding_position_stats"] = embedding_position_stats
+QUERIES["user_event_entropy"] = user_event_entropy
+QUERIES["daily_new_users"] = daily_new_users
+QUERIES["fd_orderkey_returnflag"] = fd_orderkey_returnflag
+QUERIES["orderkey_skew_profile"] = orderkey_skew_profile
+
+ORACLE_SQL["embedding_position_stats"] = """
+    SELECT pos, count(*)::BIGINT AS n,
+           min(v)::DOUBLE AS vmin, max(v)::DOUBLE AS vmax
+    FROM (SELECT unnest(embedding) AS v,
+                 unnest(range(1, len(embedding) + 1)) AS pos
+          FROM embeddings)
+    GROUP BY pos ORDER BY pos
+"""
+
+ORACLE_SQL["user_event_entropy"] = """
+    WITH c AS (SELECT user_id, event_type, count(*)::DOUBLE AS c
+               FROM events GROUP BY 1, 2)
+    SELECT user_id, sum(c)::BIGINT AS n_events,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+    FROM c GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLE_SQL["daily_new_users"] = """
+    WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d
+               FROM events GROUP BY 1),
+    c AS (SELECT d, count(*) AS nu FROM f GROUP BY 1)
+    SELECT strftime(d, '%Y-%m-%d') AS day, nu::BIGINT AS new_users,
+           (sum(nu) OVER (ORDER BY d))::BIGINT AS cum_users
+    FROM c ORDER BY day
+"""
+
+ORACLE_SQL["fd_orderkey_returnflag"] = """
+    WITH d AS (SELECT l_orderkey, count(DISTINCT l_returnflag) AS k
+               FROM lineitem GROUP BY 1)
+    SELECT count(*)::BIGINT AS n_keys,
+           sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_violating_keys,
+           max(k)::BIGINT AS max_distinct_flags,
+           round(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS violation_rate
+    FROM d
+"""
+
+ORACLE_SQL["orderkey_skew_profile"] = """
+    WITH c AS (SELECT l_orderkey, count(*) AS c
+               FROM lineitem GROUP BY 1)
+    SELECT c AS rows_per_key, count(*)::BIGINT AS n_keys
+    FROM c GROUP BY c ORDER BY rows_per_key
+"""

@@ -666,3 +666,142 @@ def test_part_name_fuzzy_pairs_planted(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   want.reset_index(drop=True),
                                   check_dtype=False)
+
+
+# --------------------------------- round-4d: profiling-primitive edge paths
+
+
+def test_embedding_position_stats_ragged_lists(ray_session, tmp_path):
+    """Ragged lists exercise the argsort+reduceat path (positions beyond
+    a short vector simply have smaller counts); matches the UNNEST
+    oracle exactly."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        embedding_position_stats,
+    )
+
+    tbl = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array([[1.5, -2.0, 0.25], [0.5], [-1.0, 4.0]],
+                              pa.list_(pa.float32())),
+    })
+    sf = _write(tmp_path, "embeddings", tbl)
+
+    got = embedding_position_stats(sf)
+    assert got["n"].tolist() == [3, 2, 1]
+    assert got.loc[0, "vmin"] == -1.0 and got.loc[0, "vmax"] == 1.5
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    want = con.execute(ORACLE_SQL["embedding_position_stats"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_user_event_entropy_known_values(ray_session, tmp_path):
+    """Single-type user → entropy exactly 0; uniform 4-type user →
+    exactly 2 bits; oracle parity on both."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        user_event_entropy,
+    )
+
+    tbl = pa.table({
+        "user_id": pa.array([1] * 5 + [2, 2, 2, 2], pa.int64()),
+        "event_type": pa.array(["view"] * 5 + ["a", "b", "c", "d"],
+                               pa.string()),
+    })
+    sf = _write(tmp_path, "events", tbl)
+
+    got = user_event_entropy(sf)
+    ent = got.set_index("user_id")["entropy"].to_dict()
+    assert ent == {1: 0.0, 2: 2.0}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(ORACLE_SQL["user_event_entropy"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_daily_new_users_counts_first_touch_only(ray_session, tmp_path):
+    """A user returning on a later day is counted on their FIRST day
+    only; cum_users is the running sum; oracle parity."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        daily_new_users,
+    )
+
+    ts = [pd.Timestamp("2024-01-01 10:00"), pd.Timestamp("2024-01-02 09:00"),
+          pd.Timestamp("2024-01-02 11:00"), pd.Timestamp("2024-01-03 08:00"),
+          pd.Timestamp("2024-01-03 09:00")]
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    sf = _write(tmp_path, "events", tbl)
+
+    got = daily_new_users(sf)
+    assert got["new_users"].tolist() == [1, 1, 1]
+    assert got["cum_users"].tolist() == [1, 2, 3]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(ORACLE_SQL["daily_new_users"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_fd_audit_counts_planted_violations(ray_session, tmp_path):
+    """Keys 1 (two flags) and 3 (three flags) violate the FD; key 2 does
+    not, including when its single flag repeats across rows."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        fd_orderkey_returnflag,
+    )
+
+    tbl = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2, 2, 3, 3, 3], pa.int64()),
+        "l_returnflag": pa.array(["A", "R", "N", "N", "N", "A", "R", "N"],
+                                 pa.string()),
+    })
+    sf = _write(tmp_path, "lineitem", tbl)
+
+    got = fd_orderkey_returnflag(sf)
+    assert got.loc[0, "n_keys"] == 3
+    assert got.loc[0, "n_violating_keys"] == 2
+    assert got.loc[0, "max_distinct_flags"] == 3
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    want = con.execute(ORACLE_SQL["fd_orderkey_returnflag"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_skew_profile_counts_of_counts(ray_session, tmp_path):
+    """Histogram of rows-per-key: two 1-row keys, one 3-row key."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        orderkey_skew_profile,
+    )
+
+    tbl = pa.table({"l_orderkey": pa.array([7, 8, 9, 9, 9], pa.int64())})
+    sf = _write(tmp_path, "lineitem", tbl)
+
+    got = orderkey_skew_profile(sf)
+    assert got.set_index("rows_per_key")["n_keys"].to_dict() == {1: 2, 3: 1}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    want = con.execute(ORACLE_SQL["orderkey_skew_profile"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
