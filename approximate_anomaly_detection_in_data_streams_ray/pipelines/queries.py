@@ -4269,3 +4269,163 @@ ORACLE_SQL["orderkey_skew_profile"] = """
     SELECT c AS rows_per_key, count(*)::BIGINT AS n_keys
     FROM c GROUP BY c ORDER BY rows_per_key
 """
+
+
+# ------------------------------------------- round-4e: statistical validation
+
+
+def event_hourly_chisq(sf_dir: str):
+    """CHI-SQUARE DRIFT TEST: per event type, the χ² statistic of its
+    hourly histogram against the global hourly distribution — the
+    categorical-drift check a validation engine runs per partition
+    (north_star's distribution-drift family, the discrete complement of
+    the MCOD scorer).  Counts per (type, hour) are doubly
+    dimension-bounded, so one per-batch Arrow ``group_by`` partial +
+    a driver fold computes everything — ZERO shuffles.  Expected counts
+    ``n_t·n_h/N`` come from exact integer marginals, so both sides do
+    identical float ops."""
+    ds = _t(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": b["event_type"],
+                      "h": pc.hour(b["ts"])})
+        g = t.group_by(["event_type", "h"]).aggregate([("h", "count")])
+        return g.rename_columns(["event_type", "h", "o"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    o = parts.groupby(["event_type", "h"], as_index=False)["o"].sum()
+    piv = o.pivot_table(index="event_type", columns="h", values="o",
+                        fill_value=0).astype(np.float64)
+    piv = piv.loc[:, piv.columns.sort_values()]
+    obs = piv.to_numpy()
+    nh = obs.sum(axis=0)                       # global per-hour marginal
+    nt = obs.sum(axis=1)                       # per-type totals
+    N = nt.sum()
+    exp = np.outer(nt, nh) / N                 # nh > 0 for every observed h
+    chisq = ((obs - exp) ** 2 / exp).sum(axis=1)
+    return pd.DataFrame({
+        "event_type": piv.index.to_numpy(),
+        "n_events": nt.astype("int64"),
+        "chisq": np.round(chisq, 6),
+        "dof": np.full(len(nt), len(nh) - 1, dtype="int64"),
+    }).sort_values("event_type").reset_index(drop=True)
+
+
+def daily_user_retention(sf_dir: str):
+    """DAY-OVER-DAY RETENTION (temporal set overlap): of each day's
+    active users, the share also active the NEXT day — the cohort
+    primitive behind activity dashboards.  Per-batch Arrow distinct on
+    (user, day), ONE coarse exchange on the user key, per-partition
+    vectorized consecutive-day scan (lexsort + diff == 1 day); the
+    driver folds only (day, n_users, n_retained) partials."""
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b["user_id"],
+                      "day": pc.cast(b["ts"], pa.date32())})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        u = g["user_id"].to_numpy()
+        d = pd.to_datetime(g["day"]).to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        ret_mask = np.zeros(len(u), dtype=bool)
+        if len(u) > 1:
+            ret_mask[:-1] = (u[1:] == u[:-1]) & (d[1:] - d[:-1] == 1)
+        days = pd.DataFrame({"day_i": d, "ret": ret_mask.astype(np.int64)})
+        out = days.groupby("day_i", as_index=False).agg(
+            n_users=("ret", "size"), n_retained=("ret", "sum"))
+        return out
+
+    parts = _agg_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"), ["user_id"], fold
+    ).to_pandas()
+    out = parts.groupby("day_i", as_index=False)[
+        ["n_users", "n_retained"]].sum().sort_values("day_i")
+    return pd.DataFrame({
+        "day": out["day_i"].to_numpy().astype("datetime64[D]").astype(str),
+        "n_users": out["n_users"].to_numpy().astype("int64"),
+        "n_retained": out["n_retained"].to_numpy().astype("int64"),
+        "retention_rate": np.round(
+            out["n_retained"].to_numpy() / out["n_users"].to_numpy(), 6),
+    }).reset_index(drop=True)
+
+
+def nation_acctbal_mad(sf_dir: str):
+    """Grouped ROBUST DISPERSION: per-nation median and MAD (median
+    absolute deviation) of supplier balances — the outlier-resistant
+    drift statistic (a single corrupt balance moves a z-score, not a
+    MAD).  Discrete medians (numpy ``inverted_cdf`` ≡ DuckDB
+    ``quantile_disc``) keep every output an actual data value, so both
+    sides are bit-identical with no rounding convention needed."""
+    ds = _t(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"],
+            spread=True)
+
+    def mad(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["s_acctbal"].to_numpy(dtype=np.float64)
+        med = np.percentile(v, 50, method="inverted_cdf")
+        dev = np.abs(v - med)
+        return pd.DataFrame({
+            "s_nationkey": [int(g["s_nationkey"].iloc[0])],
+            "n_suppliers": [len(v)],
+            "median_acctbal": [med],
+            "mad_acctbal": [np.percentile(dev, 50,
+                                          method="inverted_cdf")]})
+
+    out = ds.groupby("s_nationkey").map_groups(
+        mad, batch_format="pandas").to_pandas()
+    out = out.sort_values("s_nationkey").reset_index(drop=True)
+    out["s_nationkey"] = out["s_nationkey"].astype("int64")
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return out
+
+
+QUERIES["event_hourly_chisq"] = event_hourly_chisq
+QUERIES["daily_user_retention"] = daily_user_retention
+QUERIES["nation_acctbal_mad"] = nation_acctbal_mad
+
+ORACLE_SQL["event_hourly_chisq"] = """
+    WITH o AS (SELECT event_type, hour(ts) AS h, count(*)::DOUBLE AS o
+               FROM events GROUP BY 1, 2),
+    ht AS (SELECT h, sum(o) AS nh FROM o GROUP BY 1),
+    tt AS (SELECT event_type, sum(o) AS nt FROM o GROUP BY 1),
+    n AS (SELECT sum(o) AS N FROM o),
+    e AS (SELECT tt.event_type, ht.h, tt.nt, tt.nt * ht.nh / n.N AS e
+          FROM tt, ht, n),
+    j AS (SELECT e.event_type, e.nt, e.e, COALESCE(o.o, 0) AS o
+          FROM e LEFT JOIN o ON e.event_type = o.event_type AND e.h = o.h)
+    SELECT event_type, min(nt)::BIGINT AS n_events,
+           round(sum((o - e) * (o - e) / e), 6) AS chisq,
+           ((SELECT count(*) FROM ht) - 1)::BIGINT AS dof
+    FROM j GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE_SQL["daily_user_retention"] = """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                FROM events),
+    r AS (SELECT a.d, count(*) AS ret
+          FROM ud a JOIN ud b
+            ON a.user_id = b.user_id AND b.d = a.d + 1
+          GROUP BY a.d),
+    n AS (SELECT d, count(*) AS nu FROM ud GROUP BY d)
+    SELECT strftime(n.d, '%Y-%m-%d') AS day, nu::BIGINT AS n_users,
+           COALESCE(ret, 0)::BIGINT AS n_retained,
+           round(COALESCE(ret, 0)::DOUBLE / nu, 6) AS retention_rate
+    FROM n LEFT JOIN r ON n.d = r.d ORDER BY day
+"""
+
+ORACLE_SQL["nation_acctbal_mad"] = """
+    WITH m AS (SELECT s_nationkey,
+                      quantile_disc(s_acctbal, 0.5) AS med
+               FROM supplier GROUP BY 1)
+    SELECT s.s_nationkey::BIGINT AS s_nationkey,
+           count(*)::BIGINT AS n_suppliers,
+           min(m.med) AS median_acctbal,
+           quantile_disc(abs(s.s_acctbal - m.med), 0.5) AS mad_acctbal
+    FROM supplier s JOIN m USING (s_nationkey)
+    GROUP BY s.s_nationkey ORDER BY s_nationkey
+"""

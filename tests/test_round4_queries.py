@@ -805,3 +805,133 @@ def test_skew_profile_counts_of_counts(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   want.reset_index(drop=True),
                                   check_dtype=False)
+
+
+# ------------------------------- round-4e: statistical-validation primitives
+
+
+def test_chisq_zero_when_type_matches_global(ray_session, tmp_path):
+    """A type whose hourly profile is proportional to the global one
+    contributes χ² = 0 exactly; a concentrated type scores > 0."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        event_hourly_chisq,
+    )
+
+    ts, types = [], []
+    # "flat": 2 events in each of hours 1 and 2 → proportional to global
+    # iff the OTHER type is also 50/50 across those hours
+    for h in (1, 1, 2, 2):
+        ts.append(pd.Timestamp(f"2024-01-01 {h:02d}:00"))
+        types.append("flat")
+    for h in (1, 1, 2, 2):
+        ts.append(pd.Timestamp(f"2024-01-01 {h:02d}:30"))
+        types.append("also_flat")
+    tbl = pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    sf = _write(tmp_path, "events", tbl)
+    got = event_hourly_chisq(sf)
+    assert got["chisq"].tolist() == [0.0, 0.0]
+    assert got["dof"].tolist() == [1, 1]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(ORACLE_SQL["event_hourly_chisq"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_chisq_detects_concentrated_type(ray_session, tmp_path):
+    """All of type B in hour 0 while A spreads out → B's χ² is the
+    textbook value (computed by hand through the marginals)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        event_hourly_chisq,
+    )
+
+    rows = [("A", 0)] * 5 + [("A", 1)] * 5 + [("B", 0)] * 10
+    tbl = pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "ts": pa.array([pd.Timestamp(f"2024-01-01 {r[1]:02d}:00")
+                        for r in rows], pa.timestamp("us")),
+    })
+    sf = _write(tmp_path, "events", tbl)
+    got = event_hourly_chisq(sf)
+    # marginals: nh = (15, 5), N = 20; B: e = (7.5, 2.5),
+    # χ²_B = (10-7.5)²/7.5 + (0-2.5)²/2.5 = 0.8333... + 2.5
+    b = got[got["event_type"] == "B"].iloc[0]
+    assert abs(b["chisq"] - (2.5 ** 2 / 7.5 + 2.5)) < 1e-6
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(ORACLE_SQL["event_hourly_chisq"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_retention_counts_next_day_overlap_only(ray_session, tmp_path):
+    """User 1 active d1+d2 (retained), user 2 active d1+d3 (a GAP — not
+    retained), user 3 active d2 only; multiple same-day events dedup."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        daily_user_retention,
+    )
+
+    rows = [
+        (1, "2024-01-01 08:00"), (1, "2024-01-01 09:00"),  # dedup to one
+        (1, "2024-01-02 10:00"),
+        (2, "2024-01-01 11:00"), (2, "2024-01-03 12:00"),  # gap: no credit
+        (3, "2024-01-02 13:00"),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([pd.Timestamp(r[1]) for r in rows],
+                       pa.timestamp("us")),
+    })
+    sf = _write(tmp_path, "events", tbl)
+    got = daily_user_retention(sf)
+    by_day = got.set_index("day")
+    assert by_day.loc["2024-01-01", "n_users"] == 2
+    assert by_day.loc["2024-01-01", "n_retained"] == 1     # only user 1
+    assert by_day.loc["2024-01-02", "n_retained"] == 0
+    assert by_day.loc["2024-01-01", "retention_rate"] == 0.5
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(ORACLE_SQL["daily_user_retention"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_mad_is_outlier_resistant_and_discrete(ray_session, tmp_path):
+    """One wild balance barely moves the MAD; median/MAD are actual data
+    values (discrete quantile), matching quantile_disc exactly."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        nation_acctbal_mad,
+    )
+
+    bal = [100.0, 110.0, 120.0, 130.0, 99999.0]   # outlier at the end
+    tbl = pa.table({
+        "s_suppkey": pa.array(range(1, 6), pa.int64()),
+        "s_nationkey": pa.array([7] * 5, pa.int32()),
+        "s_acctbal": pa.array(bal, pa.float64()),
+    })
+    sf = _write(tmp_path, "supplier", tbl)
+    got = nation_acctbal_mad(sf)
+    assert got.loc[0, "median_acctbal"] == 120.0   # a real data value
+    # deviations: 20, 10, 0, 10, 99879 → MAD = 10 (discrete p50)
+    assert got.loc[0, "mad_acctbal"] == 10.0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW supplier AS SELECT * FROM '{sf}/supplier.parquet'")
+    want = con.execute(ORACLE_SQL["nation_acctbal_mad"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
