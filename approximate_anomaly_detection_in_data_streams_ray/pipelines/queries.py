@@ -4429,3 +4429,74 @@ ORACLE_SQL["nation_acctbal_mad"] = """
     FROM supplier s JOIN m USING (s_nationkey)
     GROUP BY s.s_nationkey ORDER BY s_nationkey
 """
+
+
+def benchmark_contamination(sf_dir: str):
+    """BENCHMARK DECONTAMINATION: flag training documents whose text
+    contains any snippet from a held-out benchmark set — the
+    contamination audit every LLM training pipeline runs before a
+    release.  The benchmark side here derives deterministically from the
+    corpus (docs with ``doc_id % 97 == 0`` contribute their first 40
+    characters) so the oracle can reproduce it in SQL; in production it
+    is an external, small set.  Shape: ONE distributed pass extracts the
+    snippets (tiny), the driver broadcasts them via ``ray.put`` once,
+    and the probe pass runs k vectorized ``match_substring`` kernels per
+    batch — each doc is decided from its own text, so there is NO
+    exchange at all and the count is per (doc, snippet-instance) pair,
+    exactly the oracle's join cardinality."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        src = b.filter(pa.array(ids % 97 == 0))
+        snips = [t[:40] for t in src["text"].to_pylist()]  # tiny subset
+        return pa.table({"sid": src["doc_id"],
+                         "snip": pa.array(snips, pa.string())})
+
+    snippets = ds.map_batches(extract, batch_format="pyarrow").to_pandas()
+    snip_ref = ray.put(list(zip(snippets["sid"].tolist(),
+                                snippets["snip"].tolist())))
+
+    def probe(b: pa.Table) -> pa.Table:
+        import re
+
+        pairs = ray.get(snip_ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"]
+        # at real benchmark sizes (thousands of snippets) one RE2
+        # alternation pass prefilters to the rare candidate rows, so the
+        # exact per-snippet attribution loop below touches only those;
+        # below the cutoff the loop alone is cheaper than the compile
+        sel = np.arange(len(ids))
+        if len(pairs) > 16:
+            pat = "|".join(re.escape(s) for _, s in pairs)
+            cand = pc.match_substring_regex(texts, pattern=pat).to_numpy(
+                zero_copy_only=False)
+            sel = np.flatnonzero(cand)
+            if len(sel) == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "n_snippets_hit": pa.array([], pa.int64())})
+            texts = texts.take(pa.array(sel))
+        n_hits = np.zeros(len(sel), dtype=np.int64)
+        for sid, snip in pairs:
+            m = pc.match_substring(texts, pattern=snip).to_numpy(
+                zero_copy_only=False)
+            n_hits += (m & (ids[sel] != sid)).astype(np.int64)
+        keep = n_hits > 0
+        return pa.table({"doc_id": pa.array(ids[sel[keep]], pa.int64()),
+                         "n_snippets_hit": pa.array(n_hits[keep])})
+
+    out = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["benchmark_contamination"] = benchmark_contamination
+
+ORACLE_SQL["benchmark_contamination"] = """
+    WITH s AS (SELECT doc_id AS sid, substr(text, 1, 40) AS snip
+               FROM documents WHERE doc_id % 97 = 0)
+    SELECT d.doc_id, count(*)::BIGINT AS n_snippets_hit
+    FROM documents d
+    JOIN s ON d.doc_id <> s.sid AND contains(d.text, s.snip)
+    GROUP BY d.doc_id ORDER BY d.doc_id
+"""

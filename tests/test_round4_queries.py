@@ -935,3 +935,43 @@ def test_mad_is_outlier_resistant_and_discrete(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   want.reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_benchmark_contamination_planted(ray_session, tmp_path):
+    """Doc 97·k sources a snippet; a doc embedding that snippet
+    mid-text is flagged, the source itself is NOT (self-match excluded),
+    and an unrelated doc is clean.  Duplicate snippets count once per
+    source instance, matching the oracle's join cardinality."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        benchmark_contamination,
+    )
+
+    snip_src = "The quick brown fox jumps over the lazy dog tail."
+    rows = [
+        (0, snip_src),                                   # source (0 % 97 == 0)
+        (97, snip_src),                                  # duplicate source
+        (5, "prefix " + snip_src[:40] + " suffix"),      # contaminated: hits 2
+        (6, "completely unrelated text that is long enough here"),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    sf = _write(tmp_path, "documents", tbl)
+
+    got = benchmark_contamination(sf)
+    by_id = got.set_index("doc_id")["n_snippets_hit"].to_dict()
+    # doc 5 contains the shared snippet → one hit per SOURCE instance;
+    # sources 0 and 97 contain each other's (identical) snippet too
+    assert by_id[5] == 2
+    assert by_id[0] == 1 and by_id[97] == 1   # cross-hits, not self-hits
+    assert 6 not in by_id
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(ORACLE_SQL["benchmark_contamination"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
