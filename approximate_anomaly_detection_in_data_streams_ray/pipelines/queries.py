@@ -4500,3 +4500,55 @@ ORACLE_SQL["benchmark_contamination"] = """
     JOIN s ON d.doc_id <> s.sid AND contains(d.text, s.snip)
     GROUP BY d.doc_id ORDER BY d.doc_id
 """
+
+
+def split_leakage_audit(sf_dir: str):
+    """SPLIT-LEAKAGE AUDIT: near-duplicate pairs that STRADDLE the
+    train/val/test boundary — the contamination mode a hash split alone
+    cannot prevent (near-dups hash independently), and the reason
+    near-dedup must run BEFORE splitting.  Composes the MinHash-LSH
+    near-dup pass (stages/dedup.py, banded buckets — no all-pairs step)
+    with the md5 hash-split assignment; the split of each surviving
+    pair's ids is a pure function of the id, computed on the
+    driver-sized pair list.  Output: the leaked pairs with both splits."""
+    import hashlib
+
+    from ..stages.dedup import minhash_near_dup_pairs
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"], spread=True)
+    pairs = minhash_near_dup_pairs(ds, threshold=0.6)
+
+    def split_of(doc_id: int) -> str:
+        c = hashlib.md5(str(doc_id).encode()).hexdigest()[0]
+        return "train" if c <= "b" else ("val" if c <= "d" else "test")
+
+    sa = pairs["id_a"].map(split_of)
+    sb = pairs["id_b"].map(split_of)
+    out = pd.DataFrame({"id_a": pairs["id_a"], "id_b": pairs["id_b"],
+                        "split_a": sa, "split_b": sb})
+    out = out[out["split_a"] != out["split_b"]]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+QUERIES["split_leakage_audit"] = split_leakage_audit
+
+ORACLE_SQL["split_leakage_audit"] = _SHINGLE_JACCARD_CTE + """
+    , pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i * 1.0 / (sa.nsz + sb.nsz - i) >= 0.6),
+    sp AS (SELECT doc_id,
+                  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) <= 'b'
+                           THEN 'train'
+                       WHEN substr(md5(doc_id::VARCHAR), 1, 1) <= 'd'
+                           THEN 'val'
+                       ELSE 'test' END AS split
+           FROM documents)
+    SELECT p.id_a, p.id_b, a.split AS split_a, b.split AS split_b
+    FROM pairs p
+    JOIN sp a ON a.doc_id = p.id_a
+    JOIN sp b ON b.doc_id = p.id_b
+    WHERE a.split <> b.split
+    ORDER BY id_a, id_b
+"""

@@ -975,3 +975,43 @@ def test_benchmark_contamination_planted(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   want.reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_split_leakage_flags_cross_split_near_dup(ray_session, tmp_path):
+    """Two near-identical docs with ids hash-assigned to different
+    splits must surface as a leaked pair; a same-split near-dup pair and
+    an unrelated doc must not."""
+    import hashlib
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        split_leakage_audit,
+    )
+
+    def split_of(i):
+        c = hashlib.md5(str(i).encode()).hexdigest()[0]
+        return "train" if c <= "b" else ("val" if c <= "d" else "test")
+
+    ids = list(range(200))
+    train = [i for i in ids if split_of(i) == "train"]
+    test = [i for i in ids if split_of(i) == "test"]
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "naps in the warm afternoon sun by the riverbank") * 3
+    rows = [
+        (train[0], base), (test[0], base + " x"),        # cross-split leak
+        (train[1], base.upper()), (train[2], base.upper() + " y"),  # same split
+        (test[1], "completely different text " * 12),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    sf = _write(tmp_path, "documents", tbl)
+
+    got = split_leakage_audit(sf)
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    a, b = sorted((train[0], test[0]))
+    assert (a, b) in pairs
+    s, t = sorted((train[1], train[2]))
+    assert (s, t) not in pairs                # same-split pair not leakage
+    assert set(got["split_a"]) | set(got["split_b"]) <= {
+        "train", "val", "test"}
