@@ -259,9 +259,7 @@ def deletion_variant_hashes(strs, k: int = 2) -> tuple[np.ndarray, np.ndarray]:
     hs = [_poly_hash_rows(M, lens)]
     idxs = [np.arange(n)]
     for i in range(L):                       # single deletions at byte i
-        sel = lens > max(i, 0)
-        sel &= lens >= 1
-        sel &= i < lens
+        sel = i < lens                       # position i must exist
         if not sel.any():
             continue
         V = np.delete(M, i, axis=1)

@@ -3773,22 +3773,16 @@ def user_sessions(sf_dir: str):
     into sessions at inactivity gaps > 30 min, the canonical streaming
     window the reference's slide/window machinery approximates for
     anomaly scoring (reference windows: src/core/outlierdetection/*.java
-    fill-before-slide).  Coarse hash partition on the user key, then per
-    partition ONE lexsort + vectorized boundary scan (``reduceat``-style
-    segment math — no per-session Python), per-user fold.  Boundaries
-    depend only on the sorted timestamp multiset, so timestamp ties
-    cannot flip the result."""
-    from ..functions.hashing import stable_hash64
-    from ..stages.dedup import _n_partitions
-
+    fill-before-slide).  One coarse hash exchange on the user key
+    (``_agg_partitioned`` — the fold needs every raw (user, ts) row, so
+    there is no per-batch pre-combine here), then per partition ONE
+    lexsort + vectorized boundary scan (``reduceat``-style segment math
+    — no per-session Python), per-user fold.  Boundaries depend only on
+    the sorted timestamp multiset, so timestamp ties cannot flip the
+    result."""
     GAP_US = 30 * 60 * 1_000_000  # 30-min inactivity closes a session
-    P = _n_partitions()
     ds = _t(sf_dir, "events", columns=["user_id", "ts"],
             blocks=_join_partitions(sf_dir, "events"))
-
-    def add_part(b: pa.Table) -> pa.Table:
-        h = (stable_hash64(b["user_id"]) % np.uint64(P)).astype(np.int32)
-        return b.append_column("u_part", pa.array(h))
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         users = g["user_id"].to_numpy()
@@ -3811,8 +3805,7 @@ def user_sessions(sf_dir: str):
             max_session_events=("n", "max"), max_session_dur_us=("dur", "max"))
         return out
 
-    parts = ds.map_batches(add_part, batch_format="pyarrow").groupby(
-        "u_part").map_groups(sessions, batch_format="pandas").to_pandas()
+    parts = _agg_partitioned(ds, ["user_id"], sessions).to_pandas()
     out = parts.sort_values("user_id").reset_index(drop=True)
     for c in ("n_sessions", "n_events", "max_session_events",
               "max_session_dur_us"):
@@ -4060,7 +4053,9 @@ def embedding_position_stats(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         emb = b["embedding"].combine_chunks()
-        if len(emb) == 0 or emb.null_count:
+        if emb.null_count:
+            emb = emb.drop_null()        # UNNEST skips null LISTS only
+        if len(emb) == 0:
             return pa.table({"pos": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64()),
                              "vmin": pa.array([], pa.float64()),
@@ -4506,17 +4501,25 @@ def split_leakage_audit(sf_dir: str):
     """SPLIT-LEAKAGE AUDIT: near-duplicate pairs that STRADDLE the
     train/val/test boundary — the contamination mode a hash split alone
     cannot prevent (near-dups hash independently), and the reason
-    near-dedup must run BEFORE splitting.  Composes the MinHash-LSH
-    near-dup pass (stages/dedup.py, banded buckets — no all-pairs step)
-    with the md5 hash-split assignment; the split of each surviving
-    pair's ids is a pure function of the id, computed on the
-    driver-sized pair list.  Output: the leaked pairs with both splits."""
+    near-dedup must run BEFORE splitting.  Composes MinHash-LSH
+    candidate generation at 0.5 with the EXACT n-gram Jaccard verify at
+    0.6 (the same candidates→verify construction as
+    ``ngram_jaccard_dedup_documents``, so the decision threshold is the
+    exact statistic the oracle computes, not the ±1/√64-noise signature
+    estimate; only candidate RECALL rests on the corpus's measured
+    ≥5σ bimodal margin) and the md5 hash-split assignment; the split of
+    each surviving pair's ids is a pure function of the id, computed on
+    the driver-sized pair list.  Output: leaked pairs with both splits."""
     import hashlib
 
-    from ..stages.dedup import minhash_near_dup_pairs
+    from ..stages.dedup import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_verify_auto,
+    )
 
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"], spread=True)
-    pairs = minhash_near_dup_pairs(ds, threshold=0.6)
+    cand = minhash_near_dup_pairs(ds, threshold=0.5)
+    pairs = ngram_jaccard_verify_auto(ds, cand, threshold=0.6)
 
     def split_of(doc_id: int) -> str:
         c = hashlib.md5(str(doc_id).encode()).hexdigest()[0]

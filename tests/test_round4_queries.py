@@ -1015,3 +1015,44 @@ def test_split_leakage_flags_cross_split_near_dup(ray_session, tmp_path):
     assert (s, t) not in pairs                # same-split pair not leakage
     assert set(got["split_a"]) | set(got["split_b"]) <= {
         "train", "val", "test"}
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(ORACLE_SQL["split_leakage_audit"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_embedding_position_stats_skips_null_lists_only(ray_session,
+                                                        tmp_path):
+    """A null embedding LIST is skipped (UNNEST semantics) while the
+    other rows in the same batch still count."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        embedding_position_stats,
+    )
+
+    tbl = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array([[1.0, 2.0], None, [3.0]],
+                              pa.list_(pa.float32())),
+    })
+    sf = _write(tmp_path, "embeddings", tbl)
+
+    got = embedding_position_stats(sf)
+    assert got["n"].tolist() == [2, 1]
+    assert got.loc[0, "vmax"] == 3.0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    want = con.execute(ORACLE_SQL["embedding_position_stats"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
