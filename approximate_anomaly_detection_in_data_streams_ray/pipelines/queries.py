@@ -2290,7 +2290,7 @@ def _code_files_cache_path(sf_dir: str) -> str:
     # box's fixed disk does not — RAM-backed files model the per-node
     # scaling storage for the two-parallelism-level benchmark
     root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else "/tmp"
-    return f"{root}/aads_cache/code_files_{base}.v3" + (f".x{mult}" if mult > 1 else "")
+    return f"{root}/aads_cache/code_files_{base}.v4" + (f".x{mult}" if mult > 1 else "")
 
 
 def _code_files_dir(sf_dir: str) -> str:

@@ -29,6 +29,7 @@ import ray
 from ..checks.base import ValidationConfig
 from ..checks.drift import run_drift_check
 from ..checks.schema_check import run_schema_check
+from ..checks.constraints import run_constraints_check
 from ..checks.referential import run_referential_check
 from ..checks.stats import run_stats_check
 from ..checks.uniqueness import run_uniqueness_check
@@ -67,7 +68,8 @@ def run_validation(
     the same *out_dir* resumes: completed extraction/drift items are
     skipped via the manifest."""
     cfg = cfg or ValidationConfig()
-    checks = list(checks or ["schema", "stats", "uniqueness", "referential", "drift"])
+    checks = list(checks or ["schema", "stats", "uniqueness", "referential",
+                             "constraints", "drift"])
     requested_checks = list(checks)
     t_start = time.time()
     os.makedirs(out_dir, exist_ok=True)
@@ -279,6 +281,7 @@ def run_validation(
         "stats": lambda: run_stats_check(None, cfg, ctx),
         "uniqueness": lambda: run_uniqueness_check(None, cfg, ctx),
         "referential": lambda: run_referential_check(None, cfg, ctx),
+        "constraints": lambda: run_constraints_check(None, cfg, ctx),
     }
     for name in checks:
         if name not in runners:
@@ -302,7 +305,14 @@ def run_validation(
         # fused checks return vio=None: their violations were already
         # written per item by the extract pass
         if vio is not None and name != "drift":
-            vio.write_parquet(os.path.join(out_dir, "violations", name))
+            import shutil
+
+            dst = os.path.join(out_dir, "violations", name)
+            # standalone checks recompute in full, so a resumed run must
+            # REPLACE their violation files — write_parquet otherwise
+            # appends a second copy alongside the first run's
+            shutil.rmtree(dst, ignore_errors=True)
+            vio.write_parquet(dst)
         sec = time.time() - t0
         manifest.mark_done(f"check/{name}", seconds=sec)
         return rows, sec

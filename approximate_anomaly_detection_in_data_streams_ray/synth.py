@@ -70,6 +70,9 @@ class SynthManifest:
     orphan_repo: list = field(default_factory=list)    # repo names
     orphan_commit: list = field(default_factory=list)  # row_refs
     drift_repos: list = field(default_factory=list)    # repo names
+    bad_commit_format: list = field(default_factory=list)  # row_refs
+    bad_path_shape: list = field(default_factory=list)     # row_refs
+    bad_lang_value: list = field(default_factory=list)     # row_refs
     sha256: dict = field(default_factory=dict)         # row_ref -> hex digest
 
     def to_json(self) -> str:
@@ -191,6 +194,21 @@ def generate_code_files(
         commit_col[i] = hashlib.sha1(f"orphan/{seed}/{i}".encode()).hexdigest()[:40]
         man.orphan_commit.append(ref(i))
 
+    # constraint-shape violations (checks/constraints.py): malformed commit
+    # (uppercase hex — by construction also a true referential orphan, so
+    # it is recorded in BOTH manifests), path traversal, unknown language
+    for i in take(max(1, n // 1500)):
+        commit_col[i] = hashlib.sha1(
+            f"badfmt/{seed}/{i}".encode()).hexdigest()[:40].upper()
+        man.bad_commit_format.append(ref(i))
+        man.orphan_commit.append(ref(i))
+    for i in take(max(1, n // 1500)):
+        path_col[i] = "../" + (path_col[i] or "x.py")
+        man.bad_path_shape.append(ref(i))
+    for i in take(max(1, n // 1500)):
+        lang_col[i] = "klingon"
+        man.bad_lang_value.append(ref(i))
+
     # duplicates: append copies of existing rows
     for i in take(max(2, n // 800)):
         repo_col.append(repo_col[i]); path_col.append(path_col[i])
@@ -213,6 +231,8 @@ def generate_code_files(
     man.n_repos = n_repos
     man.null_lang.sort(); man.null_path.sort(); man.len_violations.sort()
     man.dup_keys.sort(); man.orphan_commit.sort()
+    man.bad_commit_format.sort(); man.bad_path_shape.sort()
+    man.bad_lang_value.sort()
 
     if record_sha:
         for i in range(man.n_rows):

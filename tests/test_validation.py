@@ -177,3 +177,21 @@ def test_schema_check_flags_bad_file(ray_session, tmp_path_factory):
     probs = json.loads(failed.iloc[0]["metrics"])["problems"]
     assert any("missing column lang" in p for p in probs)
     assert any("unexpected column stray" in p for p in probs)
+
+
+def test_constraint_violations_match_manifest(validated):
+    """The constraints check catches exactly the planted malformed
+    commits, traversal paths, and unknown langs — and nothing else."""
+    src, out, man, cfg, _ = validated
+    v = _violations(out, "constraints")
+    got_commit = set(v[v["check"] == "constraint_commit"]["row_ref"])
+    assert got_commit == set(man.bad_commit_format)
+    got_path = set(v[v["check"] == "constraint_path"]["row_ref"])
+    assert got_path == set(man.bad_path_shape)
+    got_lang = set(v[v["check"] == "constraint_lang"]["row_ref"])
+    assert got_lang == set(man.bad_lang_value)
+    # verdicts: every flagged partition failed with the right counts
+    d = _verdicts(out)
+    c = d[d["check"].str.startswith("constraint_")]
+    assert not c["passed"].any()
+    assert int(c["n_violations"].sum()) == len(v)
