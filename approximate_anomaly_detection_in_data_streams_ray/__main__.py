@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -56,7 +57,8 @@ def cmd_detect(args) -> int:
         import ray
 
         if not ray.is_initialized():
-            ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+            ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
         import pandas as pd
 
         ds = ray.data.read_csv(args.datafile)
@@ -129,7 +131,8 @@ def cmd_validate(args) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
     from .checks.base import ValidationConfig
     from .pipelines.runner import run_validation
 
@@ -145,7 +148,8 @@ def cmd_query(args) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
     from .pipelines.queries import QUERIES
 
     if args.name == "list" or args.name not in QUERIES:
