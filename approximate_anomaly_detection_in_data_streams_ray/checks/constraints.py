@@ -79,22 +79,41 @@ def constraint_violations(batch: pa.Table) -> pa.Table:
 
 @register_check("constraints")
 def run_constraints_check(features_ds, cfg: ValidationConfig, ctx):
-    """Standalone pass over the features parquet (the fused extract does
-    not produce per-item constraint files — the predicates need only the
-    narrow key columns, so a pruned re-read costs one scan of ~1% of the
-    bytes; fuse it into the extract if that scan ever shows up in
-    profiles)."""
-    if features_ds is None:
-        features_ds = ray.data.read_parquet(
-            ctx["features_path"],
-            columns=["repo", "path", "commit", "lang", "row_ref"],
+    """Fused-first like referential: the extract pass writes per-item
+    constraint violation files (stages/features.py ``_fused_products``)
+    while the features table is already in memory, so this phase is a
+    tiny merge.  The standalone fallback (direct ``validate --checks
+    constraints`` on an out_dir with features but no fused files) is one
+    column-pruned pass with block-sized batches — the predicates are
+    pure RE2 / set-membership kernels, so per-task fixed cost dominates
+    at small batch sizes."""
+    import glob
+    import os
+
+    fused = sorted(glob.glob(os.path.join(
+        ctx["out_dir"], "violations", "constraints",
+        "item=*", "part.parquet"))) if ctx else []
+    pre = (ctx or {}).get("preloaded", {}).get("constraints")
+    violations = None
+    if pre is not None:
+        fused = fused or [None]  # preload implies the fused layout
+        vdf = pre.to_pandas()
+    elif fused:
+        import pyarrow.dataset as pads
+
+        vdf = pads.dataset(fused).to_table().to_pandas()
+    else:
+        if features_ds is None:
+            features_ds = ray.data.read_parquet(
+                ctx["features_path"],
+                columns=["repo", "path", "commit", "lang", "row_ref"],
+            )
+        violations = features_ds.map_batches(
+            constraint_violations,
+            batch_format="pyarrow",
+            batch_size=None,
         )
-    violations = features_ds.map_batches(
-        constraint_violations,
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-    )
-    vdf = violations.to_pandas()
+        vdf = violations.to_pandas()
     verdict_rows = []
     for (repo, check), g in vdf.groupby(["partition_key", "check"]):
         verdict_rows.append(
@@ -107,4 +126,6 @@ def run_constraints_check(features_ds, cfg: ValidationConfig, ctx):
                 "metrics": json.dumps({"example": g["detail"].iloc[0]}),
             }
         )
+    if fused:
+        return None, verdict_rows  # violations already written per item
     return (ray.data.from_pandas(vdf) if len(vdf) else violations), verdict_rows

@@ -158,6 +158,11 @@ def run_validation(
                     os.path.join(out_dir, "violations", "referential",
                                  f"item={iid}", "part.parquet"))):
             return False
+        if "constraints" in fused_checks and not (
+                manifest.is_done(f"constraints/{iid}") and os.path.exists(
+                    os.path.join(out_dir, "violations", "constraints",
+                                 f"item={iid}", "part.parquet"))):
+            return False
         if "uniqueness" in fused_checks and not (
                 manifest.is_done(f"keys/{iid}") and os.path.exists(
                     os.path.join(out_dir, "keys", f"item={iid}.parquet"))):
@@ -187,14 +192,16 @@ def run_validation(
     import pandas as pd
     import pyarrow.parquet as pq_mod
 
-    preload = {"stats": [], "drift": [], "referential": []}
+    preload = {"stats": [], "drift": [], "referential": [], "constraints": []}
     preload_specs = {
         "stats": lambda i: os.path.join(out_dir, "stats_partials", f"item={i}.parquet"),
         "drift": lambda i: os.path.join(out_dir, "drift_summaries", f"item={i}.parquet"),
         "referential": lambda i: os.path.join(out_dir, "violations", "referential",
                                               f"item={i}", "part.parquet"),
+        "constraints": lambda i: os.path.join(out_dir, "violations", "constraints",
+                                              f"item={i}", "part.parquet"),
     }
-    wanted_preloads = [c for c in ("stats", "drift", "referential")
+    wanted_preloads = [c for c in ("stats", "drift", "referential", "constraints")
                        if c in fused_checks]
 
     # cap the preload: a pathological corpus (every row violating) could

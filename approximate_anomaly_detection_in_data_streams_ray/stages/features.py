@@ -207,6 +207,15 @@ class FeatureExtractor:
                 )
                 self.manifest.mark_done(f"referential/{item_id}")
 
+        if "constraints" in self.checks:
+            from ..checks.constraints import constraint_violations
+
+            cp = os.path.join(self.out_dir, "violations", "constraints",
+                              f"item={item_id}", "part.parquet")
+            if not self._unit_done("constraints", item_id, cp):
+                atomic_write_parquet(constraint_violations(load(None)), cp)
+                self.manifest.mark_done(f"constraints/{item_id}")
+
         if "uniqueness" in self.checks:
             import numpy as np
 
