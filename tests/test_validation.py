@@ -195,3 +195,28 @@ def test_constraint_violations_match_manifest(validated):
     c = d[d["check"].str.startswith("constraint_")]
     assert not c["passed"].any()
     assert int(c["n_violations"].sum()) == len(v)
+
+
+def test_resume_adds_newly_enabled_check(ray_session, tmp_path_factory):
+    """An out_dir from a run WITHOUT constraints, re-validated with the
+    default check set, gains exactly the manifest's constraint
+    violations — features are not re-extracted, only the new per-item
+    products are produced."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.runner import (
+        run_validation,
+    )
+
+    base = tmp_path_factory.mktemp("resume_newcheck")
+    src, out = str(base / "src"), str(base / "out")
+    man = generate_code_files(src, n_rows=6000, n_repos=8, seed=7, n_shards=2)
+    cfg = ValidationConfig(target_rows_per_item=2000, extract_concurrency=2,
+                           drift_concurrency=2)
+    first = run_validation(src, out, cfg,
+                           checks=["schema", "stats", "uniqueness"])
+    assert _violations(out, "constraints") is None
+
+    second = run_validation(src, out, cfg)   # defaults incl. constraints
+    assert second["n_rows_extracted"] == 0   # features reused
+    v = _violations(out, "constraints")
+    got = set(v[v["check"] == "constraint_commit"]["row_ref"])
+    assert got == set(man.bad_commit_format)
