@@ -4555,3 +4555,64 @@ ORACLE_SQL["split_leakage_audit"] = _SHINGLE_JACCARD_CTE + """
     WHERE a.split <> b.split
     ORDER BY id_a, id_b
 """
+
+
+def weekly_active_users(sf_dir: str):
+    """ROLLING-WINDOW DISTINCT (WAU): distinct users active in the
+    trailing 7 days, per observed day — the DAU/WAU primitive that a
+    plain windowed count cannot express (distinct-over-window).  Shape:
+    per-batch Arrow distinct on (user, day), ONE coarse exchange on the
+    user key (each user's days land whole in one partition, so a
+    per-partition dedup is globally exact), then each (user, day) pair
+    emits its 7 covered window-days VECTORIZED (a bounded 7× blowup of
+    the already-deduped pair table, never of raw events), per-partition
+    (user, covered_day) dedup → per-day counts the driver folds.  Days
+    with no events are not reported (the oracle only evaluates observed
+    days)."""
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b["user_id"],
+                      "day": pc.cast(b["ts"], pa.date32())})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        u = g["user_id"].to_numpy()
+        d = pd.to_datetime(g["day"]).to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        # each active day covers window-days d..d+6 (it is "within the
+        # trailing week" of those); 7 vectorized shifted copies
+        cov_u = np.repeat(u, 7)
+        cov_d = (d[:, None] + np.arange(7)[None, :]).ravel()
+        pairs = pd.DataFrame({"u": cov_u, "wd": cov_d}).drop_duplicates()
+        wau = pairs.groupby("wd", as_index=False).size().rename(
+            columns={"size": "wau", "wd": "day_i"})
+        active = pd.DataFrame({"day_i": np.unique(d)})
+        active["observed"] = 1
+        return wau.merge(active, on="day_i", how="left")
+
+    parts = _agg_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"), ["user_id"], fold
+    ).to_pandas()
+    out = parts.groupby("day_i", as_index=False).agg(
+        wau=("wau", "sum"), observed=("observed", "max"))
+    out = out[out["observed"] == 1].sort_values("day_i")
+    return pd.DataFrame({
+        "day": out["day_i"].to_numpy().astype("datetime64[D]").astype(str),
+        "wau": out["wau"].to_numpy().astype("int64"),
+    }).reset_index(drop=True)
+
+
+QUERIES["weekly_active_users"] = weekly_active_users
+
+ORACLE_SQL["weekly_active_users"] = """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                FROM events),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           (SELECT count(DISTINCT u.user_id) FROM ud u
+            WHERE u.d BETWEEN days.d - 6 AND days.d)::BIGINT AS wau
+    FROM days ORDER BY day
+"""

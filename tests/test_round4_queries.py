@@ -1056,3 +1056,36 @@ def test_embedding_position_stats_skips_null_lists_only(ray_session,
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   want.reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_weekly_active_users_trailing_window(ray_session, tmp_path):
+    """WAU counts a user active 4 days earlier (inside the trailing 7)
+    but not one 10 days earlier; unobserved days are not reported; a
+    user with several events in one day counts once."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        weekly_active_users,
+    )
+
+    rows = [
+        (1, "2024-01-01 09:00"), (1, "2024-01-01 10:00"),  # dedup same day
+        (2, "2024-01-05 09:00"),                           # 1 still in window
+        (3, "2024-01-20 09:00"),                           # far later, alone
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([pd.Timestamp(r[1]) for r in rows],
+                       pa.timestamp("us")),
+    })
+    sf = _write(tmp_path, "events", tbl)
+
+    got = weekly_active_users(sf)
+    by_day = got.set_index("day")["wau"].to_dict()
+    assert by_day == {"2024-01-01": 1, "2024-01-05": 2, "2024-01-20": 1}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(ORACLE_SQL["weekly_active_users"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
