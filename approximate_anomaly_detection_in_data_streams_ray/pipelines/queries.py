@@ -4616,3 +4616,56 @@ ORACLE_SQL["weekly_active_users"] = """
             WHERE u.d BETWEEN days.d - 6 AND days.d)::BIGINT AS wau
     FROM days ORDER BY day
 """
+
+
+def campaign_event_stats(sf_dir: str):
+    """RANGE (interval) JOIN: 16 deterministic overlapping campaign
+    windows (2-day stride, 5-day length over Jan 2024 — every event ts
+    stabs 1-3 campaigns) joined to events by ``start <= ts < end`` via
+    :func:`..stages.joins.broadcast_range_join` (broadcast interval side,
+    vectorized searchsorted stabbing per batch, no exchange), then a
+    per-batch partial aggregate folded on the driver (16 campaigns —
+    dimension-bounded)."""
+    from ..stages.joins import broadcast_range_join
+
+    epoch = np.datetime64("2024-01-01", "us")
+    day = np.timedelta64(1, "D").astype("timedelta64[us]")
+    starts = epoch + 2 * day * np.arange(16)
+    campaigns = pa.table({
+        "campaign_id": pa.array(np.arange(16), pa.int64()),
+        "start_ts": pa.array(starts, pa.timestamp("us")),
+        "end_ts": pa.array(starts + 5 * day, pa.timestamp("us")),
+    })
+
+    ds = _t(sf_dir, "events", columns=["ts", "value"], spread=True)
+    joined = broadcast_range_join(ds, campaigns, on="ts",
+                                  start="start_ts", end="end_ts")
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by("campaign_id").aggregate(
+            [("ts", "count"), ("value", "sum")])
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("campaign_id", as_index=False).agg(
+        n_events=("ts_count", "sum"), sum_value=("value_sum", "sum"))
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values("campaign_id").reset_index(drop=True)
+
+
+QUERIES["campaign_event_stats"] = campaign_event_stats
+
+ORACLE_SQL["campaign_event_stats"] = """
+    WITH campaigns AS (
+      SELECT i AS campaign_id,
+             TIMESTAMP '2024-01-01' + to_days((2 * i)::INT) AS start_ts,
+             TIMESTAMP '2024-01-01' + to_days((2 * i + 5)::INT) AS end_ts
+      FROM range(0, 16) t(i))
+    SELECT c.campaign_id,
+           count(*)::BIGINT AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e
+    JOIN campaigns c ON e.ts >= c.start_ts AND e.ts < c.end_ts
+    GROUP BY 1
+    ORDER BY 1
+"""

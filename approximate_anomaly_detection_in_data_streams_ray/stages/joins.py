@@ -180,3 +180,62 @@ def bucketed_asof_join(left, right, on: str, by: str, B: int = 32,
 
     buckets = ray.data.from_items([{"bucket": i} for i in range(B)])
     return buckets.map_batches(join_bucket, batch_format="pyarrow", batch_size=2)
+
+
+def broadcast_range_join(ds, intervals: pa.Table, on: str,
+                         start: str = "start", end: str = "end"):
+    """RANGE (interval) JOIN: match each left row's ``on`` value against
+    every interval satisfying ``start <= value < end`` — the non-equi
+    join Ray Data lacks (an equality shuffle cannot express containment;
+    the reference's windowed neighbor search is the same stabbing shape,
+    `/root/reference/src/algorithms/MCODBase.java` range queries).
+
+    Shape: the interval side is dimension-bounded — ``ray.put`` ONCE and
+    read per task, never re-shipped per batch — and each batch is joined
+    by vectorized interval stabbing: intervals sorted by ``start``;
+    candidates for value v are the contiguous run of starts in
+    ``(v - max_len, v]`` (two ``searchsorted`` calls), then filtered by
+    ``end > v``.  Cost O(n log K + matches) per batch with NO all-to-all
+    exchange; overlapping intervals yield one output row per match.
+
+    Partitioning assumptions (custom-operator contract): K intervals fit
+    in one broadcast object; if the interval side itself is huge,
+    pre-partition both sides by coarse range of ``on`` and apply this
+    per partition.  Skew-safe: output size is bounded by
+    n × max_overlap, not by a hot key.
+    """
+    import ray
+
+    order = np.argsort(intervals[start].to_numpy(), kind="stable")
+    iv_sorted = intervals.take(order)
+    starts = iv_sorted[start].to_numpy()
+    ends = iv_sorted[end].to_numpy()
+    if len(starts) and np.any(ends < starts):
+        raise ValueError("range_join: interval end < start")
+    max_len = (ends - starts).max() if len(starts) else None
+    iv_ref = ray.put((starts, ends, iv_sorted))
+
+    def stab(b: pa.Table) -> pa.Table:
+        starts, ends, iv = ray.get(iv_ref)
+        v = b[on].to_numpy(zero_copy_only=False)
+        if len(starts) == 0 or len(v) == 0:
+            cols = {c: b[c].take(pa.array([], pa.int64())) for c in b.column_names}
+            for c in iv.column_names:
+                cols[c] = iv[c].take(pa.array([], pa.int64()))
+            return pa.table(cols)
+        # candidate run per value: start in (v - max_len, v]
+        lo = np.searchsorted(starts, v - max_len, side="right")
+        hi = np.searchsorted(starts, v, side="right")
+        cnt = hi - lo
+        row_idx = np.repeat(np.arange(len(v)), cnt)
+        run_off = np.repeat((cnt.cumsum() - cnt), cnt)
+        cand = np.repeat(lo, cnt) + (np.arange(cnt.sum()) - run_off)
+        keep = ends[cand] > v[row_idx]
+        row_idx, cand = row_idx[keep], cand[keep]
+        left = b.take(pa.array(row_idx, pa.int64()))
+        out = left
+        for c in iv.column_names:
+            out = out.append_column(c, iv[c].take(pa.array(cand, pa.int64())))
+        return out
+
+    return ds.map_batches(stab, batch_format="pyarrow")

@@ -1089,3 +1089,80 @@ def test_weekly_active_users_trailing_window(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   want.reset_index(drop=True),
                                   check_dtype=False)
+
+
+# ------------------------------------------------ broadcast range join
+
+
+def test_range_join_matches_bruteforce_with_overlaps(ray_session):
+    """Random values stabbed into random overlapping intervals must equal
+    the O(n*K) brute-force join, including values matching 0 intervals."""
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.joins import (
+        broadcast_range_join,
+    )
+
+    rng = np.random.default_rng(11)
+    starts = rng.integers(0, 1000, size=40)
+    lens = rng.integers(1, 120, size=40)
+    iv = pa.table({
+        "iv_id": pa.array(np.arange(40), pa.int64()),
+        "start": pa.array(starts.astype(np.int64)),
+        "end": pa.array((starts + lens).astype(np.int64)),
+    })
+    vals = rng.integers(-50, 1150, size=500).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "row_id": pa.array(np.arange(500), pa.int64()),
+        "v": pa.array(vals),
+    }))
+
+    got = broadcast_range_join(ds, iv, on="v").to_pandas()
+    got = got.sort_values(["row_id", "iv_id"]).reset_index(drop=True)
+
+    exp_rows = []
+    for r, v in enumerate(vals):
+        for i in range(40):
+            if starts[i] <= v < starts[i] + lens[i]:
+                exp_rows.append((r, int(v), i, int(starts[i]),
+                                 int(starts[i] + lens[i])))
+    want = pd.DataFrame(exp_rows, columns=["row_id", "v", "iv_id",
+                                           "start", "end"])
+    want = want.sort_values(["row_id", "iv_id"]).reset_index(drop=True)
+    assert len(got) == len(want) > 500  # overlaps guarantee blowup > n
+    pd.testing.assert_frame_equal(
+        got[["row_id", "v", "iv_id", "start", "end"]], want,
+        check_dtype=False)
+
+
+def test_range_join_empty_interval_side_keeps_schema(ray_session):
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.joins import (
+        broadcast_range_join,
+    )
+
+    iv = pa.table({"iv_id": pa.array([], pa.int64()),
+                   "start": pa.array([], pa.int64()),
+                   "end": pa.array([], pa.int64())})
+    ds = ray.data.from_arrow(pa.table({"v": pa.array([1, 2, 3], pa.int64())}))
+    out = broadcast_range_join(ds, iv, on="v")
+    # Ray's to_pandas() drops columns for fully-empty datasets; the
+    # schema contract is what downstream stages consume.
+    assert set(out.schema().names) == {"v", "iv_id", "start", "end"}
+    assert out.count() == 0
+
+
+def test_campaign_event_stats_matches_duckdb(ray_session):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        campaign_event_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = campaign_event_stats(sf).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    want = con.execute(ORACLE_SQL["campaign_event_stats"]).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
