@@ -4669,3 +4669,54 @@ ORACLE_SQL["campaign_event_stats"] = """
     GROUP BY 1
     ORDER BY 1
 """
+
+
+def weighted_sample_orders(sf_dir: str):
+    """WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis-Spirakis A-Res,
+    k=100, weight = o_totalprice): each row draws key = ln(u)/w with u a
+    DETERMINISTIC md5-derived uniform in (0, 1]; the global top-k by key
+    is a weighted sample without replacement.  Determinism makes the
+    sample cluster-size-independent AND oracle-checkable: the key is
+    computed by the embedded DuckDB kernel inside each batch — the same
+    engine the oracle runs — so ln/division match bit-for-bit.  Shape:
+    per-batch partial top-k (argpartition), the driver merges only
+    blocks x k candidate rows; the full table is never exchanged."""
+    from ..functions.hashing import _duck
+
+    K = 100
+
+    def partial(b: pa.Table) -> pa.Table:
+        con = _duck()
+        con.register("_ws", b)
+        res = con.execute("""
+            SELECT o_orderkey, o_totalprice,
+                   ln((('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))
+                       ::UBIGINT + 1) / 4294967296.0) / o_totalprice AS k
+            FROM _ws WHERE o_totalprice > 0""").arrow()
+        con.unregister("_ws")
+        if res.num_rows > K:
+            kcol = res["k"].to_numpy()
+            top = np.argpartition(-kcol, K - 1)[:K]
+            res = res.take(pa.array(np.sort(top), pa.int64()))
+        return res
+
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"],
+            spread=True)
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    top = parts.sort_values(["k", "o_orderkey"],
+                            ascending=[False, True]).head(K)
+    return top[["o_orderkey", "o_totalprice"]].sort_values(
+        "o_orderkey").reset_index(drop=True)
+
+
+QUERIES["weighted_sample_orders"] = weighted_sample_orders
+
+ORACLE_SQL["weighted_sample_orders"] = """
+    SELECT o_orderkey, o_totalprice FROM (
+      SELECT o_orderkey, o_totalprice,
+             ln((('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))
+                 ::UBIGINT + 1) / 4294967296.0) / o_totalprice AS k
+      FROM orders WHERE o_totalprice > 0
+      ORDER BY k DESC, o_orderkey LIMIT 100)
+    ORDER BY o_orderkey
+"""

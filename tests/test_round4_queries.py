@@ -1166,3 +1166,34 @@ def test_campaign_event_stats_matches_duckdb(ray_session):
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
     want = con.execute(ORACLE_SQL["campaign_event_stats"]).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_weighted_sample_overrepresents_heavy_rows(ray_session, tmp_path):
+    """Efraimidis-Spirakis property: with weights 100 vs 1 split evenly
+    over 4000 rows and k=100, nearly all sampled rows must come from the
+    heavy class (P[light row beats a heavy row] is tiny), and the result
+    must be identical across block layouts (cluster-size independence)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        weighted_sample_orders,
+    )
+
+    n = 4000
+    keys = np.arange(1, n + 1, dtype=np.int64)
+    weights = np.where(keys % 2 == 0, 10000.0, 1.0)
+    tbl = pa.table({"o_orderkey": pa.array(keys),
+                    "o_totalprice": pa.array(weights)})
+    (tmp_path / "one").mkdir()
+    sf_one = _write(tmp_path / "one", "orders", tbl)
+
+    # same rows, 4 shards — a different block layout must not change the set
+    d = tmp_path / "many" / "orders.parquet"
+    d.mkdir(parents=True)
+    for i in range(4):
+        pq.write_table(tbl.slice(i * 1000, 1000), d / f"part-{i}.parquet")
+
+    got_one = weighted_sample_orders(sf_one)
+    got_many = weighted_sample_orders(str(tmp_path / "many"))
+    pd.testing.assert_frame_equal(got_one, got_many)
+
+    heavy_frac = (got_one["o_orderkey"] % 2 == 0).mean()
+    assert heavy_frac >= 0.95, heavy_frac
