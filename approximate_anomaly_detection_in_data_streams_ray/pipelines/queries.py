@@ -4637,7 +4637,10 @@ def campaign_event_stats(sf_dir: str):
         "end_ts": pa.array(starts + 5 * day, pa.timestamp("us")),
     })
 
-    ds = _t(sf_dir, "events", columns=["ts", "value"], spread=True)
+    # no spread: the stab is ~10ms/block vectorized work — Ray's read
+    # splitting is enough, and the spread repartition's all-to-all
+    # barrier costs 2.7s against 0.2s of useful compute (measured sf0.1)
+    ds = _t(sf_dir, "events", columns=["ts", "value"])
     joined = broadcast_range_join(ds, campaigns, on="ts",
                                   start="start_ts", end="end_ts")
 
@@ -4700,8 +4703,9 @@ def weighted_sample_orders(sf_dir: str):
             res = res.take(pa.array(np.sort(top), pa.int64()))
         return res
 
-    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"],
-            spread=True)
+    # no spread: the md5+top-k partial is ~15ms/100k rows in DuckDB's
+    # vectorized kernel — the spread repartition's barrier dwarfs it
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     top = parts.sort_values(["k", "o_orderkey"],
                             ascending=[False, True]).head(K)
