@@ -4724,3 +4724,46 @@ ORACLE_SQL["weighted_sample_orders"] = """
       ORDER BY k DESC, o_orderkey LIMIT 100)
     ORDER BY o_orderkey
 """
+
+
+def customer_order_summary_left(sf_dir: str):
+    """LEFT OUTER broadcast join: EVERY customer appears, zero-filled
+    when they placed no orders — the preserved-side semantics the
+    inner/semi/anti/full-outer family here otherwise lacks.  Fact side
+    pre-combines per batch on the int key (shuffle-free, partial rows
+    bounded by |customer| x blocks); the driver left-merges the
+    dimension table against the folded partials — dimension-bounded by
+    the same broadcast-small assumption as ``customer_order_totals``.
+    At a non-broadcastable dimension this becomes
+    ``stages.joins.bucketed_hash_join(how='left')``."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_table_paths(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name"]).combine_chunks()
+    ds = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("o_custkey").aggregate(
+            [("o_custkey", "count"), ("o_totalprice", "sum")])
+        return g.rename_columns(["o_custkey", "n", "total"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("o_custkey", as_index=False).agg(
+        n_orders=("n", "sum"), sum_total=("total", "sum"))
+    out = cust.to_pandas().merge(agg, left_on="c_custkey",
+                                 right_on="o_custkey", how="left")
+    out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
+    out["sum_total"] = out["sum_total"].fillna(0.0).round(2)
+    return (out[["c_name", "n_orders", "sum_total"]]
+            .sort_values("c_name").reset_index(drop=True))
+
+
+QUERIES["customer_order_summary_left"] = customer_order_summary_left
+
+ORACLE_SQL["customer_order_summary_left"] = """
+    SELECT c.c_name AS c_name,
+           count(o.o_custkey)::BIGINT AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS sum_total
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_name ORDER BY c.c_name
+"""

@@ -1197,3 +1197,33 @@ def test_weighted_sample_overrepresents_heavy_rows(ray_session, tmp_path):
 
     heavy_frac = (got_one["o_orderkey"] % 2 == 0).mean()
     assert heavy_frac >= 0.95, heavy_frac
+
+
+def test_left_join_preserves_orderless_customers(ray_session, tmp_path):
+    """The driver testdata has no orderless customers, so the LEFT-preserved
+    zero-fill path is proven here with planted ones, against DuckDB."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ORACLE_SQL,
+        customer_order_summary_left,
+    )
+
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_name": pa.array(["a", "b", "c_orderless", "d_orderless"]),
+    })
+    orders = pa.table({
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+        "o_totalprice": pa.array([10.0, 5.5, 7.25]),
+    })
+    pq.write_table(cust, tmp_path / "customer.parquet")
+    pq.write_table(orders, tmp_path / "orders.parquet")
+
+    got = customer_order_summary_left(str(tmp_path))
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    want = con.execute(ORACLE_SQL["customer_order_summary_left"]).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["n_orders"] == 0).sum() == 2
+    assert got.loc[got["c_name"] == "c_orderless", "sum_total"].iloc[0] == 0.0
