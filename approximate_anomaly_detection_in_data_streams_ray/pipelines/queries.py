@@ -4767,3 +4767,61 @@ ORACLE_SQL["customer_order_summary_left"] = """
     FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_name ORDER BY c.c_name
 """
+
+
+def user_value_drawdown(sf_dir: str):
+    """SEGMENTED RUNNING-MAX SCAN (max drawdown): per user, the largest
+    drop of ``value`` below its running maximum over the user's events in
+    (ts, event_id) order — the cumulative-extreme window family
+    (``max OVER (PARTITION BY ... ROWS UNBOUNDED PRECEDING)``) that
+    cumsum (``user_running_spend``) does not cover.  One coarse hash
+    exchange of raw narrow rows on the user key (the scan needs every
+    row, like sessionization), then per partition ONE lexsort + a
+    vectorized segmented cummax; exact integer-cents arithmetic end to
+    end, so both sides agree bit-for-bit."""
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = np.round(b["value"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        return pa.table({"user_id": b["user_id"], "ts": b["ts"],
+                         "event_id": b["event_id"],
+                         "cents": pa.array(cents)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        users = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        cents = g["cents"].to_numpy()
+        order = np.lexsort((eid, ts, users))
+        users, cents = users[order], cents[order]
+        s = pd.DataFrame({"u": users, "c": cents})
+        runmax = s.groupby("u", sort=False)["c"].cummax().to_numpy()
+        s["dd"] = runmax - cents
+        out = s.groupby("u", as_index=False).agg(
+            n_events=("c", "size"), dd=("dd", "max"))
+        return pd.DataFrame({"user_id": out["u"],
+                             "n_events": out["n_events"].astype("int64"),
+                             "max_drawdown": (out["dd"] / 100.0).round(2)})
+
+    parts = _agg_partitioned(
+        ds.map_batches(to_cents, batch_format="pyarrow"), ["user_id"], fold
+    ).to_pandas()
+    return parts.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["user_value_drawdown"] = user_value_drawdown
+
+ORACLE_SQL["user_value_drawdown"] = """
+    WITH o AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             max(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS runmax
+      FROM events)
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           round(max(runmax - cents) / 100.0, 2) AS max_drawdown
+    FROM o GROUP BY user_id ORDER BY user_id
+"""
