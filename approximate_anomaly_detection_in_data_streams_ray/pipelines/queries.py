@@ -4783,6 +4783,10 @@ def user_value_drawdown(sf_dir: str):
             blocks=_join_partitions(sf_dir, "events"))
 
     def to_cents(b: pa.Table) -> pa.Table:
+        if b["value"].null_count:
+            # a null would silently round-trip as a garbage int64 cent
+            raise ValueError("user_value_drawdown: null value rows "
+                             "present — filter or impute upstream")
         cents = np.round(b["value"].to_numpy(zero_copy_only=False)
                          * 100.0).astype(np.int64)
         return pa.table({"user_id": b["user_id"], "ts": b["ts"],

@@ -1227,3 +1227,31 @@ def test_left_join_preserves_orderless_customers(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert (got["n_orders"] == 0).sum() == 2
     assert got.loc[got["c_name"] == "c_orderless", "sum_total"].iloc[0] == 0.0
+
+
+def test_drawdown_planted_sequence_and_ties(ray_session, tmp_path):
+    """Hand-computable drawdown: user 1 rides 10→30→5 (dd 25.00) with a
+    same-timestamp tie broken by event_id; user 2 is monotone rising
+    (dd 0); user 3 has one event (dd 0)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        user_value_drawdown,
+    )
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(1, "m")
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        # events 2 and 3 share a timestamp: event_id must order 30 before 5
+        "ts": pa.array([t0, t0 + m, t0 + m, t0 + 2 * m,
+                        t0, t0 + m, t0], pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "value": pa.array([10.0, 30.0, 5.0, 12.0, 1.0, 2.0, 9.99]),
+    })
+    sf = _write(tmp_path, "events", tbl)
+    got = user_value_drawdown(sf)
+    want = pd.DataFrame({
+        "user_id": [1, 2, 3],
+        "n_events": [4, 2, 1],
+        "max_drawdown": [25.0, 0.0, 0.0],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
