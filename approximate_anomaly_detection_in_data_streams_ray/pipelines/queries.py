@@ -295,6 +295,21 @@ def events_hourly(sf_dir: str):
     return agg.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 
+def _custkey_count_sum(b: pa.Table) -> pa.Table:
+    """Shared per-batch combiner for the customer-join family: one
+    (o_custkey, n, total) partial row per (customer, batch)."""
+    g = b.group_by("o_custkey").aggregate(
+        [("o_custkey", "count"), ("o_totalprice", "sum")])
+    return g.rename_columns(["o_custkey", "n", "total"])
+
+
+def _fold_custkey_partials(parts: pd.DataFrame) -> pd.DataFrame:
+    """Driver fold of the _custkey_count_sum partials (dimension-bounded
+    by |customer| — the broadcast-small assumption both callers document)."""
+    return parts.groupby("o_custkey", as_index=False).agg(
+        n_orders=("n", "sum"), sum_total=("total", "sum"))
+
+
 def customer_order_totals(sf_dir: str):
     """Broadcast hash join: small side shipped once via ``ray.put``, probe
     is pure Arrow (``pc.index_in`` + ``pc.take``) — zero Python per row."""
@@ -311,18 +326,14 @@ def customer_order_totals(sf_dir: str):
         # with a string key
         c = ray.get(cust_ref)
         keep = pc.is_in(b["o_custkey"], value_set=c["c_custkey"].chunk(0))
-        f = b.filter(keep)
-        g = f.group_by("o_custkey").aggregate(
-            [("o_custkey", "count"), ("o_totalprice", "sum")])
-        return g.rename_columns(["o_custkey", "n", "total"])
+        return _custkey_count_sum(b.filter(keep))
 
     # the partial rows are bounded by |customer| × n_blocks and the customer
     # table is broadcast-small by assumption, so the final merge is a
     # driver-side pandas groupby — no shuffle at all (were the dimension
     # huge, this becomes groupby("o_custkey").aggregate(Sum, Sum))
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    agg = parts.groupby("o_custkey", as_index=False).agg(
-        n_orders=("n", "sum"), sum_total=("total", "sum"))
+    agg = _fold_custkey_partials(parts)
     names = pc.take(cust["c_name"],
                     pc.index_in(pa.array(agg["o_custkey"].to_numpy()),
                                 value_set=cust["c_custkey"].chunk(0)))
@@ -4698,8 +4709,12 @@ def weighted_sample_orders(sf_dir: str):
             FROM _ws WHERE o_totalprice > 0""").arrow()
         con.unregister("_ws")
         if res.num_rows > K:
+            # tie-break by o_orderkey like the oracle's ORDER BY: an exact
+            # key tie straddling the per-batch rank-K boundary must keep
+            # the same row on both sides (argpartition alone is arbitrary)
             kcol = res["k"].to_numpy()
-            top = np.argpartition(-kcol, K - 1)[:K]
+            okey = res["o_orderkey"].to_numpy()
+            top = np.lexsort((okey, -kcol))[:K]
             res = res.take(pa.array(np.sort(top), pa.int64()))
         return res
 
@@ -4742,14 +4757,9 @@ def customer_order_summary_left(sf_dir: str):
                          columns=["c_custkey", "c_name"]).combine_chunks()
     ds = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
-    def partial(b: pa.Table) -> pa.Table:
-        g = b.group_by("o_custkey").aggregate(
-            [("o_custkey", "count"), ("o_totalprice", "sum")])
-        return g.rename_columns(["o_custkey", "n", "total"])
-
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    agg = parts.groupby("o_custkey", as_index=False).agg(
-        n_orders=("n", "sum"), sum_total=("total", "sum"))
+    parts = ds.map_batches(_custkey_count_sum,
+                           batch_format="pyarrow").to_pandas()
+    agg = _fold_custkey_partials(parts)
     out = cust.to_pandas().merge(agg, left_on="c_custkey",
                                  right_on="o_custkey", how="left")
     out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
@@ -4787,8 +4797,10 @@ def user_value_drawdown(sf_dir: str):
             # a null would silently round-trip as a garbage int64 cent
             raise ValueError("user_value_drawdown: null value rows "
                              "present — filter or impute upstream")
-        cents = np.round(b["value"].to_numpy(zero_copy_only=False)
-                         * 100.0).astype(np.int64)
+        v = b["value"].to_numpy(zero_copy_only=False) * 100.0
+        # round HALF-AWAY-FROM-ZERO to match DuckDB round(); np.round's
+        # half-to-even would diverge by one cent on exact .5 inputs
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
         return pa.table({"user_id": b["user_id"], "ts": b["ts"],
                          "event_id": b["event_id"],
                          "cents": pa.array(cents)})

@@ -1169,10 +1169,11 @@ def test_campaign_event_stats_matches_duckdb(ray_session):
 
 
 def test_weighted_sample_overrepresents_heavy_rows(ray_session, tmp_path):
-    """Efraimidis-Spirakis property: with weights 100 vs 1 split evenly
+    """Efraimidis-Spirakis property: with weights 10000 vs 1 split evenly
     over 4000 rows and k=100, nearly all sampled rows must come from the
-    heavy class (P[light row beats a heavy row] is tiny), and the result
-    must be identical across block layouts (cluster-size independence)."""
+    heavy class (P[a light row out-keys a heavy row] ≈ P[u_h < u_l^10000]
+    — tiny), and the result must be identical across block layouts
+    (cluster-size independence)."""
     from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
         weighted_sample_orders,
     )
