@@ -4841,3 +4841,53 @@ ORACLE_SQL["user_value_drawdown"] = """
            round(max(runmax - cents) / 100.0, 2) AS max_drawdown
     FROM o GROUP BY user_id ORDER BY user_id
 """
+
+
+def chunk_documents(sf_dir: str):
+    """SLIDING-WINDOW CHUNKING (window 64 tokens, stride 48): the 1:N
+    row expansion an embedding/context pipeline runs over every document
+    — chunk starts at 0, 48, 96, ... while start < n_tokens, each chunk
+    min(64, n - start) tokens.  Chunk boundaries are pure arithmetic on
+    the per-doc token COUNT (one RE2 kernel), so the expansion is
+    vectorized np.repeat/cumsum per batch with NO exchange at all; empty
+    docs emit no chunks.  Shape note: output rows ≈ corpus tokens / 48 —
+    this is a streaming transform whose result would be consumed by a
+    sink or the embedding stage, never collected."""
+    W, S = 64, 48
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"],
+            blocks=_join_partitions(sf_dir, "documents"))
+
+    def chunks(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.fill_null(
+            pc.count_substring_regex(b["text"], TOKEN_RE), 0),
+            pa.int64()).to_numpy()
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        n_chunks = -(-n // S)  # ceil(n/S); 0 chunks for empty docs
+        doc_idx = np.repeat(np.arange(len(ids)), n_chunks)
+        off = np.repeat(n_chunks.cumsum() - n_chunks, n_chunks)
+        chunk_id = np.arange(len(doc_idx)) - off
+        start = chunk_id * S
+        tok = np.minimum(W, n[doc_idx] - start)
+        return pa.table({
+            "doc_id": pa.array(ids[doc_idx], pa.int64()),
+            "chunk_id": pa.array(chunk_id.astype(np.int64)),
+            "chunk_tokens": pa.array(tok.astype(np.int64)),
+        })
+
+    out = ds.map_batches(chunks, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+QUERIES["chunk_documents"] = chunk_documents
+
+ORACLE_SQL["chunk_documents"] = """
+    WITH t AS (
+      SELECT doc_id,
+             length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n
+      FROM documents),
+    g AS (SELECT doc_id, n, unnest(range(0, n, 48)) AS start
+          FROM t WHERE n > 0)
+    SELECT doc_id, (start // 48)::BIGINT AS chunk_id,
+           LEAST(64, n - start)::BIGINT AS chunk_tokens
+    FROM g ORDER BY doc_id, chunk_id
+"""

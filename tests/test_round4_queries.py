@@ -1256,3 +1256,28 @@ def test_drawdown_planted_sequence_and_ties(ray_session, tmp_path):
         "max_drawdown": [25.0, 0.0, 0.0],
     })
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_chunking_boundaries_planted(ray_session, tmp_path):
+    """Exact boundary arithmetic: 48 tokens → one full-stride chunk;
+    49 → a 1-token tail chunk; 64 → window-sized chunk plus 16-token
+    overlap tail; empty/no-token docs emit nothing."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        chunk_documents,
+    )
+
+    def words(k):
+        return " ".join(f"w{i}" for i in range(k))
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([words(48), words(49), words(64), "", "!!! ???"]),
+    })
+    sf = _write(tmp_path, "documents", tbl)
+    got = chunk_documents(sf)
+    want = pd.DataFrame({
+        "doc_id": [1, 2, 2, 3, 3],
+        "chunk_id": [0, 0, 1, 0, 1],
+        "chunk_tokens": [48, 49, 1, 64, 16],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
