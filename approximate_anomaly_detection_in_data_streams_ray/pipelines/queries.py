@@ -4891,3 +4891,58 @@ ORACLE_SQL["chunk_documents"] = """
            LEAST(64, n - start)::BIGINT AS chunk_tokens
     FROM g ORDER BY doc_id, chunk_id
 """
+
+
+def view_purchase_funnel(sf_dir: str):
+    """ORDERED FUNNEL (view → purchase conversion): users who purchased
+    AFTER their first view — the sequence-ordered step condition that a
+    plain set overlap (``view_purchase_overlap``) cannot express.  The
+    ordered predicate reduces to mergeable extremes — convert(u) ⇔
+    max(purchase ts) > min(view ts) — so each batch pre-combines to one
+    (user, min_view, max_purchase) row, one coarse user-key exchange
+    merges them, and the driver folds two counters.  No raw-row shuffle,
+    no sort."""
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "event_type"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts, null_ts = b["ts"], pa.nulls(len(b), pa.timestamp("us"))
+        g = pa.table({
+            "user_id": b["user_id"],
+            "v_ts": pc.if_else(pc.equal(b["event_type"], "view"),
+                               ts, null_ts),
+            "p_ts": pc.if_else(pc.equal(b["event_type"], "purchase"),
+                               ts, null_ts),
+        }).group_by("user_id").aggregate([("v_ts", "min"), ("p_ts", "max")])
+        return g.rename_columns(["user_id", "min_view", "max_purchase"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("user_id").agg(min_view=("min_view", "min"),
+                                     max_purchase=("max_purchase", "max"))
+        viewed = m["min_view"].notna()
+        conv = viewed & m["max_purchase"].notna() & (
+            m["max_purchase"] > m["min_view"])
+        return pd.DataFrame({"n_viewed": [int(viewed.sum())],
+                             "n_converted": [int(conv.sum())]})
+
+    parts = _agg_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"), ["user_id"], fold
+    ).to_pandas()
+    return pd.DataFrame({"n_viewed": [int(parts["n_viewed"].sum())],
+                         "n_converted": [int(parts["n_converted"].sum())]})
+
+
+QUERIES["view_purchase_funnel"] = view_purchase_funnel
+
+ORACLE_SQL["view_purchase_funnel"] = """
+    WITH m AS (
+      SELECT user_id,
+             min(ts) FILTER (event_type = 'view') AS min_view,
+             max(ts) FILTER (event_type = 'purchase') AS max_purchase
+      FROM events GROUP BY user_id)
+    SELECT count(*) FILTER (min_view IS NOT NULL)::BIGINT AS n_viewed,
+           count(*) FILTER (min_view IS NOT NULL
+                            AND max_purchase > min_view)::BIGINT
+             AS n_converted
+    FROM m
+"""

@@ -1281,3 +1281,33 @@ def test_chunking_boundaries_planted(ray_session, tmp_path):
         "chunk_tokens": [48, 49, 1, 64, 16],
     })
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_funnel_ordered_condition_planted(ray_session, tmp_path):
+    """Testdata converts 100%, so the ordering logic is proven here:
+    purchase-before-view and purchase-at-exactly-first-view must NOT
+    convert (strict >); purchase-only users are not even 'viewed'."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        view_purchase_funnel,
+    )
+
+    t0 = np.datetime64("2024-01-05T12:00:00", "us")
+    h = np.timedelta64(1, "h")
+    rows = [  # (user, ts, type)
+        (1, t0, "view"), (1, t0 + h, "purchase"),        # converts
+        (2, t0, "purchase"), (2, t0 + h, "view"),        # wrong order
+        (3, t0, "view"),                                 # never purchased
+        (4, t0, "purchase"),                             # never viewed
+        (5, t0, "view"), (5, t0, "purchase"),            # tie: strict >
+        (6, t0 + h, "view"), (6, t0, "view"),
+        (6, t0 + 2 * h, "purchase"),                     # converts (min view)
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+    sf = _write(tmp_path, "events", tbl)
+    got = view_purchase_funnel(sf)
+    want = pd.DataFrame({"n_viewed": [5], "n_converted": [2]})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
