@@ -961,6 +961,9 @@ def events_type_pivot(sf_dir: str):
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
         "hour").aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types])
     out = agg.to_pandas()
+    # Ray's aggregate narrows the floored hour to datetime64[s]; the
+    # oracle (and the source column) are µs — match it exactly
+    out["hour"] = out["hour"].astype("datetime64[us]")
     return out.sort_values("hour").reset_index(drop=True)
 
 
@@ -4460,6 +4463,10 @@ def benchmark_contamination(sf_dir: str):
                          "snip": pa.array(snips, pa.string())})
 
     snippets = ds.map_batches(extract, batch_format="pyarrow").to_pandas()
+    if snippets.empty and "sid" not in snippets.columns:
+        # column-less empty frame from Ray's to_pandas on a benchmark-free
+        # corpus (no doc_id % 97 rows anywhere)
+        snippets = pd.DataFrame({"sid": [], "snip": []})
     snip_ref = ray.put(list(zip(snippets["sid"].tolist(),
                                 snippets["snip"].tolist())))
 
@@ -4493,6 +4500,11 @@ def benchmark_contamination(sf_dir: str):
                          "n_snippets_hit": pa.array(n_hits[keep])})
 
     out = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    if out.empty and "doc_id" not in out.columns:
+        # Ray's to_pandas drops columns for a fully-empty dataset; a clean
+        # corpus (zero contaminated docs) must still return the schema
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                            "n_snippets_hit": pd.Series([], dtype="int64")})
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

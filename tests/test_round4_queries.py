@@ -1311,3 +1311,21 @@ def test_funnel_ordered_condition_planted(ray_session, tmp_path):
     got = view_purchase_funnel(sf)
     want = pd.DataFrame({"n_viewed": [5], "n_converted": [2]})
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_contamination_clean_corpus_returns_typed_empty(ray_session,
+                                                        tmp_path):
+    """A corpus with no snippet hits (no doc_id % 97 == 0 rows at all)
+    must return a typed empty frame, not a column-less one."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        benchmark_contamination,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["alpha beta", "gamma delta", "epsilon zeta"]),
+    })
+    sf = _write(tmp_path, "documents", tbl)
+    got = benchmark_contamination(sf)
+    assert list(got.columns) == ["doc_id", "n_snippets_hit"]
+    assert len(got) == 0
