@@ -4958,3 +4958,60 @@ ORACLE_SQL["view_purchase_funnel"] = """
              AS n_converted
     FROM m
 """
+
+
+def event_type_cohort_matrix(sf_dir: str):
+    """PAIRWISE COHORT OVERLAP MATRIX: for every (type_a <= type_b) pair,
+    how many users did BOTH — |types|² set intersections computed WITHOUT
+    |types|² passes: each batch pre-combines to one boolean row per
+    (user, batch) (did-type flags via Arrow group_by max), one coarse
+    user-key exchange merges the flags, and each partition folds its
+    users' flag matrix into the bounded pair-count table with ONE
+    boolean matmul (flagsᵀ @ flags).  Shuffle volume: users × |types|
+    bits; result: |types|(|types|+1)/2 rows."""
+    types = sorted(
+        t for t in _t(sf_dir, "events", columns=["event_type"])
+        .unique("event_type") if t is not None)
+    ds = _t(sf_dir, "events", columns=["user_id", "event_type"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = {"user_id": b["user_id"]}
+        for t in types:
+            cols[f"f_{t}"] = pc.cast(pc.equal(b["event_type"], t), pa.int8())
+        g = pa.table(cols).group_by("user_id").aggregate(
+            [(f"f_{t}", "max") for t in types])
+        return g.rename_columns(["user_id"] + [f"f_{t}" for t in types])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        flags = (g.groupby("user_id")[[f"f_{t}" for t in types]].max()
+                 .to_numpy(dtype=np.int64))
+        m = flags.T @ flags  # m[i, j] = users with both type i and j
+        ia, ja = np.triu_indices(len(types))
+        return pd.DataFrame({
+            "type_a": [types[i] for i in ia],
+            "type_b": [types[j] for j in ja],
+            "n_users": m[ia, ja],
+        })
+
+    parts = _agg_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"), ["user_id"], fold
+    ).to_pandas()
+    out = parts.groupby(["type_a", "type_b"], as_index=False).agg(
+        n_users=("n_users", "sum"))
+    out["n_users"] = out["n_users"].astype("int64")
+    # the oracle's inner self-join never produces a zero pair — match it
+    out = out[out["n_users"] > 0]
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+QUERIES["event_type_cohort_matrix"] = event_type_cohort_matrix
+
+ORACLE_SQL["event_type_cohort_matrix"] = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*)::BIGINT AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type <= b.event_type
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""

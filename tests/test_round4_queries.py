@@ -1329,3 +1329,30 @@ def test_contamination_clean_corpus_returns_typed_empty(ray_session,
     got = benchmark_contamination(sf)
     assert list(got.columns) == ["doc_id", "n_snippets_hit"]
     assert len(got) == 0
+
+
+def test_cohort_matrix_planted(ray_session, tmp_path):
+    """Hand-checkable 3-type matrix: diagonal = per-type user counts,
+    off-diagonal = both-type users; repeat events must not inflate."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        event_type_cohort_matrix,
+    )
+
+    rows = [(1, "a"), (1, "a"), (1, "b"),      # u1: a,b (repeat a)
+            (2, "b"), (2, "c"),                # u2: b,c
+            (3, "a")]                          # u3: a
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+    })
+    sf = _write(tmp_path, "events", tbl)
+    got = event_type_cohort_matrix(sf)
+    # the (a, c) pair has no common user and must be ABSENT (inner-join
+    # semantics, matching the SQL oracle), not present with 0
+    want = pd.DataFrame({
+        "type_a": ["a", "a", "b", "b", "c"],
+        "type_b": ["a", "b", "b", "c", "c"],
+        "n_users": [2, 1, 2, 1, 1],
+    })
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
