@@ -5015,3 +5015,197 @@ ORACLE_SQL["event_type_cohort_matrix"] = """
       ON a.user_id = b.user_id AND a.event_type <= b.event_type
     GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 SHAPE — filter a fact table against a PER-GROUP AGGREGATE
+    of itself ("lineitems below 20% of their part's average quantity"):
+    pass 1 pre-combines (sum_qty, n) per part inside each batch and folds
+    them through one coarse exchange; the per-part threshold map is then
+    BROADCAST once (``ray.put`` — parts are dimension-bounded; at 100 TB
+    the same plan swaps the broadcast for a bucketed join on l_partkey,
+    as in `ngram_jaccard`'s large route) and pass 2 re-scans lineitem
+    applying the predicate with one ``searchsorted`` lookup per batch.
+    The comparison is exact integer math (qty·5·n < sum_qty), never a
+    float average, so the oracle can mirror it verbatim."""
+    ds = _t(sf_dir, "lineitem",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_partkey": b["l_partkey"],
+            "qty": pc.cast(pc.round(b["l_quantity"]), pa.int64()),
+        })
+        g = t.group_by("l_partkey").aggregate([("qty", "sum"),
+                                               ("qty", "count")])
+        return g.rename_columns(["l_partkey", "sum_qty", "n"])
+
+    per_part = _agg_partitioned(
+        ds.map_batches(pre, batch_format="pyarrow"), ["l_partkey"],
+        lambda g: g.groupby("l_partkey", as_index=False).sum(),
+    ).to_pandas().sort_values("l_partkey")
+    keys = np.ascontiguousarray(per_part["l_partkey"].to_numpy(np.int64))
+    sums = np.ascontiguousarray(per_part["sum_qty"].to_numpy(np.int64))
+    ns = np.ascontiguousarray(per_part["n"].to_numpy(np.int64))
+    thresh_ref = ray.put((keys, sums, ns))
+
+    def pass2(b: pa.Table) -> pa.Table:
+        keys, sums, ns = ray.get(thresh_ref)
+        pk = np.asarray(b["l_partkey"], dtype=np.int64)
+        qty = np.asarray(pc.cast(pc.round(b["l_quantity"]), pa.int64()))
+        cents = np.asarray(pc.cast(pc.round(pc.multiply(
+            b["l_extendedprice"], pa.scalar(100.0))), pa.int64()))
+        idx = np.searchsorted(keys, pk)  # every partkey exists in pass 1
+        sel = qty * 5 * ns[idx] < sums[idx]
+        return pa.table({
+            "n_items": pa.array([int(sel.sum())], pa.int64()),
+            "cents": pa.array([int(cents[sel].sum())], pa.int64()),
+        })
+
+    parts = ds.map_batches(pass2, batch_format="pyarrow").to_pandas()
+    cents = int(parts["cents"].sum())
+    return pd.DataFrame({
+        "n_items": [int(parts["n_items"].sum())],
+        "avg_yearly": [round(cents / 700.0, 2)],
+    })
+
+
+def event_transition_counts(sf_dir: str):
+    """MARKOV TRANSITION MATRIX of user behavior: count (prev_type →
+    next_type) over each user's event stream ordered by (ts, event_id) —
+    the sequence-model estimation step (and the sequential analogue of
+    the reference's per-window neighbor ordering, `getEntrySlide`
+    src/algorithms/MCODBase.java:144-152).  One coarse hash exchange on
+    the user key; per partition ONE lexsort + shifted-compare builds
+    every adjacent pair vectorized, pre-combined to the bounded
+    |types|² table before the driver's final fold."""
+    from ..functions.hashing import stable_hash64
+    from ..stages.dedup import _n_partitions
+
+    P = _n_partitions()
+    ds = _t(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                       "event_type"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = (stable_hash64(b["user_id"]) % np.uint64(P)).astype(np.int32)
+        return b.append_column("u_part", pa.array(h))
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        users = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, users))
+        users, et = users[order], et[order]
+        same = users[1:] == users[:-1]
+        pairs = pd.DataFrame({"prev_type": et[:-1][same],
+                              "next_type": et[1:][same]})
+        return pairs.groupby(["prev_type", "next_type"],
+                             as_index=False).size()
+
+    parts = ds.map_batches(add_part, batch_format="pyarrow").groupby(
+        "u_part").map_groups(transitions, batch_format="pandas").to_pandas()
+    out = parts.groupby(["prev_type", "next_type"], as_index=False).agg(
+        n_transitions=("size", "sum"))
+    out["n_transitions"] = out["n_transitions"].astype("int64")
+    return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
+def copurchase_part_pairs(sf_dir: str, top: int = 15):
+    """FREQUENT ITEM PAIRS (basket co-occurrence): parts bought together
+    in the same order, top-``top`` pairs by order count.  Exchange 1
+    co-locates an order's lines by orderkey hash; each partition dedups
+    (order, part) and expands every basket's C(s,2) pairs in ONE
+    vectorized repeat/arange pass (baskets are line-count bounded, so the
+    expansion is O(rows·s̄), never all-pairs across orders).  Exchange 2
+    folds global pair counts per pair-hash partition, where per-partition
+    top-``top`` is exact, and the driver merges the bounded candidates."""
+    from ..functions.hashing import stable_hash64
+    from ..stages.dedup import _n_partitions
+
+    P = _n_partitions()
+    ds = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = (stable_hash64(b["l_orderkey"]) % np.uint64(P)).astype(np.int32)
+        return b.append_column("o_part", pa.array(h))
+
+    def expand_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        t = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        ok = t["l_orderkey"].to_numpy()
+        pk = t["l_partkey"].to_numpy()
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        starts = np.nonzero(np.r_[True, ok[1:] != ok[:-1]])[0]
+        sizes = np.diff(np.append(starts, len(ok)))
+        # pair (i, j) with i < j inside each basket, fully vectorized:
+        # row index i repeats (size - 1 - local_i) times
+        local = np.arange(len(ok)) - np.repeat(starts, sizes)
+        rem = np.repeat(sizes, sizes) - 1 - local  # pairs led by each row
+        i_idx = np.repeat(np.arange(len(ok)), rem)
+        offs = np.arange(int(rem.sum())) - np.repeat(
+            np.cumsum(rem) - rem, rem)
+        j_idx = i_idx + 1 + offs
+        pairs = pd.DataFrame({"p1": pk[i_idx], "p2": pk[j_idx]})
+        out = pairs.groupby(["p1", "p2"], as_index=False).size().rename(
+            columns={"size": "n"})
+        # emit metadata-free Arrow so the downstream exchange's schema
+        # dedup never sees unhashable pandas metadata (warning hygiene)
+        return pa.Table.from_pandas(out, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    pair_counts = ds.map_batches(add_part, batch_format="pyarrow").groupby(
+        "o_part").map_groups(expand_pairs, batch_format="pandas")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["p1", "p2"], as_index=False)["n"].sum()
+        return agg.sort_values(["n", "p1", "p2"],
+                               ascending=[False, True, True]).head(top)
+
+    parts = _agg_partitioned(pair_counts, ["p1", "p2"], topk).to_pandas()
+    out = parts.sort_values(["n", "p1", "p2"],
+                            ascending=[False, True, True]).head(top)
+    out = out.rename(columns={"n": "n_orders"})
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+QUERIES["small_quantity_revenue"] = small_quantity_revenue
+QUERIES["event_transition_counts"] = event_transition_counts
+QUERIES["copurchase_part_pairs"] = copurchase_part_pairs
+
+ORACLE_SQL["small_quantity_revenue"] = """
+    WITH q AS (SELECT l_partkey,
+                      CAST(round(l_quantity) AS BIGINT) AS qty,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+               FROM lineitem),
+    s AS (SELECT l_partkey, sum(qty) AS sum_qty, count(*)::BIGINT AS n
+          FROM q GROUP BY l_partkey)
+    SELECT count(*)::BIGINT AS n_items,
+           round(coalesce(sum(q.cents), 0) / 700.0, 2) AS avg_yearly
+    FROM q JOIN s USING (l_partkey)
+    WHERE q.qty * 5 * s.n < s.sum_qty
+"""
+
+ORACLE_SQL["event_transition_counts"] = """
+    WITH s AS (SELECT event_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS nxt
+               FROM events)
+    SELECT event_type AS prev_type, nxt AS next_type,
+           count(*)::BIGINT AS n_transitions
+    FROM s WHERE nxt IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["copurchase_part_pairs"] = """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS p1, c.l_partkey AS p2,
+           count(*)::BIGINT AS n_orders
+    FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                     AND a.l_partkey < c.l_partkey
+    GROUP BY 1, 2 ORDER BY n_orders DESC, p1, p2 LIMIT 15
+"""

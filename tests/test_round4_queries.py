@@ -1356,3 +1356,80 @@ def test_cohort_matrix_planted(ray_session, tmp_path):
     })
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
                                   check_dtype=False)
+
+
+def test_small_quantity_revenue_planted(ray_session, tmp_path):
+    """Two parts with hand-computed averages: part 1 qties (1, 10, 10)
+    avg 7 → only qty 1 < 1.4 qualifies; part 2 qties (5, 5) avg 5 →
+    nothing < 1.0 qualifies."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        small_quantity_revenue,
+    )
+
+    tbl = pa.table({
+        "l_partkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "l_quantity": pa.array([1.0, 10.0, 10.0, 5.0, 5.0]),
+        "l_extendedprice": pa.array([70.0, 1.0, 1.0, 1.0, 1.0]),
+    })
+    sf = _write(tmp_path, "lineitem", tbl)
+    got = small_quantity_revenue(sf)
+    want = pd.DataFrame({"n_items": [1], "avg_yearly": [10.0]})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_event_transition_counts_planted(ray_session, tmp_path):
+    """u1's a→b→a chain and u2's single b→b; timestamp tie inside u1
+    broken by event_id, and no cross-user pair may appear."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        event_transition_counts,
+    )
+
+    t0 = np.datetime64("2026-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    rows = [  # (user, event_id, ts, type)
+        (1, 1, t0, "a"), (1, 2, t0 + s, "b"),
+        (1, 3, t0 + 2 * s, "a"),
+        # tie at t0+2s: event_id 4 sorts after 3 → a→c then c→a? No:
+        # (3:"a", 4:"c") adjacent, so a→c
+        (1, 4, t0 + 2 * s, "c"),
+        (2, 5, t0, "b"), (2, 6, t0 + s, "b"),
+        (3, 7, t0, "a"),                       # lone event: no pair
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows]),
+    })
+    sf = _write(tmp_path, "events", tbl)
+    got = event_transition_counts(sf)
+    want = pd.DataFrame({
+        "prev_type": ["a", "a", "b", "b"],
+        "next_type": ["b", "c", "a", "b"],
+        "n_transitions": [1, 1, 1, 1],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_copurchase_pairs_planted(ray_session, tmp_path):
+    """Baskets {1,2,3}, {1,2}, {2,3} (with a duplicated (order, part)
+    line that must not double-count) → pair counts (1,2):2, (2,3):2,
+    (1,3):1; top ordering breaks the count tie by (p1, p2)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        copurchase_part_pairs,
+    )
+
+    rows = [(10, 1), (10, 2), (10, 3), (10, 2),   # dup line in order 10
+            (20, 1), (20, 2),
+            (30, 2), (30, 3),
+            (40, 9)]                              # singleton: no pair
+    tbl = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    sf = _write(tmp_path, "lineitem", tbl)
+    got = copurchase_part_pairs(sf)
+    want = pd.DataFrame({
+        "p1": [1, 2, 1], "p2": [2, 3, 3], "n_orders": [2, 2, 1],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
