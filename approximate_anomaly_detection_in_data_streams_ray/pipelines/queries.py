@@ -5209,3 +5209,82 @@ ORACLE_SQL["copurchase_part_pairs"] = """
                      AND a.l_partkey < c.l_partkey
     GROUP BY 1, 2 ORDER BY n_orders DESC, p1, p2 LIMIT 15
 """
+
+
+def events_ohlc_daily(sf_dir: str):
+    """OHLC BARS (open/high/low/close per event_type × day): the fused
+    ARGMIN/ARGMAX + MIN/MAX mergeable aggregate — "first value by (ts,
+    event_id), last value, extremes, count" in ONE pass.  Each batch
+    pre-combines to one candidate row per (type, day) carrying the
+    orderable (ts, event_id, value) endpoints; partials merge by the same
+    lexicographic rule, so the fold is associative and the exchange
+    carries types×days rows, never events.  Values travel as exact
+    integer cents; ties on ts are broken by event_id on both sides."""
+    ds = _t(sf_dir, "events",
+            columns=["event_type", "ts", "event_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["value"].notna() & df["ts"].notna()].copy()
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in [
+                ("event_type", "object"), ("day", "object"),
+                ("o_ts", "int64"), ("o_eid", "int64"), ("open", "int64"),
+                ("c_ts", "int64"), ("c_eid", "int64"), ("close", "int64"),
+                ("high", "int64"), ("low", "int64"), ("n", "int64")]})
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]")
+        df["day"] = ts_us.astype("datetime64[D]").astype(str)
+        df["ts_i"] = ts_us.astype(np.int64)
+        df["cents"] = (df["value"] * 100).round().astype("int64")
+        df = df.sort_values(["event_type", "day", "ts_i", "event_id"])
+        g = df.groupby(["event_type", "day"], as_index=False)
+        out = g.agg(
+            o_ts=("ts_i", "first"), o_eid=("event_id", "first"),
+            open=("cents", "first"),
+            c_ts=("ts_i", "last"), c_eid=("event_id", "last"),
+            close=("cents", "last"),
+            high=("cents", "max"), low=("cents", "min"), n=("cents", "size"))
+        return out
+
+    def merge(parts: pd.DataFrame) -> pd.DataFrame:
+        parts = parts.sort_values(["event_type", "day", "o_ts", "o_eid"])
+        first = parts.groupby(["event_type", "day"], as_index=False).agg(
+            open=("open", "first"))
+        parts2 = parts.sort_values(["event_type", "day", "c_ts", "c_eid"])
+        last = parts2.groupby(["event_type", "day"], as_index=False).agg(
+            close=("close", "last"))
+        ext = parts.groupby(["event_type", "day"], as_index=False).agg(
+            high=("high", "max"), low=("low", "min"), n=("n", "sum"))
+        out = ext.merge(first, on=["event_type", "day"]).merge(
+            last, on=["event_type", "day"])
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = merge(parts)
+    for c in ("open", "high", "low", "close"):
+        out[c] = (out[c] / 100.0).round(2)
+    out["n"] = out["n"].astype("int64")
+    out = out[["event_type", "day", "open", "high", "low", "close", "n"]]
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+QUERIES["events_ohlc_daily"] = events_ohlc_daily
+
+ORACLE_SQL["events_ohlc_daily"] = """
+    WITH t AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                      ts, event_id,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY event_type, day
+                                    ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, day
+                                    ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM t)
+    SELECT event_type, day,
+           round(max(CASE WHEN rn_a = 1 THEN cents END) / 100.0, 2) AS open,
+           round(max(cents) / 100.0, 2) AS high,
+           round(min(cents) / 100.0, 2) AS low,
+           round(max(CASE WHEN rn_d = 1 THEN cents END) / 100.0, 2) AS close,
+           count(*)::BIGINT AS n
+    FROM r GROUP BY event_type, day ORDER BY event_type, day
+"""

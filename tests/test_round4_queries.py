@@ -1433,3 +1433,36 @@ def test_copurchase_pairs_planted(ray_session, tmp_path):
         "p1": [1, 2, 1], "p2": [2, 3, 3], "n_orders": [2, 2, 1],
     })
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ohlc_tie_and_merge_planted(ray_session, tmp_path):
+    """Timestamp tie at the open broken by event_id; null value dropped;
+    one bar per (type, day) with hand-computed endpoints."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        events_ohlc_daily,
+    )
+
+    t0 = np.datetime64("2026-03-01T09:00:00", "us")
+    m = np.timedelta64(1, "m")
+    rows = [  # (eid, ts, type, value)
+        (2, t0, "a", 5.0),          # ts tie with eid 1 → NOT the open
+        (1, t0, "a", 3.0),          # open = 3.0 (same ts, lower eid)
+        (3, t0 + m, "a", 9.5),      # high
+        (4, t0 + 2 * m, "a", None), # null: excluded everywhere
+        (5, t0 + 3 * m, "a", 1.25), # low + close
+        (6, t0, "b", 2.0),          # singleton bar: o=h=l=c
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    sf = _write(tmp_path, "events", tbl)
+    got = events_ohlc_daily(sf)
+    want = pd.DataFrame({
+        "event_type": ["a", "b"], "day": ["2026-03-01", "2026-03-01"],
+        "open": [3.0, 2.0], "high": [9.5, 2.0], "low": [1.25, 2.0],
+        "close": [1.25, 2.0], "n": [4, 1],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
