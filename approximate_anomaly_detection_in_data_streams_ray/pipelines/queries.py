@@ -5288,3 +5288,79 @@ ORACLE_SQL["events_ohlc_daily"] = """
            count(*)::BIGINT AS n
     FROM r GROUP BY event_type, day ORDER BY event_type, day
 """
+
+
+def value_streak_histogram(sf_dir: str):
+    """GAPS-AND-ISLANDS (longest strictly-increasing value run per user,
+    histogrammed): the island-segmentation window pattern (`SUM(CASE WHEN
+    break) OVER ...` then per-island counts) as ONE coarse user exchange +
+    one lexsort + run-length encoding per partition — island boundaries
+    are a single vectorized compare, island lengths a ``diff`` over
+    boundary indices, per-user maxima a ``maximum.reduceat``.  Output is
+    the bounded (streak_len -> n_users) histogram.  Values compare as
+    exact integer cents; null-valued rows are invisible on both sides
+    (filtered before ordering), so only users with >= 1 non-null event
+    appear."""
+    from ..functions.hashing import stable_hash64
+    from ..stages.dedup import _n_partitions
+
+    P = _n_partitions()
+    ds = _t(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["value"]))
+        h = (stable_hash64(b["user_id"]) % np.uint64(P)).astype(np.int32)
+        return b.append_column("u_part", pa.array(h))
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        users = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = (g["value"].to_numpy(dtype=np.float64) * 100
+                 ).round().astype(np.int64)
+        order = np.lexsort((eid, ts, users))
+        users, cents = users[order], cents[order]
+        # a row EXTENDS the run iff same user and strictly increasing;
+        # otherwise it starts a new island
+        grow = np.zeros(len(users), dtype=bool)
+        grow[1:] = (users[1:] == users[:-1]) & (cents[1:] > cents[:-1])
+        starts = np.nonzero(~grow)[0]
+        lens = np.diff(np.append(starts, len(users)))
+        island_user = users[starts]
+        user_first = np.nonzero(np.r_[True, island_user[1:]
+                                      != island_user[:-1]])[0]
+        best = np.maximum.reduceat(lens, user_first) if len(lens) else lens
+        return pd.DataFrame({"user_id": island_user[user_first],
+                             "streak": best.astype(np.int64)})
+
+    per_user = ds.map_batches(add_part, batch_format="pyarrow").groupby(
+        "u_part").map_groups(streaks, batch_format="pandas").to_pandas()
+    out = per_user.groupby("streak", as_index=False).agg(
+        n_users=("user_id", "size"))
+    out["streak"] = out["streak"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("streak").reset_index(drop=True)
+
+
+QUERIES["value_streak_histogram"] = value_streak_histogram
+
+ORACLE_SQL["value_streak_histogram"] = """
+    WITH e AS (SELECT user_id, ts, event_id,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events WHERE value IS NOT NULL),
+    b AS (SELECT user_id, ts, event_id, cents,
+                 CASE WHEN lag(cents) OVER w IS NULL
+                           OR cents <= lag(cents) OVER w
+                      THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    isl AS (SELECT user_id,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS island
+            FROM b),
+    runs AS (SELECT user_id, island, count(*)::BIGINT AS len
+             FROM isl GROUP BY user_id, island),
+    best AS (SELECT user_id, max(len) AS streak FROM runs GROUP BY user_id)
+    SELECT streak::BIGINT AS streak, count(*)::BIGINT AS n_users
+    FROM best GROUP BY streak ORDER BY streak
+"""

@@ -1466,3 +1466,33 @@ def test_ohlc_tie_and_merge_planted(ray_session, tmp_path):
         "close": [1.25, 2.0], "n": [4, 1],
     })
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_value_streak_planted(ray_session, tmp_path):
+    """u1: 1,2,3 then drop then 5,6 → best 3; equal values break (u2:
+    2,2 → 1); nulls are invisible (u3: 1,null,2 → 2); ts tie broken by
+    event_id (u4: values 7 then 3 at the same ts → streak 1)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        value_streak_histogram,
+    )
+
+    t0 = np.datetime64("2026-04-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    rows = [  # (user, eid, ts, value)
+        (1, 1, t0, 1.0), (1, 2, t0 + s, 2.0), (1, 3, t0 + 2 * s, 3.0),
+        (1, 4, t0 + 3 * s, 0.5), (1, 5, t0 + 4 * s, 5.0),
+        (1, 6, t0 + 5 * s, 6.0),
+        (2, 7, t0, 2.0), (2, 8, t0 + s, 2.0),
+        (3, 9, t0, 1.0), (3, 10, t0 + s, None), (3, 11, t0 + 2 * s, 2.0),
+        (4, 12, t0, 7.0), (4, 13, t0, 3.0),     # same ts: eid orders them
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    sf = _write(tmp_path, "events", tbl)
+    got = value_streak_histogram(sf)
+    want = pd.DataFrame({"streak": [1, 2, 3], "n_users": [2, 1, 1]})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
