@@ -101,11 +101,21 @@ def generate_code_files(
     arrival-order ids (`src/algorithms/MCOD.java:312-316`).  A repo's rows
     never span shard files, so within-partition order survives
     ``read_parquet``.
+
+    STREAMING writer: all RNG draws happen up front in a fixed order (so
+    the corpus is a pure function of the arguments — byte-for-byte stable
+    across this and the previous in-memory implementation, pinned by
+    ``tests/test_synth.py``), but row CONTENT is materialized
+    per-repo-chunk and flushed through per-shard ``ParquetWriter``s in
+    16384-row groups.  Peak memory is O(shards × row_group + draws),
+    not O(corpus): the old builder held every content string (~58 GB RSS
+    at 32M rows); this one holds ~a few hundred MB regardless of
+    GRAFT_CORPUS_MULT.
     """
     rng = np.random.default_rng(seed)
     man = SynthManifest(seed=seed, max_content_len=max_content_len)
 
-    # --- repos, Zipf-skewed row counts; ~5% marked as drift repos
+    # ---------------- draw phase (exact order = corpus identity) ----------
     repos = np.array([f"repo-{i:04d}" for i in range(n_repos)])
     weights = 1.0 / np.arange(1, n_repos + 1) ** 1.1
     weights /= weights.sum()
@@ -131,44 +141,31 @@ def generate_code_files(
     corpora = {lang: _make_corpus(rng, lang) for lang in LANGS}
     big = {lang: (c + "\n") * 40 for lang, c in corpora.items()}  # long slice base
 
-    # --- per-row columns
-    repo_col, path_col, commit_col, lang_col, content_col = [], [], [], [], []
     commit_by_repo: dict[str, list[str]] = {}
     for c, r in zip(all_commits, commit_repo):
         commit_by_repo.setdefault(r, []).append(c)
 
+    # per-repo value draws, in the loop order the in-memory builder used
+    draws: dict[int, tuple] = {}
     for ri in range(n_repos):
-        r = repos[ri]
         nr = int(rows_per_repo[ri])
         if nr == 0:
             continue
-        commits_r = commit_by_repo[r]
-        lang_main = LANGS[repo_lang[ri]]
-        # lengths: log-normal; drift repos shift the tail of the partition x6
         lens = rng.lognormal(mean=np.log(mean_len), sigma=0.6, size=nr)
         if drift_mask[ri]:
             cut = int(nr * 0.7)
             lens[cut:] *= 6.0
         lens = np.clip(lens.astype(np.int64), 24, max_content_len - 1)
-        commit_pick = np.sort(rng.integers(0, len(commits_r), size=nr))
+        commit_pick = np.sort(rng.integers(0, len(commit_by_repo[repos[ri]]),
+                                           size=nr))
         lang_pick = rng.random(nr)
-        word_pick = rng.integers(0, len(_WORDS), size=nr)  # drawn in bulk
-        lens_list = lens.tolist()
-        for j in range(nr):
-            lang = lang_main if lang_pick[j] < 0.8 else LANGS[int(lang_pick[j] * 1e6) % len(LANGS)]
-            w1 = _WORDS[word_pick[j]]
-            path = f"src/{w1}/{w1}_{j:05d}.{lang[:2]}"
-            commit = commits_r[commit_pick[j]]
-            content = f"// {r}/{path}@{commit}\n" + big[lang][: lens_list[j]]
-            repo_col.append(r); path_col.append(path); commit_col.append(commit)
-            lang_col.append(lang); content_col.append(content)
+        word_pick = rng.integers(0, len(_WORDS), size=nr)
+        draws[ri] = (lens.tolist(), commit_pick, lang_pick, word_pick)
 
-    n = len(repo_col)
+    n = int(rows_per_repo.sum())  # == n_rows; base rows before dups/orphans
+    repo_start = np.concatenate([[0], np.cumsum(rows_per_repo)])
 
-    def ref(i: int) -> str:
-        return row_ref(repo_col[i], path_col[i], commit_col[i])
-
-    # --- injected violations (indices drawn without overlap)
+    # ------------- violation plan (indices drawn without overlap) ---------
     avail = rng.permutation(n)
     cursor = 0
 
@@ -178,91 +175,193 @@ def generate_code_files(
         cursor += kcount
         return out
 
+    def base_row(g: int, ri: int) -> tuple[str, str, str, str, str]:
+        """Materialize pristine row *g* (global index) of repo *ri*."""
+        j = g - int(repo_start[ri])
+        lens, commit_pick, lang_pick, word_pick = draws[ri]
+        lang_main = LANGS[repo_lang[ri]]
+        lp = lang_pick[j]
+        lang = lang_main if lp < 0.8 else LANGS[int(lp * 1e6) % len(LANGS)]
+        w1 = _WORDS[word_pick[j]]
+        r = repos[ri]
+        path = f"src/{w1}/{w1}_{j:05d}.{lang[:2]}"
+        commit = commit_by_repo[r][commit_pick[j]]
+        content = f"// {r}/{path}@{commit}\n" + big[lang][: lens[j]]
+        return r, path, commit, lang, content
+
+    def repo_of(g: int) -> int:
+        return int(np.searchsorted(repo_start, g, side="right")) - 1
+
+    mutation: dict[int, str] = {}
+
+    def orph_commit(i: int) -> str:
+        return hashlib.sha1(f"orphan/{seed}/{i}".encode()).hexdigest()[:40]
+
+    def badfmt_commit(i: int) -> str:
+        return hashlib.sha1(
+            f"badfmt/{seed}/{i}".encode()).hexdigest()[:40].upper()
+
     for i in take(max(2, n // 500)):
-        lang_col[i] = None
-        man.null_lang.append(ref(i))
+        g = int(i); mutation[g] = "null_lang"
+        r, path, commit, _, _ = base_row(g, repo_of(g))
+        man.null_lang.append(row_ref(r, path, commit))
     for i in take(max(1, n // 1000)):
-        path_col[i] = None
-        man.null_path.append(row_ref(repo_col[i], None, commit_col[i]))
+        g = int(i); mutation[g] = "null_path"
+        r, _, commit, _, _ = base_row(g, repo_of(g))
+        man.null_path.append(row_ref(r, None, commit))
     for i in take(max(1, n // 1500)):
-        content_col[i] = content_col[i][:0]  # empty → below min length
-        man.len_violations.append(ref(i))
+        g = int(i); mutation[g] = "len_empty"
+        r, path, commit, _, _ = base_row(g, repo_of(g))
+        man.len_violations.append(row_ref(r, path, commit))
     for i in take(max(1, n // 1500)):
-        content_col[i] = content_col[i] + "x" * max_content_len  # above max
-        man.len_violations.append(ref(i))
+        g = int(i); mutation[g] = "len_over"
+        r, path, commit, _, _ = base_row(g, repo_of(g))
+        man.len_violations.append(row_ref(r, path, commit))
     for i in take(max(1, n // 1500)):
-        commit_col[i] = hashlib.sha1(f"orphan/{seed}/{i}".encode()).hexdigest()[:40]
-        man.orphan_commit.append(ref(i))
+        g = int(i); mutation[g] = "orphan_commit"
+        r, path, _, _, _ = base_row(g, repo_of(g))
+        man.orphan_commit.append(row_ref(r, path, orph_commit(g)))
 
     # constraint-shape violations (checks/constraints.py): malformed commit
     # (uppercase hex — by construction also a true referential orphan, so
     # it is recorded in BOTH manifests), path traversal, unknown language
     for i in take(max(1, n // 1500)):
-        commit_col[i] = hashlib.sha1(
-            f"badfmt/{seed}/{i}".encode()).hexdigest()[:40].upper()
-        man.bad_commit_format.append(ref(i))
-        man.orphan_commit.append(ref(i))
+        g = int(i); mutation[g] = "bad_fmt"
+        r, path, _, _, _ = base_row(g, repo_of(g))
+        ref = row_ref(r, path, badfmt_commit(g))
+        man.bad_commit_format.append(ref)
+        man.orphan_commit.append(ref)
     for i in take(max(1, n // 1500)):
-        path_col[i] = "../" + (path_col[i] or "x.py")
-        man.bad_path_shape.append(ref(i))
+        g = int(i); mutation[g] = "bad_path"
+        r, path, commit, _, _ = base_row(g, repo_of(g))
+        man.bad_path_shape.append(row_ref(r, "../" + (path or "x.py"), commit))
     for i in take(max(1, n // 1500)):
-        lang_col[i] = "klingon"
-        man.bad_lang_value.append(ref(i))
+        g = int(i); mutation[g] = "bad_lang"
+        r, path, commit, _, _ = base_row(g, repo_of(g))
+        man.bad_lang_value.append(row_ref(r, path, commit))
 
-    # duplicates: append copies of existing rows
-    for i in take(max(2, n // 800)):
-        repo_col.append(repo_col[i]); path_col.append(path_col[i])
-        commit_col.append(commit_col[i]); lang_col.append(lang_col[i])
-        content_col.append(content_col[i])
-        man.dup_keys.append(ref(i))
+    # duplicates: append copies of existing rows (sources never overlap a
+    # mutated index, so each copies a pristine row)
+    dup_srcs = [int(i) for i in take(max(2, n // 800))]
+    for g in dup_srcs:
+        r, path, commit, _, _ = base_row(g, repo_of(g))
+        man.dup_keys.append(row_ref(r, path, commit))
+
+    def apply_mutation(g: int, row: tuple) -> tuple:
+        kind = mutation.get(g)
+        if kind is None:
+            return row
+        r, path, commit, lang, content = row
+        if kind == "null_lang":
+            lang = None
+        elif kind == "null_path":
+            path = None
+        elif kind == "len_empty":
+            content = ""
+        elif kind == "len_over":
+            content = content + "x" * max_content_len
+        elif kind == "orphan_commit":
+            commit = orph_commit(g)
+        elif kind == "bad_fmt":
+            commit = badfmt_commit(g)
+        elif kind == "bad_path":
+            path = "../" + (path or "x.py")
+        elif kind == "bad_lang":
+            lang = "klingon"
+        return r, path, commit, lang, content
+
+    # ---------------- streaming write phase --------------------------------
+    SCHEMA = pa.schema([
+        ("repo", pa.string()), ("path", pa.string()),
+        ("commit", pa.string()), ("lang", pa.string()),
+        ("content", pa.large_string()),
+    ])
+    ROW_GROUP = 16384
+    os.makedirs(os.path.join(out_dir, "code_files"), exist_ok=True)
+
+    class _ShardWriter:
+        def __init__(self, path: str):
+            self.writer = pq.ParquetWriter(path, SCHEMA)
+            self.buf = [[], [], [], [], []]
+            self.n_buf = 0
+            self.n_total = 0
+
+        def add_many(self, rows: list[tuple]):
+            for row in rows:
+                for col, v in zip(self.buf, row):
+                    col.append(v)
+            self.n_buf += len(rows)
+            self.n_total += len(rows)
+            while self.n_buf >= ROW_GROUP:
+                self._flush(ROW_GROUP)
+
+        def _flush(self, k: int):
+            cols = [c[:k] for c in self.buf]
+            self.buf = [c[k:] for c in self.buf]
+            self.n_buf -= k
+            self.writer.write_table(pa.table(
+                {f.name: pa.array(c, f.type)
+                 for f, c in zip(SCHEMA, cols)}))
+
+        def close(self):
+            if self.n_buf:
+                self._flush(self.n_buf)
+            self.writer.close()
+
+    writers = [_ShardWriter(os.path.join(out_dir, "code_files",
+                                         f"shard-{s:04d}.parquet"))
+               for s in range(n_shards)]
+
+    def shard_of_repo(r: str) -> int:
+        return int(hashlib.md5(r.encode()).hexdigest()[:8], 16) % n_shards
+
+    def emit(rows: list[tuple], shard: int):
+        if record_sha:
+            for r, path, commit, _, content in rows:
+                man.sha256[row_ref(r, path, commit)] = hashlib.sha256(
+                    content.encode()).hexdigest()
+        writers[shard].add_many(rows)
+
+    # base rows, repo by repo, materialized in bounded chunks
+    for ri in range(n_repos):
+        nr = int(rows_per_repo[ri])
+        if nr == 0:
+            continue
+        shard = shard_of_repo(str(repos[ri]))
+        g0 = int(repo_start[ri])
+        for c0 in range(0, nr, ROW_GROUP):
+            chunk = [apply_mutation(g0 + j, base_row(g0 + j, ri))
+                     for j in range(c0, min(c0 + ROW_GROUP, nr))]
+            emit(chunk, shard)
+
+    # appended duplicate rows (pristine copies of their sources)
+    for g in dup_srcs:
+        ri = repo_of(g)
+        emit([base_row(g, ri)], shard_of_repo(str(repos[ri])))
 
     # orphan repos: small repos absent from the dim
+    n_written = n + len(dup_srcs)
     for oi in range(2):
         orepo = f"repo-orphan-{oi}"
         man.orphan_repo.append(orepo)
+        shard = shard_of_repo(orepo)
+        rows = []
         for j in range(5):
-            repo_col.append(orepo)
-            path_col.append(f"src/x/orphan_{j}.py")
-            commit_col.append(commit_by_repo[repos[0]][0])
-            lang_col.append("python")
-            content_col.append(f"// {orepo} {j}\n" + corpora["python"][:400])
+            rows.append((orepo, f"src/x/orphan_{j}.py",
+                         commit_by_repo[repos[0]][0], "python",
+                         f"// {orepo} {j}\n" + corpora["python"][:400]))
+        emit(rows, shard)
+        n_written += 5
 
-    man.n_rows = len(repo_col)
+    for w in writers:
+        w.close()
+
+    man.n_rows = n_written
     man.n_repos = n_repos
     man.null_lang.sort(); man.null_path.sort(); man.len_violations.sort()
     man.dup_keys.sort(); man.orphan_commit.sort()
     man.bad_commit_format.sort(); man.bad_path_shape.sort()
     man.bad_lang_value.sort()
-
-    if record_sha:
-        for i in range(man.n_rows):
-            man.sha256[row_ref(repo_col[i], path_col[i], commit_col[i])] = (
-                hashlib.sha256(content_col[i].encode()).hexdigest()
-            )
-
-    table = pa.table(
-        {
-            "repo": pa.array(repo_col, pa.string()),
-            "path": pa.array(path_col, pa.string()),
-            "commit": pa.array(commit_col, pa.string()),
-            "lang": pa.array(lang_col, pa.string()),
-            "content": pa.array(content_col, pa.large_string()),
-        }
-    )
-
-    # --- write: repo-hash sharding, each repo wholly inside one shard
-    os.makedirs(os.path.join(out_dir, "code_files"), exist_ok=True)
-    repo_arr = np.asarray(repo_col)
-    shard_of = np.array(
-        [int(hashlib.md5(r.encode()).hexdigest()[:8], 16) % n_shards for r in repo_arr]
-    )
-    for s in range(n_shards):
-        idx = np.nonzero(shard_of == s)[0]
-        sub = table.take(pa.array(idx))
-        # small row groups so work-item planning can split hot shards at
-        # row-group boundaries (pipelines/partitioning.py)
-        pq.write_table(sub, os.path.join(out_dir, "code_files", f"shard-{s:04d}.parquet"),
-                       row_group_size=16384)
 
     pq.write_table(
         pa.table(

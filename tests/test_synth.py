@@ -55,3 +55,34 @@ def test_stream_points_deterministic():
     b = generate_stream_points(500, 3, seed=5)
     assert (a == b).all()
     assert a.shape == (500, 3)
+
+
+def test_corpus_identity_pinned(tmp_path):
+    """The corpus is a pure function of the generator arguments: this pin
+    was taken from the ORIGINAL in-memory builder before the streaming
+    rewrite (verified byte-identical at two parameter sets), so any future
+    edit that silently changes row values, row order, row-group layout or
+    the manifest breaks this hash and, with it, cross-round record
+    comparability."""
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from approximate_anomaly_detection_in_data_streams_ray.synth import (
+        generate_code_files,
+    )
+
+    out = str(tmp_path / "pin")
+    generate_code_files(out, n_rows=3000, n_repos=20, seed=42, n_shards=4,
+                        record_sha=True)
+    h = hashlib.sha256()
+    for f in sorted(glob.glob(f"{out}/code_files/*.parquet")):
+        t = pq.read_table(f)
+        for col in t.column_names:
+            for v in t[col].to_pylist():
+                h.update(repr(v).encode())
+        h.update(str(pq.ParquetFile(f).metadata.num_row_groups).encode())
+    h.update(open(f"{out}/manifest.json", "rb").read())
+    assert h.hexdigest() == (
+        "128463f9f49b0acf4b51ee43d4aea109daf9aedf9d15f914f175f2c9b910a162")
