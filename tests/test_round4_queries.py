@@ -1496,3 +1496,180 @@ def test_value_streak_planted(ray_session, tmp_path):
     got = value_streak_histogram(sf)
     want = pd.DataFrame({"streak": [1, 2, 3], "n_users": [2, 1, 1]})
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ------------------------------------------- rolling z-score anomaly flags
+
+
+def test_rolling_zscore_matches_bigint_bruteforce(ray_session, tmp_path):
+    """Random small-spread integer cents (boundary collisions plausible)
+    checked row-for-row against a Python-bigint brute force of the exact
+    integer test, including the n >= 8 history gate, the 20-row window
+    cap, and the zero-variance window (any deviation flags)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        rolling_zscore_events,
+    )
+
+    rng = np.random.default_rng(11)
+    t0 = np.datetime64("2026-05-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    rows = []
+    eid = 0
+    for u in range(1, 6):
+        n_ev = int(rng.integers(5, 40))
+        for i in range(n_ev):
+            eid += 1
+            rows.append((u, eid, t0 + i * s,
+                         float(rng.integers(995, 1006)) / 100.0))
+    # u6: 20 constant values then a 1-cent deviation → zero-variance flag
+    for i in range(21):
+        eid += 1
+        rows.append((6, eid, t0 + i * s, 10.0 if i < 20 else 10.01))
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    sf = _write(tmp_path, "events", tbl)
+    got = rolling_zscore_events(sf)
+
+    expect = []
+    df = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value"])
+    for u, g in df.sort_values(["user_id", "ts", "event_id"]).groupby(
+            "user_id"):
+        cents = [int(round(v * 100)) for v in g["value"]]
+        eids = g["event_id"].tolist()
+        for i in range(len(cents)):
+            w = cents[max(0, i - 20):i]
+            n, c = len(w), cents[i]
+            if n < 8:
+                continue
+            S, SS = sum(w), sum(v * v for v in w)
+            if (n * c - S) ** 2 * (n - 1) > 9 * n * (n * SS - S * S):
+                expect.append((u, eids[i], n))
+    want = pd.DataFrame(expect, columns=["user_id", "event_id", "n_window"])
+    assert len(want) > 0  # the planted u6 spike at minimum
+    assert (6, eid, 20) in expect  # zero-variance window flags 1 cent
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ----------------------------------------------- incremental exact dedup
+
+
+def test_incremental_dedup_planted_duplicates(ray_session, tmp_path):
+    """Delta docs (doc_id % 5 == 4) anti-joined against the base: an
+    exact copy of a base text is dropped, a delta-only duplicate pair is
+    NOT dropped (both rows return — the historical index, not the shard,
+    is the dedup authority), and unique delta docs return."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        incremental_exact_dedup,
+    )
+
+    docs = [
+        (1, "en", "base text one"), (2, "en", "base text two"),
+        (3, "de", "base text three"), (5, "en", "more base"),
+        (4, "en", "base text one"),      # delta, dup of base doc 1 → drop
+        (9, "de", "fresh delta nine"),   # delta, unique → keep
+        (14, "fr", "delta twin"),        # delta dup of delta → BOTH keep
+        (19, "fr", "delta twin"),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "lang": pa.array([d[1] for d in docs], pa.string()),
+        "text": pa.array([d[2] for d in docs], pa.string()),
+    })
+    sf = _write(tmp_path, "documents", tbl)
+    got = incremental_exact_dedup(sf)
+    want = pd.DataFrame({"doc_id": [9, 14, 19],
+                         "lang": ["de", "fr", "fr"]})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# --------------------------------------------------- trimmed mean (5%)
+
+
+def test_trimmed_mean_histogram_equals_rank_trim(ray_session, tmp_path):
+    """Heavy-tie random prices: the histogram trim must equal a
+    rank-based trim (sort, drop n//20 per tail) computed in Python
+    bigints, nation by nation, including the exact floor-division mean."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        nation_trimmed_mean,
+    )
+
+    rng = np.random.default_rng(23)
+    nations = pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["NA", "NB"], pa.string()),
+    })
+    cust = pa.table({
+        "c_custkey": pa.array(list(range(1, 21)), pa.int64()),
+        "c_nationkey": pa.array([i % 2 for i in range(1, 21)], pa.int64()),
+    })
+    n_orders = 300
+    ok = list(range(1, n_orders + 1))
+    ck = [int(rng.integers(1, 21)) for _ in ok]
+    # few distinct cents → massive ties across the trim boundary
+    cents = [int(rng.integers(1, 8)) * 25 for _ in ok]
+    orders = pa.table({
+        "o_orderkey": pa.array(ok, pa.int64()),
+        "o_custkey": pa.array(ck, pa.int64()),
+        "o_totalprice": pa.array([c / 100.0 for c in cents], pa.float64()),
+    })
+    sf = str(tmp_path)
+    pq.write_table(nations, tmp_path / "nation.parquet")
+    pq.write_table(cust, tmp_path / "customer.parquet")
+    pq.write_table(orders, tmp_path / "orders.parquet")
+
+    got = nation_trimmed_mean(sf)
+
+    # c_custkey k has c_nationkey k % 2 per the table above → even = NA
+    nat_of = {k: ("NA" if k % 2 == 0 else "NB") for k in range(1, 21)}
+    by_nation = {}
+    for k, c in zip(ck, cents):
+        by_nation.setdefault(nat_of[k], []).append(c)
+    expect = []
+    for name in sorted(by_nation):
+        vals = sorted(by_nation[name])
+        n = len(vals)
+        k = n // 20
+        kept = vals[k:n - k]
+        micro = (sum(kept) * 10000) // len(kept)
+        expect.append((name, n, len(kept), micro / 1000000.0))
+    want = pd.DataFrame(expect, columns=["n_name", "n_orders", "n_kept",
+                                         "trimmed_mean"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# --------------------------------------------------------- token PMI
+
+
+def test_token_pmi_planted_collocation(ray_session, tmp_path):
+    """A planted always-together pair must rank above a frequent but
+    independent pair, with exact integer counts and the exact ratio."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        token_pmi_top20,
+    )
+
+    texts = (["qq zz"] * 6                      # rare pair, always together
+             + ["the cat"] * 5 + ["the dog"] * 3   # frequent, split targets
+             + ["filler words here"] * 3)
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "text": pa.array(texts, pa.string()),
+    })
+    sf = _write(tmp_path, "documents", tbl)
+    got = token_pmi_top20(sf)
+
+    n_total = sum(len(t.split()) for t in texts)
+    top = got.iloc[0]
+    assert top["bigram"] == "qq zz"
+    assert top["n_xy"] == 6 and top["n_x"] == 6 and top["n_y"] == 6
+    assert top["pmi_ratio"] == round(n_total * 6 / 36, 6)
+    # 'the cat' survives min-support with correct marginals, ranked below
+    # the collocation; 'the dog' (n_xy = 3) is filtered by min-support
+    row = got[got["bigram"] == "the cat"].iloc[0]
+    assert row["n_xy"] == 5 and row["n_x"] == 8 and row["n_y"] == 5
+    assert row["pmi_ratio"] < top["pmi_ratio"]
+    assert (got["bigram"] == "the dog").sum() == 0
