@@ -5715,6 +5715,110 @@ ORACLE_SQL["token_pmi_top20"] = """
 """
 
 
+def near_dup_representatives(sf_dir: str):
+    """NEAR-DUP CLUSTER REPRESENTATIVE SELECTION — the step after pair
+    finding in a dedup pipeline: MinHash-LSH verified pairs → connected
+    components → keep the highest-quality member per cluster (tie: lowest
+    doc_id).  The pair list is written as a Parquet side table that the
+    DuckDB oracle re-clusters INDEPENDENTLY with a recursive CTE and
+    re-scores with the same quality formula — clustering and selection
+    are both SQL-checked, and the pairs themselves are the already
+    SQL-checked ``minhash_dedup_documents`` output.  Components run
+    driver-side union-find here (the pair list is output-sized);
+    ``stages/dedup.py:connected_components_distributed`` is the >2M-pair
+    route (same auto-switch as ``near_dedup_apply``).  Quality is scored
+    only for member docs via one broadcast ``is_in`` filter on the scan —
+    non-members never leave the read."""
+    from ..functions.text import quality_score
+    from ..stages.dedup import connected_min_ids, minhash_near_dup_pairs
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"], spread=True)
+    pairs = minhash_near_dup_pairs(ds, threshold=0.6)[["id_a", "id_b"]]
+
+    # pid-keyed side table for the oracle (simhash_dedup_documents
+    # contract: single writer, query-then-oracle order in one process)
+    side_dir = os.path.join(_ORACLE_FP_ROOT,
+                            f"minhash_pairs_current_{os.getpid()}")
+    os.makedirs(side_dir, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    tmp = os.path.join(side_dir, "pairs.parquet.tmp")
+    pq.write_table(pa.table({
+        "id_a": pa.array(pairs["id_a"].to_numpy(dtype=np.int64), pa.int64()),
+        "id_b": pa.array(pairs["id_b"].to_numpy(dtype=np.int64), pa.int64()),
+    }), tmp)
+    os.replace(tmp, os.path.join(side_dir, "pairs.parquet"))
+
+    cols = {"cluster": "int64", "rep_doc_id": "int64",
+            "quality": "float64", "n_members": "int64"}
+    if pairs.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in cols.items()})
+
+    labels = connected_min_ids(pairs)  # {doc_id: min id of its cluster}
+    ids_ref = ray.put(pa.array(sorted(labels), pa.int64()))
+
+    def member_quality(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_in(b["doc_id"], value_set=ray.get(ids_ref)))
+        return pa.table({"doc_id": f["doc_id"],
+                         "quality": pc.round(quality_score(f["text"]), 4)})
+
+    q = ds.map_batches(member_quality, batch_format="pyarrow").to_pandas()
+    q["cluster"] = q["doc_id"].map(labels)
+    sizes = q.groupby("cluster")["doc_id"].size()
+    best = (q.sort_values(["cluster", "quality", "doc_id"],
+                          ascending=[True, False, True])
+            .groupby("cluster", as_index=False).first())
+    out = pd.DataFrame({"cluster": best["cluster"],
+                        "rep_doc_id": best["doc_id"],
+                        "quality": best["quality"],
+                        "n_members": best["cluster"].map(sizes)})
+    return (out.astype(cols).sort_values("cluster").reset_index(drop=True))
+
+
+QUERIES["near_dup_representatives"] = near_dup_representatives
+
+ORACLE_SQL["near_dup_representatives"] = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM read_parquet(
+            '{_ORACLE_FP_ROOT}/minhash_pairs_current_{os.getpid()}/*.parquet')),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b AS a, id_a AS b FROM pairs),
+    reach(src, dst) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+    lbl AS (SELECT src AS doc_id, min(dst) AS cluster
+            FROM reach GROUP BY src),
+    f AS (SELECT d.doc_id,
+                 length(d.text)::DOUBLE AS n,
+                 length(regexp_extract_all(d.text, '[^\\w\\s]'))::DOUBLE AS np,
+                 length(regexp_extract_all(d.text, '[0-9]'))::DOUBLE AS nd,
+                 length(regexp_extract_all(d.text, '\\s'))::DOUBLE AS ns
+          FROM documents d JOIN lbl ON lbl.doc_id = d.doc_id),
+    q AS (SELECT doc_id, round(
+              0.4 * (CASE WHEN n > 200000 THEN 0.2
+                          ELSE least(greatest(ln(1 + n) / ln(5000.0), 0), 1)
+                     END)
+            + 0.2 * (1 - least(greatest((np / greatest(n, 1)) / 0.5, 0), 1))
+            + 0.2 * (1 - least(greatest((nd / greatest(n, 1)) / 0.5, 0), 1))
+            + 0.2 * (1 - abs(least(greatest(ns / greatest(n, 1), 0), 1)
+                             - 0.15) / 0.85)
+            , 4) AS quality FROM f),
+    scored AS (SELECT l.cluster, l.doc_id, q.quality
+               FROM lbl l JOIN q ON q.doc_id = l.doc_id),
+    best AS (SELECT cluster, doc_id AS rep_doc_id, quality,
+                    row_number() OVER (PARTITION BY cluster
+                                       ORDER BY quality DESC, doc_id) AS rn
+             FROM scored),
+    sizes AS (SELECT cluster, count(*)::BIGINT AS n_members
+              FROM lbl GROUP BY cluster)
+    SELECT b.cluster, b.rep_doc_id, b.quality, s.n_members
+    FROM best b JOIN sizes s ON s.cluster = b.cluster
+    WHERE b.rn = 1 ORDER BY b.cluster
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -5754,7 +5858,7 @@ _FRONT = [
     "fingerprint_documents", "multimodal_decode", "video_frame_sample",
     # this round's newest operators
     "rolling_zscore_events", "incremental_exact_dedup",
-    "nation_trimmed_mean", "token_pmi_top20",
+    "nation_trimmed_mean", "token_pmi_top20", "near_dup_representatives",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

@@ -1673,3 +1673,54 @@ def test_token_pmi_planted_collocation(ray_session, tmp_path):
     assert row["n_xy"] == 5 and row["n_x"] == 8 and row["n_y"] == 5
     assert row["pmi_ratio"] < top["pmi_ratio"]
     assert (got["bigram"] == "the dog").sum() == 0
+
+
+# -------------------------------------------- near-dup representatives
+
+
+def test_near_dup_representatives_planted(ray_session, tmp_path):
+    """A 3-doc near-identical cluster plus a 2-doc cluster plus uniques:
+    component labels are the min doc_id, the representative is the
+    engine's own quality_score argmax (tie → lowest doc_id), and unique
+    docs never appear."""
+    from approximate_anomaly_detection_in_data_streams_ray.functions.text import (
+        quality_score,
+    )
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        near_dup_representatives,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet forest until the morning light "
+            "arrives over the hills ") * 4
+    docs = [
+        (1, base),                       # cluster {1,2,3}
+        (2, base + "extra tail words here"),
+        (3, base + "another small difference added"),
+        (10, "completely different unique text about database engines "
+             "and distributed query processing at large scale " * 6),
+        (20, ("pack my box with five dozen liquor jugs while the band "
+              "plays on and the crowd cheers loudly tonight ") * 5),
+        (21, ("pack my box with five dozen liquor jugs while the band "
+              "plays on and the crowd cheers loudly tonight ") * 5 + "!!"),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+        "lang": pa.array(["en"] * len(docs), pa.string()),
+    })
+    sf = _write(tmp_path, "documents", tbl)
+    got = near_dup_representatives(sf)
+
+    q = {d[0]: round(float(quality_score(pa.array([d[1]]))[0].as_py()), 4)
+         for d in docs}
+    rep1 = max([1, 2, 3], key=lambda i: (q[i], -i))
+    rep2 = max([20, 21], key=lambda i: (q[i], -i))
+    want = pd.DataFrame({
+        "cluster": [1, 20],
+        "rep_doc_id": [rep1, rep2],
+        "quality": [q[rep1], q[rep2]],
+        "n_members": [3, 2],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert 10 not in set(got["rep_doc_id"])
