@@ -1724,3 +1724,31 @@ def test_near_dup_representatives_planted(ray_session, tmp_path):
     })
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert 10 not in set(got["rep_doc_id"])
+
+
+# ------------------------------------------------- gap-filled dense series
+
+
+def test_events_hourly_dense_fills_gaps(ray_session, tmp_path):
+    """A 3-hour corpus with a silent middle hour and a type active only
+    at the edges: every (type, hour) cell exists, zeros where silent."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        events_hourly_dense,
+    )
+
+    h = np.datetime64("2026-06-01T00:00:00", "us")
+    hr = np.timedelta64(1, "h")
+    rows = [("a", h), ("a", h), ("a", h + 2 * hr),      # a silent in hour 1
+            ("b", h + 2 * hr)]                          # b only in hour 2
+    tbl = pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    sf = _write(tmp_path, "events", tbl)
+    got = events_hourly_dense(sf)
+    want = pd.DataFrame({
+        "event_type": ["a"] * 3 + ["b"] * 3,
+        "hour": list(pd.DatetimeIndex([h, h + hr, h + 2 * hr])) * 2,
+        "n": [2, 0, 1, 0, 0, 1],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
