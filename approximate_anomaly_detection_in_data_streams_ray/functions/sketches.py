@@ -405,3 +405,77 @@ class BloomFilter:
         word, bit = pos >> np.uint64(6), pos & np.uint64(63)
         hits = (self.bits[word] >> bit) & np.uint64(1)
         return hits.all(axis=0).astype(bool)
+
+
+# ---------------------------------------------------------- Count-Min sketch
+
+
+class CountMinSketch:
+    """Vectorized Count-Min sketch over int64/uint64 keys.
+
+    ``depth`` rows × ``width`` counters; row *i* hashes with the *i*-th
+    successive :func:`splitmix64` round (deterministic across processes,
+    same contract as :class:`BloomFilter`).  A per-batch partial is a
+    plain (depth, width) int64 matrix merged by ADDITION — the
+    linear-sketch property that lets ``map_batches`` partials fold in any
+    order and grouping without shuffling raw keys.  Point estimates take
+    the per-row minimum and never under-count; the classical guarantee is
+    ``est ≤ true + ⌈e/width · N⌉`` with probability ≥ 1 − e^-depth.
+    The reference's lifetime counters (`src/Executor.java:139-207`) are
+    exact per-run tallies; CMS is the bounded-memory generalisation an
+    unbounded 100-TB key space needs."""
+
+    __slots__ = ("depth", "width", "table", "n")
+
+    def __init__(self, depth: int = 4, width: int = 2048,
+                 table: np.ndarray | None = None, n: int = 0) -> None:
+        self.depth, self.width = depth, width
+        self.table = (table if table is not None
+                      else np.zeros((depth, width), dtype=np.int64))
+        self.n = int(n)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        h = np.asarray(keys).astype(np.uint64, copy=True)
+        out = np.empty((self.depth, len(h)), dtype=np.int64)
+        for i in range(self.depth):
+            h = splitmix64(h)
+            out[i] = (h % np.uint64(self.width)).astype(np.int64)
+        return out
+
+    def add(self, keys) -> "CountMinSketch":
+        keys = np.asarray(keys)
+        if len(keys) == 0:
+            return self
+        pos = self._positions(keys)
+        for i in range(self.depth):
+            self.table[i] += np.bincount(pos[i], minlength=self.width)
+        self.n += len(keys)
+        return self
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.depth, self.width) == (other.depth, other.width)
+        self.table += other.table
+        self.n += other.n
+        return self
+
+    def estimate(self, keys) -> np.ndarray:
+        """Per-key point estimate (int64): min over the depth rows."""
+        keys = np.asarray(keys)
+        if len(keys) == 0:
+            return np.zeros(0, dtype=np.int64)
+        pos = self._positions(keys)
+        ests = np.stack([self.table[i, pos[i]] for i in range(self.depth)])
+        return ests.min(axis=0)
+
+    def error_bound(self) -> int:
+        """Additive over-count bound ⌈e/width · n⌉ (prob ≥ 1 − e^-depth)."""
+        return int(np.ceil(np.e / self.width * self.n))
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, depth: int = 4, width: int = 2048,
+                   n: int = 0) -> "CountMinSketch":
+        t = np.frombuffer(blob, dtype=np.int64).reshape(depth, width).copy()
+        return cls(depth, width, table=t, n=n)

@@ -5873,6 +5873,74 @@ ORACLE_SQL["events_hourly_dense"] = """
 """
 
 
+def cms_user_event_counts(sf_dir: str):
+    """COUNT-MIN SKETCH point counts for the heavy keys, with the same
+    in-query accuracy contract as ``hll_users_per_event_type``: the exact
+    top-10 user counts (computed by the narrow exchange the sketch exists
+    to avoid at scale — affordable here) ride along in the output, and
+    the query ASSERTS the classical CMS guarantee ``exact ≤ est ≤ exact +
+    ⌈e/width·N⌉`` row by row.  The sketch is a linear (depth × width)
+    int64 matrix: one partial per batch, merged by addition on the driver
+    (a tree/aggregate merge is the same code at cluster scale — partials
+    are 64 KiB regardless of key cardinality, and raw keys never
+    shuffle)."""
+    from ..functions.sketches import CountMinSketch
+
+    DEPTH, WIDTH = 4, 2048
+    ds = _t(sf_dir, "events", columns=["user_id"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = np.asarray(b["user_id"].combine_chunks().drop_null(),
+                          dtype=np.int64)
+        c = CountMinSketch(DEPTH, WIDTH).add(keys)
+        return pa.table({"cms": pa.array([c.to_bytes()], pa.binary()),
+                         "n": pa.array([c.n], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    total = CountMinSketch(DEPTH, WIDTH)
+    for blob, n in zip(parts["cms"], parts["n"]):
+        total.merge(CountMinSketch.from_bytes(blob, DEPTH, WIDTH, int(n)))
+
+    # exact twin for the probe keys: pre-combined (user, n) partials →
+    # coarse exchange → per-block partial top-10 → driver merge
+    def upartial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["user_id"]))
+        g = pa.table({"user_id": b["user_id"]}).group_by(
+            "user_id").aggregate([("user_id", "count")])
+        return g.rename_columns(["user_id", "n"])
+
+    agg = _agg_partitioned(
+        ds.map_batches(upartial, batch_format="pyarrow"), ["user_id"],
+        lambda g: g.groupby("user_id", as_index=False)["n"].sum())
+
+    def ptop(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "user_id"],
+                              ascending=[False, True]).head(10)
+
+    exact = (agg.map_batches(ptop, batch_format="pandas").to_pandas()
+             .sort_values(["n", "user_id"], ascending=[False, True])
+             .head(10))
+
+    est = total.estimate(exact["user_id"].to_numpy(dtype=np.int64))
+    bound = total.error_bound()
+    out = pd.DataFrame({
+        "user_id": exact["user_id"].to_numpy(dtype=np.int64),
+        "exact_n": exact["n"].to_numpy(dtype=np.int64),
+        "cms_n": est.astype(np.int64),
+        "err_bound": np.int64(bound),
+    })
+    out["within_bound"] = ((out["cms_n"] >= out["exact_n"])
+                           & (out["cms_n"] <= out["exact_n"] + bound))
+    if not bool(out["within_bound"].all()):
+        raise AssertionError(
+            f"CMS estimate outside the e/w additive bound:\n{out.to_string()}")
+    return out.reset_index(drop=True)
+
+
+QUERIES["cms_user_event_counts"] = cms_user_event_counts
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict

@@ -1752,3 +1752,45 @@ def test_events_hourly_dense_fills_gaps(ray_session, tmp_path):
         "n": [2, 0, 1, 0, 0, 1],
     })
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# --------------------------------------------------------- Count-Min sketch
+
+
+def test_cms_linearity_and_bound():
+    """Partial CMS matrices merged by addition equal the one-shot sketch;
+    estimates never under-count and respect the e/w additive bound."""
+    import collections
+
+    from approximate_anomaly_detection_in_data_streams_ray.functions.sketches import (
+        CountMinSketch,
+    )
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 3000, 80000)
+    whole = CountMinSketch().add(keys)
+    merged = CountMinSketch().add(keys[:17000]).merge(
+        CountMinSketch().add(keys[17000:]))
+    assert (whole.table == merged.table).all() and whole.n == merged.n
+
+    exact = collections.Counter(keys.tolist())
+    probe = np.array(sorted(exact)[:500])
+    est = whole.estimate(probe)
+    ex = np.array([exact[k] for k in probe])
+    assert (est >= ex).all()
+    assert (est <= ex + whole.error_bound()).all()
+    # round-trip through bytes (the map_batches partial format)
+    rt = CountMinSketch.from_bytes(whole.to_bytes(), n=whole.n)
+    assert (rt.estimate(probe) == est).all()
+
+
+def test_cms_query_self_verifies(ray_session):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        cms_user_event_counts,
+    )
+
+    out = cms_user_event_counts("/root/testdata/sf0.001")
+    assert list(out.columns) == ["user_id", "exact_n", "cms_n",
+                                 "err_bound", "within_bound"]
+    assert len(out) == 10 and bool(out["within_bound"].all())
+    assert (out["cms_n"] >= out["exact_n"]).all()
