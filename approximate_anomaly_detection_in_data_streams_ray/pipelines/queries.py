@@ -5941,6 +5941,75 @@ def cms_user_event_counts(sf_dir: str):
 QUERIES["cms_user_event_counts"] = cms_user_event_counts
 
 
+def langid_confusion(sf_dir: str):
+    """MODEL-EVAL METRICS as a distributed op: the confusion matrix of
+    labeled ``lang`` vs the engine's detected language, plus Cohen's
+    kappa (chance-corrected agreement) as a constant column — the
+    classifier-audit pass an LLM-data pipeline runs after every labeling
+    stage.  One scan emits per-batch (lang, detected, n) partials (the
+    matrix is |langs|² bounded, driver fold, zero exchange); kappa is
+    computed from the folded integers with the identical float expression
+    on both sides.  Undefined-kappa (pe == 1) cannot occur on a corpus
+    with ≥ 2 label classes, which the testdata guarantees."""
+    from ..functions.text import language_id
+
+    ds = _t(sf_dir, "documents", columns=["lang", "text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b["lang"], "detected": language_id(b["text"])})
+        g = t.group_by(["lang", "detected"]).aggregate([("lang", "count")])
+        return g.rename_columns(["lang", "detected", "n"])
+
+    m = (ds.map_batches(part, batch_format="pyarrow").to_pandas()
+         .groupby(["lang", "detected"], as_index=False)["n"].sum())
+    n_total = int(m["n"].sum())
+    d = int(m.loc[m["lang"] == m["detected"], "n"].sum())
+    rows = m.groupby("lang")["n"].sum()
+    cols = m.groupby("detected")["n"].sum()
+    rc = int(sum(int(rows[k]) * int(cols[k])
+                 for k in rows.index if k in cols.index))
+    po = d / n_total
+    pe = rc / (n_total * n_total)
+    kappa = round((po - pe) / (1 - pe), 6)
+    m["n"] = m["n"].astype("int64")
+    m["kappa"] = kappa
+    return m.sort_values(["lang", "detected"]).reset_index(drop=True)
+
+
+QUERIES["langid_confusion"] = langid_confusion
+
+ORACLE_SQL["langid_confusion"] = r"""
+    WITH c AS (
+        SELECT lang,
+               length(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|for|with)\b'))::BIGINT AS c_en,
+               length(regexp_extract_all(text, '(?i)\b(der|die|und|das|ist|nicht|mit|ein)\b'))::BIGINT AS c_de,
+               length(regexp_extract_all(text, '(?i)\b(le|la|les|des|est|une|dans|pour)\b'))::BIGINT AS c_fr,
+               length(regexp_extract_all(text, '(?i)\b(el|los|las|una|es|para|con|por)\b'))::BIGINT AS c_es
+        FROM documents),
+    det AS (
+        SELECT lang,
+               CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'unknown'
+                    WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+                    WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                    WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+                    ELSE 'es' END AS detected
+        FROM c),
+    m AS (SELECT lang, detected, count(*)::BIGINT AS n
+          FROM det GROUP BY 1, 2),
+    tot AS (SELECT sum(n)::BIGINT AS nt FROM m),
+    diag AS (SELECT COALESCE(sum(n), 0)::BIGINT AS d
+             FROM m WHERE lang = detected),
+    rw AS (SELECT lang AS k, sum(n)::BIGINT AS r FROM m GROUP BY lang),
+    cl AS (SELECT detected AS k, sum(n)::BIGINT AS c FROM m GROUP BY detected),
+    pe AS (SELECT COALESCE(sum(r * c), 0)::BIGINT AS rc
+           FROM rw JOIN cl USING (k))
+    SELECT m.lang, m.detected, m.n,
+           round((diag.d * 1.0 / tot.nt - pe.rc * 1.0 / (tot.nt * tot.nt))
+                 / (1 - pe.rc * 1.0 / (tot.nt * tot.nt)), 6) AS kappa
+    FROM m, tot, diag, pe ORDER BY m.lang, m.detected
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict

@@ -1794,3 +1794,40 @@ def test_cms_query_self_verifies(ray_session):
                                  "err_bound", "within_bound"]
     assert len(out) == 10 and bool(out["within_bound"].all())
     assert (out["cms_n"] >= out["exact_n"]).all()
+
+
+# ----------------------------------------------------- langid confusion
+
+
+def test_langid_confusion_kappa_planted(ray_session, tmp_path):
+    """A corpus with known detections: 2 en docs detected en, 1 de doc
+    detected en (miss), 1 de detected de → matrix and kappa computed by
+    hand match."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        langid_confusion,
+    )
+
+    docs = [
+        ("en", "the cat and the dog is in the house for fun"),
+        ("en", "this is the best of all, to be sure, with luck"),
+        ("de", "the train is late and the driver is angry with us"),  # miss
+        ("de", "der zug ist spaet und der fahrer ist nicht froh"),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "lang": pa.array([d[0] for d in docs], pa.string()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+    })
+    sf = _write(tmp_path, "documents", tbl)
+    got = langid_confusion(sf)
+
+    # matrix: (en,en)=2, (de,en)=1, (de,de)=1; N=4, diag=3
+    # rows: en=2, de=2; cols: en=3, de=1; pe=(2*3+2*1)/16=0.5; po=0.75
+    kappa = round((0.75 - 0.5) / (1 - 0.5), 6)
+    want = pd.DataFrame({
+        "lang": ["de", "de", "en"],
+        "detected": ["de", "en", "en"],
+        "n": [1, 1, 2],
+        "kappa": [kappa] * 3,
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
