@@ -5941,6 +5941,64 @@ def cms_user_event_counts(sf_dir: str):
 QUERIES["cms_user_event_counts"] = cms_user_event_counts
 
 
+def user_value_intervals(sf_dir: str):
+    """SCD2-STYLE INTERVAL BUILD (change-data-capture shape): each user's
+    purchase events become validity intervals — ``valid_from`` = the
+    event ts, ``valid_to`` = the next event's ts (NULL while current) —
+    the ``lead() OVER (PARTITION BY user ORDER BY ts, id)`` pattern that
+    turns an append-only log into a temporal dimension table.  One coarse
+    user exchange; per partition one lexsort and one shifted compare (the
+    lead is ``ts[1:]`` masked at segment boundaries) — no per-user
+    Python.  Values pass through untouched, so parity is bit-exact."""
+    from ..functions.hashing import stable_hash64
+    from ..stages.dedup import _n_partitions
+
+    P = _n_partitions()
+    ds = _t(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                       "event_type", "value"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["event_type"], "purchase"))
+        h = (stable_hash64(f["user_id"]) % np.uint64(P)).astype(np.int32)
+        return pa.table({"user_id": f["user_id"], "event_id": f["event_id"],
+                         "ts": f["ts"], "value": f["value"],
+                         "u_part": pa.array(h)})
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        users = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]")
+        val = g["value"].to_numpy()
+        order = np.lexsort((eid, ts.astype(np.int64), users))
+        users, eid, ts, val = users[order], eid[order], ts[order], val[order]
+        nxt = np.empty_like(ts)
+        nxt[:-1] = ts[1:]
+        nxt[-1:] = np.datetime64("NaT")
+        same = np.zeros(len(users), dtype=bool)
+        same[:-1] = users[1:] == users[:-1]
+        nxt[~same] = np.datetime64("NaT")
+        return pd.DataFrame({"user_id": users, "event_id": eid,
+                             "valid_from": ts, "valid_to": nxt,
+                             "value": val})
+
+    out = ds.map_batches(add_part, batch_format="pyarrow").groupby(
+        "u_part").map_groups(intervals, batch_format="pandas").to_pandas()
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+QUERIES["user_value_intervals"] = user_value_intervals
+
+ORACLE_SQL["user_value_intervals"] = """
+    SELECT user_id, event_id, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           value
+    FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id, event_id
+"""
+
+
 def langid_confusion(sf_dir: str):
     """MODEL-EVAL METRICS as a distributed op: the confusion matrix of
     labeled ``lang`` vs the engine's detected language, plus Cohen's

@@ -1831,3 +1831,45 @@ def test_langid_confusion_kappa_planted(ray_session, tmp_path):
         "kappa": [kappa] * 3,
     })
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# --------------------------------------------------- SCD2 interval build
+
+
+def test_user_value_intervals_planted(ray_session, tmp_path):
+    """Intervals chain per user in (ts, event_id) order; the last row per
+    user stays open (NaT); non-purchase rows are invisible; a ts tie is
+    broken by event_id."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        user_value_intervals,
+    )
+
+    t0 = np.datetime64("2026-07-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    rows = [  # (user, eid, ts, type, value)
+        (1, 1, t0, "purchase", 5.0),
+        (1, 2, t0 + s, "view", 0.0),          # invisible
+        (1, 3, t0 + 2 * s, "purchase", 7.0),
+        (2, 4, t0, "purchase", 1.0),          # ts tie with eid 5
+        (2, 5, t0, "purchase", 2.0),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    })
+    sf = _write(tmp_path, "events", tbl)
+    got = user_value_intervals(sf)
+    want = pd.DataFrame({
+        "user_id": [1, 1, 2, 2],
+        "event_id": [1, 3, 4, 5],
+        "valid_from": pd.Series([t0, t0 + 2 * s, t0, t0],
+                                dtype="datetime64[us]"),
+        "valid_to": pd.Series([t0 + 2 * s, np.datetime64("NaT"), t0,
+                               np.datetime64("NaT")],
+                              dtype="datetime64[us]"),
+        "value": [5.0, 7.0, 1.0, 2.0],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
