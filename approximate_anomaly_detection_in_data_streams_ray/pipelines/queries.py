@@ -5999,6 +5999,111 @@ ORACLE_SQL["user_value_intervals"] = """
 """
 
 
+def top_tokens_per_lang(sf_dir: str):
+    """GROUPED TOP-K OVER AN UNBOUNDED KEY SPACE (top-5 tokens per
+    language): the (lang, token) vocabulary is unbounded, so counts fold
+    through ``_agg_partitioned``; per-output-block PARTIAL top-5 *per
+    lang* is merge-safe (a global per-lang top-5 is contained in the
+    union of per-block per-lang top-5s), so ≤ 5·|langs| rows per block
+    reach the driver regardless of vocabulary size."""
+    ds = _t(sf_dir, "documents", columns=["lang", "text"],
+            blocks=_join_partitions(sf_dir, "documents"))
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(b["text"], ""),
+                                      pattern=r"[^A-Za-z0-9_]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        t = pa.table({
+            "lang": pc.take(b["lang"].combine_chunks(),
+                            parent.filter(keep)),
+            "token": flat.filter(keep)})
+        g = t.group_by(["lang", "token"]).aggregate([("token", "count")])
+        return g.rename_columns(["lang", "token", "n"])
+
+    agg = _agg_partitioned(
+        ds.map_batches(explode, batch_format="pyarrow"), ["lang", "token"],
+        lambda g: g.groupby(["lang", "token"], as_index=False)["n"].sum())
+
+    def ptop(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["n", "token"], ascending=[False, True])
+                .groupby("lang", sort=False).head(5))
+
+    out = agg.map_batches(ptop, batch_format="pandas").to_pandas()
+    out = (out.sort_values(["n", "token"], ascending=[False, True])
+           .groupby("lang", sort=False).head(5))
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["lang", "n", "token"],
+                            ascending=[True, False, True])
+            .reset_index(drop=True))
+
+
+QUERIES["top_tokens_per_lang"] = top_tokens_per_lang
+
+ORACLE_SQL["top_tokens_per_lang"] = """
+    WITH t AS (
+        SELECT lang, unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+        FROM documents),
+    c AS (SELECT lang, token, count(*)::BIGINT AS n
+          FROM t WHERE token <> '' GROUP BY 1, 2),
+    r AS (SELECT lang, token, n,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n DESC, token) AS rn
+          FROM c)
+    SELECT lang, token, n FROM r WHERE rn <= 5
+    ORDER BY lang, n DESC, token
+"""
+
+
+def hash_sample_events(sf_dir: str):
+    """DETERMINISTIC BERNOULLI-STYLE SAMPLE (~5%, md5-bucketed by row
+    id): the stateless row filter every huge-corpus profiling pass
+    starts with — any worker admits any row identically, no RNG state,
+    and the admitted set is stable across runs and cluster sizes.
+    Per-type counts and exact-cents sums of the sampled rows fold on the
+    driver (|types|-bounded)."""
+    from ..functions.hashing import md5_hex_arrow
+
+    ds = _t(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def sample(b: pa.Table) -> pa.Table:
+        t = pa.table({"k": pc.cast(b["event_id"], pa.string()),
+                      "event_type": b["event_type"],
+                      "value": pc.fill_null(b["value"], 0.0)})
+        t = md5_hex_arrow(t, "k", out="h")
+        keep = pc.less_equal(pc.utf8_slice_codeunits(t["h"], 0, 2), "0c")
+        f = t.filter(keep)
+        cents = pc.cast(pc.round(pc.multiply(f["value"],
+                                             pa.scalar(100.0))), pa.int64())
+        g = pa.table({"event_type": f["event_type"], "cents": cents}
+                     ).group_by("event_type").aggregate(
+            [("cents", "count"), ("cents", "sum")])
+        return g.rename_columns(["event_type", "n", "cents"])
+
+    parts = ds.map_batches(sample, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("event_type", as_index=False).agg(
+        n_sampled=("n", "sum"), sum_cents=("cents", "sum"))
+    out = pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n_sampled": agg["n_sampled"].astype("int64"),
+        "sum_value": (agg["sum_cents"].astype("int64") / 100.0),
+    })
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["hash_sample_events"] = hash_sample_events
+
+ORACLE_SQL["hash_sample_events"] = """
+    SELECT event_type, count(*)::BIGINT AS n_sampled,
+           sum(CAST(round(COALESCE(value, 0) * 100) AS BIGINT)) / 100.0
+               AS sum_value
+    FROM events
+    WHERE substr(md5(event_id::VARCHAR), 1, 2) <= '0c'
+    GROUP BY event_type ORDER BY event_type
+"""
+
+
 def langid_confusion(sf_dir: str):
     """MODEL-EVAL METRICS as a distributed op: the confusion matrix of
     labeled ``lang`` vs the engine's detected language, plus Cohen's

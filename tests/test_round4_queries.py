@@ -1873,3 +1873,69 @@ def test_user_value_intervals_planted(ray_session, tmp_path):
         "value": [5.0, 7.0, 1.0, 2.0],
     })
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ------------------------------------------------- grouped top-k / sample
+
+
+def test_top_tokens_per_lang_planted(ray_session, tmp_path):
+    """Known counts with a count tie broken by token text; per-lang
+    top-5 cut respected."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        top_tokens_per_lang,
+    )
+
+    docs = [
+        ("en", "aa aa aa bb bb cc dd ee ff gg"),   # 7 distinct, top-5 cut
+        ("de", "xx yy xx yy zz"),                  # tie xx=yy=2 → token order
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "lang": pa.array([d[0] for d in docs], pa.string()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+    })
+    sf = _write(tmp_path, "documents", tbl)
+    got = top_tokens_per_lang(sf)
+    want = pd.DataFrame({
+        "lang": ["de", "de", "de", "en", "en", "en", "en", "en"],
+        "token": ["xx", "yy", "zz", "aa", "bb", "cc", "dd", "ee"],
+        "n": [2, 2, 1, 3, 2, 1, 1, 1],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_hash_sample_events_matches_bruteforce_md5(ray_session, tmp_path):
+    """The admitted set is exactly the rows whose md5(event_id) first two
+    hex chars are <= '0c' — checked against hashlib directly."""
+    import hashlib
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        hash_sample_events,
+    )
+
+    n = 4000
+    ts = np.datetime64("2026-08-01T00:00:00", "us")
+    tbl = pa.table({
+        "event_id": pa.array(range(1, n + 1), pa.int64()),
+        "ts": pa.array([ts] * n, pa.timestamp("us")),
+        "event_type": pa.array(["a" if i % 2 else "b"
+                                for i in range(1, n + 1)], pa.string()),
+        "value": pa.array([round(i * 0.07, 2) for i in range(1, n + 1)],
+                          pa.float64()),
+    })
+    sf = _write(tmp_path, "events", tbl)
+    got = hash_sample_events(sf)
+
+    rows = {}
+    for i in range(1, n + 1):
+        if hashlib.md5(str(i).encode()).hexdigest()[:2] <= "0c":
+            et = "a" if i % 2 else "b"
+            c = int(round(round(i * 0.07, 2) * 100))
+            cur = rows.setdefault(et, [0, 0])
+            cur[0] += 1
+            cur[1] += c
+    want = pd.DataFrame(
+        [(et, v[0], v[1] / 100.0) for et, v in sorted(rows.items())],
+        columns=["event_type", "n_sampled", "sum_value"])
+    assert want["n_sampled"].sum() > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
