@@ -453,7 +453,12 @@ class CountMinSketch:
         return self
 
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
-        assert (self.depth, self.width) == (other.depth, other.width)
+        if (self.depth, self.width) != (other.depth, other.width):
+            # a bare assert vanishes under -O and a (1, w) table would
+            # broadcast-add into (d, w) silently, corrupting every row
+            raise ValueError(
+                f"CMS geometry mismatch: {(self.depth, self.width)} vs "
+                f"{(other.depth, other.width)}")
         self.table += other.table
         self.n += other.n
         return self

@@ -5366,6 +5366,28 @@ ORACLE_SQL["value_streak_histogram"] = """
 """
 
 
+def _user_sorted_segments(users: np.ndarray, ts: np.ndarray,
+                          eid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Shared scaffold of the per-user window operators: ONE lexsort by
+    (user, ts, event_id) plus, for every sorted row, the index where its
+    user's segment starts.  Returns ``(order, seg_start)`` — apply
+    ``order`` to each column, then window bounds are pure arithmetic
+    against ``seg_start``.  Callers MUST have dropped null ts first: NaT
+    sorts FIRST under numpy but NULLS LAST under the SQL ORDER BY the
+    oracles use, so a null slipping in here silently diverges from the
+    oracle (the round-4 review's NULL-ordering finding)."""
+    order = np.lexsort((eid, ts.astype(np.int64), users))
+    u = users[order]
+    first = np.zeros(len(u), dtype=bool)
+    if len(u):
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+    starts_idx = np.nonzero(first)[0]
+    seg_start = np.repeat(starts_idx,
+                          np.diff(np.append(starts_idx, len(u))))
+    return order, seg_start
+
+
 def rolling_zscore_events(sf_dir: str):
     """STREAMING anomaly flags as a batch operator (the reference's
     sliding-window outlier test, re-expressed over event time — cf.
@@ -5394,25 +5416,22 @@ def rolling_zscore_events(sf_dir: str):
             blocks=_join_partitions(sf_dir, "events"))
 
     def add_part(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b["value"]))
+        # null value AND null ts rows are invisible on both sides (np
+        # lexsort would place NaT FIRST while the oracle's window ORDER BY
+        # places NULLS LAST — filtering keeps the orders identical)
+        b = b.filter(pc.and_(pc.is_valid(b["value"]), pc.is_valid(b["ts"])))
         h = (stable_hash64(b["user_id"]) % np.uint64(P)).astype(np.int32)
         return b.append_column("u_part", pa.array(h))
 
     def flags(g: pd.DataFrame) -> pd.DataFrame:
         users = g["user_id"].to_numpy()
         eid = g["event_id"].to_numpy()
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]")
         cents = (g["value"].to_numpy(dtype=np.float64) * 100
                  ).round().astype(np.int64)
-        order = np.lexsort((eid, ts, users))
+        order, seg_start = _user_sorted_segments(users, ts, eid)
         users, eid, cents = users[order], eid[order], cents[order]
         m = len(users)
-        first = np.zeros(m, dtype=bool)
-        first[0] = True
-        first[1:] = users[1:] != users[:-1]
-        starts_idx = np.nonzero(first)[0]
-        seg_start = np.repeat(starts_idx,
-                              np.diff(np.append(starts_idx, m)))
         idx = np.arange(m, dtype=np.int64)
         lo = np.maximum(idx - WIN, seg_start)
         cs = np.concatenate([[0], np.cumsum(cents)])
@@ -5438,7 +5457,7 @@ QUERIES["rolling_zscore_events"] = rolling_zscore_events
 ORACLE_SQL["rolling_zscore_events"] = """
     WITH e AS (SELECT user_id, event_id, ts,
                       CAST(round(value * 100) AS BIGINT) AS c
-               FROM events WHERE value IS NOT NULL),
+               FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
     w AS (SELECT user_id, event_id, c,
                  count(*) OVER win AS n,
                  COALESCE(sum(c) OVER win, 0) AS s,
@@ -5478,7 +5497,11 @@ def incremental_exact_dedup(sf_dir: str):
 
     def prep(b: pa.Table) -> pa.Table:
         t = md5_hex_arrow(b, "text", out="h")
-        part = (stable_hash64(t["h"]) % np.uint64(P)).astype(np.int32)
+        # null text ⇒ null digest (SQL semantics: md5(NULL) never equals
+        # anything); partition on a filled copy so null-h rows still land
+        # deterministically
+        part = (stable_hash64(pc.fill_null(t["h"], ""))
+                % np.uint64(P)).astype(np.int32)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
                          "h": t["h"],
@@ -5487,7 +5510,11 @@ def incremental_exact_dedup(sf_dir: str):
 
     def anti(g: pd.DataFrame) -> pa.Table:
         delta = g[g["is_delta"]]
-        new = delta[~delta["h"].isin(g.loc[~g["is_delta"], "h"])]
+        # NULL digests never match (SQL NOT EXISTS semantics): a null-text
+        # delta doc is always new, a null-text base doc blocks nothing —
+        # pandas isin would match None to None, so exclude nulls explicitly
+        base_h = g.loc[~g["is_delta"], "h"].dropna()
+        new = delta[delta["h"].isna() | ~delta["h"].isin(base_h)]
         # Arrow out with explicit types: an empty object-dtype pandas
         # frame makes Ray's size estimator warn per empty partition
         return pa.table({
@@ -5681,6 +5708,14 @@ def token_pmi_top20(sf_dir: str):
                      pc.index_in(pa.array(w[1]), vocab["token"].chunk(0))
                      ).to_numpy(zero_copy_only=False).astype(np.int64)
         cxy = df["n"].to_numpy().astype(np.int64)
+        # overflow bound (numpy int64 wraps SILENTLY where SQL errors):
+        # both products must stay < 2^62 — at ~10^13 corpus tokens a
+        # 10^9-count bigram breaks it, switch the ratio to log-space then
+        if (n_total * int(cxy.max()) >= 2**62
+                or int(cx.max()) * int(cy.max()) >= 2**62):
+            raise OverflowError(
+                "token_pmi_top20: count products exceed int64-safe range; "
+                "compute PMI in log space for corpora this large")
         ratio = (n_total * cxy) / (cx * cy)
         out = pd.DataFrame({"bigram": df["bigram"].to_numpy(),
                             "n_xy": cxy, "n_x": cx, "n_y": cy,
@@ -5840,6 +5875,11 @@ def events_hourly_dense(sf_dir: str):
 
     parts = ds.map_batches(hour, batch_format="pyarrow").to_pandas()
     agg = parts.groupby(["event_type", "hour"], as_index=False)["n"].sum()
+    if agg.empty:  # empty / all-null-ts input: the oracle returns 0 rows
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=str),
+            "hour": pd.Series([], dtype="datetime64[us]"),
+            "n": pd.Series([], dtype="int64")})
     lo = agg["hour"].min()
     hi = agg["hour"].max()
     spine = pd.DatetimeIndex(np.arange(
@@ -5959,7 +5999,11 @@ def user_value_intervals(sf_dir: str):
             blocks=_join_partitions(sf_dir, "events"))
 
     def add_part(b: pa.Table) -> pa.Table:
-        f = b.filter(pc.equal(b["event_type"], "purchase"))
+        # null-ts rows are invisible on both sides: np lexsort would put
+        # NaT FIRST while the oracle's ORDER BY puts NULLS LAST, which
+        # would re-chain every interval around them
+        f = b.filter(pc.and_(pc.equal(b["event_type"], "purchase"),
+                             pc.is_valid(b["ts"])))
         h = (stable_hash64(f["user_id"]) % np.uint64(P)).astype(np.int32)
         return pa.table({"user_id": f["user_id"], "event_id": f["event_id"],
                          "ts": f["ts"], "value": f["value"],
@@ -5970,14 +6014,18 @@ def user_value_intervals(sf_dir: str):
         eid = g["event_id"].to_numpy()
         ts = g["ts"].to_numpy().astype("datetime64[us]")
         val = g["value"].to_numpy()
-        order = np.lexsort((eid, ts.astype(np.int64), users))
+        order, seg_start = _user_sorted_segments(users, ts, eid)
         users, eid, ts, val = users[order], eid[order], ts[order], val[order]
+        n = len(users)
         nxt = np.empty_like(ts)
-        nxt[:-1] = ts[1:]
-        nxt[-1:] = np.datetime64("NaT")
-        same = np.zeros(len(users), dtype=bool)
-        same[:-1] = users[1:] == users[:-1]
-        nxt[~same] = np.datetime64("NaT")
+        if n:
+            nxt[:-1] = ts[1:]
+            nxt[-1:] = np.datetime64("NaT")
+            # row i is its user's LAST row iff row i+1 starts a new segment
+            last = np.zeros(n, dtype=bool)
+            last[-1] = True
+            last[:-1] = seg_start[1:] == np.arange(1, n)
+            nxt[last] = np.datetime64("NaT")
         return pd.DataFrame({"user_id": users, "event_id": eid,
                              "valid_from": ts, "valid_to": nxt,
                              "value": val})
@@ -5994,7 +6042,7 @@ ORACLE_SQL["user_value_intervals"] = """
            lead(ts) OVER (PARTITION BY user_id
                           ORDER BY ts, event_id) AS valid_to,
            value
-    FROM events WHERE event_type = 'purchase'
+    FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     ORDER BY user_id, event_id
 """
 

@@ -1525,6 +1525,9 @@ def test_rolling_zscore_matches_bigint_bruteforce(ray_session, tmp_path):
     for i in range(21):
         eid += 1
         rows.append((6, eid, t0 + i * s, 10.0 if i < 20 else 10.01))
+    # null-ts rows are invisible on both sides (NULLS LAST vs NaT-first)
+    eid += 1
+    rows.append((6, eid, None, 999.0))
     tbl = pa.table({
         "user_id": pa.array([r[0] for r in rows], pa.int64()),
         "event_id": pa.array([r[1] for r in rows], pa.int64()),
@@ -1536,6 +1539,7 @@ def test_rolling_zscore_matches_bigint_bruteforce(ray_session, tmp_path):
 
     expect = []
     df = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value"])
+    df = df[df["ts"].notna()]
     for u, g in df.sort_values(["user_id", "ts", "event_id"]).groupby(
             "user_id"):
         cents = [int(round(v * 100)) for v in g["value"]]
@@ -1550,7 +1554,8 @@ def test_rolling_zscore_matches_bigint_bruteforce(ray_session, tmp_path):
                 expect.append((u, eids[i], n))
     want = pd.DataFrame(expect, columns=["user_id", "event_id", "n_window"])
     assert len(want) > 0  # the planted u6 spike at minimum
-    assert (6, eid, 20) in expect  # zero-variance window flags 1 cent
+    assert (6, eid - 1, 20) in expect  # zero-variance window flags 1 cent
+    assert not any(e[1] == eid for e in expect)  # null-ts row invisible
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
@@ -1573,6 +1578,8 @@ def test_incremental_dedup_planted_duplicates(ray_session, tmp_path):
         (9, "de", "fresh delta nine"),   # delta, unique → keep
         (14, "fr", "delta twin"),        # delta dup of delta → BOTH keep
         (19, "fr", "delta twin"),
+        (6, "en", None),                 # base null text blocks nothing
+        (24, "zh", None),                # delta null text is always new
     ]
     tbl = pa.table({
         "doc_id": pa.array([d[0] for d in docs], pa.int64()),
@@ -1581,8 +1588,8 @@ def test_incremental_dedup_planted_duplicates(ray_session, tmp_path):
     })
     sf = _write(tmp_path, "documents", tbl)
     got = incremental_exact_dedup(sf)
-    want = pd.DataFrame({"doc_id": [9, 14, 19],
-                         "lang": ["de", "fr", "fr"]})
+    want = pd.DataFrame({"doc_id": [9, 14, 19, 24],
+                         "lang": ["de", "fr", "fr", "zh"]})
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
@@ -1852,6 +1859,7 @@ def test_user_value_intervals_planted(ray_session, tmp_path):
         (1, 3, t0 + 2 * s, "purchase", 7.0),
         (2, 4, t0, "purchase", 1.0),          # ts tie with eid 5
         (2, 5, t0, "purchase", 2.0),
+        (2, 6, None, "purchase", 9.0),        # null ts: invisible
     ]
     tbl = pa.table({
         "user_id": pa.array([r[0] for r in rows], pa.int64()),
