@@ -6152,6 +6152,34 @@ ORACLE_SQL["hash_sample_events"] = """
 """
 
 
+def kmeans_embeddings(sf_dir: str):
+    """ITERATIVE ALGORITHM as a Ray Data pipeline: distributed Lloyd's
+    k-means over the full embedding table (``stages/ann.py:kmeans_fit``
+    — per-iteration map_batches partials of k·(d+1)+1 floats, driver
+    centroid fold; the sample-trained IVF quantizer's full-data sibling).
+    Rows-only entry with an in-query convergence contract: the inertia
+    history must be non-increasing (Lloyd monotonicity) or the query
+    raises.  Output: one row per cluster with its final size, plus the
+    first/last inertia as constant columns."""
+    from ..stages.ann import kmeans_fit
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+            spread=True)
+    k, iters = 8, 8
+    _, counts, hist = kmeans_fit(ds, k=k, iters=iters)
+    if any(b > a * (1 + 1e-9) + 1e-9 for a, b in zip(hist, hist[1:])):
+        raise AssertionError(f"k-means inertia increased: {hist}")
+    return pd.DataFrame({
+        "cluster": np.arange(k, dtype=np.int64),
+        "n_points": counts.astype(np.int64),
+        "inertia_first": round(hist[0], 6),
+        "inertia_last": round(hist[-1], 6),
+    })
+
+
+QUERIES["kmeans_embeddings"] = kmeans_embeddings
+
+
 def langid_confusion(sf_dir: str):
     """MODEL-EVAL METRICS as a distributed op: the confusion matrix of
     labeled ``lang`` vs the engine's detected language, plus Cohen's

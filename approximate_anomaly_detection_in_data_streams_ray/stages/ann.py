@@ -162,3 +162,106 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
         .head(k)
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------------------ distributed k-means
+
+
+def _vec_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """Zero-copy list<float> → (n, d) float64 with the ragged/null guard
+    (a null or ragged row would silently misalign the flatten)."""
+    col = batch[vec_col].combine_chunks()
+    if col.null_count:
+        raise ValueError(f"{vec_col}: null embeddings are not clusterable")
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    offs = np.asarray(col.offsets)
+    widths = offs[1:] - offs[:-1]
+    if n and not (widths == widths[0]).all():
+        raise ValueError(f"{vec_col}: ragged embedding widths {set(widths)}")
+    return flat.reshape(n, int(widths[0]) if n else 0)
+
+
+def kmeans_fit(ds, k: int = 8, iters: int = 10, id_col: str = "vec_id",
+               vec_col: str = "embedding", tol: float = 1e-4):
+    """DISTRIBUTED Lloyd's k-means — the iterative-algorithm shape on Ray
+    Data: each iteration is ONE ``map_batches`` pass emitting per-cluster
+    (sum-vector, count, inertia) partials — k·(d+1)+1 floats per batch
+    regardless of row count — folded on the driver into the next centroid
+    set (empty clusters keep their previous centroid, the deterministic
+    convention).  Unlike :class:`IVFIndex` (sample-trained), this fits on
+    ALL rows; initialisation is the k smallest-id vectors (deterministic
+    across runs and cluster sizes, per-block partial top-k fetch).
+
+    Returns ``(centroids, counts, inertia_history)`` where
+    ``inertia_history[i]`` is the total squared distance to the
+    PRE-update centroids of iteration i — non-increasing by Lloyd's
+    monotonicity, which callers can assert as a convergence witness."""
+    from ..functions.hashing import stable_hash64
+
+    # deterministic, UNBIASED init: farthest-first traversal over a
+    # hash-ordered sample (k·64 rows with the smallest stable_hash64(id)
+    # — reproducible on any cluster size, and unlike smallest-id it does
+    # not correlate with insertion time, which would seed every centroid
+    # inside one early cluster).  Partial top-m per block → ≤ m rows per
+    # block reach the driver.
+    m = k * 64
+
+    def hash_low(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_h"] = stable_hash64(df[id_col].to_numpy())
+        return df.sort_values(["_h", id_col]).head(m)
+
+    low = (ds.map_batches(hash_low, batch_format="pandas")
+           .to_pandas().sort_values(["_h", id_col]).head(m))
+    S = _vec_matrix(pa.table({vec_col: pa.array(list(low[vec_col]))}),
+                    vec_col)
+    if len(S) < k:
+        raise ValueError(f"kmeans_fit: need >= {k} rows, got {len(S)}")
+    chosen = [0]                      # the sample's hash-first row
+    d2min = ((S - S[0]) ** 2).sum(1)
+    for _ in range(k - 1):
+        nxt = int(d2min.argmax())     # farthest from every chosen center
+        chosen.append(nxt)
+        d2min = np.minimum(d2min, ((S - S[nxt]) ** 2).sum(1))
+    C = S[chosen].copy()
+    d = C.shape[1]
+    history: list[float] = []
+    counts = np.zeros(k, dtype=np.int64)
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def partial(b: pa.Table, _cr=c_ref) -> pa.Table:
+            M = _vec_matrix(b, vec_col)
+            Cw = ray.get(_cr)
+            d2 = ((M * M).sum(1)[:, None] - 2.0 * (M @ Cw.T)
+                  + (Cw * Cw).sum(1)[None, :])
+            a = d2.argmin(1)
+            onehot = (a[:, None] == np.arange(len(Cw))[None, :])
+            sums = onehot.T.astype(np.float64) @ M          # (k, d)
+            cnt = np.bincount(a, minlength=len(Cw)).astype(np.int64)
+            inert = float(d2[np.arange(len(a)), a].sum())
+            return pa.table({
+                "sums": pa.array([sums.tobytes()], pa.binary()),
+                "counts": pa.array([cnt.tobytes()], pa.binary()),
+                "inertia": pa.array([inert], pa.float64()),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros((k, d))
+        counts = np.zeros(k, dtype=np.int64)
+        for sb, cb in zip(parts["sums"], parts["counts"]):
+            sums += np.frombuffer(sb, dtype=np.float64).reshape(k, d)
+            counts += np.frombuffer(cb, dtype=np.int64)
+        history.append(float(parts["inertia"].sum()))
+        nz = counts > 0
+        C = C.copy()
+        C[nz] = sums[nz] / counts[nz, None]
+        # early stop: each extra iteration is a full corpus pass — stop
+        # when the relative inertia improvement falls under tol
+        if (len(history) >= 2
+                and history[-2] - history[-1] <= tol * abs(history[-2])):
+            break
+
+    return C, counts, history

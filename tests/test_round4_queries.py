@@ -1947,3 +1947,59 @@ def test_hash_sample_events_matches_bruteforce_md5(ray_session, tmp_path):
         columns=["event_type", "n_sampled", "sum_value"])
     assert want["n_sampled"].sum() > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ------------------------------------------------- distributed k-means
+
+
+def test_kmeans_recovers_planted_blobs(ray_session, tmp_path):
+    """Three well-separated blobs, k=3: recovered cluster sizes equal the
+    blob sizes and inertia is non-increasing across iterations."""
+    import ray as _ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.ann import (
+        kmeans_fit,
+    )
+
+    rng = np.random.default_rng(13)
+    centers = np.array([[10.0, 0, 0], [0, 10.0, 0], [0, 0, 10.0]])
+    sizes = [40, 25, 35]
+    vecs, ids = [], []
+    vid = 0
+    for c, sz in zip(centers, sizes):
+        for _ in range(sz):
+            vid += 1
+            vecs.append((c + rng.normal(0, 0.3, 3)).astype(np.float32))
+            ids.append(vid)
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    sf = _write(tmp_path, "embeddings", tbl)
+    ds = _ray.data.read_parquet(str(tmp_path / "embeddings.parquet"))
+    C, counts, hist = kmeans_fit(ds, k=3, iters=6)
+
+    assert sorted(counts.tolist()) == sorted(sizes)
+    assert all(b <= a * (1 + 1e-9) + 1e-9 for a, b in zip(hist, hist[1:]))
+    # every centroid sits on one planted center (within blob noise)
+    d = np.linalg.norm(C[:, None, :] - centers[None, :, :], axis=2).min(1)
+    assert (d < 1.0).all()
+
+
+def test_kmeans_rejects_ragged_embeddings(ray_session, tmp_path):
+    import ray as _ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.stages.ann import (
+        kmeans_fit,
+    )
+
+    tbl = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array([[1.0, 2.0], [3.0], [4.0, 5.0]],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    ds = _ray.data.read_parquet(str(tmp_path / "embeddings.parquet"))
+    with pytest.raises(Exception, match="ragged"):
+        kmeans_fit(ds, k=2, iters=1)
