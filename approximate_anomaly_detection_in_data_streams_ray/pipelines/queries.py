@@ -6152,6 +6152,106 @@ ORACLE_SQL["hash_sample_events"] = """
 """
 
 
+def search_documents_tfidf(sf_dir: str):
+    """LEXICAL SEARCH (retrieval as a batch op): top-10 documents for a
+    fixed query by TF-IDF — per-query-token document frequencies come
+    from ONE narrow pass restricted to the |query|-bounded token set
+    (broadcast, never the full vocabulary), then one scoring scan with a
+    per-block partial top-10.  Score = Σ_t tf(t,d)·ln((N+1)/(df_t+1)),
+    computed from identical integers on both sides and rounded at 6 dp;
+    ties break by doc_id.  Zero-score docs are excluded (the oracle's
+    WHERE, keeps the result query-relevant)."""
+    q_tokens = ["data", "stream", "processing", "window"]
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"],
+            blocks=_join_partitions(sf_dir, "documents"))
+
+    # pass 1: N and per-query-token df — the partial is |q|+1 rows/batch
+    def dfs(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(b["text"], ""),
+                                      pattern=r"[^A-Za-z0-9_]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.is_in(flat, value_set=pa.array(q_tokens))
+        df = pd.DataFrame({
+            "d": parent.filter(keep).to_numpy(zero_copy_only=False),
+            "token": flat.filter(keep).to_pandas()})
+        vc = df.drop_duplicates()["token"].value_counts()
+        out_t = list(vc.index) + ["\x00n_docs"]
+        out_n = [int(v) for v in vc.to_numpy()] + [b.num_rows]
+        return pa.table({"token": pa.array(out_t, pa.string()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    parts = ds.map_batches(dfs, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("token")["n"].sum()
+    n_docs = int(agg.pop("\x00n_docs"))
+    df_of = {t: int(agg.get(t, 0)) for t in q_tokens}
+    idf = {t: np.log((n_docs + 1) / (df_of[t] + 1)) for t in q_tokens}
+
+    # pass 2: score every doc against the broadcast query, partial top-10
+    def score(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern_regex(pc.fill_null(b["text"], ""),
+                                      pattern=r"[^A-Za-z0-9_]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        s = np.zeros(b.num_rows)
+        for t in q_tokens:
+            hit = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tf = np.bincount(parent[hit], minlength=b.num_rows)
+            s += tf * idf[t]
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        out = pd.DataFrame({"doc_id": ids, "score": np.round(s, 6)})
+        out = out[out["score"] > 0]
+        return out.sort_values(["score", "doc_id"],
+                               ascending=[False, True]).head(10)
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return (out.sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(10).reset_index(drop=True))
+
+
+QUERIES["search_documents_tfidf"] = search_documents_tfidf
+
+ORACLE_SQL["search_documents_tfidf"] = """
+    WITH q(token) AS (VALUES ('data'), ('stream'), ('processing'),
+                             ('window')),
+    toks AS (SELECT doc_id,
+                    unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS tk
+             FROM documents),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    dfs AS (SELECT q.token,
+                   count(DISTINCT toks.doc_id)::BIGINT AS df
+            FROM q LEFT JOIN toks ON toks.tk = q.token GROUP BY q.token),
+    tfs AS (SELECT doc_id, tk AS token, count(*)::BIGINT AS tf
+            FROM toks WHERE tk IN (SELECT token FROM q)
+            GROUP BY doc_id, tk),
+    -- FIXED-ORDER float accumulation (data + stream + processing +
+    -- window, left-assoc) to match the engine's loop exactly: a plain
+    -- SUM() adds in unspecified order and can differ in the last ulp
+    piv AS (SELECT doc_id,
+                   COALESCE(sum(tf) FILTER (token = 'data'), 0) AS tf1,
+                   COALESCE(sum(tf) FILTER (token = 'stream'), 0) AS tf2,
+                   COALESCE(sum(tf) FILTER (token = 'processing'), 0) AS tf3,
+                   COALESCE(sum(tf) FILTER (token = 'window'), 0) AS tf4
+            FROM tfs GROUP BY doc_id),
+    idf AS (SELECT
+                ln((n.n_docs + 1) * 1.0 /
+                   ((SELECT df FROM dfs WHERE token = 'data') + 1)) AS i1,
+                ln((n.n_docs + 1) * 1.0 /
+                   ((SELECT df FROM dfs WHERE token = 'stream') + 1)) AS i2,
+                ln((n.n_docs + 1) * 1.0 /
+                   ((SELECT df FROM dfs WHERE token = 'processing') + 1)) AS i3,
+                ln((n.n_docs + 1) * 1.0 /
+                   ((SELECT df FROM dfs WHERE token = 'window') + 1)) AS i4
+            FROM n),
+    scored AS (SELECT doc_id,
+                      tf1 * i1 + tf2 * i2 + tf3 * i3 + tf4 * i4 AS s
+               FROM piv CROSS JOIN idf)
+    SELECT doc_id, round(s, 6) AS score FROM scored WHERE round(s, 6) > 0
+    ORDER BY round(s, 6) DESC, doc_id LIMIT 10
+"""
+
+
 def kmeans_embeddings(sf_dir: str):
     """ITERATIVE ALGORITHM as a Ray Data pipeline: distributed Lloyd's
     k-means over the full embedding table (``stages/ann.py:kmeans_fit``

@@ -2003,3 +2003,32 @@ def test_kmeans_rejects_ragged_embeddings(ray_session, tmp_path):
     ds = _ray.data.read_parquet(str(tmp_path / "embeddings.parquet"))
     with pytest.raises(Exception, match="ragged"):
         kmeans_fit(ds, k=2, iters=1)
+
+
+# ------------------------------------------------------- lexical search
+
+
+def test_search_tfidf_ranks_planted_relevant_doc(ray_session, tmp_path):
+    """A doc stuffed with all four query tokens outranks single-token
+    docs; an unrelated doc never appears; rarer tokens weigh more."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        search_documents_tfidf,
+    )
+
+    docs = [
+        (1, "data stream processing window data stream"),  # all 4 → top
+        (2, "data data data only here"),
+        (3, "window seat on the train"),
+        (4, "completely unrelated text about gardening"),
+        (5, "stream processing notes"),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "lang": pa.array(["en"] * len(docs), pa.string()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+    })
+    sf = _write(tmp_path, "documents", tbl)
+    got = search_documents_tfidf(sf)
+    assert got["doc_id"].iloc[0] == 1
+    assert 4 not in set(got["doc_id"])
+    assert set(got["doc_id"]) == {1, 2, 3, 5}
