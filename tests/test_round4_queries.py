@@ -2032,3 +2032,64 @@ def test_search_tfidf_ranks_planted_relevant_doc(ray_session, tmp_path):
     assert got["doc_id"].iloc[0] == 1
     assert 4 not in set(got["doc_id"])
     assert set(got["doc_id"]) == {1, 2, 3, 5}
+
+
+# ------------------------------------------------ property-based kernels
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 20),
+                          st.integers(0, 10**6)),
+                min_size=1, max_size=200))
+def test_user_sorted_segments_property(rows):
+    """For random (user, ts, eid) triples: the scaffold's order equals the
+    lexicographic sort, and seg_start[i] is the first sorted index of
+    row i's user."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        _user_sorted_segments,
+    )
+
+    users = np.array([r[0] for r in rows], dtype=np.int64)
+    ts = np.array([r[1] for r in rows], dtype=np.int64)
+    eid = np.array([r[2] for r in rows], dtype=np.int64)
+    order, seg_start = _user_sorted_segments(users, ts, eid)
+
+    triples = sorted(range(len(rows)),
+                     key=lambda i: (users[i], ts[i], eid[i]))
+    u_sorted = users[order]
+    assert (u_sorted == users[np.array(triples)]).all()
+    first_of = {}
+    for i, u in enumerate(u_sorted):
+        first_of.setdefault(int(u), i)
+    assert all(seg_start[i] == first_of[int(u_sorted[i])]
+               for i in range(len(u_sorted)))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=500),
+       st.integers(0, 500))
+def test_cms_properties(keys, split):
+    """For any key multiset and any split point: partial-merge equals
+    one-shot, estimates never under-count, and the additive bound holds."""
+    import collections
+
+    from approximate_anomaly_detection_in_data_streams_ray.functions.sketches import (
+        CountMinSketch,
+    )
+
+    keys = np.array(keys, dtype=np.int64)
+    split = min(split, len(keys))
+    whole = CountMinSketch(depth=3, width=256).add(keys)
+    merged = CountMinSketch(depth=3, width=256).add(keys[:split]).merge(
+        CountMinSketch(depth=3, width=256).add(keys[split:]))
+    assert (whole.table == merged.table).all() and whole.n == merged.n
+
+    exact = collections.Counter(keys.tolist())
+    probe = np.array(sorted(exact))
+    est = whole.estimate(probe)
+    ex = np.array([exact[k] for k in probe])
+    assert (est >= ex).all()
+    assert (est <= ex + whole.error_bound()).all()
