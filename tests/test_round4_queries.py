@@ -2093,3 +2093,37 @@ def test_cms_properties(keys, split):
     ex = np.array([exact[k] for k in probe])
     assert (est >= ex).all()
     assert (est <= ex + whole.error_bound()).all()
+
+
+# -------------------------------------------- sharded-directory table input
+
+
+def test_sharded_table_dir_equals_single_file(ray_session, tmp_path):
+    """A table given as a DIRECTORY of shards (the 100-TB input layout
+    `_table_paths` documents) produces byte-identical query results to
+    the same rows in one file."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        doc_stats,
+        exact_dedup_documents,
+    )
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    single = tmp_path / "single"
+    sharded = tmp_path / "sharded"
+    single.mkdir(), sharded.mkdir()
+    pq.write_table(src, single / "documents.parquet")
+    shard_dir = sharded / "documents.parquet"
+    shard_dir.mkdir()
+    n = src.num_rows
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3),
+                                  (2 * n // 3, n)]):
+        pq.write_table(src.slice(lo, hi - lo),
+                       shard_dir / f"part-{i:03d}.parquet")
+
+    for q in (doc_stats, exact_dedup_documents):
+        a = q(str(single))
+        b = q(str(sharded))
+        a = a.to_pandas() if hasattr(a, "to_pandas") else a
+        b = b.to_pandas() if hasattr(b, "to_pandas") else b
+        pd.testing.assert_frame_equal(pd.DataFrame(a), pd.DataFrame(b),
+                                      check_dtype=False)
