@@ -6349,6 +6349,304 @@ ORACLE_SQL["langid_confusion"] = r"""
 """
 
 
+def triangle_count_copurchase(sf_dir: str,
+                              broadcast_max_edges: int = 5_000_000):
+    """GRAPH TRIANGLE COUNTING over the part co-purchase graph — the
+    degree-oriented wedge algorithm (Suri & Vassilvitskii's MapReduce
+    formulation), the canonical distributed graph-analytics primitive a
+    row-store engine can't express cheaply.
+
+    Stages (edges = distinct part pairs sharing an order, canonical
+    ``a < b``):
+
+    1. basket expansion — orderkey-hash exchange, per-partition
+       vectorized C(s,2) pair expansion (baskets are line-count bounded),
+       then one distinct-fold exchange on the pair key; the reduced edge
+       set is materialized once and reused by the next three stages.
+    2. degrees — per-batch Arrow pre-combine over both endpoints, coarse
+       fold; the (node, degree) map is part-dimension bounded, so it
+       broadcasts via ``ray.put`` (at 10^12 scale it would hash-join
+       instead, same shape as route B below).
+    3. orientation — every edge points low→high by ``(degree, node)``,
+       which bounds every out-degree by O(√m): total wedge work is
+       Σ C(d_out, 2) ≤ O(m^1.5) instead of Σ C(d, 2) (quadratic in the
+       hottest node's degree — the skew killer this algorithm exists
+       to avoid).
+    4. wedge closure — src-hash exchange, per-partition vectorized wedge
+       expansion; closure is checked with NO wedge exchange when the
+       edge-key set broadcasts (sorted-array ``searchsorted`` membership,
+       wedges never leave their task), else (``> broadcast_max_edges``)
+       wedges pre-combine to (key, multiplicity) rows and meet the edge
+       keys in one more bucketed exchange (route B, forced in tests).
+
+    Output: one row (n_nodes, n_edges, n_triangles), all exact int64.
+    """
+    from ..functions.hashing import stable_hash64
+    from ..stages.dedup import _n_partitions
+
+    P = _n_partitions()
+    ds = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def add_opart(b: pa.Table) -> pa.Table:
+        h = (stable_hash64(b["l_orderkey"]) % np.uint64(P)).astype(np.int32)
+        return b.append_column("o_part", pa.array(h))
+
+    def expand_edges(g: pd.DataFrame) -> pd.DataFrame:
+        t = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        ok = t["l_orderkey"].to_numpy()
+        pk = t["l_partkey"].to_numpy()
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        starts = np.nonzero(np.r_[True, ok[1:] != ok[:-1]])[0]
+        sizes = np.diff(np.append(starts, len(ok)))
+        local = np.arange(len(ok)) - np.repeat(starts, sizes)
+        rem = np.repeat(sizes, sizes) - 1 - local
+        i_idx = np.repeat(np.arange(len(ok)), rem)
+        offs = np.arange(int(rem.sum())) - np.repeat(
+            np.cumsum(rem) - rem, rem)
+        j_idx = i_idx + 1 + offs
+        out = pd.DataFrame({"a": pk[i_idx], "b": pk[j_idx]}
+                           ).drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    def edge_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    # the reduced edge set (≤ orders·C(s̄,2) rows, far below the input) is
+    # the one intermediate three downstream stages share — materialize it
+    edges = _agg_partitioned(
+        ds.map_batches(add_opart, batch_format="pyarrow")
+          .groupby("o_part").map_groups(expand_edges, batch_format="pandas"),
+        ["a", "b"], edge_distinct).materialize()
+    n_edges = edges.count()
+
+    def deg_part(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate([b["a"].to_numpy(zero_copy_only=False),
+                                b["b"].to_numpy(zero_copy_only=False)])
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": u.astype(np.int64),
+                         "d": c.astype(np.int64)})
+
+    def deg_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)["d"].sum()
+
+    deg = _agg_partitioned(
+        edges.map_batches(deg_part, batch_format="pyarrow"),
+        ["node"], deg_fold).to_pandas()
+    n_nodes = len(deg)
+    deg_nodes = np.sort(deg["node"].to_numpy().astype(np.int64))
+    deg_vals = deg.set_index("node").loc[deg_nodes, "d"].to_numpy(
+    ).astype(np.int64)
+    assert deg_nodes.size == 0 or int(deg_nodes[-1]) < (1 << 31), \
+        "triangle_count: composite uint64 edge key needs node ids < 2^31"
+    deg_ref = ray.put((deg_nodes, deg_vals))
+
+    def orient(b: pa.Table) -> pa.Table:
+        nodes, vals = ray.get(deg_ref)
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = vals[np.searchsorted(nodes, a)]
+        db = vals[np.searchsorted(nodes, bb)]
+        # low (degree, node) → high: a < b already breaks degree ties
+        fwd = (da < db) | ((da == db) & (a < bb))
+        src = np.where(fwd, a, bb)
+        dst = np.where(fwd, bb, a)
+        h = (stable_hash64(src) % np.uint64(P)).astype(np.int32)
+        return pa.table({"src": src, "dst": dst, "s_part": h})
+
+    def wedge_keys(g: pd.DataFrame) -> np.ndarray:
+        src = g["src"].to_numpy()
+        dst = g["dst"].to_numpy()
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        starts = np.nonzero(np.r_[True, src[1:] != src[:-1]])[0]
+        sizes = np.diff(np.append(starts, len(src)))
+        local = np.arange(len(src)) - np.repeat(starts, sizes)
+        rem = np.repeat(sizes, sizes) - 1 - local
+        i_idx = np.repeat(np.arange(len(src)), rem)
+        offs = np.arange(int(rem.sum())) - np.repeat(
+            np.cumsum(rem) - rem, rem)
+        j_idx = i_idx + 1 + offs
+        v, w = dst[i_idx], dst[j_idx]  # dst-sorted within src → v < w
+        return (v.astype(np.uint64) << np.uint64(32)) | w.astype(np.uint64)
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+
+    if n_edges <= broadcast_max_edges:
+        # route A: closure checked in-task against the broadcast sorted
+        # edge-key array — wedges never leave the partition that made them
+        ek = edges.to_pandas()
+        edge_keys = np.sort((ek["a"].to_numpy().astype(np.uint64)
+                             << np.uint64(32))
+                            | ek["b"].to_numpy().astype(np.uint64))
+        keys_ref = ray.put(edge_keys)
+
+        def count_closed(g: pd.DataFrame) -> pd.DataFrame:
+            wk = wedge_keys(g)
+            keys = ray.get(keys_ref)
+            pos = np.searchsorted(keys, wk)
+            pos[pos >= keys.size] = 0
+            n = int((keys[pos] == wk).sum()) if keys.size else 0
+            return pd.DataFrame({"n_triangles": [n]})
+
+        parts = oriented.groupby("s_part").map_groups(
+            count_closed, batch_format="pandas").to_pandas()
+        n_tri = int(parts["n_triangles"].sum())
+    else:
+        # route B: wedges pre-combine to (key, multiplicity) and meet the
+        # edge keys in one bucketed exchange — nothing broadcasts
+        def wedge_rows(g: pd.DataFrame) -> pa.Table:
+            # typed metadata-free Arrow so the union with edge_rows blocks
+            # unifies cleanly (warning hygiene; see expand_edges)
+            wk = wedge_keys(g)
+            keys, counts = np.unique(wk, return_counts=True)
+            return pa.table({"key": pa.array(keys.astype(np.int64)),
+                             "n": pa.array(counts.astype(np.int64)),
+                             "kind": pa.array(np.full(len(keys), 1, np.int8))})
+
+        wedges = oriented.groupby("s_part").map_groups(
+            wedge_rows, batch_format="pandas")
+
+        def edge_rows(b: pa.Table) -> pa.Table:
+            k = ((b["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                  << np.uint64(32))
+                 | b["b"].to_numpy(zero_copy_only=False).astype(np.uint64))
+            return pa.table({"key": k.astype(np.int64),
+                             "n": np.zeros(len(k), np.int64),
+                             "kind": np.full(len(k), 0, np.int8)})
+
+        tagged = wedges.union(edges.map_batches(edge_rows,
+                                                batch_format="pyarrow"))
+
+        def closure_fold(g: pd.DataFrame) -> pd.DataFrame:
+            ekeys = g.loc[g["kind"] == 0, "key"].to_numpy()
+            wk = g[g["kind"] == 1]
+            hit = wk["key"].isin(pd.unique(ekeys))
+            return pd.DataFrame(
+                {"n_triangles": [int(wk.loc[hit, "n"].sum())]})
+
+        parts = _agg_partitioned(tagged, ["key"], closure_fold).to_pandas()
+        n_tri = int(parts["n_triangles"].sum())
+
+    return pd.DataFrame({"n_nodes": [np.int64(n_nodes)],
+                         "n_edges": [np.int64(n_edges)],
+                         "n_triangles": [np.int64(n_tri)]})
+
+
+QUERIES["triangle_count_copurchase"] = triangle_count_copurchase
+
+ORACLE_SQL["triangle_count_copurchase"] = """
+    WITH e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    nn AS (SELECT count(DISTINCT x)::BIGINT AS n_nodes
+           FROM (SELECT a AS x FROM e UNION ALL SELECT b AS x FROM e)),
+    mm AS (SELECT count(*)::BIGINT AS n_edges FROM e),
+    tt AS (SELECT count(*)::BIGINT AS n_triangles
+           FROM e e1 JOIN e e2 ON e2.a = e1.b
+                     JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT nn.n_nodes, mm.n_edges, tt.n_triangles FROM nn, mm, tt
+"""
+
+
+def user_value_twap(sf_dir: str):
+    """TIME-WEIGHTED AVERAGE (TWAP) of ``value`` per user — the
+    interval-weighted aggregate behind every pricing/telemetry rollup:
+    each observation holds until the next one, so its weight is the gap
+    to the user's next event (the final observation carries no weight).
+
+    One user-hash exchange; each partition does ONE lexsort by
+    (user, ts, event_id), a vectorized segmented diff for the gaps, and a
+    segmented fold.  Exactness: value → half-away cents (int64), gaps in
+    integer µs; the per-user numerator Σ cents·gap_µs is bounded by
+    max_cents · user_span_µs (≲ 3·10^17 for century spans — int64-safe at
+    any corpus size, because the sum telescopes), and the final division
+    is floor-division to micro-value units done in Python ints (the
+    ×10000 step would overflow int64), matching DuckDB's HUGEINT ``//``
+    bit for bit — no float enters the compare path.  Users whose events
+    all share one timestamp have zero total weight and are excluded
+    (den = 0) on both sides."""
+    from ..functions.hashing import stable_hash64
+    from ..stages.dedup import _n_partitions
+
+    P = _n_partitions()
+    ds = _t(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def prep(b: pa.Table) -> pa.Table:
+        if b["value"].null_count or b["ts"].null_count:
+            raise ValueError("user_value_twap: null value/ts rows present "
+                             "— filter or impute upstream")
+        v = b["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        if (cents < 0).any():
+            # DuckDB's `//` truncates toward zero, Python's floors — they
+            # only agree on non-negative numerators, which the guard pins
+            raise ValueError("user_value_twap: negative values present — "
+                             "the floor-division parity contract assumes "
+                             "a non-negative value column")
+        h = (stable_hash64(b["user_id"]) % np.uint64(P)).astype(np.int32)
+        return pa.table({"user_id": b["user_id"], "ts": b["ts"],
+                         "event_id": b["event_id"],
+                         "cents": pa.array(cents), "u_part": pa.array(h)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        users = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        cents = g["cents"].to_numpy()
+        order = np.lexsort((eid, ts, users))
+        users, ts, cents = users[order], ts[order], cents[order]
+        last = np.r_[users[1:] != users[:-1], True]  # last row per user
+        gap = np.r_[np.diff(ts), 0]
+        gap[last] = 0  # never weight across a user boundary
+        starts = np.nonzero(np.r_[True, last[:-1]])[0]  # row after a last row
+        sizes = np.diff(np.append(starts, len(users)))
+        num = np.add.reduceat(cents * gap, starts)
+        den = np.add.reduceat(gap, starts)
+        keep = den > 0
+        u = users[starts][keep]
+        n_ev = sizes[keep].astype(np.int64)
+        num, den = num[keep], den[keep]
+        twap = np.fromiter(
+            (int(a) * 10000 // int(b) for a, b in zip(num, den)),
+            dtype=np.int64, count=len(num))
+        return pd.DataFrame({"user_id": u, "n_events": n_ev,
+                             "span_us": den.astype(np.int64),
+                             "twap_micro": twap})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("u_part").map_groups(fold, batch_format="pandas"))
+
+
+QUERIES["user_value_twap"] = user_value_twap
+
+ORACLE_SQL["user_value_twap"] = """
+    WITH s AS (
+        SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+                   - epoch_us(ts) AS gap_us
+        FROM events
+    ),
+    g AS (
+        SELECT user_id,
+               count(*)::BIGINT AS n_events,
+               sum(CASE WHEN gap_us IS NULL THEN 0 ELSE cents * gap_us END)
+                   AS num,
+               sum(CASE WHEN gap_us IS NULL THEN 0 ELSE gap_us END) AS den
+        FROM s GROUP BY user_id
+    )
+    SELECT user_id, n_events, CAST(den AS BIGINT) AS span_us,
+           CAST((num * 10000) // den AS BIGINT) AS twap_micro
+    FROM g WHERE den > 0
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -6389,7 +6687,7 @@ _FRONT = [
     # this round's newest operators
     "rolling_zscore_events", "incremental_exact_dedup",
     "nation_trimmed_mean", "token_pmi_top20", "near_dup_representatives",
-    "events_hourly_dense",
+    "events_hourly_dense", "triangle_count_copurchase", "user_value_twap",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

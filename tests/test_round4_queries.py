@@ -2127,3 +2127,150 @@ def test_sharded_table_dir_equals_single_file(ray_session, tmp_path):
         b = b.to_pandas() if hasattr(b, "to_pandas") else b
         pd.testing.assert_frame_equal(pd.DataFrame(a), pd.DataFrame(b),
                                       check_dtype=False)
+
+
+# ------------------------------------------------- triangle counting
+
+
+def _planted_lineitem(tmp_path):
+    """Baskets whose co-purchase graph has a hand-countable triangle set:
+    K4 over parts {1,2,3,4} (4 triangles) from basket A∪B, one extra
+    triangle {5,6,7}, and a dangling path 7–8–9 (no triangle).  Edges are
+    planted via 2-item baskets so edge multiplicity ≠ 1 too (dup pair
+    1–2)."""
+    baskets = [
+        (100, [1, 2, 3]), (101, [1, 4, 2]), (102, [3, 4]),
+        (103, [1, 3]),                       # dup edges inside K4
+        (104, [2, 4]), (105, [5, 6, 7]), (106, [7, 8]), (107, [8, 9]),
+        (108, [1, 2]),                       # duplicate of edge 1-2
+    ]
+    ok, pk = [], []
+    for o, parts in baskets:
+        for p in parts:
+            ok.append(o), pk.append(p)
+    tbl = pa.table({
+        "l_orderkey": pa.array(ok, pa.int64()),
+        "l_partkey": pa.array(pk, pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    return str(tmp_path)
+
+
+def test_triangle_count_planted_both_routes(ray_session, tmp_path):
+    """K4 (4 triangles) + one separate triangle = 5; the broadcast route
+    and the bucketed-exchange route must agree with the hand count and
+    with each other."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        triangle_count_copurchase,
+    )
+
+    sf = _planted_lineitem(tmp_path)
+    a = triangle_count_copurchase(sf).iloc[0]
+    b = triangle_count_copurchase(sf, broadcast_max_edges=1).iloc[0]
+    for got in (a, b):
+        assert int(got["n_triangles"]) == 5
+        assert int(got["n_nodes"]) == 9
+        # K4 (6) + triangle 5-6-7 (3) + path edges 7-8, 8-9
+        assert int(got["n_edges"]) == 11
+
+
+def test_triangle_count_matches_bruteforce_on_random_graph(ray_session,
+                                                           tmp_path):
+    """Random baskets vs an O(n^3)-ish numpy adjacency-matrix-cube oracle:
+    trace(A³)/6 counts each triangle exactly once."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        triangle_count_copurchase,
+    )
+
+    rng = np.random.default_rng(11)
+    ok, pk = [], []
+    for o in range(120):
+        parts = rng.choice(30, size=rng.integers(2, 6), replace=False)
+        for p in parts:
+            ok.append(1000 + o), pk.append(int(p) + 1)
+    tbl = pa.table({"l_orderkey": pa.array(ok, pa.int64()),
+                    "l_partkey": pa.array(pk, pa.int64())})
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+
+    got = triangle_count_copurchase(str(tmp_path)).iloc[0]
+
+    nodes = sorted(set(pk))
+    idx = {p: i for i, p in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)), np.int64)
+    basket = {}
+    for o, p in zip(ok, pk):
+        basket.setdefault(o, set()).add(p)
+    for parts in basket.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                A[idx[ps[i]], idx[ps[j]]] = A[idx[ps[j]], idx[ps[i]]] = 1
+    want = int(np.trace(A @ A @ A)) // 6
+    assert int(got["n_triangles"]) == want
+    assert int(got["n_edges"]) == int(A.sum()) // 2
+    assert int(got["n_nodes"]) == int((A.sum(axis=0) > 0).sum())
+
+
+# ------------------------------------------------- time-weighted average
+
+
+def test_user_value_twap_planted(ray_session, tmp_path):
+    """Hand-computed TWAP: user 1 holds 1.00 for 10 s then 3.00 for 30 s
+    → (100·10 + 300·30)/40 = 250 cents = 2.5 → twap_micro 2_500_000.
+    User 2 has one event (no weight) and user 3's events share one
+    timestamp (den = 0): both excluded.  A tie at user 1's second ts
+    checks the (ts, event_id) ordering: the tie row gets zero gap either
+    way, so the answer is order-independent — but its value must not leak
+    into a wrong slot."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        user_value_twap,
+    )
+
+    t0 = np.datetime64("2026-01-01T00:00:00", "us")
+    s = np.timedelta64(1_000_000, "us")
+    rows = [
+        (1, 1, t0, 1.00),
+        (2, 1, t0 + 10 * s, 3.00),
+        (3, 1, t0 + 10 * s, 9.99),   # ts tie → zero-weight by event_id order
+        (4, 1, t0 + 40 * s, 7.00),   # final observation: carries no weight
+        (5, 2, t0, 5.00),
+        (6, 3, t0 + 5 * s, 1.00),
+        (7, 3, t0 + 5 * s, 2.00),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    got = user_value_twap(str(tmp_path)).to_pandas()
+    got = got.sort_values("user_id").reset_index(drop=True)
+    assert len(got) == 1
+    r = got.iloc[0]
+    # 100c·10s + 300c·0s (tie) + 999c·30s over 40 s = (1000+29970)/40
+    want_micro = (100 * 10_000_000 + 999 * 30_000_000) * 10000 // 40_000_000
+    assert int(r["user_id"]) == 1
+    assert int(r["n_events"]) == 4
+    assert int(r["span_us"]) == 40_000_000
+    assert int(r["twap_micro"]) == want_micro
+
+
+def test_user_value_twap_rejects_negative_values(ray_session, tmp_path):
+    """Negative values void the floor-vs-truncate division parity and must
+    raise loudly instead of silently diverging from the SQL oracle."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        user_value_twap,
+    )
+
+    t0 = np.datetime64("2026-01-01T00:00:00", "us")
+    tbl = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([t0, t0 + np.timedelta64(1, "s")], pa.timestamp("us")),
+        "value": pa.array([-1.0, 2.0], pa.float64()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    with pytest.raises(Exception, match="negative"):
+        user_value_twap(str(tmp_path)).to_pandas()
