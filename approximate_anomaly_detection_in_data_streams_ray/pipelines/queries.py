@@ -6349,38 +6349,23 @@ ORACLE_SQL["langid_confusion"] = r"""
 """
 
 
-def triangle_count_copurchase(sf_dir: str,
-                              broadcast_max_edges: int = 5_000_000):
-    """GRAPH TRIANGLE COUNTING over the part co-purchase graph — the
-    degree-oriented wedge algorithm (Suri & Vassilvitskii's MapReduce
-    formulation), the canonical distributed graph-analytics primitive a
-    row-store engine can't express cheaply.
+def _copurchase_graph(sf_dir: str):
+    """The part co-purchase graph shared by the graph-analytics queries:
+    distinct part pairs sharing an order, canonical ``a < b``.
 
-    Stages (edges = distinct part pairs sharing an order, canonical
-    ``a < b``):
+    Basket expansion is an orderkey-hash exchange + per-partition
+    vectorized C(s,2) pair expansion (baskets are line-count bounded, so
+    the expansion is O(rows·s̄), never all-pairs across orders), then one
+    distinct-fold exchange on the pair key.  The reduced edge set (far
+    below the lineitem input) is materialized once because every caller
+    makes multiple passes over it.  Degrees come from a per-batch numpy
+    pre-combine over both endpoints + coarse fold; the (node, degree) map
+    is part-dimension bounded, so it returns as driver arrays the callers
+    broadcast via ``ray.put`` (at 10^12 scale it would hash-join instead).
 
-    1. basket expansion — orderkey-hash exchange, per-partition
-       vectorized C(s,2) pair expansion (baskets are line-count bounded),
-       then one distinct-fold exchange on the pair key; the reduced edge
-       set is materialized once and reused by the next three stages.
-    2. degrees — per-batch Arrow pre-combine over both endpoints, coarse
-       fold; the (node, degree) map is part-dimension bounded, so it
-       broadcasts via ``ray.put`` (at 10^12 scale it would hash-join
-       instead, same shape as route B below).
-    3. orientation — every edge points low→high by ``(degree, node)``,
-       which bounds every out-degree by O(√m): total wedge work is
-       Σ C(d_out, 2) ≤ O(m^1.5) instead of Σ C(d, 2) (quadratic in the
-       hottest node's degree — the skew killer this algorithm exists
-       to avoid).
-    4. wedge closure — src-hash exchange, per-partition vectorized wedge
-       expansion; closure is checked with NO wedge exchange when the
-       edge-key set broadcasts (sorted-array ``searchsorted`` membership,
-       wedges never leave their task), else (``> broadcast_max_edges``)
-       wedges pre-combine to (key, multiplicity) rows and meet the edge
-       keys in one more bucketed exchange (route B, forced in tests).
-
-    Output: one row (n_nodes, n_edges, n_triangles), all exact int64.
-    """
+    Returns ``(edges, n_edges, deg_nodes, deg_vals)`` — a materialized
+    (a, b) Dataset, its row count, and the sorted node / aligned degree
+    arrays."""
     from ..functions.hashing import stable_hash64
     from ..stages.dedup import _n_partitions
 
@@ -6414,8 +6399,6 @@ def triangle_count_copurchase(sf_dir: str,
     def edge_distinct(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates()
 
-    # the reduced edge set (≤ orders·C(s̄,2) rows, far below the input) is
-    # the one intermediate three downstream stages share — materialize it
     edges = _agg_partitioned(
         ds.map_batches(add_opart, batch_format="pyarrow")
           .groupby("o_part").map_groups(expand_edges, batch_format="pandas"),
@@ -6435,10 +6418,41 @@ def triangle_count_copurchase(sf_dir: str,
     deg = _agg_partitioned(
         edges.map_batches(deg_part, batch_format="pyarrow"),
         ["node"], deg_fold).to_pandas()
-    n_nodes = len(deg)
     deg_nodes = np.sort(deg["node"].to_numpy().astype(np.int64))
     deg_vals = deg.set_index("node").loc[deg_nodes, "d"].to_numpy(
     ).astype(np.int64)
+    return edges, n_edges, deg_nodes, deg_vals
+
+
+def triangle_count_copurchase(sf_dir: str,
+                              broadcast_max_edges: int = 5_000_000):
+    """GRAPH TRIANGLE COUNTING over the part co-purchase graph — the
+    degree-oriented wedge algorithm (Suri & Vassilvitskii's MapReduce
+    formulation), the canonical distributed graph-analytics primitive a
+    row-store engine can't express cheaply.
+
+    On the shared :func:`_copurchase_graph`:
+
+    1. orientation — every edge points low→high by ``(degree, node)``,
+       which bounds every out-degree by O(√m): total wedge work is
+       Σ C(d_out, 2) ≤ O(m^1.5) instead of Σ C(d, 2) (quadratic in the
+       hottest node's degree — the skew killer this algorithm exists
+       to avoid).
+    2. wedge closure — src-hash exchange, per-partition vectorized wedge
+       expansion; closure is checked with NO wedge exchange when the
+       edge-key set broadcasts (sorted-array ``searchsorted`` membership,
+       wedges never leave their task), else (``> broadcast_max_edges``)
+       wedges pre-combine to (key, multiplicity) rows and meet the edge
+       keys in one more bucketed exchange (route B, forced in tests).
+
+    Output: one row (n_nodes, n_edges, n_triangles), all exact int64.
+    """
+    from ..functions.hashing import stable_hash64
+    from ..stages.dedup import _n_partitions
+
+    P = _n_partitions()
+    edges, n_edges, deg_nodes, deg_vals = _copurchase_graph(sf_dir)
+    n_nodes = len(deg_nodes)
     assert deg_nodes.size == 0 or int(deg_nodes[-1]) < (1 << 31), \
         "triangle_count: composite uint64 edge key needs node ids < 2^31"
     deg_ref = ray.put((deg_nodes, deg_vals))
@@ -6551,6 +6565,101 @@ ORACLE_SQL["triangle_count_copurchase"] = """
                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
     SELECT nn.n_nodes, mm.n_edges, tt.n_triangles FROM nn, mm, tt
 """
+
+
+_PAGERANK_SCALE = 10 ** 12
+_PAGERANK_ITERS = 5
+
+
+def pagerank_copurchase(sf_dir: str, iters: int = _PAGERANK_ITERS,
+                        top: int = 15):
+    """PAGERANK over the co-purchase graph — the iterative graph
+    algorithm, made EXACTLY SQL-hash-checkable by running the power
+    iteration in fixed-point integers: ranks live in 10^-12 units,
+    each node's outgoing contribution is ``r // deg`` and the damping
+    step is ``(15·SCALE) // (100·n) + (85·Σ contrib) // 100`` — floor
+    divisions on non-negative ints, so DuckDB's truncating ``//`` agrees
+    bit for bit, and the contribution SUM is order-independent (integer
+    addition), unlike float PageRank whose block-order noise would break
+    hash parity.
+
+    Per iteration: ONE pass over the materialized edge set; each batch
+    scatter-adds both directions' contributions into a dense int64
+    partial vector (node-dimension bounded — the same broadcast-smallness
+    assumption as :func:`_copurchase_graph`'s degree map; at 10^12 nodes
+    the partial would instead emit sparse (node, contrib) rows into an
+    ``_agg_partitioned`` fold), and the driver folds the ≤ blocks × n
+    vector partials exactly.  Output: top-``top`` nodes by (rank desc,
+    node asc), rank in fixed-point 10^-12 units."""
+    edges, n_edges, nodes, deg = _copurchase_graph(sf_dir)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "rank_fp": pd.Series([], dtype="int64")})
+    nodes_ref = ray.put(nodes)
+    r = np.full(n, _PAGERANK_SCALE // n, np.int64)
+    base = (15 * _PAGERANK_SCALE) // (100 * n)
+    for _ in range(iters):
+        contrib_ref = ray.put(r // deg)  # non-negative → floor == trunc
+
+        def partial(b: pa.Table, _c=contrib_ref) -> pa.Table:
+            nd, cc = ray.get(nodes_ref), ray.get(_c)
+            ia = np.searchsorted(nd, b["a"].to_numpy(zero_copy_only=False))
+            ib = np.searchsorted(nd, b["b"].to_numpy(zero_copy_only=False))
+            acc = np.zeros(len(nd), np.int64)
+            np.add.at(acc, ia, cc[ib])
+            np.add.at(acc, ib, cc[ia])
+            return pa.table({"acc": pa.array([acc.tobytes()], pa.binary())})
+
+        parts = edges.map_batches(partial, batch_format="pyarrow"
+                                  ).to_pandas()
+        s = np.zeros(n, np.int64)
+        for buf in parts["acc"]:
+            s += np.frombuffer(buf, np.int64)
+        r = base + (85 * s) // 100  # Σ contrib ≤ SCALE → 85·s int64-safe
+
+    order = np.lexsort((nodes, -r))[:top]
+    return pd.DataFrame({"node": nodes[order].astype(np.int64),
+                         "rank_fp": r[order].astype(np.int64)})
+
+
+QUERIES["pagerank_copurchase"] = pagerank_copurchase
+
+
+def _pagerank_oracle_sql(iters: int = _PAGERANK_ITERS,
+                         top: int = 15) -> str:
+    """The fixed-point power iteration unrolled into chained CTEs — one
+    join-aggregate level per iteration, numerically identical to the Ray
+    pipeline because every step is integer floor division on
+    non-negative values."""
+    scale = _PAGERANK_SCALE
+    body = [f"""
+    WITH e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    u AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b AS s, a AS t FROM e),
+    deg AS (SELECT s AS node, count(*)::BIGINT AS d FROM u GROUP BY s),
+    nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+    r0 AS (SELECT node, ({scale} // nn.n)::BIGINT AS r FROM deg, nn)"""]
+    for i in range(1, iters + 1):
+        body.append(f""",
+    r{i} AS (
+        SELECT u.t AS node,
+               ((15 * {scale}) // (100 * nn.n)
+                + (85 * sum(r{i - 1}.r // deg.d)) // 100)::BIGINT AS r
+        FROM u JOIN r{i - 1} ON r{i - 1}.node = u.s
+               JOIN deg ON deg.node = u.s, nn
+        GROUP BY u.t, nn.n
+    )""")
+    body.append(f"""
+    SELECT node, r AS rank_fp FROM r{iters}
+    ORDER BY r DESC, node LIMIT {top}""")
+    return "".join(body)
+
+
+ORACLE_SQL["pagerank_copurchase"] = _pagerank_oracle_sql()
 
 
 def user_value_twap(sf_dir: str):

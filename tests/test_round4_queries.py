@@ -2274,3 +2274,76 @@ def test_user_value_twap_rejects_negative_values(ray_session, tmp_path):
     pq.write_table(tbl, tmp_path / "events.parquet")
     with pytest.raises(Exception, match="negative"):
         user_value_twap(str(tmp_path)).to_pandas()
+
+
+# ------------------------------------------------- fixed-point PageRank
+
+
+def test_pagerank_matches_pure_python_fixed_point(ray_session, tmp_path):
+    """Random basket graph vs an independent dict-and-loop Python-bigint
+    implementation of the same fixed-point recurrence — proves the
+    distributed scatter-add + driver fold computes the recurrence exactly
+    (not approximately)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        _PAGERANK_SCALE,
+        pagerank_copurchase,
+    )
+
+    rng = np.random.default_rng(23)
+    ok, pk = [], []
+    for o in range(80):
+        parts = rng.choice(25, size=rng.integers(2, 5), replace=False)
+        for p in parts:
+            ok.append(2000 + o), pk.append(int(p) + 1)
+    tbl = pa.table({"l_orderkey": pa.array(ok, pa.int64()),
+                    "l_partkey": pa.array(pk, pa.int64())})
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+
+    got = pagerank_copurchase(str(tmp_path), top=1000)
+
+    # independent oracle: adjacency dicts, Python ints, no numpy
+    adj = {}
+    baskets = {}
+    for o, p in zip(ok, pk):
+        baskets.setdefault(o, set()).add(p)
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                adj.setdefault(ps[i], set()).add(ps[j])
+                adj.setdefault(ps[j], set()).add(ps[i])
+    n = len(adj)
+    r = {v: _PAGERANK_SCALE // n for v in adj}
+    for _ in range(5):
+        c = {v: r[v] // len(adj[v]) for v in adj}
+        r = {v: (15 * _PAGERANK_SCALE) // (100 * n)
+                + (85 * sum(c[u] for u in adj[v])) // 100
+             for v in adj}
+    want = pd.DataFrame(sorted(r.items()),
+                        columns=["node", "rank_fp"]).astype("int64")
+    got = got.sort_values("node").reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_pagerank_star_center_wins(ray_session, tmp_path):
+    """On a star (hub in every basket, leaves never co-occur without it),
+    the hub must rank first and all leaves must tie exactly — integer
+    arithmetic makes 'tie' a hard equality, not an approximation."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        pagerank_copurchase,
+    )
+
+    ok, pk = [], []
+    for i, leaf in enumerate(range(2, 10)):
+        ok += [3000 + i, 3000 + i]
+        pk += [1, leaf]
+    tbl = pa.table({"l_orderkey": pa.array(ok, pa.int64()),
+                    "l_partkey": pa.array(pk, pa.int64())})
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+
+    got = pagerank_copurchase(str(tmp_path), top=100)
+    assert int(got.iloc[0]["node"]) == 1
+    leaf_ranks = got[got["node"] != 1]["rank_fp"].to_numpy()
+    assert len(leaf_ranks) == 8
+    assert (leaf_ranks == leaf_ranks[0]).all()
+    assert int(got.iloc[0]["rank_fp"]) > int(leaf_ranks[0])
