@@ -6756,6 +6756,158 @@ ORACLE_SQL["user_value_twap"] = """
 """
 
 
+def skew_hybrid_join_brand_revenue(sf_dir: str, hot_k: int = 50):
+    """SKEW-AWARE HYBRID JOIN (the AQE skew-join rewrite): revenue per
+    part brand from lineitem ⋈ part, where the ``hot_k`` heaviest join
+    keys BYPASS the shuffle — their dimension rows broadcast and the
+    match happens in-task — while the long tail goes through the native
+    hash join.  On a skewed fact table this caps the largest shuffle
+    partition at the tail's size instead of the hottest key's.
+
+    Routing is three passes over the REDUCED fact partials (per-batch
+    pre-combine to one (key, rev_myriad, n_items) row per partkey per
+    block — materialized once, ≤ distinct-keys × blocks rows):
+
+    1. hot-key census — per-block top-``hot_k`` candidate keys by partial
+       count, coarse fold to a global top-``hot_k`` (approximate on
+       purpose: routing never changes the RESULT, only which path a key
+       takes, so a census miss costs performance, not correctness).
+    2. hot route — ≤ ``hot_k`` dimension rows collect to the driver and
+       broadcast; hot partials map straight to (brand, partial) rows.
+    3. cold route — the remaining partials go through ``Dataset.join``
+       (data-sized partitions, 4×-CPU capped).
+
+    Both branches fold per batch to brand-bounded partials; the driver
+    merges two brand-sized frames.  ``hot_k=0`` forces pure-shuffle and a
+    huge ``hot_k`` forces pure-broadcast — the planted test proves all
+    three routings emit identical rows.  Revenue travels in exact integer
+    myriads (price×(1−disc) has exactly 4 decimals)."""
+    from ..stages.common import cluster_cpus  # noqa: F401  (sizing doc)
+
+    li = _t(sf_dir, "lineitem",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+    nparts = _join_partitions(sf_dir, "lineitem")
+
+    def pre(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        myr = pc.cast(pc.round(pc.multiply(rev, pa.scalar(10000.0))),
+                      pa.int64())
+        t = pa.table({"l_partkey": b["l_partkey"], "rev_myriad": myr})
+        g = t.group_by("l_partkey").aggregate(
+            [("rev_myriad", "sum"), ("rev_myriad", "count")])
+        return g.rename_columns(["l_partkey", "rev_myriad", "n_items"])
+
+    partials = li.map_batches(pre, batch_format="pyarrow").materialize()
+
+    hot_keys = np.array([], dtype=np.int64)
+    if hot_k > 0:
+        def census(b: pa.Table) -> pa.Table:
+            n = b["n_items"].to_numpy(zero_copy_only=False)
+            take = min(hot_k, len(n))
+            idx = np.argpartition(-n, take - 1)[:take] if take else []
+            return pa.table({"l_partkey": b["l_partkey"].take(idx),
+                             "n_items": b["n_items"].take(idx)})
+
+        def census_fold(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby("l_partkey", as_index=False)["n_items"].sum()
+            return agg.sort_values(["n_items", "l_partkey"],
+                                   ascending=[False, True]).head(hot_k)
+
+        cand = _agg_partitioned(
+            partials.map_batches(census, batch_format="pyarrow"),
+            ["l_partkey"], census_fold).to_pandas()
+        cand = cand.sort_values(["n_items", "l_partkey"],
+                                ascending=[False, True]).head(hot_k)
+        hot_keys = np.sort(cand["l_partkey"].to_numpy().astype(np.int64))
+    hot_ref = ray.put(hot_keys)
+
+    def brand_fold_tbl(t: pa.Table) -> pa.Table:
+        g = t.group_by("p_brand").aggregate(
+            [("rev_myriad", "sum"), ("n_items", "sum")])
+        return g.rename_columns(["p_brand", "rev_myriad", "n_items"])
+
+    branches = []
+
+    if hot_keys.size:
+        # hot route: ≤ hot_k dimension rows ride along as driver arrays
+        pt = _t(sf_dir, "part", columns=["p_partkey", "p_brand"])
+        hot_dim = pt.map_batches(
+            lambda b: b.filter(pc.is_in(b["p_partkey"],
+                                        value_set=pa.array(hot_keys))),
+            batch_format="pyarrow").to_pandas()
+        hot_dim = hot_dim.sort_values("p_partkey")
+        dim_ref = ray.put((hot_dim["p_partkey"].to_numpy().astype(np.int64),
+                           hot_dim["p_brand"].to_numpy()))
+
+        def hot_join(b: pa.Table) -> pa.Table:
+            hk = ray.get(hot_ref)
+            keys, brands = ray.get(dim_ref)
+            pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(hk, pk)
+            pos[pos >= hk.size] = 0
+            is_hot = hk.size > 0 and (hk[pos] == pk)
+            sel = b.filter(pa.array(is_hot)) if hk.size else b.slice(0, 0)
+            spk = sel["l_partkey"].to_numpy(zero_copy_only=False)
+            brand = brands[np.searchsorted(keys, spk)]
+            return brand_fold_tbl(pa.table({
+                "p_brand": pa.array(brand),
+                "rev_myriad": sel["rev_myriad"],
+                "n_items": sel["n_items"]}))
+
+        branches.append(partials.map_batches(
+            hot_join, batch_format="pyarrow").to_pandas())
+
+    # cold route: the tail through the native shuffle hash join
+    def keep_cold(b: pa.Table) -> pa.Table:
+        hk = ray.get(hot_ref)
+        if not hk.size:
+            return b
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(hk, pk)
+        pos[pos >= hk.size] = 0
+        return b.filter(pa.array(~(hk[pos] == pk)))
+
+    # materialize the reduced cold partials: an ALL-hot routing leaves the
+    # join's left side empty, and Ray's hash-shuffle join turns fully-empty
+    # inputs into schema-less partition blocks pyarrow's join rejects —
+    # skip the exchange outright when there is no cold row
+    cold_partials = partials.map_batches(keep_cold,
+                                         batch_format="pyarrow").materialize()
+    if cold_partials.count() > 0:
+        pt_cold = _t(sf_dir, "part", columns=["p_partkey", "p_brand"],
+                     blocks=_join_partitions(sf_dir, "part"))
+        cold = cold_partials.join(
+            pt_cold, join_type="inner", num_partitions=nparts,
+            on=("l_partkey",), right_on=("p_partkey",))
+        branches.append(cold.map_batches(
+            lambda b: brand_fold_tbl(b.select(["p_brand", "rev_myriad",
+                                               "n_items"])),
+            batch_format="pyarrow").to_pandas())
+
+    out = (pd.concat(branches, ignore_index=True)
+           .groupby("p_brand", as_index=False)
+           .agg(rev_myriad=("rev_myriad", "sum"),
+                n_items=("n_items", "sum")))
+    return pd.DataFrame({
+        "p_brand": out["p_brand"],
+        "n_items": out["n_items"].astype("int64"),
+        "revenue": (out["rev_myriad"] / 10000.0).round(4),
+    }).sort_values("p_brand").reset_index(drop=True)
+
+
+QUERIES["skew_hybrid_join_brand_revenue"] = skew_hybrid_join_brand_revenue
+
+ORACLE_SQL["skew_hybrid_join_brand_revenue"] = """
+    SELECT p_brand, count(*)::BIGINT AS n_items,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                * 10000) AS BIGINT)) / 10000.0, 4) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY p_brand ORDER BY p_brand
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict

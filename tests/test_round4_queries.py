@@ -2347,3 +2347,49 @@ def test_pagerank_star_center_wins(ray_session, tmp_path):
     assert len(leaf_ranks) == 8
     assert (leaf_ranks == leaf_ranks[0]).all()
     assert int(got.iloc[0]["rank_fp"]) > int(leaf_ranks[0])
+
+
+# ------------------------------------------------- skew-aware hybrid join
+
+
+def test_skew_hybrid_join_routings_agree_on_planted_skew(ray_session,
+                                                         tmp_path):
+    """One part carries 60% of all lineitems (the hot key), the tail is
+    uniform: pure-shuffle (hot_k=0), hybrid (hot_k=1 — exactly the hot
+    key bypasses), and pure-broadcast (hot_k=10^9) must all equal the
+    pandas join oracle row-for-row."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        skew_hybrid_join_brand_revenue,
+    )
+
+    rng = np.random.default_rng(31)
+    n_tail, n_hot = 400, 600
+    pk = np.r_[rng.integers(2, 40, size=n_tail), np.full(n_hot, 1)]
+    price = np.round(rng.uniform(10, 99, size=n_tail + n_hot), 2)
+    disc = np.round(rng.choice([0.0, 0.05, 0.1], size=n_tail + n_hot), 2)
+    pq.write_table(pa.table({
+        "l_partkey": pa.array(pk, pa.int64()),
+        "l_extendedprice": pa.array(price, pa.float64()),
+        "l_discount": pa.array(disc, pa.float64()),
+    }), tmp_path / "lineitem.parquet")
+    parts = np.arange(1, 40)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(parts, pa.int64()),
+        "p_brand": pa.array([f"Brand#{1 + p % 5}" for p in parts],
+                            pa.string()),
+    }), tmp_path / "part.parquet")
+
+    brand = np.array([f"Brand#{1 + p % 5}" for p in pk])
+    myr = np.round(price * (1 - disc) * 10000).astype(np.int64)
+    want = (pd.DataFrame({"p_brand": brand, "myr": myr})
+            .groupby("p_brand", as_index=False)
+            .agg(n_items=("myr", "size"), rev_myriad=("myr", "sum")))
+    want = pd.DataFrame({
+        "p_brand": want["p_brand"],
+        "n_items": want["n_items"].astype("int64"),
+        "revenue": (want["rev_myriad"] / 10000.0).round(4),
+    }).sort_values("p_brand").reset_index(drop=True)
+
+    for hot_k in (0, 1, 10 ** 9):
+        got = skew_hybrid_join_brand_revenue(str(tmp_path), hot_k=hot_k)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
