@@ -6908,6 +6908,177 @@ ORACLE_SQL["skew_hybrid_join_brand_revenue"] = """
 """
 
 
+def value_ks_between_types(sf_dir: str, type_a: str = "click",
+                           type_b: str = "purchase"):
+    """EXACT two-sample KOLMOGOROV–SMIRNOV statistic between two event
+    types' value distributions — the nonparametric drift test behind
+    "did this split/cohort change shape?", computed with NO floats in
+    the decision path: the value domain is 2-dp cents, so the engine
+    folds a (cents, n_a, n_b) histogram (domain-bounded — for unbounded
+    domains the rank path would ride the distributed sort + exclusive
+    prefix sum used by ``pack_sequences``), and the KS sup becomes
+    ``max |ca·n_b − cb·n_a|`` over the merged CDF — integer arithmetic,
+    so the max is exact and order-independent.  Output carries the exact
+    rational (ks_num, and ks_micro = its floor-division 10^-6 scaling)
+    plus both sample sizes.  Int64 bound: ca·n_b ≤ n_a·n_b ≲ 9·10^18
+    holds through ~3·10^9 rows per side; beyond that the fold would
+    promote to Python ints (DuckDB promotes to HUGEINT the same way)."""
+    ds = _t(sf_dir, "events", columns=["event_type", "value"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def hist(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b["event_type"],
+                        value_set=pa.array([type_a, type_b]))
+        sel = b.filter(mask)
+        v = sel["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        is_a = pc.equal(sel["event_type"], pa.scalar(type_a)).to_numpy(
+            zero_copy_only=False)
+        t = pa.table({"cents": cents,
+                      "a": is_a.astype(np.int64),
+                      "b": (~is_a).astype(np.int64)})
+        g = t.group_by("cents").aggregate([("a", "sum"), ("b", "sum")])
+        return g.rename_columns(["cents", "a", "b"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("cents", as_index=False)[["a", "b"]].sum()
+
+    h = _agg_partitioned(ds.map_batches(hist, batch_format="pyarrow"),
+                         ["cents"], fold).to_pandas()
+    h = h.sort_values("cents")
+    na, nb = int(h["a"].sum()), int(h["b"].sum())
+    ca = h["a"].cumsum().to_numpy()
+    cb = h["b"].cumsum().to_numpy()
+    ks_num = int(np.abs(ca * nb - cb * na).max()) if len(h) else 0
+    return pd.DataFrame({
+        "n_a": [np.int64(na)], "n_b": [np.int64(nb)],
+        "ks_num": [np.int64(ks_num)],
+        "ks_micro": [np.int64(ks_num * 1_000_000 // (na * nb))
+                     if na and nb else np.int64(0)],
+    })
+
+
+QUERIES["value_ks_between_types"] = value_ks_between_types
+
+ORACLE_SQL["value_ks_between_types"] = """
+    WITH v AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events WHERE event_type IN ('click', 'purchase')),
+    h AS (SELECT cents,
+                 sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                     END)::BIGINT AS a,
+                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                     END)::BIGINT AS b
+          FROM v GROUP BY cents),
+    c AS (SELECT sum(a) OVER (ORDER BY cents) AS ca,
+                 sum(b) OVER (ORDER BY cents) AS cb FROM h),
+    n AS (SELECT sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb FROM h)
+    SELECT n.na AS n_a, n.nb AS n_b,
+           max(abs(c.ca * n.nb - c.cb * n.na))::BIGINT AS ks_num,
+           CAST((max(abs(c.ca * n.nb - c.cb * n.na)) * 1000000)
+                // (n.na * n.nb) AS BIGINT) AS ks_micro
+    FROM c, n GROUP BY n.na, n.nb
+"""
+
+
+def hourly_locf_value(sf_dir: str):
+    """LOCF IMPUTATION (last observation carried forward): per event
+    type, the latest observed value of each hour, densified to every
+    hour in the corpus range and FORWARD-FILLED across gaps — the
+    imputation step a feature pipeline runs before windowed models,
+    and the ``last_value(... IGNORE NULLS)`` window shape in SQL.
+
+    One scan pre-combines each block to its per-(type, hour) LATEST row
+    (by (ts, event_id) — keep-latest, the CDC compaction primitive), one
+    coarse exchange folds block winners, and the driver densifies +
+    forward-fills on the (types × hours)-bounded result: the fill index
+    is ``np.maximum.accumulate`` over observed-hour positions, pure
+    arithmetic that never touches the cluster.  Hours before a type's
+    first observation stay NULL (nothing to carry)."""
+    ds = _t(sf_dir, "events", columns=["event_id", "ts", "event_type",
+                                       "value"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def latest(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False
+                              ).astype("datetime64[us]").astype(np.int64)
+        hour = ts // 3_600_000_000
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        order = np.lexsort((eid, ts, hour, et))
+        et, hour, ts, eid, cents = (x[order] for x in
+                                    (et, hour, ts, eid, cents))
+        is_last = np.r_[(et[1:] != et[:-1]) | (hour[1:] != hour[:-1]), True]
+        return pa.table({"event_type": et[is_last], "hour": hour[is_last],
+                         "ts_us": ts[is_last], "event_id": eid[is_last],
+                         "cents": cents[is_last]})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "hour", "ts_us", "event_id"])
+        return g.groupby(["event_type", "hour"], as_index=False).last()
+
+    obs = _agg_partitioned(ds.map_batches(latest, batch_format="pyarrow"),
+                           ["event_type", "hour"], fold).to_pandas()
+    if not len(obs):
+        return pd.DataFrame({"event_type": pd.Series([], dtype=str),
+                             "hour": pd.Series([], dtype="int64"),
+                             "cents": pd.Series([], dtype="float64"),
+                             "is_imputed": pd.Series([], dtype=bool)})
+    h0, h1 = int(obs["hour"].min()), int(obs["hour"].max())
+    spine = np.arange(h0, h1 + 1, dtype=np.int64)
+    frames = []
+    for et, g in obs.groupby("event_type"):
+        g = g.sort_values("hour")
+        pos = np.searchsorted(spine, g["hour"].to_numpy())
+        src = np.full(spine.size, -1, np.int64)
+        src[pos] = np.arange(len(g))
+        src = np.maximum.accumulate(src)  # forward-fill: last observed idx
+        cents = np.where(src >= 0,
+                         g["cents"].to_numpy()[np.maximum(src, 0)],
+                         np.nan)
+        observed = np.zeros(spine.size, bool)
+        observed[pos] = True
+        frames.append(pd.DataFrame({
+            "event_type": et, "hour": spine, "cents": cents,
+            "is_imputed": ~observed}))
+    out = pd.concat(frames, ignore_index=True)
+    # leading unobserved hours carry nothing: cents NULL, not imputed
+    out.loc[out["cents"].isna(), "is_imputed"] = False
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+QUERIES["hourly_locf_value"] = hourly_locf_value
+
+ORACLE_SQL["hourly_locf_value"] = """
+    WITH e AS (SELECT event_type,
+                      epoch_us(ts) // 3600000000 AS hour,
+                      CAST(round(value * 100) AS BIGINT) AS cents,
+                      row_number() OVER (
+                          PARTITION BY event_type, epoch_us(ts) // 3600000000
+                          ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events),
+    obs AS (SELECT event_type, hour, cents FROM e WHERE rn = 1),
+    spine AS (SELECT t.event_type, s.h AS hour
+              FROM (SELECT DISTINCT event_type FROM obs) t
+              CROSS JOIN (SELECT unnest(generate_series(
+                              (SELECT min(hour) FROM obs),
+                              (SELECT max(hour) FROM obs))) AS h) s),
+    j AS (SELECT spine.event_type, spine.hour, obs.cents,
+                 obs.cents IS NOT NULL AS observed
+          FROM spine LEFT JOIN obs USING (event_type, hour))
+    SELECT event_type, hour,
+           CAST(last_value(cents IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cents,
+           (NOT observed) AND last_value(cents IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS UNBOUNDED PRECEDING) IS NOT NULL AS is_imputed
+    FROM j ORDER BY event_type, hour
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict

@@ -2393,3 +2393,90 @@ def test_skew_hybrid_join_routings_agree_on_planted_skew(ray_session,
     for hot_k in (0, 1, 10 ** 9):
         got = skew_hybrid_join_brand_revenue(str(tmp_path), hot_k=hot_k)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------------- exact KS + LOCF imputation
+
+
+def test_ks_statistic_matches_scipy_style_bruteforce(ray_session, tmp_path):
+    """Planted two-sample data vs a direct rational-arithmetic sup over
+    the pooled support — including a shifted distribution where the KS
+    statistic is large and known."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        value_ks_between_types,
+    )
+
+    rng = np.random.default_rng(41)
+    a = np.round(rng.uniform(1, 10, 300), 2)          # click ~ U(1,10)
+    b = np.round(rng.uniform(5, 14, 200), 2)          # purchase shifted +4
+    et = ["click"] * 300 + ["purchase"] * 200
+    vals = np.r_[a, b]
+    t0 = np.datetime64("2026-01-01", "us")
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(500), pa.int64()),
+        "ts": pa.array([t0] * 500, pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(500), pa.int64()),
+        "event_type": pa.array(et, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    got = value_ks_between_types(str(tmp_path)).iloc[0]
+
+    ac = np.sort(np.round(a * 100).astype(np.int64))
+    bc = np.sort(np.round(b * 100).astype(np.int64))
+    support = np.unique(np.r_[ac, bc])
+    ca = np.searchsorted(ac, support, side="right")
+    cb = np.searchsorted(bc, support, side="right")
+    want_num = int(np.abs(ca * len(bc) - cb * len(ac)).max())
+    assert int(got["ks_num"]) == want_num
+    assert int(got["n_a"]) == 300 and int(got["n_b"]) == 200
+    assert int(got["ks_micro"]) == want_num * 1_000_000 // (300 * 200)
+    # the shift makes the distributions very different: KS > 0.3
+    assert int(got["ks_micro"]) > 300_000
+
+
+def test_hourly_locf_forward_fills_and_flags(ray_session, tmp_path):
+    """Three observed hours with a two-hour gap: the gap hours carry the
+    last observation and are flagged imputed; hours before the first
+    observation stay NULL and unflagged; a same-hour tie resolves to the
+    larger (ts, event_id)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        hourly_locf_value,
+    )
+
+    h = np.timedelta64(3600, "s")
+    t0 = np.datetime64("2026-03-01T00:00:00", "us")
+    rows = [
+        # (event_id, ts, type, value)
+        (1, t0 + 2 * h, "click", 1.00),
+        (2, t0 + 2 * h, "click", 2.00),     # same hour+ts → larger id wins
+        (3, t0 + 5 * h, "click", 9.00),
+        (4, t0 + 0 * h, "view", 4.00),      # fixes the global spine start
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([0] * len(rows), pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    got = hourly_locf_value(str(tmp_path))
+    click = got[got["event_type"] == "click"].set_index("hour")
+    base = int(np.datetime64("2026-03-01T00:00:00").astype(
+        "datetime64[h]").astype(np.int64))
+    # hours 0-1: before first click observation → NULL, not imputed
+    assert np.isnan(click.loc[base + 0, "cents"])
+    assert not bool(click.loc[base + 0, "is_imputed"])
+    # hour 2: tie resolved to event_id 2 → 200 cents, observed
+    assert click.loc[base + 2, "cents"] == 200.0
+    assert not bool(click.loc[base + 2, "is_imputed"])
+    # hours 3-4: carried forward + flagged
+    assert click.loc[base + 3, "cents"] == 200.0
+    assert bool(click.loc[base + 3, "is_imputed"])
+    assert click.loc[base + 4, "cents"] == 200.0
+    # hour 5: new observation
+    assert click.loc[base + 5, "cents"] == 900.0
+    assert not bool(click.loc[base + 5, "is_imputed"])
