@@ -7120,6 +7120,8 @@ _FRONT = [
     "rolling_zscore_events", "incremental_exact_dedup",
     "nation_trimmed_mean", "token_pmi_top20", "near_dup_representatives",
     "events_hourly_dense", "triangle_count_copurchase", "user_value_twap",
+    "pagerank_copurchase", "skew_hybrid_join_brand_revenue",
+    "value_ks_between_types", "hourly_locf_value",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},
