@@ -7079,6 +7079,301 @@ ORACLE_SQL["hourly_locf_value"] = """
 """
 
 
+def user_active_days_bitmap(sf_dir: str):
+    """ACTIVITY BITMAP aggregation (the roaring-bitmap idiom at column
+    width): each user's active days-of-month fold into ONE int64 bitmask
+    — ``bit_or(1 << (day-1))`` — so per-user presence costs 8 bytes no
+    matter how many events, and the popcount histogram (how many users
+    were active on exactly k distinct days) falls out of the masks alone.
+    Per batch: one lexsort + ``np.bitwise_or.reduceat`` pre-combine; one
+    user-hash exchange of (user, mask) pairs; per-partition popcount via
+    ``unpackbits`` and a bounded (≤31-row) histogram partial the driver
+    folds.  Raw event rows never shuffle — only the 8-byte masks do,
+    which is what makes the bitmap form the scale path for
+    presence/retention queries at 10^12 rows."""
+
+    def _bitor_combine(u: np.ndarray, m: np.ndarray):
+        order = np.argsort(u, kind="stable")
+        u, m = u[order], m[order]
+        starts = np.nonzero(np.r_[True, u[1:] != u[:-1]])[0]
+        return u[starts], np.bitwise_or.reduceat(m, starts)
+
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["user_id"]), pc.is_valid(b["ts"])))
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "mask": pa.array([], pa.int64())})
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = pc.day(b["ts"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.int64(1) << (day - 1)
+        cu, cm = _bitor_combine(u, m)
+        return pa.table({"user_id": pa.array(cu), "mask": pa.array(cm)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cu, cm = _bitor_combine(g["user_id"].to_numpy(dtype=np.int64),
+                                g["mask"].to_numpy(dtype=np.int64))
+        # popcount histogram partial: ≤31 rows per partition
+        bits = np.unpackbits(
+            np.ascontiguousarray(cm.astype(np.uint64)).view(np.uint8)
+        ).reshape(len(cm), 64).sum(axis=1).astype(np.int64)
+        ad, n = np.unique(bits, return_counts=True)
+        return pd.DataFrame({"active_days": ad, "n_users": n.astype(np.int64)})
+
+    parts = _agg_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], fold).to_pandas()
+    out = parts.groupby("active_days", as_index=False)["n_users"].sum()
+    return (out.astype({"active_days": "int64", "n_users": "int64"})
+            .sort_values("active_days").reset_index(drop=True))
+
+
+QUERIES["user_active_days_bitmap"] = user_active_days_bitmap
+
+ORACLE_SQL["user_active_days_bitmap"] = """
+    WITH m AS (SELECT user_id,
+                      bit_or(1::BIGINT << (day(ts) - 1)) AS mask
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL
+               GROUP BY user_id)
+    SELECT bit_count(mask)::BIGINT AS active_days,
+           count(*)::BIGINT AS n_users
+    FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_cube(sf_dir: str):
+    """CUBE / GROUPING-SETS aggregation: (event_type × iso-weekday) event
+    counts and exact cent sums at all FOUR grouping levels — (type, dow),
+    (type, ALL), (ALL, dow), (ALL, ALL) — the OLAP rollup surface Ray
+    Data has no native verb for.  The cluster computes only the FINEST
+    level (one scan, per-batch Arrow group_by pre-combine; the exchange
+    carries ≤ |types|·7 rows); every coarser level is a re-aggregation of
+    that bounded base on the driver, so the cube costs one pass no matter
+    how many grouping sets — the classic cube-from-base-cuboid plan.
+    Sentinels: ``'ALL'`` / ``-1`` mirror the oracle's COALESCE."""
+    ds = _t(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["ts"]), pc.is_valid(b["value"])))
+        if b.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "dow": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        dow = pc.add(pc.day_of_week(b["ts"]), 1)  # ISO: Monday=1
+        cents = np.round(b["value"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        t = pa.table({"event_type": b["event_type"],
+                      "dow": pc.cast(dow, pa.int64()),
+                      "cents": pa.array(cents)})
+        g = t.group_by(["event_type", "dow"]).aggregate(
+            [("cents", "count"), ("cents", "sum")])
+        return g.rename_columns(["event_type", "dow", "n", "cents"])
+
+    base = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+            .groupby(["event_type", "dow"], as_index=False)
+            .agg(n=("n", "sum"), cents=("cents", "sum")))
+    levels = [base]
+    by_type = base.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), cents=("cents", "sum"))
+    by_type["dow"] = -1
+    by_dow = base.groupby("dow", as_index=False).agg(
+        n=("n", "sum"), cents=("cents", "sum"))
+    by_dow["event_type"] = "ALL"
+    total = pd.DataFrame({"event_type": ["ALL"], "dow": [-1],
+                          "n": [base["n"].sum()],
+                          "cents": [base["cents"].sum()]})
+    out = pd.concat([base, by_type, by_dow, total], ignore_index=True)
+    out = out.rename(columns={"cents": "sum_cents"})
+    out = out.astype({"dow": "int64", "n": "int64", "sum_cents": "int64"})
+    return (out[["event_type", "dow", "n", "sum_cents"]]
+            .sort_values(["event_type", "dow"]).reset_index(drop=True))
+
+
+QUERIES["events_cube"] = events_cube
+
+ORACLE_SQL["events_cube"] = """
+    WITH e AS (SELECT event_type, isodow(ts) AS dow,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(dow, -1)::BIGINT AS dow,
+           count(*)::BIGINT AS n,
+           sum(cents)::BIGINT AS sum_cents
+    FROM e GROUP BY CUBE(event_type, dow)
+    ORDER BY 1, 2
+"""
+
+
+def decayed_event_value(sf_dir: str):
+    """EXPONENTIALLY TIME-DECAYED aggregate (half-life = 1 day): each
+    event's cents contribute ``cents / 2^d`` where ``d`` is whole days
+    before the corpus max day — the freshness-weighted score behind
+    trending/ranking features.  One scan folds exact (type, day) cent
+    sums per batch (the exchange is dimension-bounded: |types|·|days|);
+    the driver applies the decay in PYTHON INTS as
+    ``(cents_d · 10^6) // 2^d`` — a dyadic weight, so the floor division
+    is the entire rounding story and DuckDB's HUGEINT ``//`` reproduces
+    it bit for bit (both sides truncate; cent sums are validated
+    non-negative, where floor == truncate).  No float enters the compare
+    path.  Day spans are validated ≤ 126 (the oracle's HUGEINT shift
+    bound); rows older than that contribute 0 anyway at this half-life."""
+    ds = _t(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["ts"]), pc.is_valid(b["value"])))
+        if b.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "day": pa.array([], pa.timestamp("us")),
+                             "cents": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        cents = np.round(b["value"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        t = pa.table({"event_type": b["event_type"],
+                      "day": pc.floor_temporal(b["ts"], unit="day"),
+                      "cents": pa.array(cents)})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["event_type", "day", "cents", "n"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby(["event_type", "day"], as_index=False)
+           .agg(cents=("cents", "sum"), n=("n", "sum")))
+    if agg.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=str),
+                             "n_events": pd.Series([], dtype="int64"),
+                             "decayed_micro_cents": pd.Series([], dtype="int64")})
+    if (agg["cents"] < 0).any():
+        raise ValueError("decayed_event_value: negative day cent sums — "
+                         "floor//truncate parity needs non-negative sums")
+    dd = (agg["day"].max() - agg["day"]).dt.days.to_numpy()
+    if dd.max() > 126:
+        raise ValueError("decayed_event_value: day span > 126 exceeds the "
+                         "oracle's HUGEINT shift bound")
+    dec = [int(c) * 1_000_000 // (1 << int(d))
+           for c, d in zip(agg["cents"], dd)]
+    out = pd.DataFrame({"event_type": agg["event_type"],
+                        "n_events": agg["n"], "decayed_micro_cents": dec})
+    out = out.groupby("event_type", as_index=False).agg(
+        n_events=("n_events", "sum"),
+        decayed_micro_cents=("decayed_micro_cents", "sum"))
+    out = out.astype({"n_events": "int64", "decayed_micro_cents": "int64"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["decayed_event_value"] = decayed_event_value
+
+ORACLE_SQL["decayed_event_value"] = """
+    WITH e AS (SELECT event_type, date_trunc('day', ts) AS day,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    d AS (SELECT event_type, day, sum(cents) AS cents,
+                 count(*)::BIGINT AS n
+          FROM e GROUP BY 1, 2),
+    mx AS (SELECT max(day) AS m FROM d)
+    SELECT event_type, sum(n)::BIGINT AS n_events,
+           sum((cents::HUGEINT * 1000000)
+               // (1::HUGEINT << datediff('day', day, m)))::BIGINT
+               AS decayed_micro_cents
+    FROM d, mx GROUP BY 1 ORDER BY 1
+"""
+
+
+def copurchase_components(sf_dir: str, min_support: int = 3):
+    """CONNECTED COMPONENTS over the STRONG co-purchase graph (edges =
+    part pairs sharing ≥ ``min_support`` orders): the component-size
+    histogram — the graph-clustering step behind substitute/bundle
+    detection.  The pair counts reuse the basket-expansion exchange of
+    ``copurchase_part_pairs`` (orderkey-hash co-location + vectorized
+    C(s,2) expansion, never all-pairs across orders); the support filter
+    runs INSIDE the pair-hash fold so only qualifying edges (a tiny,
+    support-thresholded set) reach the driver's union-find.  Above 2M
+    edges the same auto-switch as ``near_dedup_apply`` routes to
+    ``stages/dedup.py:connected_components_distributed`` (min-label
+    propagation).  The oracle recomputes everything — basket self-join,
+    support filter, recursive-CTE closure — independently in DuckDB."""
+    from ..functions.hashing import stable_hash64
+    from ..stages.dedup import (_n_partitions, connected_components_distributed,
+                                connected_min_ids)
+
+    P = _n_partitions()
+    ds = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = (stable_hash64(b["l_orderkey"]) % np.uint64(P)).astype(np.int32)
+        return b.append_column("o_part", pa.array(h))
+
+    def expand_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        t = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        ok = t["l_orderkey"].to_numpy()
+        pk = t["l_partkey"].to_numpy()
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        starts = np.nonzero(np.r_[True, ok[1:] != ok[:-1]])[0]
+        sizes = np.diff(np.append(starts, len(ok)))
+        local = np.arange(len(ok)) - np.repeat(starts, sizes)
+        rem = np.repeat(sizes, sizes) - 1 - local
+        i_idx = np.repeat(np.arange(len(ok)), rem)
+        offs = np.arange(int(rem.sum())) - np.repeat(
+            np.cumsum(rem) - rem, rem)
+        j_idx = i_idx + 1 + offs
+        pairs = pd.DataFrame({"id_a": pk[i_idx], "id_b": pk[j_idx]})
+        out = pairs.groupby(["id_a", "id_b"], as_index=False).size().rename(
+            columns={"size": "n"})
+        return pa.Table.from_pandas(out, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    def support_fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["id_a", "id_b"], as_index=False)["n"].sum()
+        return agg[agg["n"] >= min_support][["id_a", "id_b"]]
+
+    edges_ds = _agg_partitioned(
+        ds.map_batches(add_part, batch_format="pyarrow")
+          .groupby("o_part").map_groups(expand_pairs, batch_format="pandas"),
+        ["id_a", "id_b"], support_fold).materialize()
+
+    cols = {"size": "int64", "n_components": "int64"}
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in cols.items()})
+    if n_edges > 2_000_000:
+        lbl = connected_components_distributed(edges_ds).to_pandas()
+        labels = dict(zip(lbl["node"], lbl["label"]))
+    else:
+        labels = connected_min_ids(edges_ds.to_pandas())
+    sizes = pd.Series(list(labels.values())).value_counts()
+    hist = sizes.value_counts().sort_index()
+    return pd.DataFrame({"size": hist.index.astype("int64"),
+                         "n_components": hist.to_numpy().astype("int64")}
+                        ).reset_index(drop=True)
+
+
+QUERIES["copurchase_components"] = copurchase_components
+
+ORACLE_SQL["copurchase_components"] = """
+    WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey
+                          FROM lineitem),
+    e0 AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+           FROM op a JOIN op b USING (l_orderkey)
+           WHERE a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 3),
+    edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+    reach(src, dst) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+    lbl AS (SELECT src AS node, min(dst) AS comp FROM reach GROUP BY src),
+    sizes AS (SELECT comp, count(*)::BIGINT AS size FROM lbl GROUP BY comp)
+    SELECT size, count(*)::BIGINT AS n_components
+    FROM sizes GROUP BY size ORDER BY size
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -7122,6 +7417,8 @@ _FRONT = [
     "events_hourly_dense", "triangle_count_copurchase", "user_value_twap",
     "pagerank_copurchase", "skew_hybrid_join_brand_revenue",
     "value_ks_between_types", "hourly_locf_value",
+    "user_active_days_bitmap", "events_cube", "decayed_event_value",
+    "copurchase_components",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},
