@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray
 from ray.data.aggregate import Count, Max, Min, Sum
 
@@ -7176,7 +7177,6 @@ def events_cube(sf_dir: str):
     base = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
             .groupby(["event_type", "dow"], as_index=False)
             .agg(n=("n", "sum"), cents=("cents", "sum")))
-    levels = [base]
     by_type = base.groupby("event_type", as_index=False).agg(
         n=("n", "sum"), cents=("cents", "sum"))
     by_type["dow"] = -1
@@ -7374,6 +7374,305 @@ ORACLE_SQL["copurchase_components"] = """
 """
 
 
+def ab_test_lift(sf_dir: str):
+    """A/B EXPERIMENT READOUT: users are hash-assigned to arm A or B by
+    the first hex char of ``md5(user_id)`` (≤'7' → A, an exact 50/50
+    split any worker reproduces statelessly — the same leakage-free
+    assignment idiom as ``dataset_split``), then per event type the arms'
+    exact integer cent sums and counts are compared.  One scan, one
+    Arrow group_by pre-combine per batch, a dimension-bounded
+    (|types|·2) driver fold; the only floats are the two means and their
+    difference, computed from identical int64s by identical IEEE ops on
+    both sides."""
+    from ..functions.hashing import md5_hex_arrow
+
+    ds = _t(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["user_id"]),
+                             pc.is_valid(b["value"])))
+        if b.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "arm": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        t = pa.table({"event_type": b["event_type"],
+                      "uid": pc.cast(b["user_id"], pa.string()),
+                      "value": b["value"]})
+        t = md5_hex_arrow(t, "uid", out="h")
+        arm = pc.if_else(
+            pc.less_equal(pc.utf8_slice_codeunits(t["h"], 0, 1), "7"),
+            pa.scalar("A"), pa.scalar("B"))
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        g = pa.table({"event_type": t["event_type"], "arm": arm,
+                      "cents": pa.array(cents)}).group_by(
+            ["event_type", "arm"]).aggregate(
+            [("cents", "count"), ("cents", "sum")])
+        return g.rename_columns(["event_type", "arm", "n", "cents"])
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+             .groupby(["event_type", "arm"], as_index=False)
+             .agg(n=("n", "sum"), cents=("cents", "sum")))
+    wide = parts.pivot_table(index="event_type", columns="arm",
+                             values=["n", "cents"], fill_value=0,
+                             aggfunc="sum")
+    out = pd.DataFrame({
+        "event_type": wide.index,
+        "n_a": wide.get(("n", "A"), 0),
+        "n_b": wide.get(("n", "B"), 0),
+        "sum_cents_a": wide.get(("cents", "A"), 0),
+        "sum_cents_b": wide.get(("cents", "B"), 0),
+    }).reset_index(drop=True)
+    for c in ("n_a", "n_b", "sum_cents_a", "sum_cents_b"):
+        out[c] = out[c].astype("int64")
+    na = out["n_a"].to_numpy(dtype=np.float64)
+    nb = out["n_b"].to_numpy(dtype=np.float64)
+    out["lift_cents"] = np.where(
+        (na > 0) & (nb > 0),
+        out["sum_cents_a"].to_numpy(dtype=np.float64) / na
+        - out["sum_cents_b"].to_numpy(dtype=np.float64) / nb, np.nan)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["ab_test_lift"] = ab_test_lift
+
+ORACLE_SQL["ab_test_lift"] = """
+    WITH e AS (SELECT event_type,
+                      CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) <= '7'
+                           THEN 'A' ELSE 'B' END AS arm,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events
+               WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    a AS (SELECT event_type,
+                 count(*) FILTER (arm = 'A')::BIGINT AS n_a,
+                 count(*) FILTER (arm = 'B')::BIGINT AS n_b,
+                 coalesce(sum(cents) FILTER (arm = 'A'), 0)::BIGINT
+                     AS sum_cents_a,
+                 coalesce(sum(cents) FILTER (arm = 'B'), 0)::BIGINT
+                     AS sum_cents_b
+          FROM e GROUP BY event_type)
+    SELECT event_type, n_a, n_b, sum_cents_a, sum_cents_b,
+           sum_cents_a::DOUBLE / NULLIF(n_a, 0)
+           - sum_cents_b::DOUBLE / NULLIF(n_b, 0) AS lift_cents
+    FROM a ORDER BY event_type
+"""
+
+
+def next_event_after_order(sf_dir: str):
+    """FORWARD as-of join (the reaction-time shape, mirror of
+    ``purchase_attribution``'s backward join): each order is matched to
+    the SAME user's first event at-or-after its order date, and the wait
+    is reported in exact integer microseconds.  Runs through
+    ``stages/joins.py:bucketed_asof_join(direction='forward')`` — both
+    sides hash-partition by user through the bucketed Parquet exchange,
+    one vectorized ``merge_asof`` per bucket.  The matched event's
+    timestamp rides along as a duplicated payload column (``merge_asof``
+    consumes the right side's ``on`` column); unmatched orders are
+    dropped on both sides, so no NULL-timestamp parity hazard exists."""
+    from ..stages.common import cluster_cpus
+    from ..stages.joins import bucketed_asof_join
+
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                           "o_orderdate"]).map_batches(
+        lambda b: pa.table({"o_orderkey": b["o_orderkey"],
+                            "user_id": b["o_custkey"],
+                            "ts": b["o_orderdate"]}),
+        batch_format="pyarrow")
+    events = _t(sf_dir, "events", columns=["user_id", "ts"]).map_batches(
+        lambda b: pa.table({"user_id": b["user_id"], "ts": b["ts"],
+                            "event_ts": b["ts"]}),
+        batch_format="pyarrow")
+    joined = bucketed_asof_join(orders, events, on="ts", by="user_id",
+                                direction="forward",
+                                B=max(8, int(cluster_cpus())))
+
+    def waits(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "event_ts" not in df.columns:
+            return pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                                 "wait_us": pd.Series([], dtype="int64")})
+        m = df[df["event_ts"].notna()]
+        wait = (m["event_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+                - m["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        return pd.DataFrame({"o_orderkey": m["o_orderkey"].to_numpy(),
+                             "wait_us": wait})
+
+    out = joined.map_batches(waits, batch_format="pandas").to_pandas()
+    out = out.astype({"o_orderkey": "int64", "wait_us": "int64"})
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+QUERIES["next_event_after_order"] = next_event_after_order
+
+ORACLE_SQL["next_event_after_order"] = """
+    WITH j AS (SELECT o.o_orderkey,
+                      min(e.ts) AS next_ts, o.o_orderdate
+               FROM orders o
+               JOIN events e ON e.user_id = o.o_custkey
+                            AND e.ts >= o.o_orderdate
+               GROUP BY o.o_orderkey, o.o_orderdate)
+    SELECT o_orderkey,
+           (epoch_us(next_ts) - epoch_us(o_orderdate))::BIGINT AS wait_us
+    FROM j ORDER BY o_orderkey
+"""
+
+
+def systematic_sample_orders(sf_dir: str, k: int = 100):
+    """SYSTEMATIC (every k-th) SAMPLING by global rank — the distributed
+    RANK assignment Ray Data has no verb for, done the scalable way: (1)
+    key min/max come free from the Parquet FOOTER statistics (no data
+    pass); (2) one scan histograms rows into fixed-width key ranges
+    (bounded partial per batch) so the driver knows every range's global
+    rank OFFSET; (3) the range exchange sorts each range locally and
+    emits rows whose ``offset + local_index`` hits the k-grid.  Rank
+    never requires a global sort — only a bounded histogram plus
+    in-range sorts, the textbook two-pass distributed ranking plan.
+    Keys are assumed unique (o_orderkey is); ranks are 0-based on the
+    k-grid, matching the oracle's ``(row_number()-1) % k = 0``."""
+    from ..stages.dedup import _n_partitions
+
+    P = _n_partitions()
+    lo = hi = None
+    for p in _table_paths(sf_dir, "orders"):
+        md = pq.ParquetFile(p).metadata
+        ci = md.schema.to_arrow_schema().get_field_index("o_orderkey")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError(
+                    "systematic_sample_orders: o_orderkey footer stats "
+                    "missing — rewrite the source with statistics enabled "
+                    "or add a min/max pre-pass")
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    cols = {"o_orderkey": "int64", "cents": "int64"}
+    if lo is None:
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in cols.items()})
+    span = hi - lo + 1
+
+    def add_range(b: pa.Table) -> pa.Table:
+        key = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        part = ((key - lo) * P // span).astype(np.int32)
+        return pa.table({"o_orderkey": pa.array(key),
+                         "cents": pa.array(cents),
+                         "part": pa.array(part)})
+
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"],
+            blocks=_join_partitions(sf_dir, "orders")).map_batches(
+        add_range, batch_format="pyarrow").materialize()
+
+    def hist(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b["part"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"part": pa.array(u.astype(np.int32)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    counts = (ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+              .groupby("part")["n"].sum().sort_index())
+    offsets = counts.cumsum().shift(fill_value=0).to_dict()
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("o_orderkey")
+        off = int(offsets[int(g["part"].iloc[0])])
+        rank = off + np.arange(len(g))
+        keep = rank % k == 0
+        return g.loc[keep, ["o_orderkey", "cents"]]
+
+    out = ds.groupby("part").map_groups(
+        pick, batch_format="pandas").to_pandas()
+    out = out.astype(cols)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+QUERIES["systematic_sample_orders"] = systematic_sample_orders
+
+ORACLE_SQL["systematic_sample_orders"] = """
+    WITH r AS (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      row_number() OVER (ORDER BY o_orderkey) AS rn
+               FROM orders)
+    SELECT o_orderkey, cents FROM r
+    WHERE (rn - 1) % 100 = 0 ORDER BY o_orderkey
+"""
+
+
+def event_value_autocorr_lag1(sf_dir: str):
+    """LAG-1 AUTOCORRELATION per event type (the time-series diagnostic
+    behind seasonality/trend checks): Pearson r between consecutive
+    values ordered by (ts, event_id).  Each type's rows co-locate via a
+    type-keyed exchange; one lexsort + shifted views produce the FIVE
+    integer moment sums (n, Σx, Σy, Σxy, Σx², Σy²) vectorized — each
+    partition emits one bounded row, and the driver assembles r from
+    PYTHON INTS with a single float division both sides share.
+    Overflow bound: rows-per-type × max_cents² < 2⁶³ inside a partition's
+    int64 partial (~3.8·10⁹ rows/type at 10⁵ cents — far above any
+    single-partition volume, since the time-sliced route below kicks in
+    first).  Scale note: |types| bounds parallelism
+    here; the time-sliced boundary-stitched variant (à la
+    ``rolling_zscore_events``) is the route when one type exceeds a
+    worker — pair sums merge across time slices with two boundary
+    values, which is why the moments are the right partial."""
+    ds = _t(sf_dir, "events", columns=["event_id", "ts", "event_type",
+                                       "value"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["value"].notna() & g["ts"].notna()]
+        eid = g["event_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.round(g["value"].to_numpy(dtype=np.float64)
+                         * 100.0).astype(np.int64)
+        order = np.lexsort((eid, ts))
+        c = cents[order]
+        x, y = c[:-1], c[1:]
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n": [len(x)], "sx": [int(x.sum())], "sy": [int(y.sum())],
+            "sxy": [int((x * y).sum())],
+            "sx2": [int((x * x).sum())], "sy2": [int((y * y).sum())]})
+
+    parts = ds.groupby("event_type").map_groups(
+        moments, batch_format="pandas").to_pandas()
+    rows = []
+    for _, r in parts.iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxy, sx2, sy2 = int(r["sxy"]), int(r["sx2"]), int(r["sy2"])
+        num = n * sxy - sx * sy
+        den2 = (n * sx2 - sx * sx) * (n * sy2 - sy * sy)
+        rho = float(num) / float(den2) ** 0.5 if den2 > 0 else np.nan
+        rows.append((r["event_type"], n, rho))
+    out = pd.DataFrame(rows, columns=["event_type", "n_pairs", "autocorr"])
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["event_value_autocorr_lag1"] = event_value_autocorr_lag1
+
+ORACLE_SQL["event_value_autocorr_lag1"] = """
+    WITH e AS (SELECT event_type, ts, event_id,
+                      CAST(round(value * 100) AS BIGINT) AS c
+               FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+    p AS (SELECT event_type, c AS x,
+                 lead(c) OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id) AS y
+          FROM e),
+    m AS (SELECT event_type, count(*)::HUGEINT AS n,
+                 sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                 sum(x::HUGEINT * y) AS sxy,
+                 sum(x::HUGEINT * x) AS sx2, sum(y::HUGEINT * y) AS sy2
+          FROM p WHERE y IS NOT NULL GROUP BY event_type)
+    SELECT event_type, n::BIGINT AS n_pairs,
+           CASE WHEN (n*sx2 - sx*sx) * (n*sy2 - sy*sy) > 0
+                THEN (n*sxy - sx*sy)::DOUBLE
+                     / sqrt(((n*sx2 - sx*sx) * (n*sy2 - sy*sy))::DOUBLE)
+                ELSE NULL END AS autocorr
+    FROM m ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -7418,7 +7717,8 @@ _FRONT = [
     "pagerank_copurchase", "skew_hybrid_join_brand_revenue",
     "value_ks_between_types", "hourly_locf_value",
     "user_active_days_bitmap", "events_cube", "decayed_event_value",
-    "copurchase_components",
+    "copurchase_components", "ab_test_lift", "next_event_after_order",
+    "systematic_sample_orders", "event_value_autocorr_lag1",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},
