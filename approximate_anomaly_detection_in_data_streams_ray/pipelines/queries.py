@@ -7673,6 +7673,323 @@ ORACLE_SQL["event_value_autocorr_lag1"] = """
 """
 
 
+def cusum_drift_hourly(sf_dir: str):
+    """CUSUM⁺ CHANGE-POINT SCAN per event type over the hourly value
+    series — the classic sequential drift detector (Page's test; the
+    same "has this stream's level shifted?" question the reference's
+    window-by-window outlier reports answer, posed at the aggregate
+    level).  Exact and FULLY integer: hourly totals are cents; the
+    per-type deviation is ``x_h·H − T`` (mean removed, pre-scaled by
+    the hour count H so no rational appears); and the clamped
+    recurrence ``s_h = max(0, s_{h−1} + dev_h)`` is computed WITHOUT a
+    sequential loop via the prefix identity
+    ``s_h = p_h − min(0, min_{j≤h} p_j)`` (p = prefix sums of dev) —
+    one ``np.cumsum`` + ``np.minimum.accumulate``, which is also what
+    makes the SQL twin two window functions instead of a recursive
+    CTE.  One scan pre-combines (type, hour, cents) per block, one
+    coarse exchange folds, and the (types × hours)-bounded series is
+    scanned on the driver.  Int64 bound: |dev| ≤ max|x|·H, cumsummed
+    over H hours → guarded by an explicit overflow assert (promote to
+    Python ints past ~10⁵ hours × 10¹² cents/hour)."""
+    ds = _t(sf_dir, "events", columns=["ts", "event_type", "value"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def hourly(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.and_(pc.is_valid(b["ts"]),
+                                     pc.is_valid(b["value"])),
+                             pc.is_valid(b["event_type"])))
+        ts = b["ts"].to_numpy(zero_copy_only=False
+                              ).astype("datetime64[us]").astype(np.int64)
+        v = b["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        t = pa.table({"event_type": b["event_type"],
+                      "hour": ts // 3_600_000_000, "cents": cents})
+        g = t.group_by(["event_type", "hour"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["event_type", "hour", "cents"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "hour"], as_index=False)[
+            "cents"].sum()
+
+    h = _agg_partitioned(ds.map_batches(hourly, batch_format="pyarrow"),
+                         ["event_type", "hour"], fold).to_pandas()
+    rows = []
+    for et, g in h.groupby("event_type"):
+        g = g.sort_values("hour")
+        x = g["cents"].to_numpy(dtype=np.int64)
+        hour = g["hour"].to_numpy(dtype=np.int64)
+        nh, tot = len(x), int(x.sum())
+        if nh * int(np.abs(x * nh - tot).max()) >= 2 ** 62:
+            raise OverflowError("cusum_drift_hourly: promote to object "
+                                "ints (series magnitude exceeds int64)")
+        pre = np.cumsum(x * nh - tot)
+        s = pre - np.minimum(np.minimum.accumulate(pre), 0)
+        k = int(np.argmax(s))  # first max == SQL (cus DESC, hour) rank 1
+        rows.append((et, nh, int(s[k]), int(hour[k])))
+    out = pd.DataFrame(rows, columns=["event_type", "n_hours",
+                                      "cusum_max", "peak_hour"])
+    for c in ("n_hours", "cusum_max", "peak_hour"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["cusum_drift_hourly"] = cusum_drift_hourly
+
+ORACLE_SQL["cusum_drift_hourly"] = """
+    WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events
+               WHERE ts IS NOT NULL AND value IS NOT NULL
+                     AND event_type IS NOT NULL),
+    h AS (SELECT event_type, hour, sum(cents)::HUGEINT AS x
+          FROM e GROUP BY event_type, hour),
+    m AS (SELECT event_type, count(*)::HUGEINT AS nh, sum(x) AS tot
+          FROM h GROUP BY event_type),
+    d AS (SELECT h.event_type, h.hour, h.x * m.nh - m.tot AS dev
+          FROM h JOIN m USING (event_type)),
+    p AS (SELECT event_type, hour,
+                 sum(dev) OVER (PARTITION BY event_type
+                                ORDER BY hour) AS pre
+          FROM d),
+    s AS (SELECT event_type, hour,
+                 pre - least(0, min(pre) OVER (
+                     PARTITION BY event_type ORDER BY hour
+                     ROWS UNBOUNDED PRECEDING)) AS cus
+          FROM p),
+    r AS (SELECT event_type, hour, cus,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cus DESC, hour) AS rk
+          FROM s)
+    SELECT r.event_type, m.nh::BIGINT AS n_hours,
+           r.cus::BIGINT AS cusum_max, r.hour AS peak_hour
+    FROM r JOIN m USING (event_type) WHERE r.rk = 1
+    ORDER BY r.event_type
+"""
+
+
+def event_seq_trigrams(sf_dir: str, k: int = 20):
+    """TOP-K CONSECUTIVE EVENT-TYPE TRIGRAMS across users (the order-3
+    sequence-mining step behind funnel discovery; ``event_transition_
+    counts`` is the order-2 twin).  Rows co-locate per user via the
+    coarse hash exchange; inside each partition one lexsort by
+    (user, ts, event_id) + two shifted views build every length-3 run
+    vectorized, masking windows that straddle a user boundary — no
+    per-user Python.  Each partition emits its own (trigram, n)
+    histogram; users are disjoint across partitions but trigram NAMES
+    collide, so the |types|³-bounded partials sum on the driver.
+    Tie-break (n DESC, trigram ASC) is explicit on both sides."""
+    ds = _t(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                       "event_type"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def tri(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["ts"].notna() & g["user_id"].notna()
+              & g["event_type"].notna()]
+        if len(g) < 3:
+            return pd.DataFrame({"trigram": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype="int64")})
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, et = uid[order], et[order]
+        ok = (uid[:-2] == uid[1:-1]) & (uid[1:-1] == uid[2:])
+        if not ok.any():
+            return pd.DataFrame({"trigram": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype="int64")})
+        tri_s = (pd.Series(et[:-2][ok]) + ">" + pd.Series(et[1:-1][ok])
+                 + ">" + pd.Series(et[2:][ok]))
+        vc = tri_s.value_counts()
+        return pd.DataFrame({"trigram": vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype(np.int64)})
+
+    parts = _agg_partitioned(ds, ["user_id"], tri).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"trigram": pd.Series([], dtype=str),
+                             "n": pd.Series([], dtype="int64")})
+    out = parts.groupby("trigram", as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(["n", "trigram"], ascending=[False, True])
+    return out.head(k).reset_index(drop=True)
+
+
+QUERIES["event_seq_trigrams"] = event_seq_trigrams
+
+ORACLE_SQL["event_seq_trigrams"] = """
+    WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                     AND event_type IS NOT NULL),
+    t AS (SELECT event_type AS a,
+                 lead(event_type, 1) OVER w AS b,
+                 lead(event_type, 2) OVER w AS c
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT a || '>' || b || '>' || c AS trigram, count(*)::BIGINT AS n
+    FROM t WHERE b IS NOT NULL AND c IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20
+"""
+
+
+def weighted_median_price_flag(sf_dir: str):
+    """WEIGHTED MEDIAN (lower) of extended price per return flag,
+    weighted by quantity — the robust location statistic for skewed
+    monetary columns, exact in integer cents: the engine folds a
+    (flag, cents) → Σweight histogram (the price domain is bounded —
+    extendedprice = part price × qty, so distinct cents ≤ |parts|·50
+    no matter the row count), sorts the bounded histogram, and the
+    answer is the smallest value whose doubled cumulative weight
+    reaches the total.  No float enters the decision; quantities are
+    validated integral before casting (DuckDB's double→BIGINT cast
+    rounds, numpy truncates — integrality makes both identical)."""
+    ds = _t(sf_dir, "lineitem",
+            columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def hist(b: pa.Table) -> pa.Table:
+        p = b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype(np.int64)
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        if not np.array_equal(q, np.floor(q)):
+            raise ValueError("weighted_median_price_flag: non-integral "
+                             "quantity breaks the integer-weight parity")
+        t = pa.table({"flag": b["l_returnflag"], "cents": cents,
+                      "w": q.astype(np.int64)})
+        g = t.group_by(["flag", "cents"]).aggregate([("w", "sum")])
+        return g.rename_columns(["flag", "cents", "w"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["flag", "cents"], as_index=False)["w"].sum()
+
+    h = _agg_partitioned(ds.map_batches(hist, batch_format="pyarrow"),
+                         ["flag", "cents"], fold).to_pandas()
+    rows = []
+    for flag, g in h.groupby("flag"):
+        g = g.sort_values("cents")
+        w = g["w"].to_numpy(dtype=np.int64)
+        tw = int(w.sum())
+        cw = np.cumsum(w)
+        i = int(np.searchsorted(2 * cw, tw))  # first 2·cw ≥ tw
+        rows.append((flag, tw, int(g["cents"].to_numpy()[i])))
+    out = pd.DataFrame(rows, columns=["l_returnflag", "total_weight",
+                                      "wmedian_cents"])
+    out["total_weight"] = out["total_weight"].astype("int64")
+    out["wmedian_cents"] = out["wmedian_cents"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+QUERIES["weighted_median_price_flag"] = weighted_median_price_flag
+
+ORACLE_SQL["weighted_median_price_flag"] = """
+    WITH l AS (SELECT l_returnflag AS flag,
+                      CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS cents,
+                      CAST(l_quantity AS BIGINT) AS w
+               FROM lineitem),
+    a AS (SELECT flag, cents, sum(w)::HUGEINT AS w
+          FROM l GROUP BY flag, cents),
+    c AS (SELECT flag, cents,
+                 sum(w) OVER (PARTITION BY flag ORDER BY cents) AS cw,
+                 sum(w) OVER (PARTITION BY flag) AS tw
+          FROM a)
+    SELECT flag AS l_returnflag, tw::BIGINT AS total_weight,
+           min(cents) AS wmedian_cents
+    FROM c WHERE 2 * cw >= tw
+    GROUP BY flag, tw ORDER BY flag
+"""
+
+
+def mann_whitney_value(sf_dir: str, type_a: str = "click",
+                       type_b: str = "purchase"):
+    """EXACT MANN–WHITNEY U between two event types' value
+    distributions — the rank-sum drift test that complements the
+    sup-distance KS (``value_ks_between_types``): KS asks "largest CDF
+    gap", U asks "does one side stochastically dominate".  Same
+    engine shape: a (cents, n_a, n_b) histogram folds through the
+    coarse exchange (value domain is 2-dp cents), and on the bounded
+    merged histogram the TIE-CORRECTED rank sum uses doubled average
+    ranks ``r2 = 2·(count below) + tie_size + 1`` so every quantity
+    stays integral: ``U2_a = Σ a_i·r2_i − n_a(n_a+1) = 2·U_a``, with
+    the invariant ``U2_a + U2_b = 2·n_a·n_b`` asserted.  Also emits
+    the common-language effect size in exact micro units
+    (``u2_a·10⁶ // (2·n_a·n_b)`` — floor division, numerator ≥ 0).
+    Driver sums use Python ints (DuckDB promotes to HUGEINT the same
+    way), so there is no int64 ceiling in the decision path."""
+    ds = _t(sf_dir, "events", columns=["event_type", "value"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def hist(b: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_in(b["event_type"],
+                                value_set=pa.array([type_a, type_b])),
+                       pc.is_valid(b["value"]))
+        sel = b.filter(mask)
+        v = sel["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        is_a = pc.equal(sel["event_type"], pa.scalar(type_a)).to_numpy(
+            zero_copy_only=False)
+        t = pa.table({"cents": cents,
+                      "a": is_a.astype(np.int64),
+                      "b": (~is_a).astype(np.int64)})
+        g = t.group_by("cents").aggregate([("a", "sum"), ("b", "sum")])
+        return g.rename_columns(["cents", "a", "b"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("cents", as_index=False)[["a", "b"]].sum()
+
+    h = _agg_partitioned(ds.map_batches(hist, batch_format="pyarrow"),
+                         ["cents"], fold).to_pandas()
+    h = h.sort_values("cents")
+    a = [int(x) for x in h["a"]]
+    b = [int(x) for x in h["b"]]
+    na, nb = sum(a), sum(b)
+    r2a, below = 0, 0
+    for ai, bi in zip(a, b):
+        r2a += ai * (2 * below + ai + bi + 1)
+        below += ai + bi
+    u2a = r2a - na * (na + 1)
+    u2b = 2 * na * nb - u2a
+    assert 0 <= u2a <= 2 * na * nb, "rank-sum identity violated"
+    return pd.DataFrame({
+        "n_a": [np.int64(na)], "n_b": [np.int64(nb)],
+        "u2_a": [np.int64(u2a)], "u2_b": [np.int64(u2b)],
+        "u_micro": [np.int64(u2a * 1_000_000 // (2 * na * nb))
+                    if na and nb else np.int64(0)],
+    })
+
+
+QUERIES["mann_whitney_value"] = mann_whitney_value
+
+ORACLE_SQL["mann_whitney_value"] = """
+    WITH v AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events
+               WHERE event_type IN ('click', 'purchase')
+                     AND value IS NOT NULL),
+    h AS (SELECT cents,
+                 sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                     END)::HUGEINT AS a,
+                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                     END)::HUGEINT AS b
+          FROM v GROUP BY cents),
+    c AS (SELECT cents, a, b,
+                 coalesce(sum(a + b) OVER (
+                     ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS below
+          FROM h),
+    m AS (SELECT sum(a) AS na, sum(b) AS nb,
+                 sum(a * (2 * below + a + b + 1)) AS r2a
+          FROM c)
+    SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+           (r2a - na * (na + 1))::BIGINT AS u2_a,
+           (2 * na * nb - (r2a - na * (na + 1)))::BIGINT AS u2_b,
+           CASE WHEN na > 0 AND nb > 0
+                THEN ((r2a - na * (na + 1)) * 1000000
+                      // (2 * na * nb))::BIGINT
+                ELSE 0 END AS u_micro
+    FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -7719,6 +8036,8 @@ _FRONT = [
     "user_active_days_bitmap", "events_cube", "decayed_event_value",
     "copurchase_components", "ab_test_lift", "next_event_after_order",
     "systematic_sample_orders", "event_value_autocorr_lag1",
+    "cusum_drift_hourly", "event_seq_trigrams",
+    "weighted_median_price_flag", "mann_whitney_value",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},
