@@ -7990,6 +7990,260 @@ ORACLE_SQL["mann_whitney_value"] = """
 """
 
 
+def duplicate_transactions(sf_dir: str):
+    """WINDOWED DUPLICATE DETECTION (fraud-screen shape): purchase events
+    by the same user at the same dollar amount within 7 days of the
+    previous such event.  One coarse exchange on the user key (a user's
+    purchases land whole in one partition), per-partition lexsort +
+    vectorized diff against the previous same-(user, dollar) row — the
+    keyed LAG primitive without a per-key window pass.  Dollar buckets
+    use exact integer cents (``cents // 100``; values are asserted
+    nonnegative so floor == DuckDB's truncating ``//``)."""
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "event_type",
+                                       "value"],
+            blocks=_join_partitions(sf_dir, "events"))
+    WINDOW_US = 7 * 86_400_000_000  # 7 days
+
+    def pre(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(b["event_type"], pa.scalar("purchase")),
+                    pc.is_valid(b["value"]))
+        f = b.filter(m)
+        cents = np.asarray(pc.cast(pc.round(pc.multiply(
+            f["value"], pa.scalar(100.0))), pa.int64()))
+        if len(cents) and cents.min() < 0:
+            raise ValueError("duplicate_transactions: negative purchase "
+                             "value — dollar floor-division parity with "
+                             "the truncating SQL oracle would break")
+        return pa.table({
+            "user_id": f["user_id"],
+            "dollars": pa.array(cents // 100),
+            "ts_us": pc.cast(f["ts"], pa.int64()),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        d = g["dollars"].to_numpy()
+        t = g["ts_us"].to_numpy()
+        order = np.lexsort((t, d, u))
+        u, d, t = u[order], d[order], t[order]
+        same = (u[1:] == u[:-1]) & (d[1:] == d[:-1])
+        dup = same & ((t[1:] - t[:-1]) <= WINDOW_US)
+        dup_users = u[1:][dup]
+        per = pd.Series(dup_users).value_counts()
+        return pd.DataFrame({
+            "n_dup_events": [int(dup.sum())],
+            "n_users_with_dups": [int(per.size)],
+            "max_dups_per_user": [int(per.max()) if per.size else 0],
+        })
+
+    parts = _agg_partitioned(
+        ds.map_batches(pre, batch_format="pyarrow"), ["user_id"], fold
+    ).to_pandas()
+    return pd.DataFrame({
+        "n_dup_events": [np.int64(parts["n_dup_events"].sum())],
+        "n_users_with_dups": [np.int64(parts["n_users_with_dups"].sum())],
+        "max_dups_per_user": [np.int64(parts["max_dups_per_user"].max())
+                              if len(parts) else np.int64(0)],
+    })
+
+
+QUERIES["duplicate_transactions"] = duplicate_transactions
+
+ORACLE_SQL["duplicate_transactions"] = """
+    WITH p AS (SELECT user_id, ts,
+                      CAST(round(value * 100) AS BIGINT) // 100 AS dollars
+               FROM events
+               WHERE event_type = 'purchase' AND value IS NOT NULL),
+    l AS (SELECT user_id,
+                 CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                          (PARTITION BY user_id, dollars ORDER BY ts))
+                          <= 604800000000
+                      THEN 1 ELSE 0 END AS dup
+          FROM p),
+    u AS (SELECT user_id, sum(dup) AS nd FROM l GROUP BY 1)
+    SELECT coalesce(sum(nd), 0)::BIGINT AS n_dup_events,
+           coalesce(sum(CASE WHEN nd > 0 THEN 1 ELSE 0 END), 0)::BIGINT
+               AS n_users_with_dups,
+           coalesce(max(nd), 0)::BIGINT AS max_dups_per_user
+    FROM u
+"""
+
+
+def custdist_q13(sf_dir: str):
+    """TPC-H Q13 shape — CUSTOMER DISTRIBUTION BY ORDER COUNT, including
+    the zero bucket, WITHOUT the left join: per-batch Arrow count per
+    custkey, one coarse exchange folding exact per-customer order counts,
+    a per-partition histogram of counts (bounded rows), and the zero
+    bucket from parquet-footer arithmetic (``n_customers − n_customers
+    with ≥1 order``) — valid because ``referential_orders`` proves every
+    o_custkey exists in customer.  No customer-table scan at all."""
+    ds = _t(sf_dir, "orders", columns=["o_custkey"],
+            blocks=_join_partitions(sf_dir, "orders"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return g.rename_columns(["o_custkey", "n"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("o_custkey")["n"].sum()
+        h = per.value_counts()
+        return pd.DataFrame({"c_count": h.index.to_numpy(),
+                             "custdist": h.to_numpy()})
+
+    parts = _agg_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"), ["o_custkey"], fold
+    ).to_pandas()
+    out = parts.groupby("c_count", as_index=False)["custdist"].sum()
+    n_zero = _table_rows(sf_dir, "customer") - int(out["custdist"].sum())
+    if n_zero > 0:
+        out = pd.concat([out, pd.DataFrame({"c_count": [0],
+                                            "custdist": [n_zero]})])
+    out = out.astype("int64").sort_values(
+        ["custdist", "c_count"], ascending=[False, False])
+    return out.reset_index(drop=True)
+
+
+QUERIES["custdist_q13"] = custdist_q13
+
+ORACLE_SQL["custdist_q13"] = """
+    WITH c_orders AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1)
+    SELECT c_count::BIGINT AS c_count, count(*)::BIGINT AS custdist
+    FROM c_orders GROUP BY 1
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def ship_lag_histogram(sf_dir: str):
+    """DATE-LAG DISTRIBUTION over a fact-to-fact join (TPC-H Q12
+    flavor): weeks between order date and line-item ship date.  The
+    lineitem side pre-combines to (orderkey, ship_day, n) — ship days
+    per order are few, so the exchange carries near-one row per
+    (order, day) — then a hash-shuffle join against orders' (orderkey,
+    order_day) and a per-batch histogram partial the driver folds
+    (bucket count is calendar-bounded).  Lags CAN be negative in this
+    corpus, so both sides bucket with true FLOOR division (the SQL
+    oracle uses ``floor(d / 7.0)`` — exact at calendar magnitudes —
+    because DuckDB's integer ``//`` truncates toward zero)."""
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+    od = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"],
+            blocks=_join_partitions(sf_dir, "orders"))
+
+    US_DAY = 86_400_000_000
+
+    def pre_li(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.divide(pc.cast(b["l_shipdate"], pa.int64()),
+                                pa.scalar(US_DAY)), pa.int64())
+        t = pa.table({"l_orderkey": b["l_orderkey"], "ship_day": day})
+        g = t.group_by(["l_orderkey", "ship_day"]).aggregate(
+            [("ship_day", "count")])
+        return g.rename_columns(["l_orderkey", "ship_day", "n_items"])
+
+    def pre_od(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.divide(pc.cast(b["o_orderdate"], pa.int64()),
+                                pa.scalar(US_DAY)), pa.int64())
+        return pa.table({"o_orderkey": b["o_orderkey"], "order_day": day})
+
+    joined = li.map_batches(pre_li, batch_format="pyarrow").join(
+        od.map_batches(pre_od, batch_format="pyarrow"),
+        join_type="inner", num_partitions=_join_partitions(sf_dir, "orders"),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def hist(b: pa.Table) -> pa.Table:
+        lag = (np.asarray(b["ship_day"], dtype=np.int64)
+               - np.asarray(b["order_day"], dtype=np.int64))
+        t = pa.table({"lag_week": pa.array(lag // 7),
+                      "n_items": b["n_items"]})
+        g = t.group_by("lag_week").aggregate([("n_items", "sum")])
+        return g.rename_columns(["lag_week", "n_items"])
+
+    parts = joined.map_batches(hist, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("lag_week", as_index=False)["n_items"].sum()
+    return out.astype("int64").sort_values("lag_week").reset_index(drop=True)
+
+
+QUERIES["ship_lag_histogram"] = ship_lag_histogram
+
+ORACLE_SQL["ship_lag_histogram"] = """
+    SELECT CAST(floor((CAST(l_shipdate AS DATE)
+                        - CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT)
+               AS lag_week,
+           count(*)::BIGINT AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def customer_monthly_churn(sf_dir: str):
+    """MONTH-OVER-MONTH SET DIFFERENCE (churn): customers who ordered in
+    month m but not in m+1, per month — the ``EXCEPT``-style retention
+    primitive.  Per-batch Arrow distinct on (custkey, month-index), one
+    coarse exchange on the customer key (each customer's month set lands
+    whole in one partition), per-partition vectorized next-month-absent
+    test via a sorted-pair membership probe, then a dimension-bounded
+    per-month fold.  The final month is excluded at the driver (its
+    churn is undefined)."""
+    ds = _t(sf_dir, "orders", columns=["o_custkey", "o_orderdate"],
+            blocks=_join_partitions(sf_dir, "orders"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        y = pc.year(b["o_orderdate"])
+        m = pc.month(b["o_orderdate"])
+        mi = pc.add(pc.multiply(pc.cast(y, pa.int64()), pa.scalar(12)),
+                    pc.cast(pc.subtract(m, pa.scalar(1)), pa.int64()))
+        t = pa.table({"o_custkey": b["o_custkey"], "mi": mi})
+        return t.group_by(["o_custkey", "mi"]).aggregate([])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["o_custkey", "mi"])
+        u = g["o_custkey"].to_numpy()
+        m = g["mi"].to_numpy()
+        # sorted (cust, month) pairs; churn = (cust, m+1) not present
+        order = np.lexsort((m, u))
+        u, m = u[order], m[order]
+        key = u * np.int64(1 << 20) + m  # months-since-0 < 2^20
+        churned = ~np.isin(key + 1, key)
+        act = pd.DataFrame({"mi": m}).groupby("mi", as_index=False).size(
+        ).rename(columns={"size": "active"})
+        ch = pd.DataFrame({"mi": m[churned]}).groupby(
+            "mi", as_index=False).size().rename(columns={"size": "churned"})
+        return act.merge(ch, on="mi", how="left").fillna(0)
+
+    parts = _agg_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"), ["o_custkey"], fold
+    ).to_pandas()
+    out = parts.groupby("mi", as_index=False).sum()
+    out = out[out["mi"] < out["mi"].max()].sort_values("mi")
+    return pd.DataFrame({
+        "month_idx": out["mi"].astype("int64"),
+        "active_customers": out["active"].astype("int64"),
+        "churned_customers": out["churned"].astype("int64"),
+    }).reset_index(drop=True)
+
+
+QUERIES["customer_monthly_churn"] = customer_monthly_churn
+
+ORACLE_SQL["customer_monthly_churn"] = """
+    WITH um AS (SELECT DISTINCT o_custkey,
+                       (year(o_orderdate) * 12
+                        + month(o_orderdate) - 1)::BIGINT AS mi
+                FROM orders),
+    ac AS (SELECT mi, count(*) AS active FROM um GROUP BY 1),
+    ch AS (SELECT a.mi, count(*) AS churned
+           FROM um a LEFT JOIN um b
+                ON b.o_custkey = a.o_custkey AND b.mi = a.mi + 1
+           WHERE b.o_custkey IS NULL GROUP BY 1)
+    SELECT ac.mi AS month_idx, ac.active::BIGINT AS active_customers,
+           coalesce(ch.churned, 0)::BIGINT AS churned_customers
+    FROM ac LEFT JOIN ch ON ac.mi = ch.mi
+    WHERE ac.mi < (SELECT max(mi) FROM um)
+    ORDER BY month_idx
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -8038,6 +8292,8 @@ _FRONT = [
     "systematic_sample_orders", "event_value_autocorr_lag1",
     "cusum_drift_hourly", "event_seq_trigrams",
     "weighted_median_price_flag", "mann_whitney_value",
+    "duplicate_transactions", "custdist_q13", "ship_lag_histogram",
+    "customer_monthly_churn",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},
