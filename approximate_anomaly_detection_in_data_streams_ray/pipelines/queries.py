@@ -8244,6 +8244,300 @@ ORACLE_SQL["customer_monthly_churn"] = """
 """
 
 
+def cheapest_supplier_per_part(sf_dir: str):
+    """GROUPED ARGMIN (min-by) at fact scale — the TPC-H Q2 shape over
+    lineitem: for every part, the supplier offering the minimum extended
+    price (ties → lowest suppkey).  Per-batch vectorized argmin
+    (lexsort + first-occurrence mask) shrinks each block to one row per
+    partkey BEFORE the exchange, then one coarse hash exchange on the
+    part key re-runs the same fold — argmin partials compose because
+    min-by is associative under the (price, suppkey) lexicographic
+    order.  Prices compare as exact integer cents."""
+    ds = _t(sf_dir, "lineitem",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def argmin_rows(part, supp, cents):
+        order = np.lexsort((supp, cents, part))
+        part, supp, cents = part[order], supp[order], cents[order]
+        first = np.ones(len(part), dtype=bool)
+        first[1:] = part[1:] != part[:-1]
+        return part[first], supp[first], cents[first]
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.asarray(pc.cast(pc.round(pc.multiply(
+            b["l_extendedprice"], pa.scalar(100.0))), pa.int64()))
+        p, s, c = argmin_rows(np.asarray(b["l_partkey"]),
+                              np.asarray(b["l_suppkey"]), cents)
+        return pa.table({"l_partkey": pa.array(p),
+                         "best_suppkey": pa.array(s),
+                         "min_price_cents": pa.array(c)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        p, s, c = argmin_rows(g["l_partkey"].to_numpy(),
+                              g["best_suppkey"].to_numpy(),
+                              g["min_price_cents"].to_numpy())
+        return pd.DataFrame({"l_partkey": p, "best_suppkey": s,
+                             "min_price_cents": c})
+
+    out = _agg_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"), ["l_partkey"], fold
+    ).to_pandas()
+    return out.astype("int64").sort_values("l_partkey").reset_index(
+        drop=True)
+
+
+QUERIES["cheapest_supplier_per_part"] = cheapest_supplier_per_part
+
+ORACLE_SQL["cheapest_supplier_per_part"] = """
+    WITH r AS (SELECT l_partkey, l_suppkey,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                      row_number() OVER (
+                          PARTITION BY l_partkey
+                          ORDER BY CAST(round(l_extendedprice * 100)
+                                        AS BIGINT), l_suppkey) AS rn
+               FROM lineitem)
+    SELECT l_partkey, l_suppkey AS best_suppkey, c AS min_price_cents
+    FROM r WHERE rn = 1 ORDER BY l_partkey
+"""
+
+
+def rfm_segments(sf_dir: str):
+    """RFM SEGMENTATION (recency / frequency / monetary) — the customer
+    scoring shape: per-customer last-order day, order count and exact
+    lifetime cents, bucketed into a bounded (r, f, m) cell grid and
+    counted.  The global max order day comes from the PARQUET FOOTER
+    column statistics (zero data scanned; falls back to a narrow scan if
+    a writer omitted stats), so one pass suffices: per-batch per-customer
+    partials, one coarse exchange on the customer key, per-partition
+    bucketing to grid cells the driver folds.  All bucket divisions are
+    on nonnegative ints (floor == the oracle's truncating ``//``)."""
+    import pyarrow.parquet as pq
+
+    US_DAY = 86_400_000_000
+    # footer-stats max o_orderdate (scale path: no scan at all)
+    mx = None
+    for f in _table_paths(sf_dir, "orders"):
+        md = pq.ParquetFile(f)
+        idx = md.schema_arrow.get_field_index("o_orderdate")
+        for rg in range(md.metadata.num_row_groups):
+            st = md.metadata.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                mx = None
+                break
+            v = st.max
+            mx = v if mx is None or v > mx else mx
+        else:
+            continue
+        break
+    if mx is not None:
+        max_day = int(pd.Timestamp(mx).value // 1000 // US_DAY)
+    else:  # stats-free writer: one narrow-column scan
+        ds_mx = _t(sf_dir, "orders", columns=["o_orderdate"])
+        max_day = int(pd.Timestamp(ds_mx.max("o_orderdate")).value
+                      // 1000 // US_DAY)
+
+    ds = _t(sf_dir, "orders",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+            blocks=_join_partitions(sf_dir, "orders"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.divide(pc.cast(b["o_orderdate"], pa.int64()),
+                                pa.scalar(US_DAY)), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        t = pa.table({"o_custkey": b["o_custkey"], "day": day,
+                      "cents": cents})
+        g = t.group_by("o_custkey").aggregate(
+            [("day", "max"), ("cents", "count"), ("cents", "sum")])
+        return g.rename_columns(["o_custkey", "last_day", "f", "m"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("o_custkey").agg(
+            last_day=("last_day", "max"), f=("f", "sum"), m=("m", "sum"))
+        r_b = (max_day - per["last_day"].to_numpy()) // 365
+        f_b = np.minimum(per["f"].to_numpy() // 5, 4)
+        m_b = np.minimum(per["m"].to_numpy() // 100_000_000, 5)
+        cells = pd.DataFrame({"r_bucket": r_b, "f_bucket": f_b,
+                              "m_bucket": m_b})
+        out = cells.groupby(["r_bucket", "f_bucket", "m_bucket"],
+                            as_index=False).size()
+        return out.rename(columns={"size": "n_customers"})
+
+    parts = _agg_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"), ["o_custkey"], fold
+    ).to_pandas()
+    out = parts.groupby(["r_bucket", "f_bucket", "m_bucket"],
+                        as_index=False)["n_customers"].sum()
+    return out.astype("int64").sort_values(
+        ["r_bucket", "f_bucket", "m_bucket"]).reset_index(drop=True)
+
+
+QUERIES["rfm_segments"] = rfm_segments
+
+ORACLE_SQL["rfm_segments"] = """
+    WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS md FROM orders),
+    c AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+                 count(*) AS f,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS m
+          FROM orders GROUP BY 1)
+    SELECT ((mx.md - c.last_d) // 365)::BIGINT AS r_bucket,
+           least(c.f // 5, 4)::BIGINT AS f_bucket,
+           least(c.m // 100000000, 5)::BIGINT AS m_bucket,
+           count(*)::BIGINT AS n_customers
+    FROM c, mx GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def source_vocab_jaccard(sf_dir: str):
+    """PAIRWISE SET SIMILARITY between source vocabularies — the corpus
+    diversity audit: exact Jaccard components (|Vi ∩ Vj|, |Vi ∪ Vj|) for
+    every source pair.  Per-batch distinct (token, source) pairs, ONE
+    coarse exchange on the token key, per-partition fold to a SOURCE
+    BITMASK per token and a mask → token-count histogram (≤ vocab rows,
+    usually far fewer), then one driver-side matmul over the (masks ×
+    sources) bit matrix yields the full intersection matrix — no
+    all-pairs token join anywhere.  Assumes ≤ 63 sources (bitmask in an
+    int64); raises loudly beyond."""
+    # tiny distinct-source pass (narrow column; source count is
+    # dimension-bounded by construction)
+    src_parts = _t(sf_dir, "documents", columns=["source"]).map_batches(
+        lambda b: pa.table({"source": pc.unique(b["source"])}),
+        batch_format="pyarrow").to_pandas()
+    sources = sorted(src_parts["source"].unique())
+    if len(sources) > 63:
+        raise ValueError("source_vocab_jaccard: >63 sources — widen the "
+                         "bitmask to multi-word before using")
+    bit = {s: i for i, s in enumerate(sources)}
+
+    ds = _t(sf_dir, "documents", columns=["text", "source"], spread=True)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        lst = pc.split_pattern_regex(
+            pc.fill_null(b["text"], ""), pattern=r"[^A-Za-z0-9_]+")
+        t = pa.table({"token": pc.list_flatten(lst),
+                      "source": pc.take(
+                          b["source"], pc.list_parent_indices(lst))})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        return t.group_by(["token", "source"]).aggregate([])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["token", "source"])
+        bits = g["source"].map(bit).to_numpy(dtype=np.int64)
+        masks = pd.DataFrame({
+            "token": g["token"].to_numpy(),
+            "m": np.int64(1) << bits,
+        }).groupby("token")["m"].agg(lambda v: int(np.bitwise_or.reduce(
+            v.to_numpy())))
+        h = masks.value_counts()
+        return pd.DataFrame({"mask": h.index.to_numpy(dtype=np.int64),
+                             "n_tokens": h.to_numpy()})
+
+    parts = _agg_partitioned(
+        ds.map_batches(pairs, batch_format="pyarrow"), ["token"], fold
+    ).to_pandas()
+    h = parts.groupby("mask", as_index=False)["n_tokens"].sum()
+    S = len(sources)
+    bits_mat = ((h["mask"].to_numpy()[:, None]
+                 >> np.arange(S)[None, :]) & 1).astype(np.int64)
+    cnt = h["n_tokens"].to_numpy()
+    inter = bits_mat.T @ (bits_mat * cnt[:, None])  # S×S co-occurrence
+    sizes = inter.diagonal()
+    ia, ib = np.triu_indices(S, k=1)
+    return pd.DataFrame({
+        "src_a": np.array(sources, dtype=object)[ia],
+        "src_b": np.array(sources, dtype=object)[ib],
+        "n_inter": inter[ia, ib].astype("int64"),
+        "n_union": (sizes[ia] + sizes[ib] - inter[ia, ib]).astype("int64"),
+    }).sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+QUERIES["source_vocab_jaccard"] = source_vocab_jaccard
+
+ORACLE_SQL["source_vocab_jaccard"] = """
+    WITH ts AS (SELECT DISTINCT source,
+                       unnest(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                           AS tok
+                FROM documents),
+    v AS (SELECT source, count(*) AS nv FROM ts GROUP BY 1),
+    i AS (SELECT a.source AS sa, b.source AS sb, count(*) AS ni
+          FROM ts a JOIN ts b ON a.tok = b.tok AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT v1.source AS src_a, v2.source AS src_b,
+           coalesce(i.ni, 0)::BIGINT AS n_inter,
+           (v1.nv + v2.nv - coalesce(i.ni, 0))::BIGINT AS n_union
+    FROM v v1 JOIN v v2 ON v1.source < v2.source
+    LEFT JOIN i ON i.sa = v1.source AND i.sb = v2.source
+    ORDER BY src_a, src_b
+"""
+
+
+def signup_purchase_latency(sf_dir: str):
+    """FUNNEL LATENCY distribution — signup → first qualifying purchase:
+    per user, the first purchase at-or-after the first signup, histogram
+    of the lag in whole days.  One coarse exchange on the user key (a
+    user's events land whole in one partition).  Signups pre-reduce to a
+    per-(user, batch) min (mins of mins are exact), but purchases pass
+    through RAW: a per-batch min-purchase partial would silently drop
+    the qualifying purchase whenever an even earlier purchase precedes
+    the signup, so the ≥-signup filter must see every purchase row of
+    the user.  Lags are nonnegative by construction so ``//``
+    floor/truncate parity holds."""
+    US_DAY = 86_400_000_000
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "event_type"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b["user_id"],
+                      "ts_us": pc.cast(b["ts"], pa.int64()),
+                      "event_type": b["event_type"]})
+        s = t.filter(pc.equal(t["event_type"], pa.scalar("signup"))
+                     ).group_by(["user_id", "event_type"]).aggregate(
+            [("ts_us", "min")]).rename_columns(
+            ["user_id", "event_type", "ts_us"])
+        p = t.filter(pc.equal(t["event_type"], pa.scalar("purchase"))
+                     ).select(["user_id", "event_type", "ts_us"])
+        return pa.concat_tables([s, p]).combine_chunks()
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["event_type"] == "signup"].groupby("user_id")["ts_us"].min()
+        pu = g[g["event_type"] == "purchase"]
+        pu = pu[pu["ts_us"] >= pu["user_id"].map(s)]
+        p = pu.groupby("user_id")["ts_us"].min()
+        both = pd.concat([s.rename("s"), p.rename("p")], axis=1).dropna()
+        if not len(both):
+            return pd.DataFrame({"lag_days": pd.Series([], dtype="int64"),
+                                 "n_users": pd.Series([], dtype="int64")})
+        lag = ((both["p"].to_numpy(dtype=np.int64)
+                - both["s"].to_numpy(dtype=np.int64)) // US_DAY)
+        h = pd.Series(lag).value_counts()
+        return pd.DataFrame({"lag_days": h.index.to_numpy(),
+                             "n_users": h.to_numpy()})
+
+    parts = _agg_partitioned(
+        ds.map_batches(pre, batch_format="pyarrow"), ["user_id"], fold
+    ).to_pandas()
+    out = parts.groupby("lag_days", as_index=False)["n_users"].sum()
+    return out.astype("int64").sort_values("lag_days").reset_index(
+        drop=True)
+
+
+QUERIES["signup_purchase_latency"] = signup_purchase_latency
+
+ORACLE_SQL["signup_purchase_latency"] = """
+    WITH s AS (SELECT user_id, min(ts) AS st FROM events
+               WHERE event_type = 'signup' GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS pt
+          FROM events e JOIN s USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts >= s.st GROUP BY 1)
+    SELECT ((epoch_us(p.pt) - epoch_us(s.st)) // 86400000000)::BIGINT
+               AS lag_days,
+           count(*)::BIGINT AS n_users
+    FROM p JOIN s USING (user_id)
+    GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -8293,7 +8587,8 @@ _FRONT = [
     "cusum_drift_hourly", "event_seq_trigrams",
     "weighted_median_price_flag", "mann_whitney_value",
     "duplicate_transactions", "custdist_q13", "ship_lag_histogram",
-    "customer_monthly_churn",
+    "customer_monthly_churn", "cheapest_supplier_per_part",
+    "rfm_segments", "source_vocab_jaccard", "signup_purchase_latency",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},
