@@ -2480,3 +2480,135 @@ def test_hourly_locf_forward_fills_and_flags(ray_session, tmp_path):
     # hour 5: new observation
     assert click.loc[base + 5, "cents"] == 900.0
     assert not bool(click.loc[base + 5, "is_imputed"])
+
+
+# ------------------------------------------- signup → purchase latency
+
+
+def test_signup_purchase_latency_keeps_qualifying_later_purchase(
+        ray_session, tmp_path):
+    """The trap the raw-purchase exchange exists for: user 1 purchases
+    BEFORE signing up and again after — a per-batch min-purchase partial
+    would keep only the pre-signup purchase and silently drop the user.
+    User 2 has no post-signup purchase; user 3 is the plain case."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        signup_purchase_latency,
+    )
+
+    day = 86_400_000_000
+    base = pd.Timestamp("2024-01-01").value // 1000
+    rows = [
+        # user 1: purchase(d0) < signup(d1) < purchase(d4) → lag 3
+        (1, base + 0 * day, "purchase"),
+        (1, base + 1 * day, "signup"),
+        (1, base + 4 * day, "purchase"),
+        # user 2: purchase strictly before signup only → excluded
+        (2, base + 0 * day, "purchase"),
+        (2, base + 2 * day, "signup"),
+        # user 3: signup(d0) then purchase same µs (lag 0) and later
+        (3, base + 0 * day, "signup"),
+        (3, base + 0 * day, "purchase"),
+        (3, base + 9 * day, "purchase"),
+        # user 4: purchases only → excluded
+        (4, base + 1 * day, "purchase"),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    sf = _write(tmp_path, "events", tbl)
+
+    got = signup_purchase_latency(sf).reset_index(drop=True)
+    want = pd.DataFrame({"lag_days": [0, 3], "n_users": [1, 1]})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ------------------------------------------------- source vocab jaccard
+
+
+def test_source_vocab_jaccard_planted_overlap(ray_session, tmp_path):
+    """Three sources with hand-countable vocabularies: A={x,y,z},
+    B={y,z,w}, C={q}.  Repeated tokens inside a source must not inflate
+    set sizes; the disjoint pair must report n_inter=0 with the right
+    union."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        source_vocab_jaccard,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["x y z y", "y z w", "q q q", "z"], pa.string()),
+        "source": pa.array(["A", "B", "C", "A"], pa.string()),
+    })
+    sf = _write(tmp_path, "documents", tbl)
+
+    got = source_vocab_jaccard(sf).reset_index(drop=True)
+    want = pd.DataFrame({
+        "src_a": ["A", "A", "B"],
+        "src_b": ["B", "C", "C"],
+        "n_inter": [2, 0, 0],
+        "n_union": [4, 4, 4],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_source_vocab_jaccard_rejects_too_many_sources(ray_session,
+                                                       tmp_path):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        source_vocab_jaccard,
+    )
+
+    n = 70
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["tok"] * n, pa.string()),
+        "source": pa.array([f"s{i:03d}" for i in range(n)], pa.string()),
+    })
+    sf = _write(tmp_path, "documents", tbl)
+    with pytest.raises(ValueError, match="63 sources"):
+        source_vocab_jaccard(sf)
+
+
+# -------------------------------------------- duplicate transactions
+
+
+def test_duplicate_transactions_window_and_dollar_buckets(ray_session,
+                                                          tmp_path):
+    """Chains inside/outside the 7-day window and cents that round into
+    the same dollar: 10.99 and 10.01 share dollar bucket 10."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        duplicate_transactions,
+    )
+
+    day = 86_400_000_000
+    base = pd.Timestamp("2024-01-01").value // 1000
+    rows = [
+        # user 1: three same-dollar purchases, consecutive gaps 6d and 8d
+        # → first gap dups, second does not
+        (1, base + 0 * day, "purchase", 10.99),
+        (1, base + 6 * day, "purchase", 10.01),
+        (1, base + 14 * day, "purchase", 10.50),
+        # user 1, different dollar in between — must not break the chain
+        (1, base + 1 * day, "purchase", 99.00),
+        # user 2: same dollar, exactly 7d apart (inclusive) → dup
+        (2, base + 0 * day, "purchase", 5.00),
+        (2, base + 7 * day, "purchase", 5.75),
+        # user 2: views with matching value never count
+        (2, base + 7 * day, "view", 5.75),
+        (2, base + 7 * day + 1, "view", 5.75),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    sf = _write(tmp_path, "events", tbl)
+
+    got = duplicate_transactions(sf)
+    assert int(got["n_dup_events"].iloc[0]) == 2
+    assert int(got["n_users_with_dups"].iloc[0]) == 2
+    assert int(got["max_dups_per_user"].iloc[0]) == 1
