@@ -2612,3 +2612,122 @@ def test_duplicate_transactions_window_and_dollar_buckets(ray_session,
     assert int(got["n_dup_events"].iloc[0]) == 2
     assert int(got["n_users_with_dups"].iloc[0]) == 2
     assert int(got["max_dups_per_user"].iloc[0]) == 1
+
+
+# ------------------------------------------------------ IQR outliers
+
+
+def test_value_iqr_outliers_quantile_convention_and_fences(ray_session,
+                                                           tmp_path):
+    """Pins the inverted-CDF quantile convention (1-indexed ceil(q·n))
+    and the doubled-unit Tukey fences against a Python-bigint oracle on
+    small-n groups where conventions diverge the most."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        value_iqr_outliers,
+    )
+    import math
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for t_i, n in enumerate([1, 2, 3, 4, 5, 7, 12, 40]):
+        xs = rng.integers(-200, 201, size=n)
+        rows += [(f"t{t_i}", float(x) / 100.0) for x in xs]
+    tbl = pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "value": pa.array([r[1] for r in rows], pa.float64()),
+    })
+    sf = _write(tmp_path, "events", tbl)
+
+    got = value_iqr_outliers(sf).reset_index(drop=True)
+
+    expect = []
+    df = pd.DataFrame(rows, columns=["event_type", "value"])
+    for t_name, g in df.groupby("event_type"):
+        c = sorted(int(round(v * 100)) for v in g["value"])
+        n = len(c)
+        q1 = c[max(math.ceil(0.25 * n), 1) - 1]
+        q3 = c[max(math.ceil(0.75 * n), 1) - 1]
+        lo2, hi2 = 2 * q1 - 3 * (q3 - q1), 2 * q3 + 3 * (q3 - q1)
+        n_out = sum(1 for v in c if 2 * v < lo2 or 2 * v > hi2)
+        expect.append((t_name, n, q1, q3, n_out))
+    want = pd.DataFrame(expect, columns=[
+        "event_type", "n", "q1_cents", "q3_cents", "n_outliers"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# --------------------------------------------------------- cohort LTV
+
+
+def test_cohort_ltv_planted_matrix(ray_session, tmp_path):
+    """Two cohorts with hand-countable cells; a customer ordering twice
+    in one month must count ONCE in that cell's n_customers."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        cohort_ltv,
+    )
+
+    def ts(y, m, d):
+        return pd.Timestamp(f"{y:04d}-{m:02d}-{d:02d}").value // 1000
+
+    rows = [
+        # cust 1: cohort 2024-01, active months 0 and 2
+        (1, ts(2024, 1, 5), 10.00),
+        (1, ts(2024, 1, 20), 5.00),     # same month — one active customer
+        (1, ts(2024, 3, 1), 7.00),
+        # cust 2: cohort 2024-01, active month 0 only
+        (2, ts(2024, 1, 31), 1.00),
+        # cust 3: cohort 2024-02, active months 0 and 1
+        (3, ts(2024, 2, 10), 2.00),
+        (3, ts(2024, 3, 10), 3.00),
+    ]
+    mi_jan = 2024 * 12 + 0
+    tbl = pa.table({
+        "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderdate": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    sf = _write(tmp_path, "orders", tbl)
+
+    got = cohort_ltv(sf).reset_index(drop=True)
+    want = pd.DataFrame({
+        "cohort_mi": [mi_jan, mi_jan, mi_jan + 1, mi_jan + 1],
+        "month_offset": [0, 2, 0, 1],
+        "revenue_cents": [1600, 700, 200, 300],
+        "n_customers": [2, 1, 1, 1],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ------------------------------------------------- session type pairs
+
+
+def test_session_type_pairs_boundary(ray_session, tmp_path):
+    """One user, two sessions split by a >30-min gap: types {A,B} then
+    {B,C}; pair (A,C) must NOT co-occur."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        session_type_pairs,
+    )
+
+    mn = 60 * 1_000_000
+    base = pd.Timestamp("2024-01-01").value // 1000
+    rows = [
+        (1, base + 0 * mn, "A"),
+        (1, base + 10 * mn, "B"),
+        (1, base + 20 * mn, "B"),
+        (1, base + 20 * mn + 31 * mn, "B"),   # 31-min gap → new session
+        (1, base + 52 * mn, "C"),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    sf = _write(tmp_path, "events", tbl)
+
+    got = session_type_pairs(sf).reset_index(drop=True)
+    want = pd.DataFrame({
+        "type_a": ["A", "A", "B"],
+        "type_b": ["B", "C", "C"],
+        "n_sessions": [1, 0, 1],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
