@@ -8502,7 +8502,12 @@ def signup_purchase_latency(sf_dir: str):
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         s = g[g["event_type"] == "signup"].groupby("user_id")["ts_us"].min()
         pu = g[g["event_type"] == "purchase"]
-        pu = pu[pu["ts_us"] >= pu["user_id"].map(s)]
+        # keep the µs comparison in int64: .map() with missing users
+        # upcasts to float64 (256-µs spacing at epoch magnitudes) and
+        # could flip boundary rows; an int64 max-sentinel cannot
+        s_al = pu["user_id"].map(s).fillna(np.iinfo(np.int64).max
+                                           ).astype(np.int64)
+        pu = pu[pu["ts_us"] >= s_al]
         p = pu.groupby("user_id")["ts_us"].min()
         both = pd.concat([s.rename("s"), p.rename("p")], axis=1).dropna()
         if not len(both):
@@ -8809,6 +8814,314 @@ ORACLE_SQL["value_iqr_outliers"] = """
 """
 
 
+def trailing_spend_features(sf_dir: str):
+    """POINT-IN-TIME FEATURE GENERATION (training-data shape): for every
+    order, the customer's trailing-90-day spend STRICTLY BEFORE the
+    order day, folded to per-priority totals.  One customer-key
+    exchange; inside each partition the per-order window sums are fully
+    vectorized with a composite ``cust·2²¹ + day`` key — one global
+    lexsort, one global prefix sum, and two batched ``searchsorted``
+    calls answer every order's [day−90, day−1] range sum at once (the
+    composite key confines each probe to its customer's segment, like
+    a windowed self-as-of-join without the join).  Same-day orders are
+    excluded by the exclusive upper bound — matching the oracle's
+    ``RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING`` frame exactly."""
+    US_DAY = 86_400_000_000
+    ds = _t(sf_dir, "orders",
+            columns=["o_custkey", "o_orderdate", "o_totalprice",
+                     "o_orderpriority"],
+            blocks=_join_partitions(sf_dir, "orders"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.divide(pc.cast(b["o_orderdate"], pa.int64()),
+                                pa.scalar(US_DAY)), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        return pa.table({"o_custkey": b["o_custkey"], "day": day,
+                         "cents": cents,
+                         "o_orderpriority": b["o_orderpriority"]})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["o_custkey"].to_numpy()
+        d = g["day"].to_numpy()
+        c = g["cents"].to_numpy()
+        if (d < 0).any() or (d >= (1 << 21)).any():
+            raise ValueError("trailing_spend_features: day outside the "
+                             "composite-key range — widen the shift")
+        order = np.lexsort((d, u))
+        u, d, c = u[order], d[order], c[order]
+        pr = g["o_orderpriority"].to_numpy()[order]
+        key = u * np.int64(1 << 21) + d
+        gcum = np.concatenate(([0], np.cumsum(c)))
+        lo = np.searchsorted(key, u * np.int64(1 << 21) + (d - 90), "left")
+        hi = np.searchsorted(key, key, "left")   # first same-day row
+        trail = gcum[hi] - gcum[lo]
+        out = pd.DataFrame({"o_orderpriority": pr, "trail": trail})
+        return out.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("trail", "size"), sum_trailing=("trail", "sum"))
+
+    parts = _agg_partitioned(
+        ds.map_batches(pre, batch_format="pyarrow"), ["o_custkey"], fold
+    ).to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False).sum()
+    out["avg_trailing_micro"] = (
+        out["sum_trailing"] * 1_000_000 // out["n_orders"])
+    out = out.rename(columns={"sum_trailing": "sum_trailing_cents"})
+    for col in ("n_orders", "sum_trailing_cents", "avg_trailing_micro"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+QUERIES["trailing_spend_features"] = trailing_spend_features
+
+ORACLE_SQL["trailing_spend_features"] = """
+    WITH o AS (SELECT o_custkey, o_orderpriority,
+                      epoch_us(o_orderdate) // 86400000000 AS d,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS c
+               FROM orders),
+    w AS (SELECT o_orderpriority,
+                 sum(c) OVER (PARTITION BY o_custkey ORDER BY d
+                              RANGE BETWEEN 90 PRECEDING
+                                        AND 1 PRECEDING) AS tr
+          FROM o)
+    SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+           coalesce(sum(tr), 0)::BIGINT AS sum_trailing_cents,
+           (coalesce(sum(tr), 0) * 1000000 // count(*))::BIGINT
+               AS avg_trailing_micro
+    FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+def revenue_pareto(sf_dir: str):
+    """REVENUE CONCENTRATION (Pareto curve read-out): the minimum number
+    of customers whose combined revenue reaches 50/80/90/99% of total.
+    Per-customer exact totals via one customer-key exchange, folded to a
+    DISTINCT-TOTAL histogram (value → n_customers); the driver sorts the
+    histogram descending once and answers every threshold with bigint
+    arithmetic — the answer depends only on the total multiset, so tie
+    order between equal-revenue customers cannot change k.  The driver
+    holds one row per distinct customer total (fine into the millions;
+    the documented 10⁹-customer path coarsens to cent-buckets first and
+    refines the single straddling bucket in a second pass)."""
+    ds = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
+            blocks=_join_partitions(sf_dir, "orders"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        g = pa.table({"o_custkey": b["o_custkey"], "cents": cents}
+                     ).group_by("o_custkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["o_custkey", "cents"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("o_custkey")["cents"].sum()
+        h = per.value_counts()
+        return pd.DataFrame({"total_cents": h.index.to_numpy(),
+                             "n_cust": h.to_numpy()})
+
+    parts = _agg_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"), ["o_custkey"], fold
+    ).to_pandas()
+    h = parts.groupby("total_cents", as_index=False)["n_cust"].sum(
+    ).sort_values("total_cents", ascending=False)
+    vals = [int(v) for v in h["total_cents"]]
+    cnts = [int(n) for n in h["n_cust"]]
+    n_customers = sum(cnts)
+    total = sum(v * n for v, n in zip(vals, cnts))
+    rows = []
+    for p in (50, 80, 90, 99):
+        cum_rev = cum_n = 0
+        k = None
+        for v, n in zip(vals, cnts):
+            # does the threshold land inside this value group?
+            if 100 * (cum_rev + v * n) >= p * total:
+                need = p * total - 100 * cum_rev
+                m = max(-(-need // (100 * v)), 1) if v > 0 else n
+                k = cum_n + min(m, n)
+                break
+            cum_rev += v * n
+            cum_n += n
+        if k is None:  # zero-revenue tail (all remaining v == 0)
+            k = n_customers
+        rows.append((p, k, n_customers, k * 1_000_000 // n_customers))
+    return pd.DataFrame(rows, columns=[
+        "pct_revenue", "k_customers", "n_customers",
+        "share_customers_micro"]).astype("int64")
+
+
+QUERIES["revenue_pareto"] = revenue_pareto
+
+ORACLE_SQL["revenue_pareto"] = """
+    WITH c AS (SELECT o_custkey,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+               FROM orders GROUP BY 1),
+    r AS (SELECT v,
+                 row_number() OVER (ORDER BY v DESC, o_custkey) AS rn,
+                 sum(v) OVER (ORDER BY v DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM c),
+    t AS (SELECT sum(v) AS tot, count(*) AS n FROM c)
+    SELECT p.p::BIGINT AS pct_revenue,
+           min(r.rn)::BIGINT AS k_customers,
+           t.n::BIGINT AS n_customers,
+           (min(r.rn) * 1000000 // t.n)::BIGINT AS share_customers_micro
+    FROM r, t, (VALUES (50), (80), (90), (99)) p(p)
+    WHERE 100 * r.cum >= p.p * t.tot
+    GROUP BY p.p, t.n ORDER BY 1
+"""
+
+
+def lang_embedding_centroids(sf_dir: str):
+    """VECTOR-PAYLOAD SHUFFLE JOIN + per-group centroid partials:
+    embeddings ⋈ documents on the id key, then per-batch zero-copy
+    flatten → (rows × dim) matrix, one sort + ``add.reduceat`` per
+    language, emitting exact integer micro-unit sums per (lang,
+    position).  Ray 2.49's native join backs onto Acero, which REJECTS
+    ``list<>`` non-key fields ("not supported in join non-key field"),
+    so the vector rides the exchange PACKED as ``fixed_size_binary``
+    (one zero-copy buffer view each way) — the pattern for any
+    multimodal payload join.  Floats become ints via
+    ``floor(float64(v) · 10⁶)`` — the SAME double computation both
+    sides, so no half-even/half-away rounding tie can split them."""
+    emb = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+             blocks=_join_partitions(sf_dir, "embeddings"))
+    doc = _t(sf_dir, "documents", columns=["doc_id", "lang"],
+             blocks=_join_partitions(sf_dir, "documents"))
+
+    def pack(b: pa.Table) -> pa.Table:
+        embc = b["embedding"].combine_chunks()
+        lens = np.diff(embc.offsets.to_numpy())
+        if embc.null_count or (len(lens) and not (lens == lens[0]).all()):
+            raise ValueError("lang_embedding_centroids: null or ragged "
+                             "embeddings")
+        dim = int(lens[0]) if len(lens) else 0
+        flat = embc.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float32, copy=False)
+        packed = pa.Array.from_buffers(
+            pa.binary(dim * 4), len(embc),
+            [None, pa.py_buffer(np.ascontiguousarray(flat).tobytes())])
+        return pa.table({"vec_id": b["vec_id"], "payload": packed})
+
+    joined = emb.map_batches(pack, batch_format="pyarrow").join(
+        doc, join_type="inner",
+        num_partitions=_join_partitions(sf_dir, "embeddings"),
+        on=("vec_id",), right_on=("doc_id",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        pay = b["payload"].combine_chunks()
+        dbytes = pay.type.byte_width
+        dim = dbytes // 4
+        flat = np.frombuffer(pay.buffers()[1], dtype=np.float32,
+                             count=len(pay) * dim,
+                             offset=pay.offset * dbytes)
+        m = np.floor(flat.astype(np.float64) * 1e6).astype(np.int64)
+        m = m.reshape(len(pay), dim) if dim else m.reshape(0, 0)
+        codes, uniq = pd.factorize(pd.Series(np.asarray(b["lang"])))
+        order = np.argsort(codes, kind="stable")
+        starts = np.flatnonzero(np.diff(codes[order], prepend=-1))
+        sums = np.add.reduceat(m[order], starts, axis=0)
+        ns = np.diff(np.append(starts, len(codes)))
+        n_l, d = sums.shape
+        return pa.table({
+            "lang": pa.array(np.repeat(uniq.to_numpy()[
+                codes[order][starts]], d)),
+            "pos": pa.array(np.tile(np.arange(1, d + 1), n_l)),
+            "n_vectors": pa.array(np.repeat(ns, d).astype(np.int64)),
+            "sum_micro": pa.array(sums.ravel()),
+        })
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["lang", "pos"], as_index=False).sum()
+    out["pos"] = out["pos"].astype("int64")
+    out["n_vectors"] = out["n_vectors"].astype("int64")
+    out["sum_micro"] = out["sum_micro"].astype("int64")
+    return out.sort_values(["lang", "pos"]).reset_index(drop=True)
+
+
+QUERIES["lang_embedding_centroids"] = lang_embedding_centroids
+
+ORACLE_SQL["lang_embedding_centroids"] = """
+    WITH e AS (SELECT vec_id, unnest(embedding) AS val,
+                      generate_subscripts(embedding, 1) AS pos
+               FROM embeddings)
+    SELECT d.lang AS lang, e.pos::BIGINT AS pos,
+           count(*)::BIGINT AS n_vectors,
+           sum(CAST(floor(CAST(e.val AS DOUBLE) * 1000000)
+                    AS BIGINT))::BIGINT AS sum_micro
+    FROM e JOIN documents d ON e.vec_id = d.doc_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def threestep_funnel(sf_dir: str):
+    """THREE-STEP SEQUENTIAL FUNNEL (view → click → purchase, each step
+    at-or-after the previous step's FIRST occurrence) — the chained-min
+    sequence predicate one level beyond ``signup_purchase_latency``.
+    Views pre-reduce to per-batch mins; clicks and purchases travel RAW
+    through the single user-key exchange for the same reason documented
+    there (a per-batch min of a later step can discard the qualifying
+    row).  Deadline-constrained variants (complete within T of the
+    view) need per-user sequence scans, not chained mins — documented
+    non-goal here."""
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "event_type"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b["user_id"],
+                      "ts_us": pc.cast(b["ts"], pa.int64()),
+                      "event_type": b["event_type"]})
+        v = t.filter(pc.equal(t["event_type"], pa.scalar("view"))
+                     ).group_by(["user_id", "event_type"]).aggregate(
+            [("ts_us", "min")]).rename_columns(
+            ["user_id", "event_type", "ts_us"])
+        rest = t.filter(pc.is_in(t["event_type"],
+                                 value_set=pa.array(["click", "purchase"]))
+                        ).select(["user_id", "event_type", "ts_us"])
+        return pa.concat_tables([v, rest]).combine_chunks()
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        SENT = np.iinfo(np.int64).max  # int64 sentinel: see
+        # signup_purchase_latency — float64 upcast would corrupt µs ties
+        v = g[g["event_type"] == "view"].groupby("user_id")["ts_us"].min()
+        cl = g[g["event_type"] == "click"]
+        cl = cl[cl["ts_us"] >= cl["user_id"].map(v).fillna(SENT
+                                                           ).astype(np.int64)]
+        c = cl.groupby("user_id")["ts_us"].min()
+        pu = g[g["event_type"] == "purchase"]
+        pu = pu[pu["ts_us"] >= pu["user_id"].map(c).fillna(SENT
+                                                           ).astype(np.int64)]
+        p = pu.groupby("user_id")["ts_us"].min()
+        return pd.DataFrame({"n_view": [int(v.size)],
+                             "n_view_click": [int(c.size)],
+                             "n_full_chain": [int(p.size)]})
+
+    parts = _agg_partitioned(
+        ds.map_batches(pre, batch_format="pyarrow"), ["user_id"], fold
+    ).to_pandas()
+    return pd.DataFrame({
+        "n_view": [np.int64(parts["n_view"].sum())],
+        "n_view_click": [np.int64(parts["n_view_click"].sum())],
+        "n_full_chain": [np.int64(parts["n_full_chain"].sum())],
+    })
+
+
+QUERIES["threestep_funnel"] = threestep_funnel
+
+ORACLE_SQL["threestep_funnel"] = """
+    WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS ct
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts >= v.vt GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS pt
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts >= c.ct GROUP BY 1)
+    SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+           (SELECT count(*) FROM c)::BIGINT AS n_view_click,
+           (SELECT count(*) FROM p)::BIGINT AS n_full_chain
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -8861,7 +9174,8 @@ _FRONT = [
     "customer_monthly_churn", "cheapest_supplier_per_part",
     "rfm_segments", "source_vocab_jaccard", "signup_purchase_latency",
     "order_gap_survival", "cohort_ltv", "session_type_pairs",
-    "value_iqr_outliers",
+    "value_iqr_outliers", "trailing_spend_features", "revenue_pareto",
+    "lang_embedding_centroids", "threestep_funnel",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},
