@@ -2731,3 +2731,149 @@ def test_session_type_pairs_boundary(ray_session, tmp_path):
         "n_sessions": [1, 0, 1],
     })
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# -------------------------------------------- trailing spend features
+
+
+def test_trailing_spend_window_bounds(ray_session, tmp_path):
+    """Pins the [d−90, d−1] frame: same-day orders excluded, day d−90
+    included, day d−91 excluded; cross-customer isolation."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        trailing_spend_features,
+    )
+
+    def ts(day):
+        return (pd.Timestamp("2024-01-01")
+                + pd.Timedelta(days=day)).value // 1000
+
+    rows = [
+        # cust 1, priority P1: probe order at day 100
+        (1, ts(9), 1.00, "P1"),     # day 100−91 → OUTSIDE
+        (1, ts(10), 2.00, "P1"),    # day 100−90 → inside
+        (1, ts(99), 4.00, "P1"),    # day 100−1  → inside
+        (1, ts(100), 8.00, "P1"),   # same day   → excluded
+        (1, ts(100), 16.00, "P1"),  # same day   → excluded
+        # cust 2 same days must not leak into cust 1
+        (2, ts(50), 100.00, "P2"),
+        (2, ts(100), 1.00, "P2"),
+    ]
+    tbl = pa.table({
+        "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderdate": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+        "o_orderpriority": pa.array([r[3] for r in rows], pa.string()),
+    })
+    sf = _write(tmp_path, "orders", tbl)
+
+    got = trailing_spend_features(sf).set_index("o_orderpriority")
+    # P1 trailing sums per order (by day): d9→0, d10→100(d9? no: d9 is
+    # 91 days before d100 but for the d10 order the window is
+    # [−80, 9] → includes d9=100c) … compute explicitly:
+    # d9: window [−81,8] → 0
+    # d10: window [−80,9] → 100 (the d9 order)
+    # d99: window [9,98] → d9(100)+d10(200) = 300
+    # d100 ×2: window [10,99] → d10(200)+d99(400) = 600 each
+    assert int(got.loc["P1", "sum_trailing_cents"]) == 0 + 100 + 300 + 1200
+    assert int(got.loc["P1", "n_orders"]) == 5
+    # P2: d50→0; d100: window [10,99] → d50(10000)
+    assert int(got.loc["P2", "sum_trailing_cents"]) == 10000
+    assert int(got.loc["P2", "n_orders"]) == 2
+
+
+# --------------------------------------------------------- pareto
+
+
+def test_revenue_pareto_tie_and_partial_group(ray_session, tmp_path):
+    """Four customers with totals [40, 30, 30, 0]: 50% of 100 needs the
+    40 + part of a 30 → k=2; 80% needs 40+30+30 exactly → k=3; 99% needs
+    99 < 100 but the zero customer adds nothing → k=3."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        revenue_pareto,
+    )
+
+    rows = [(1, 0.40), (2, 0.30), (3, 0.30), (4, 0.00)]
+    tbl = pa.table({
+        "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+    })
+    sf = _write(tmp_path, "orders", tbl)
+
+    got = revenue_pareto(sf).set_index("pct_revenue")
+    assert int(got.loc[50, "k_customers"]) == 2
+    assert int(got.loc[80, "k_customers"]) == 3
+    assert int(got.loc[90, "k_customers"]) == 3
+    assert int(got.loc[99, "k_customers"]) == 3
+    assert int(got.loc[50, "n_customers"]) == 4
+
+
+# ----------------------------------------- packed-vector join centroids
+
+
+def test_lang_embedding_centroids_planted(ray_session, tmp_path):
+    """Hand-computable 2-dim centroid sums across two langs; negative
+    components exercise the floor (not truncate) micro conversion."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        lang_embedding_centroids,
+    )
+
+    emb = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[1.5, -0.25], [0.5, 0.75], [2.0, -1.5]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 1], pa.int32()),
+    })
+    doc = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a", "b", "c"], pa.string()),
+        "lang": pa.array(["en", "fr", "en"], pa.string()),
+    })
+    pq.write_table(emb, tmp_path / "embeddings.parquet")
+    pq.write_table(doc, tmp_path / "documents.parquet")
+
+    got = lang_embedding_centroids(str(tmp_path)).reset_index(drop=True)
+    want = pd.DataFrame({
+        "lang": ["en", "en", "fr", "fr"],
+        "pos": [1, 2, 1, 2],
+        "n_vectors": [2, 2, 1, 1],
+        # floor semantics: −0.25 → −250000, −1.5 → −1500000
+        "sum_micro": [1500000 + 2000000, -250000 - 1500000,
+                      500000, 750000],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ------------------------------------------------- three-step funnel
+
+
+def test_threestep_funnel_order_matters(ray_session, tmp_path):
+    """User 1 completes; user 2 has all three types but the purchase
+    precedes the click (chain broken at step 3); user 3 clicks before
+    viewing (chain broken at step 2, later click recovers it)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        threestep_funnel,
+    )
+
+    mn = 60 * 1_000_000
+    base = pd.Timestamp("2024-01-01").value // 1000
+    rows = [
+        (1, base + 0 * mn, "view"), (1, base + 1 * mn, "click"),
+        (1, base + 2 * mn, "purchase"),
+        (2, base + 0 * mn, "view"), (2, base + 2 * mn, "click"),
+        (2, base + 1 * mn, "purchase"),
+        (3, base + 0 * mn, "click"), (3, base + 1 * mn, "view"),
+        (3, base + 2 * mn, "click"), (3, base + 3 * mn, "purchase"),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    sf = _write(tmp_path, "events", tbl)
+
+    got = threestep_funnel(sf)
+    assert int(got["n_view"].iloc[0]) == 3
+    assert int(got["n_view_click"].iloc[0]) == 3
+    assert int(got["n_full_chain"].iloc[0]) == 2   # users 1 and 3
