@@ -271,6 +271,23 @@ def main():
         "host_probe_sec_end": host_probe(),
         "host_probe_healthy_below_sec": HEALTH_THRESH,
     }
+    # surface the standing health-gated scaling record (bench.py
+    # --scaling writes it; BASELINE.md documents the methodology) so a
+    # default bench JSON carries the north-rule evidence inline
+    rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SCALING_r04_run7.json")
+    try:
+        with open(rec_path) as fh:
+            rec = json.load(fh)
+        out["scaling_record"] = {
+            "n_cpus": [rec["n_cpus_low"], rec["n_cpus_high"]],
+            "rows_per_sec": [rec["rows_per_sec_4"], rec["rows_per_sec_16"]],
+            "efficiency_best": rec["scaling_efficiency"],
+            "efficiency_median": rec.get("scaling_efficiency_median"),
+            "source": os.path.basename(rec_path),
+        }
+    except (OSError, KeyError, ValueError):
+        pass  # record absent: the default bench stays self-contained
     import ray
 
     ray.shutdown()
