@@ -9122,6 +9122,305 @@ ORACLE_SQL["threestep_funnel"] = """
 """
 
 
+def nearest_view_to_purchase(sf_dir: str):
+    """NEAREST-direction AS-OF JOIN — completes the temporal-join trio
+    (backward = ``purchase_attribution``, forward =
+    ``next_event_after_order``): each purchase matched to the same
+    user's temporally CLOSEST view, either side.  One user-key exchange;
+    per partition, views sort once and ONE batched ``searchsorted`` on a
+    composite ``user·2⁴² + (ts − partition-min)`` key finds both
+    neighbours of every purchase at once (the 30-day corpus span keeps
+    the offset under 2⁴² µs; user ids are guarded < 2²⁰ — beyond that,
+    split the key into a two-level sort-merge).  Output aggregates
+    |lag| so equal-distance ties cannot matter."""
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "event_type"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"],
+                     value_set=pa.array(["view", "purchase"]))
+        f = b.filter(m)
+        return pa.table({"user_id": f["user_id"],
+                         "ts_us": pc.cast(f["ts"], pa.int64()),
+                         "event_type": f["event_type"]})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        if len(u) and (u.min() < 0 or u.max() >= (1 << 20)):
+            raise ValueError("nearest_view_to_purchase: user_id outside "
+                             "the composite-key range — use the "
+                             "two-level sort-merge fallback")
+        rel = g["ts_us"].to_numpy() - (g["ts_us"].min() if len(g) else 0)
+        if len(rel) and rel.max() >= (1 << 42):
+            raise ValueError("nearest_view_to_purchase: time span "
+                             "exceeds 2^42 µs — widen the key split")
+        key = u * np.int64(1 << 42) + rel
+        is_v = (g["event_type"] == "view").to_numpy()
+        vk = np.sort(key[is_v])
+        pk = key[~is_v]
+        n_p = len(pk)
+        if n_p == 0 or len(vk) == 0:
+            return pd.DataFrame({"n_purchases": [n_p], "n_matched": [0],
+                                 "sum_abs_lag_us": [0],
+                                 "max_abs_lag_us": [0]})
+        idx = np.searchsorted(vk, pk)
+        BIG = np.int64(1 << 61)
+        li = np.clip(idx - 1, 0, len(vk) - 1)
+        ri = np.clip(idx, 0, len(vk) - 1)
+        pu, prel = pk // (1 << 42), pk % (1 << 42)
+        dl = np.where((idx > 0) & (vk[li] // (1 << 42) == pu),
+                      prel - vk[li] % (1 << 42), BIG)
+        dr = np.where((idx < len(vk)) & (vk[ri] // (1 << 42) == pu),
+                      vk[ri] % (1 << 42) - prel, BIG)
+        d = np.minimum(dl, dr)
+        matched = d < BIG
+        lags = d[matched]
+        return pd.DataFrame({
+            "n_purchases": [n_p], "n_matched": [int(matched.sum())],
+            "sum_abs_lag_us": [int(lags.sum()) if len(lags) else 0],
+            "max_abs_lag_us": [int(lags.max()) if len(lags) else 0]})
+
+    parts = _agg_partitioned(
+        ds.map_batches(pre, batch_format="pyarrow"), ["user_id"], fold
+    ).to_pandas()
+    return pd.DataFrame({
+        "n_purchases": [np.int64(parts["n_purchases"].sum())],
+        "n_matched": [np.int64(parts["n_matched"].sum())],
+        "sum_abs_lag_us": [np.int64(parts["sum_abs_lag_us"].sum())],
+        "max_abs_lag_us": [np.int64(parts["max_abs_lag_us"].max())
+                           if len(parts) else np.int64(0)],
+    })
+
+
+QUERIES["nearest_view_to_purchase"] = nearest_view_to_purchase
+
+ORACLE_SQL["nearest_view_to_purchase"] = """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    d AS (SELECT p.event_id,
+                 min(abs(epoch_us(p.ts) - epoch_us(v.ts))) AS md
+          FROM p JOIN v USING (user_id) GROUP BY 1)
+    SELECT (SELECT count(*) FROM p)::BIGINT AS n_purchases,
+           count(*)::BIGINT AS n_matched,
+           coalesce(sum(md), 0)::BIGINT AS sum_abs_lag_us,
+           coalesce(max(md), 0)::BIGINT AS max_abs_lag_us
+    FROM d
+"""
+
+
+def embedding_quantization_error(sf_dir: str):
+    """INT8 QUANTIZATION AUDIT (the embedding-compression shape):
+    symmetric int8 quantization at a fixed power-of-two scale (q =
+    round_half_away(v·256) clamped to ±127, dequant q/256 — exact in
+    binary), per-label reconstruction-error sums in floor-micro units
+    and clip counts.  Every float step is the SAME IEEE double op on
+    both sides (scale by 2⁸, half-away round, exact dequant, abs-diff,
+    floor) so no accumulation-order or rounding-tie divergence exists;
+    partials are (label, n, Σerr, n_clipped) int64 rows per batch —
+    no shuffle at all (label-dimension-bounded driver fold)."""
+    ds = _t(sf_dir, "embeddings", columns=["embedding", "label"],
+            spread=True)
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b["embedding"].combine_chunks()
+        if emb.null_count:
+            raise ValueError("embedding_quantization_error: null "
+                             "embeddings")
+        lens = np.diff(emb.offsets.to_numpy())
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        x = flat * 256.0
+        rv = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+        qv = np.clip(rv, -127.0, 127.0)
+        err_micro = np.floor(np.abs(flat - qv / 256.0) * 1e6).astype(
+            np.int64)
+        clipped = ((rv < -127.0) | (rv > 127.0)).astype(np.int64)
+        labels = np.repeat(
+            b["label"].to_numpy(zero_copy_only=False).astype(np.int64),
+            lens)
+        t = pa.table({"label": pa.array(labels),
+                      "err": pa.array(err_micro),
+                      "clip": pa.array(clipped)})
+        g = t.group_by("label").aggregate(
+            [("err", "count"), ("err", "sum"), ("clip", "sum")])
+        return g.rename_columns(["label", "n_values", "sum_err_micro",
+                                 "n_clipped"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("label", as_index=False).sum()
+    return out.astype("int64").sort_values("label").reset_index(drop=True)
+
+
+QUERIES["embedding_quantization_error"] = embedding_quantization_error
+
+ORACLE_SQL["embedding_quantization_error"] = """
+    WITH e AS (SELECT label, unnest(embedding) AS val FROM embeddings),
+    q AS (SELECT label, CAST(val AS DOUBLE) AS v,
+                 round(CAST(val AS DOUBLE) * 256) AS rv
+          FROM e)
+    SELECT label::BIGINT AS label, count(*)::BIGINT AS n_values,
+           sum(CAST(floor(abs(v - greatest(-127, least(127, rv)) / 256.0)
+                          * 1000000) AS BIGINT))::BIGINT AS sum_err_micro,
+           sum(CASE WHEN rv < -127 OR rv > 127 THEN 1 ELSE 0 END)::BIGINT
+               AS n_clipped
+    FROM q GROUP BY 1 ORDER BY 1
+"""
+
+
+def bpe_top_merges(sf_dir: str):
+    """ONE BPE TRAINING STEP — the top adjacent character-pair counts
+    across all corpus tokens (the merge candidates byte-pair encoding
+    would pick).  Per batch: ONE regex token split, then a loop over
+    CHARACTER OFFSETS (bounded by the longest token, not by rows) of
+    vectorized ``utf8_slice_codeunits`` slices — every row is processed
+    by Arrow kernels only; pair counts pre-combine per batch, shuffle
+    carries (pair, count) rows, per-block partial top-20 caps driver
+    input."""
+    ds = _t(sf_dir, "documents", columns=["text"],
+            blocks=_join_partitions(sf_dir, "documents"))
+
+    def pairs(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.fill_null(b["text"], ""), pattern=r"[^A-Za-z0-9_]+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        if len(toks) == 0:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        max_len = int(pc.max(pc.utf8_length(toks)).as_py() or 0)
+        chunks = []
+        for off in range(max_len - 1):
+            sl = pc.utf8_slice_codeunits(toks, start=off, stop=off + 2)
+            chunks.append(sl.filter(pc.equal(pc.utf8_length(sl), 2)))
+        allp = pa.concat_arrays([c.combine_chunks() if isinstance(
+            c, pa.ChunkedArray) else c for c in chunks])
+        vc = allp.value_counts()
+        return pa.table({"pair": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    agg = ds.map_batches(pairs, batch_format="pyarrow").groupby(
+        "pair").aggregate(Sum("n", alias_name="n"))
+
+    def partial_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "pair"],
+                              ascending=[False, True]).head(20)
+
+    out = agg.map_batches(partial_top, batch_format="pandas").to_pandas()
+    return (out.sort_values(["n", "pair"], ascending=[False, True])
+            .head(20).reset_index(drop=True))
+
+
+QUERIES["bpe_top_merges"] = bpe_top_merges
+
+ORACLE_SQL["bpe_top_merges"] = """
+    SELECT substring(tok, g.i, 2) AS pair, count(*)::BIGINT AS n
+    FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS tok
+          FROM documents) t,
+         LATERAL (SELECT unnest(generate_series(1, length(tok) - 1))
+                  AS i) g
+    GROUP BY 1 ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+def order_backlog_timeseries(sf_dir: str):
+    """SWEEP-LINE INTERVAL COUNTING (backlog/occupancy curve): orders
+    open at 28-day calendar sample points, where an order is open from
+    its order date until the max ship date of its line items (orders
+    with no line items are excluded by the inner join on both sides).
+    Lineitem pre-combines per batch and then folds to the GLOBAL
+    per-order max-ship-day (a per-batch max alone is not join-safe: an
+    order whose items span blocks would join twice, once with a wrong
+    end day) before the native hash join with orders; each joined batch
+    folds to start-day and end-day histograms, and the driver answers
+    every sample point with two cumulative sums over the
+    calendar-bounded histograms — the full interval set is never held
+    anywhere."""
+    US_DAY = 86_400_000_000
+    ANCHOR = 9131  # 1995-01-01 in epoch days; fixed so spine == oracle's
+    SPINE_STEP, SPINE_N = 28, 92
+
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+    od = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"],
+            blocks=_join_partitions(sf_dir, "orders"))
+
+    def pre_li(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.divide(pc.cast(b["l_shipdate"], pa.int64()),
+                                pa.scalar(US_DAY)), pa.int64())
+        g = pa.table({"l_orderkey": b["l_orderkey"], "ed": day}
+                     ).group_by("l_orderkey").aggregate([("ed", "max")])
+        return g.rename_columns(["l_orderkey", "ed"])
+
+    def pre_od(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.divide(pc.cast(b["o_orderdate"], pa.int64()),
+                                pa.scalar(US_DAY)), pa.int64())
+        return pa.table({"o_orderkey": b["o_orderkey"], "sd": day})
+
+    ends = li.map_batches(pre_li, batch_format="pyarrow").groupby(
+        "l_orderkey").aggregate(Max("ed", alias_name="ed"))
+    joined = ends.join(
+        od.map_batches(pre_od, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=_join_partitions(sf_dir, "orders"),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def hists(b: pa.Table) -> pa.Table:
+        # `ends` is one row per order after the keyed max fold, and the
+        # inner join against the unique order key keeps it that way —
+        # start/end histograms are partial-safe.  Drop empty intervals
+        # (ed ≤ sd — this corpus HAS ship-before-order rows): they are
+        # never open in the oracle, but through a start/end cumsum they
+        # would subtract −1 on every day in [ed, sd)
+        b = b.filter(pc.greater(b["ed"], b["sd"]))
+        sd = b["sd"].combine_chunks()
+        ed = b["ed"].combine_chunks()
+        hs = pa.table({"day": sd}).group_by("day").aggregate(
+            [("day", "count")]).rename_columns(["day", "n"])
+        he = pa.table({"day": ed}).group_by("day").aggregate(
+            [("day", "count")]).rename_columns(["day", "n"])
+        return pa.table({
+            "day": pa.concat_arrays([hs["day"].combine_chunks(),
+                                     he["day"].combine_chunks()]),
+            "n_start": pa.concat_arrays([
+                hs["n"].combine_chunks(),
+                pa.nulls(len(he), pa.int64()).fill_null(0)]),
+            "n_end": pa.concat_arrays([
+                pa.nulls(len(hs), pa.int64()).fill_null(0),
+                he["n"].combine_chunks()]),
+        })
+
+    parts = joined.map_batches(hists, batch_format="pyarrow").to_pandas()
+    h = parts.groupby("day", as_index=False).sum().sort_values("day")
+    days = h["day"].to_numpy()
+    cs = h["n_start"].to_numpy().cumsum()
+    ce = h["n_end"].to_numpy().cumsum()
+    rows = []
+    for k in range(SPINE_N):
+        d = ANCHOR + k * SPINE_STEP
+        i = np.searchsorted(days, d, "right")
+        n_open = int((cs[i - 1] if i else 0) - (ce[i - 1] if i else 0))
+        rows.append((str(np.int64(d).astype("datetime64[D]")), n_open))
+    return pd.DataFrame(rows, columns=["day", "n_open"])
+
+
+QUERIES["order_backlog_timeseries"] = order_backlog_timeseries
+
+ORACLE_SQL["order_backlog_timeseries"] = """
+    WITH e AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS ed
+               FROM lineitem GROUP BY 1),
+    j AS (SELECT CAST(o_orderdate AS DATE) AS sd, e.ed
+          FROM orders JOIN e ON o_orderkey = l_orderkey),
+    d AS (SELECT unnest(generate_series(DATE '1995-01-01',
+                                        DATE '1995-01-01'
+                                        + INTERVAL 2548 DAY,
+                                        INTERVAL 28 DAY)) AS day)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           sum(CASE WHEN j.sd <= d.day AND d.day < j.ed
+                    THEN 1 ELSE 0 END)::BIGINT AS n_open
+    FROM d LEFT JOIN j ON TRUE
+    GROUP BY d.day ORDER BY d.day
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -9176,6 +9475,8 @@ _FRONT = [
     "order_gap_survival", "cohort_ltv", "session_type_pairs",
     "value_iqr_outliers", "trailing_spend_features", "revenue_pareto",
     "lang_embedding_centroids", "threestep_funnel",
+    "nearest_view_to_purchase", "embedding_quantization_error",
+    "bpe_top_merges", "order_backlog_timeseries",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},
