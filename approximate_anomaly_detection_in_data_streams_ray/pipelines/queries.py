@@ -94,6 +94,19 @@ def _join_partitions(sf_dir: str, table: str) -> int:
     return int(min(max(2, (2 * n) // 150_000 + 1), 4 * int(cluster_cpus())))
 
 
+def _join_nparts(sf_dir: str, table: str, floor_rows: int = 10_000) -> int:
+    """Join-exchange width for ``Dataset.join``: data-sized like
+    :func:`_join_partitions`, but collapsing to ONE partition on tiny
+    inputs — Ray 2.49's hash-shuffle join materializes an EMPTY,
+    SCHEMA-LESS table for any hash partition that received zero rows of
+    a side, and Acero then rejects the per-partition join ("no match
+    for key field").  Impossible in practice above a few thousand keys;
+    guaranteed eventually below ~dozens."""
+    if _table_rows(sf_dir, table) < floor_rows:
+        return 1
+    return _join_partitions(sf_dir, table)
+
+
 def _t(sf_dir: str, name: str, columns=None, spread: bool = False,
        blocks: int | None = None):
     """Read one table (single file or shard directory).  ``spread=True``
@@ -8149,7 +8162,7 @@ def ship_lag_histogram(sf_dir: str):
 
     joined = li.map_batches(pre_li, batch_format="pyarrow").join(
         od.map_batches(pre_od, batch_format="pyarrow"),
-        join_type="inner", num_partitions=_join_partitions(sf_dir, "orders"),
+        join_type="inner", num_partitions=_join_nparts(sf_dir, "orders"),
         on=("l_orderkey",), right_on=("o_orderkey",))
 
     def hist(b: pa.Table) -> pa.Table:
@@ -9004,7 +9017,7 @@ def lang_embedding_centroids(sf_dir: str):
 
     joined = emb.map_batches(pack, batch_format="pyarrow").join(
         doc, join_type="inner",
-        num_partitions=_join_partitions(sf_dir, "embeddings"),
+        num_partitions=_join_nparts(sf_dir, "embeddings"),
         on=("vec_id",), right_on=("doc_id",))
 
     def partial(b: pa.Table) -> pa.Table:
@@ -9355,12 +9368,30 @@ def order_backlog_timeseries(sf_dir: str):
                                 pa.scalar(US_DAY)), pa.int64())
         return pa.table({"o_orderkey": b["o_orderkey"], "sd": day})
 
-    ends = li.map_batches(pre_li, batch_format="pyarrow").groupby(
-        "l_orderkey").aggregate(Max("ed", alias_name="ed"))
+    def fold_ends(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_orderkey", as_index=False)["ed"].max()
+
+    # _agg_partitioned (not Dataset.groupby().aggregate()): the native
+    # sort-aggregate emits one output partition per input block, and on
+    # small inputs the empty ones are SCHEMA-LESS — Acero then rejects
+    # the join with "no match for key field l_orderkey"
+    def norm(b: pa.Table) -> pa.Table:
+        # map_groups ALSO emits schema-less empties when input blocks >
+        # groups (tiny inputs) — give every block the typed schema
+        if b.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "ed": pa.array([], pa.int64())})
+        return pa.table({"l_orderkey": pc.cast(b["l_orderkey"],
+                                               pa.int64()),
+                         "ed": pc.cast(b["ed"], pa.int64())})
+
+    ends = _agg_partitioned(
+        li.map_batches(pre_li, batch_format="pyarrow"), ["l_orderkey"],
+        fold_ends).map_batches(norm, batch_format="pyarrow")
     joined = ends.join(
         od.map_batches(pre_od, batch_format="pyarrow"),
         join_type="inner",
-        num_partitions=_join_partitions(sf_dir, "orders"),
+        num_partitions=_join_nparts(sf_dir, "orders"),
         on=("l_orderkey",), right_on=("o_orderkey",))
 
     def hists(b: pa.Table) -> pa.Table:

@@ -2877,3 +2877,125 @@ def test_threestep_funnel_order_matters(ray_session, tmp_path):
     assert int(got["n_view"].iloc[0]) == 3
     assert int(got["n_view_click"].iloc[0]) == 3
     assert int(got["n_full_chain"].iloc[0]) == 2   # users 1 and 3
+
+
+# --------------------------------------------- nearest view to purchase
+
+
+def test_nearest_view_picks_closest_side(ray_session, tmp_path):
+    """Purchase between two views must pick the closer one; a purchase
+    before any view matches forward; a user with no views is unmatched
+    but still counted."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        nearest_view_to_purchase,
+    )
+
+    mn = 60 * 1_000_000
+    base = pd.Timestamp("2024-01-01").value // 1000
+    rows = [
+        # user 1: views at 0 and 10; purchase at 7 → nearest is 10 (3 min)
+        (1, base + 0 * mn, "view"), (1, base + 10 * mn, "view"),
+        (1, base + 7 * mn, "purchase"),
+        # user 2: purchase BEFORE its only view → forward match (5 min)
+        (2, base + 5 * mn, "view"), (2, base + 0 * mn, "purchase"),
+        # user 3: purchase, no views → unmatched
+        (3, base + 1 * mn, "purchase"),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    sf = _write(tmp_path, "events", tbl)
+
+    got = nearest_view_to_purchase(sf)
+    assert int(got["n_purchases"].iloc[0]) == 3
+    assert int(got["n_matched"].iloc[0]) == 2
+    assert int(got["sum_abs_lag_us"].iloc[0]) == (3 + 5) * mn
+    assert int(got["max_abs_lag_us"].iloc[0]) == 5 * mn
+
+
+# ------------------------------------------ embedding quantization error
+
+
+def test_embedding_quantization_clip_and_halfway(ray_session, tmp_path):
+    """Values engineered on the int8 grid: 2.5/256 sits exactly between
+    two codes (half-away → 3), 1.0 clips (256 → 127), 0.5/256 is a
+    positive half-tie (→ 1)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        embedding_quantization_error,
+    )
+
+    v1 = [2.5 / 256, -2.5 / 256]   # half-ties → ±3 (half-away)
+    v2 = [1.0, 8.0 / 256]          # 1.0 clips to 127; 8/256 exact
+    emb = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([v1, v2], pa.list_(pa.float32())),
+        "label": pa.array([0, 1], pa.int32()),
+    })
+    pq.write_table(emb, tmp_path / "embeddings.parquet")
+
+    got = embedding_quantization_error(str(tmp_path)).set_index("label")
+    # label 0: err = |2.5/256 − 3/256| = 0.5/256 each → floor-micro 1953
+    assert int(got.loc[0, "n_values"]) == 2
+    assert int(got.loc[0, "sum_err_micro"]) == 2 * int(0.5 / 256 * 1e6)
+    assert int(got.loc[0, "n_clipped"]) == 0
+    # label 1: 1.0 → clipped to 127/256, err = 1 − 127/256 = 129/256
+    assert int(got.loc[1, "n_clipped"]) == 1
+    assert int(got.loc[1, "sum_err_micro"]) == int(129 / 256 * 1e6)
+
+
+# ------------------------------------------------------ BPE top merges
+
+
+def test_bpe_top_merges_counts_overlapping_pairs(ray_session, tmp_path):
+    """'aaa' contributes the pair 'aa' twice (overlapping offsets);
+    1-char tokens contribute nothing."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        bpe_top_merges,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["aaa b ab", "ab aaa"], pa.string()),
+    })
+    sf = _write(tmp_path, "documents", tbl)
+
+    got = bpe_top_merges(sf).set_index("pair")
+    assert int(got.loc["aa", "n"]) == 4   # two per 'aaa'
+    assert int(got.loc["ab", "n"]) == 2
+    assert "b" not in got.index
+
+
+# ------------------------------------------------- backlog sweep-line
+
+
+def test_order_backlog_excludes_inverted_intervals(ray_session, tmp_path):
+    """An order whose max ship day precedes its order day is never open
+    and must not SUBTRACT from the curve between end and start."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        order_backlog_timeseries,
+    )
+
+    def ts(s):
+        return pd.Timestamp(s).value // 1000
+
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": pa.array([ts("1995-01-01"), ts("1995-03-01")],
+                                pa.timestamp("us")),
+    })
+    lineitem = pa.table({
+        "l_orderkey": pa.array([1, 2], pa.int64()),
+        # order 1 open [1995-01-01, 1995-06-01); order 2 inverted
+        "l_shipdate": pa.array([ts("1995-06-01"), ts("1995-01-15")],
+                               pa.timestamp("us")),
+    })
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    pq.write_table(lineitem, tmp_path / "lineitem.parquet")
+
+    got = order_backlog_timeseries(str(tmp_path)).set_index("day")
+    assert int(got.loc["1995-01-29", "n_open"]) == 1
+    assert int(got.loc["1995-03-26", "n_open"]) == 1   # order 2 never opens
+    assert int(got.loc["1995-06-18", "n_open"]) == 0
+    assert (got["n_open"] >= 0).all()
