@@ -9452,6 +9452,186 @@ ORACLE_SQL["order_backlog_timeseries"] = """
 """
 
 
+def pushdown_high_value_orders(sf_dir: str):
+    """PREDICATE PUSHDOWN AT THE READ — the prune-at-the-source shape:
+    the ``o_totalprice ≥ 400000`` filter is handed to ``read_parquet``
+    as a pyarrow dataset expression, so row groups whose column
+    statistics exclude the bound are NEVER read and surviving row
+    groups are filtered inside the scan — no filter stage exists in the
+    plan at all.  Downstream is one per-batch per-priority partial the
+    driver folds (priority-bounded)."""
+    import pyarrow.dataset as pads
+
+    paths = _table_paths(sf_dir, "orders")
+    ds = ray.data.read_parquet(
+        paths if len(paths) > 1 else paths[0],
+        columns=["o_orderpriority", "o_totalprice"],
+        filter=(pads.field("o_totalprice") >= 400000.0))
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        g = pa.table({"o_orderpriority": b["o_orderpriority"],
+                      "cents": cents}).group_by(
+            "o_orderpriority").aggregate(
+            [("cents", "count"), ("cents", "sum")])
+        return g.rename_columns(["o_orderpriority", "n_orders", "cents"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False).sum()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["sum_cents"] = out["cents"].astype("int64")
+    return out[["o_orderpriority", "n_orders", "sum_cents"]].sort_values(
+        "o_orderpriority").reset_index(drop=True)
+
+
+QUERIES["pushdown_high_value_orders"] = pushdown_high_value_orders
+
+ORACLE_SQL["pushdown_high_value_orders"] = """
+    SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS sum_cents
+    FROM orders WHERE o_totalprice >= 400000
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def event_gap_hdr(sf_dir: str):
+    """HDR-STYLE LOG-BUCKETED HISTOGRAM of per-user inter-event gaps:
+    bucket = ⌊log₂(gap µs)⌋ computed EXACTLY on both sides without any
+    float log — numpy via the int64 bit length (``63 − clz``, here
+    ``log2`` of the power-of-two below), the oracle via
+    ``length(bin(gap)) − 1`` — so a gap sitting one µs under a power of
+    two can never tip buckets.  Zero gaps (timestamp ties) keep bucket
+    −1.  Gap extraction reuses the tie-invariant lexsort+diff shape."""
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        users = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, users))
+        users, ts = users[order], ts[order]
+        same = np.zeros(len(users), dtype=bool)
+        same[1:] = users[1:] == users[:-1]
+        gaps = np.diff(ts, prepend=ts[:1])[same]
+        bucket = np.full(len(gaps), -1, dtype=np.int64)
+        pos = gaps > 0
+        if pos.any():
+            if gaps.max() >= (1 << 53):
+                raise ValueError("event_gap_hdr: gap ≥ 2^53 µs — the "
+                                 "exact frexp bucketing bound")
+            # exact ⌊log₂⌋ without float log: int64 < 2^53 converts to
+            # float64 exactly and frexp's exponent is exact by IEEE
+            _, e = np.frexp(gaps[pos].astype(np.float64))
+            bucket[pos] = e.astype(np.int64) - 1
+        h = pd.Series(bucket).value_counts()
+        return pd.DataFrame({"bucket": h.index.to_numpy(),
+                             "n_gaps": h.to_numpy()})
+
+    parts = _agg_partitioned(ds, ["user_id"], fold).to_pandas()
+    out = parts.groupby("bucket", as_index=False)["n_gaps"].sum()
+    return out.astype("int64").sort_values("bucket").reset_index(drop=True)
+
+
+QUERIES["event_gap_hdr"] = event_gap_hdr
+
+ORACLE_SQL["event_gap_hdr"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+    g AS (SELECT t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+              AS gap FROM e),
+    d AS (SELECT gap FROM g WHERE gap IS NOT NULL)
+    SELECT (CASE WHEN gap = 0 THEN -1
+                 ELSE length(bin(gap)) - 1 END)::BIGINT AS bucket,
+           count(*)::BIGINT AS n_gaps
+    FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+def supplier_breadth_histogram(sf_dir: str):
+    """DISTINCT-COUNT-PER-GROUP at fact scale (the "breadth"
+    distribution): how many distinct parts each supplier ships, read
+    out as a histogram of suppliers per breadth.  Per-batch Arrow
+    distinct on (suppkey, partkey) pairs, ONE coarse exchange on the
+    supplier key (pair dedup completes per partition because a
+    supplier's pairs land whole), per-partition breadth histogram —
+    the global-distinct machinery of ``distinct_users_exact`` lifted to
+    per-group form without any count-distinct shuffle."""
+    ds = _t(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["l_suppkey", "l_partkey"]).aggregate([])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.drop_duplicates(["l_suppkey", "l_partkey"]).groupby(
+            "l_suppkey").size()
+        h = per.value_counts()
+        return pd.DataFrame({"n_parts": h.index.to_numpy(),
+                             "n_suppliers": h.to_numpy()})
+
+    parts = _agg_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"), ["l_suppkey"],
+        fold).to_pandas()
+    out = parts.groupby("n_parts", as_index=False)["n_suppliers"].sum()
+    return out.astype("int64").sort_values("n_parts").reset_index(drop=True)
+
+
+QUERIES["supplier_breadth_histogram"] = supplier_breadth_histogram
+
+ORACLE_SQL["supplier_breadth_histogram"] = """
+    WITH b AS (SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts
+               FROM lineitem GROUP BY 1)
+    SELECT n_parts::BIGINT AS n_parts, count(*)::BIGINT AS n_suppliers
+    FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+def orders_dow_month_heatmap(sf_dir: str):
+    """CALENDAR SEASONALITY MATRIX (day-of-week × month heatmap):
+    order counts and exact cents per (dow, month) cell.  Day-of-week
+    comes from pure epoch-day arithmetic (``(d + 4) % 7``, 0=Sunday —
+    1970-01-01 was a Thursday) so both sides use the same integer
+    kernel; cells are dimension-bounded (7 × 12) so per-batch partials
+    fold on the driver with NO shuffle."""
+    ds = _t(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    US_DAY = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.divide(pc.cast(b["o_orderdate"], pa.int64()),
+                                pa.scalar(US_DAY)), pa.int64())
+        dow = pc.subtract(pc.add(day, pa.scalar(4)),
+                          pc.multiply(pc.divide(pc.add(day, pa.scalar(4)),
+                                                pa.scalar(7)),
+                                      pa.scalar(7)))
+        mon = pc.cast(pc.month(b["o_orderdate"]), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        g = pa.table({"dow": dow, "month": mon, "cents": cents}
+                     ).group_by(["dow", "month"]).aggregate(
+            [("cents", "count"), ("cents", "sum")])
+        return g.rename_columns(["dow", "month", "n_orders", "cents"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["dow", "month"], as_index=False).sum()
+    out = out.rename(columns={"cents": "sum_cents"})
+    return out.astype("int64").sort_values(["dow", "month"]).reset_index(
+        drop=True)
+
+
+QUERIES["orders_dow_month_heatmap"] = orders_dow_month_heatmap
+
+ORACLE_SQL["orders_dow_month_heatmap"] = """
+    SELECT ((epoch_us(o_orderdate) // 86400000000 + 4) % 7)::BIGINT
+               AS dow,
+           month(o_orderdate)::BIGINT AS month,
+           count(*)::BIGINT AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS sum_cents
+    FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -9508,6 +9688,8 @@ _FRONT = [
     "lang_embedding_centroids", "threestep_funnel",
     "nearest_view_to_purchase", "embedding_quantization_error",
     "bpe_top_merges", "order_backlog_timeseries",
+    "pushdown_high_value_orders", "event_gap_hdr",
+    "supplier_breadth_histogram", "orders_dow_month_heatmap",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},
