@@ -9632,6 +9632,270 @@ ORACLE_SQL["orders_dow_month_heatmap"] = """
 """
 
 
+def vocab_coverage_curve(sf_dir: str):
+    """TOKEN-BUDGET COVERAGE CURVE (the vocab-size sizing readout): what
+    fraction of all token OCCURRENCES the top-K most frequent types
+    cover, for K ∈ {10, 100, 1000, 10000}.  (token, count) partials
+    fold through the coarse exchange; the driver sorts the vocabulary
+    once (vocab-bounded — far below row scale) and reads every K off
+    one cumulative sum.  Deterministic (count desc, token asc) ordering
+    on both sides; fractions as exact micro floor-divisions."""
+    ds = _t(sf_dir, "documents", columns=["text"],
+            blocks=_join_partitions(sf_dir, "documents"))
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.fill_null(b["text"], ""), pattern=r"[^A-Za-z0-9_]+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", as_index=False)["n"].sum()
+
+    vocab = _agg_partitioned(
+        ds.map_batches(explode, batch_format="pyarrow"), ["token"], fold
+    ).to_pandas()
+    vocab = vocab.sort_values(["n", "token"],
+                              ascending=[False, True]).reset_index(drop=True)
+    total = int(vocab["n"].sum())
+    cum = vocab["n"].cumsum().to_numpy()
+    rows = []
+    for k in (10, 100, 1000, 10000):
+        covered = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+        rows.append((k, covered, total,
+                     covered * 1_000_000 // total if total else 0))
+    return pd.DataFrame(rows, columns=[
+        "vocab_k", "covered_occurrences", "total_occurrences",
+        "coverage_micro"]).astype("int64")
+
+
+QUERIES["vocab_coverage_curve"] = vocab_coverage_curve
+
+ORACLE_SQL["vocab_coverage_curve"] = """
+    WITH t AS (SELECT tok, count(*) AS n FROM (
+                   SELECT unnest(regexp_extract_all(
+                       text, '[A-Za-z0-9_]+')) AS tok FROM documents)
+               GROUP BY 1),
+    r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rn,
+                 sum(n) OVER (ORDER BY n DESC, tok
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t),
+    tot AS (SELECT sum(n) AS total FROM t)
+    SELECT k.k::BIGINT AS vocab_k,
+           coalesce(max(r.cum), 0)::BIGINT AS covered_occurrences,
+           tot.total::BIGINT AS total_occurrences,
+           (coalesce(max(r.cum), 0) * 1000000 // tot.total)::BIGINT
+               AS coverage_micro
+    FROM (VALUES (10), (100), (1000), (10000)) k(k)
+    CROSS JOIN tot
+    LEFT JOIN r ON r.rn <= k.k
+    GROUP BY k.k, tot.total ORDER BY vocab_k
+"""
+
+
+def activity_union_monthly(sf_dir: str):
+    """HETEROGENEOUS UNION (``Dataset.union``): orders and events merged
+    into one activity stream with a discriminator column, then counted
+    and summed (exact cents) per (kind, month) — the poly-table
+    timeline shape.  Each side projects/pre-shapes to the SAME narrow
+    schema inside its own scan before the union; the unioned stream
+    folds dimension-bounded partials with no shuffle."""
+    US_DAY = 86_400_000_000  # noqa: F841 — documented unit
+
+    od = _t(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    ev = _t(sf_dir, "events", columns=["ts", "value"])
+
+    def shape_orders(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": pa.array(["order"] * len(b), pa.string()),
+            "mi": pc.add(pc.multiply(pc.cast(pc.year(b["o_orderdate"]),
+                                             pa.int64()), pa.scalar(12)),
+                         pc.cast(pc.subtract(pc.month(b["o_orderdate"]),
+                                             pa.scalar(1)), pa.int64())),
+            "cents": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], pa.scalar(100.0))), pa.int64()),
+        })
+
+    def shape_events(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_valid(b["value"]))
+        return pa.table({
+            "kind": pa.array(["event"] * len(f), pa.string()),
+            "mi": pc.add(pc.multiply(pc.cast(pc.year(f["ts"]),
+                                             pa.int64()), pa.scalar(12)),
+                         pc.cast(pc.subtract(pc.month(f["ts"]),
+                                             pa.scalar(1)), pa.int64())),
+            "cents": pc.cast(pc.round(pc.multiply(
+                f["value"], pa.scalar(100.0))), pa.int64()),
+        })
+
+    unioned = od.map_batches(shape_orders, batch_format="pyarrow").union(
+        ev.map_batches(shape_events, batch_format="pyarrow"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["kind", "mi"]).aggregate(
+            [("cents", "count"), ("cents", "sum")])
+        return g.rename_columns(["kind", "mi", "n", "cents"])
+
+    parts = unioned.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["kind", "mi"], as_index=False).sum()
+    out = out.rename(columns={"mi": "month_idx", "n": "n_records",
+                              "cents": "sum_cents"})
+    out["month_idx"] = out["month_idx"].astype("int64")
+    out["n_records"] = out["n_records"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return out.sort_values(["kind", "month_idx"]).reset_index(drop=True)
+
+
+QUERIES["activity_union_monthly"] = activity_union_monthly
+
+ORACLE_SQL["activity_union_monthly"] = """
+    WITH u AS (
+        SELECT 'order' AS kind,
+               (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT
+                   AS month_idx,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        UNION ALL
+        SELECT 'event' AS kind,
+               (year(ts) * 12 + month(ts) - 1)::BIGINT AS month_idx,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL)
+    SELECT kind, month_idx, count(*)::BIGINT AS n_records,
+           sum(cents)::BIGINT AS sum_cents
+    FROM u GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def event_velocity_histogram(sf_dir: str):
+    """VELOCITY / BURST RULE (rate-limit audit): events per (user,
+    10-minute window), read out as a histogram of window occupancy — the
+    per-key rate primitive behind throttling and fraud velocity checks.
+    Per-batch Arrow pre-combine on (user, window) then one coarse
+    exchange on the user key; occupancy histogram folds per partition
+    (a user's windows land whole)."""
+    WIN_US = 600_000_000
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = pc.cast(pc.divide(pc.cast(b["ts"], pa.int64()),
+                              pa.scalar(WIN_US)), pa.int64())
+        g = pa.table({"user_id": b["user_id"], "w": w}).group_by(
+            ["user_id", "w"]).aggregate([("w", "count")])
+        return g.rename_columns(["user_id", "w", "n"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["user_id", "w"])["n"].sum()
+        h = per.value_counts()
+        return pd.DataFrame({"events_per_window": h.index.to_numpy(),
+                             "n_windows": h.to_numpy()})
+
+    parts = _agg_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"), ["user_id"], fold
+    ).to_pandas()
+    out = parts.groupby("events_per_window",
+                        as_index=False)["n_windows"].sum()
+    return out.astype("int64").sort_values(
+        "events_per_window").reset_index(drop=True)
+
+
+QUERIES["event_velocity_histogram"] = event_velocity_histogram
+
+ORACLE_SQL["event_velocity_histogram"] = """
+    WITH w AS (SELECT user_id, epoch_us(ts) // 600000000 AS w,
+                      count(*) AS k
+               FROM events GROUP BY 1, 2)
+    SELECT k::BIGINT AS events_per_window,
+           count(*)::BIGINT AS n_windows
+    FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+def median_totalprice_bisect(sf_dir: str):
+    """DISTRIBUTED EXACT SELECTION (k-th element) by DOMAIN BISECTION —
+    the exact-median path when the value domain is too wide for the
+    histogram trick: iteratively split the live [lo, hi] cents range
+    into 256 sub-ranges, ONE narrow scan per pass counts each
+    sub-range, and the bucket containing rank k recurses.  ⌈log₂₅₆ of
+    the domain⌉ ≈ 4 passes pin the exact value with O(256) driver
+    state per pass and nothing materialized.  Bounds seed from parquet
+    footer statistics (no scan).  Result == DuckDB ``quantile_disc(x,
+    0.5)`` (value at 1-indexed rank ⌈n/2⌉)."""
+    import pyarrow.parquet as pq
+
+    n = _table_rows(sf_dir, "orders")
+    if n == 0:
+        return pd.DataFrame({"n": pd.Series([0], dtype="int64"),
+                             "median_cents": pd.Series([0],
+                                                       dtype="int64")})
+    k = (n + 1) // 2
+    lo = hi = None
+    for f in _table_paths(sf_dir, "orders"):
+        md = pq.ParquetFile(f)
+        idx = md.schema_arrow.get_field_index("o_totalprice")
+        for rg in range(md.metadata.num_row_groups):
+            st = md.metadata.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError("median_totalprice_bisect: footer "
+                                 "stats missing — seed bounds with a "
+                                 "min/max scan instead")
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+    lo = int(np.floor(lo * 100.0)) - 1
+    hi = int(np.ceil(hi * 100.0)) + 1
+
+    ds = _t(sf_dir, "orders", columns=["o_totalprice"])
+    WAYS = 256
+    passes = 0
+    while hi > lo:
+        passes += 1
+        if passes > 12:
+            raise RuntimeError("median_totalprice_bisect: bisection "
+                               "failed to converge")
+        bounds = np.unique(np.linspace(lo, hi, WAYS + 1).astype(np.int64))
+
+        def count_buckets(b: pa.Table, bounds=bounds) -> pa.Table:
+            cents = np.asarray(pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], pa.scalar(100.0))), pa.int64()))
+            cents = cents[(cents > bounds[0]) & (cents <= bounds[-1])]
+            # bucket i covers (bounds[i], bounds[i+1]]
+            idx = np.searchsorted(bounds, cents, "left") - 1
+            cnt = np.bincount(idx, minlength=len(bounds) - 1)
+            return pa.table({"bucket": pa.array(
+                np.arange(len(bounds) - 1, dtype=np.int64)),
+                "n": pa.array(cnt.astype(np.int64))})
+
+        counts = ds.map_batches(count_buckets,
+                                batch_format="pyarrow").to_pandas()
+        by = counts.groupby("bucket")["n"].sum().sort_index()
+        cum = 0
+        for b_i, c in by.items():
+            if cum + int(c) >= k:
+                lo, hi = int(bounds[b_i]), int(bounds[b_i + 1])
+                k -= cum
+                break
+            cum += int(c)
+        else:
+            raise RuntimeError("median_totalprice_bisect: rank fell "
+                               "outside the counted domain")
+        if hi - lo == 1:  # single integer left: (lo, hi] == {hi}
+            lo = hi
+    return pd.DataFrame({"n": pd.Series([n], dtype="int64"),
+                         "median_cents": pd.Series([hi], dtype="int64")})
+
+
+QUERIES["median_totalprice_bisect"] = median_totalprice_bisect
+
+ORACLE_SQL["median_totalprice_bisect"] = """
+    SELECT count(*)::BIGINT AS n,
+           quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT),
+                         0.5)::BIGINT AS median_cents
+    FROM orders
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -9690,6 +9954,8 @@ _FRONT = [
     "bpe_top_merges", "order_backlog_timeseries",
     "pushdown_high_value_orders", "event_gap_hdr",
     "supplier_breadth_histogram", "orders_dow_month_heatmap",
+    "vocab_coverage_curve", "activity_union_monthly",
+    "event_velocity_histogram", "median_totalprice_bisect",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},
