@@ -2999,3 +2999,61 @@ def test_order_backlog_excludes_inverted_intervals(ray_session, tmp_path):
     assert int(got.loc["1995-03-26", "n_open"]) == 1   # order 2 never opens
     assert int(got.loc["1995-06-18", "n_open"]) == 0
     assert (got["n_open"] >= 0).all()
+
+
+# --------------------------------------------------- bisection median
+
+
+def test_median_bisect_matches_quantile_disc_small_n(ray_session,
+                                                     tmp_path, duck=None):
+    """Small-n and heavy-tie cases where selection conventions diverge:
+    even n picks the LOWER middle (rank ceil(n/2)), duplicates at the
+    median must not confuse the bucket recursion."""
+    import duckdb
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        median_totalprice_bisect,
+    )
+
+    rng = np.random.default_rng(5)
+    for case, vals in enumerate([
+        [10.0, 20.0],                       # even n → lower middle
+        [7.0, 7.0, 7.0, 7.0],               # all ties
+        [1.0, 2.0, 2.0, 2.0, 9.0, 9.0],     # ties straddling the rank
+        list(rng.integers(1, 500, 37) / 1.0),
+    ]):
+        d = tmp_path / f"c{case}"
+        d.mkdir()
+        tbl = pa.table({
+            "o_orderkey": pa.array(range(len(vals)), pa.int64()),
+            "o_totalprice": pa.array(vals, pa.float64()),
+        })
+        pq.write_table(tbl, d / "orders.parquet")
+        got = median_totalprice_bisect(str(d))
+        want = duckdb.connect().execute(
+            "SELECT quantile_disc(CAST(round(o_totalprice*100) AS "
+            f"BIGINT), 0.5) FROM read_parquet('{d}/orders.parquet')"
+        ).fetchone()[0]
+        assert int(got["median_cents"].iloc[0]) == int(want), vals
+        assert int(got["n"].iloc[0]) == len(vals)
+
+
+# ----------------------------------------------- vocab coverage curve
+
+
+def test_vocab_coverage_curve_k_beyond_vocab(ray_session, tmp_path):
+    """K larger than the vocabulary must report full coverage, and the
+    curve must follow the (count desc, token asc) deterministic order."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        vocab_coverage_curve,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["a a a b b c"], pa.string()),
+    })
+    sf = _write(tmp_path, "documents", tbl)
+
+    got = vocab_coverage_curve(sf).set_index("vocab_k")
+    assert int(got.loc[10, "covered_occurrences"]) == 6
+    assert int(got.loc[10, "coverage_micro"]) == 1_000_000
+    assert int(got.loc[10, "total_occurrences"]) == 6
