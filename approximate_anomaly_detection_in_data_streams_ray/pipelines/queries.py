@@ -9896,6 +9896,307 @@ ORACLE_SQL["median_totalprice_bisect"] = """
 """
 
 
+# ----------------------------------------- round-4am: rank/kernel/graph batch
+
+
+def customer_spend_gini(sf_dir: str):
+    """Exact GINI COEFFICIENT of per-customer spend — the inequality /
+    concentration rank statistic (Σ rank·x form).  Per-batch (custkey,
+    cents) pre-combine, one customer-key exchange completes the exact
+    per-customer totals, and each partition ships only its DISTINCT-TOTAL
+    histogram (total, count); the driver sorts the distinct totals once
+    and reads Σ rank·x off arithmetic-series run sums in PYTHON INTS
+    (rank·x products pass int64 around sf100 — the oracle matches with
+    HUGEINT sums).  Rank ties are immaterial: equal totals contribute the
+    same Σ rank·x under any rank assignment, which is why the oracle's
+    ``row_number() OVER (ORDER BY x)`` is safe.  The distinct-totals
+    histogram is customer-dimension bounded — the documented
+    per-group-fits trade shared with ``customer_spend_deciles``.  The
+    final gini double is derived from identical exact integers on both
+    sides (one CAST-to-double each, one IEEE divide)."""
+    ds = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
+            blocks=_join_partitions(sf_dir, "orders"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        g = pa.table({"o_custkey": b["o_custkey"], "cents": cents}
+                     ).group_by("o_custkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["o_custkey", "cents"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("o_custkey")["cents"].sum()
+        h = per.value_counts()
+        return pd.DataFrame({"x": h.index.to_numpy(np.int64),
+                             "c": h.to_numpy(np.int64)})
+
+    parts = _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                             ["o_custkey"], fold).to_pandas()
+    n = 0
+    total = 0
+    s = 0  # Σ rank·x with ranks 1..n ascending by total
+    if not parts.empty:
+        h = parts.groupby("x")["c"].sum().sort_index()
+        xs = h.index.to_numpy(np.int64)
+        cs = h.to_numpy(np.int64)
+        prev = 0
+        for x, c in zip(xs, cs):
+            x, c = int(x), int(c)
+            s += x * (c * prev + c * (c + 1) // 2)
+            total += x * c
+            prev += c
+        n = prev
+    gini = (float(2 * s - (n + 1) * total) / float(n * total)
+            if n and total else 0.0)
+    return pd.DataFrame({"n_customers": pd.Series([n], dtype="int64"),
+                         "total_cents": pd.Series([total], dtype="int64"),
+                         "gini": pd.Series([gini], dtype="float64")})
+
+
+QUERIES["customer_spend_gini"] = customer_spend_gini
+
+ORACLE_SQL["customer_spend_gini"] = """
+    WITH s AS (SELECT o_custkey,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+               FROM orders GROUP BY 1),
+    r AS (SELECT x, row_number() OVER (ORDER BY x) AS i FROM s)
+    SELECT count(*)::BIGINT AS n_customers,
+           sum(x)::BIGINT AS total_cents,
+           CAST(CAST(2 AS HUGEINT) * sum(CAST(i AS HUGEINT) * x)
+                - (count(*) + 1) * sum(CAST(x AS HUGEINT)) AS DOUBLE)
+           / CAST(count(*) * sum(CAST(x AS HUGEINT)) AS DOUBLE) AS gini
+    FROM r
+"""
+
+
+def urgent_orderkey_islands(sf_dir: str, span: int = 4096):
+    """ISLANDS-AND-GAPS over a sparse key set (urgent orders' keys) — the
+    sequence-completeness primitive (contiguous runs, missing ids) that
+    SQL expresses with the row_number-difference trick.  Distributed
+    shape: keys bucket by VALUE RANGE (``key // span`` — range
+    partitioning, not hash, so runs stay contiguous within a bucket), one
+    bucket exchange, and each bucket reports ONLY its summary (n, vmin,
+    vmax, n_islands, prefix/suffix run lengths, max interior run); the
+    driver stitches runs across bucket boundaries by walking the
+    O(#buckets) summary in domain order — the boundary-chaining merge
+    every distributed consecutive-runs problem needs (a run may span MANY
+    buckets; the walk carries the open chain length).  The urgent-priority
+    filter is just what makes the demo key set sparse."""
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"],
+            blocks=_join_partitions(sf_dir, "orders"))
+
+    def pre(b: pa.Table, span=span) -> pa.Table:
+        keys = b.filter(pc.equal(b["o_orderpriority"],
+                                 pa.scalar("1-URGENT")))["o_orderkey"]
+        k = np.unique(np.asarray(keys, dtype=np.int64))
+        return pa.table({"bucket": pa.array(k // span), "v": pa.array(k)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bkt, gg in g.groupby("bucket"):
+            v = np.unique(gg["v"].to_numpy(np.int64))
+            brk = np.nonzero(np.diff(v) > 1)[0]
+            run_lens = np.diff(np.r_[0, brk + 1, len(v)])
+            rows.append((int(bkt), len(v), int(v[0]), int(v[-1]),
+                         len(run_lens), int(run_lens[0]),
+                         int(run_lens[-1]),
+                         int(run_lens[1:-1].max())
+                         if len(run_lens) > 2 else 0))
+        return pd.DataFrame(rows, columns=[
+            "bucket", "n", "vmin", "vmax", "n_islands", "prefix",
+            "suffix", "max_interior"])
+
+    parts = _agg_partitioned(
+        ds.map_batches(pre, batch_format="pyarrow"), ["bucket"], fold
+    ).to_pandas().sort_values("bucket").reset_index(drop=True)
+    if parts.empty:
+        z = pd.Series([0], dtype="int64")
+        return pd.DataFrame({"n_keys": z, "n_islands": z,
+                             "longest_island": z, "n_missing": z})
+    n_keys = int(parts["n"].sum())
+    islands = 0
+    longest = 0
+    chain = 0            # length of the run ending at prev bucket's vmax
+    prev_vmax = None
+    for row in parts.itertuples(index=False):
+        if prev_vmax is not None and row.vmin == prev_vmax + 1:
+            first_run = chain + row.prefix   # chain continues into bucket
+            islands += row.n_islands - 1
+        else:
+            longest = max(longest, chain)    # chain closed at a gap
+            first_run = row.prefix
+            islands += row.n_islands
+        if row.n_islands == 1:
+            chain = first_run                # whole bucket extends the run
+        else:
+            longest = max(longest, first_run, row.max_interior)
+            chain = row.suffix
+        prev_vmax = row.vmax
+    longest = max(longest, chain)
+    n_missing = int(parts["vmax"].iloc[-1] - parts["vmin"].iloc[0] + 1
+                    - n_keys)
+    return pd.DataFrame({
+        "n_keys": pd.Series([n_keys], dtype="int64"),
+        "n_islands": pd.Series([islands], dtype="int64"),
+        "longest_island": pd.Series([longest], dtype="int64"),
+        "n_missing": pd.Series([n_missing], dtype="int64")})
+
+
+QUERIES["urgent_orderkey_islands"] = urgent_orderkey_islands
+
+ORACLE_SQL["urgent_orderkey_islands"] = """
+    WITH k AS (SELECT DISTINCT o_orderkey AS v FROM orders
+               WHERE o_orderpriority = '1-URGENT'),
+    g AS (SELECT v, v - row_number() OVER (ORDER BY v) AS grp FROM k),
+    i AS (SELECT count(*) AS len FROM g GROUP BY grp)
+    SELECT (SELECT count(*) FROM k)::BIGINT AS n_keys,
+           (SELECT count(*) FROM i)::BIGINT AS n_islands,
+           (SELECT max(len) FROM i)::BIGINT AS longest_island,
+           (SELECT max(v) - min(v) + 1 - count(*) FROM k)::BIGINT
+               AS n_missing
+"""
+
+
+def embedding_gram_matrix(sf_dir: str):
+    """Exact GRAM MATRIX XᵀX over the embedding column — the kernel under
+    PCA / whitening / linear probes — made hash-checkable by quantizing
+    each value ONCE to q = half-away-round(v·4096) (int64; DuckDB
+    ``round`` is half-away, matched by the floor(x+0.5)/ceil(x−0.5)
+    idiom) so the per-batch matmul partials are ORDER-INDEPENDENT integer
+    sums.  Per batch: zero-copy flatten → (n, d) float64 matrix → qᵀq in
+    BLAS float64 (every partial sum stays < 2⁵³ — guarded — so the float
+    path IS exact integer arithmetic) → d(d+1)/2 upper-triangle rows;
+    the reduce is dimension-bounded (d² rows per block), no shuffle."""
+    ds = _t(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.int64())})
+        emb = b["embedding"].combine_chunks()
+        if emb.null_count:
+            raise ValueError("embedding_gram_matrix: null embeddings — "
+                             "dense reshape would misalign rows")
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        dim = len(flat) // max(len(emb), 1)
+        if len(flat) != len(emb) * dim or (
+                np.diff(np.asarray(emb.offsets)) != dim).any():
+            raise ValueError("embedding_gram_matrix: ragged embedding "
+                             "lists — dense reshape would misalign rows")
+        m = flat.reshape(len(emb), dim) * 4096.0
+        q = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5))
+        if float(np.abs(q).max()) ** 2 * len(emb) >= 2.0 ** 53:
+            raise OverflowError("embedding_gram_matrix: a batch partial "
+                                "could exceed 2^53 — shrink batch size")
+        g = q.T @ q
+        iu, ju = np.triu_indices(dim)
+        return pa.table({"i": pa.array(iu.astype(np.int64)),
+                         "j": pa.array(ju.astype(np.int64)),
+                         "gram": pa.array(g[iu, ju].astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["i", "j"], as_index=False)["gram"].sum()
+    return out.astype("int64").sort_values(["i", "j"]).reset_index(
+        drop=True)
+
+
+QUERIES["embedding_gram_matrix"] = embedding_gram_matrix
+
+ORACLE_SQL["embedding_gram_matrix"] = """
+    WITH ix AS (
+        SELECT unnest(range((SELECT max(len(embedding))
+                             FROM embeddings))) AS i
+    ),
+    q AS (
+        SELECT e.vec_id, ix.i,
+               CAST(round(CAST(e.embedding[ix.i + 1] AS DOUBLE) * 4096.0)
+                    AS BIGINT) AS q
+        FROM embeddings e, ix
+        WHERE ix.i < len(e.embedding)
+    )
+    SELECT a.i::BIGINT AS i, b.i::BIGINT AS j,
+           sum(a.q * b.q)::BIGINT AS gram
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def copurchase_bfs_dist(sf_dir: str, hops: int = 8):
+    """Single-source BFS hop distances over the co-purchase graph
+    (source = smallest node id), as a (dist, n_nodes) histogram for
+    dist ≤ ``hops`` — LEVEL-SYNCHRONOUS frontier expansion, the third
+    iterative graph pattern next to pagerank (fixed-point) and connected
+    components (label propagation).  Each hop is ONE pass over the
+    materialized edge set: frontier/visited bitmaps broadcast via
+    ``ray.put`` (node-dimension bounded — the same trade as
+    ``pagerank_copurchase``; at 10^12 nodes the frontier would travel as
+    a dataset through a semi-join instead), each batch marks
+    newly-reachable nodes in a PACKED dense bool partial the driver ORs.
+    Oracle: recursive-CTE BFS — a UNION-deduped (node, d) walk capped at
+    d < hops, min(d) per node."""
+    edges, _n_edges, nodes, _deg = _copurchase_graph(sf_dir)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"dist": pd.Series([], dtype="int64"),
+                             "n_nodes": pd.Series([], dtype="int64")})
+    nodes_ref = ray.put(nodes)
+    dist = np.full(n, -1, np.int64)
+    dist[0] = 0  # nodes is sorted ascending → index 0 is the min node id
+    for h in range(hops):
+        frontier = dist == h
+        if not frontier.any():
+            break
+        f_ref = ray.put(frontier)
+
+        def partial(b: pa.Table, _f=f_ref) -> pa.Table:
+            nd, fr = ray.get(nodes_ref), ray.get(_f)
+            ia = np.searchsorted(nd, b["a"].to_numpy(zero_copy_only=False))
+            ib = np.searchsorted(nd, b["b"].to_numpy(zero_copy_only=False))
+            new = np.zeros(len(nd), bool)
+            new[ib[fr[ia]]] = True
+            new[ia[fr[ib]]] = True
+            return pa.table({"new": pa.array(
+                [np.packbits(new).tobytes()], pa.binary())})
+
+        parts = edges.map_batches(partial,
+                                  batch_format="pyarrow").to_pandas()
+        new = np.zeros(n, bool)
+        for buf in parts["new"]:
+            new |= np.unpackbits(np.frombuffer(buf, np.uint8),
+                                 count=n).astype(bool)
+        newly = new & (dist < 0)
+        if not newly.any():
+            break
+        dist[newly] = h + 1
+    d, c = np.unique(dist[dist >= 0], return_counts=True)
+    return pd.DataFrame({"dist": d.astype(np.int64),
+                         "n_nodes": c.astype(np.int64)})
+
+
+QUERIES["copurchase_bfs_dist"] = copurchase_bfs_dist
+
+ORACLE_SQL["copurchase_bfs_dist"] = """
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    u AS (SELECT a AS s, b AS t FROM e
+          UNION ALL SELECT b AS s, a AS t FROM e),
+    src AS (SELECT min(s) AS v FROM u),
+    walk(node, d) AS (
+        SELECT v, 0 FROM src
+        UNION
+        SELECT u.t, walk.d + 1 FROM walk JOIN u ON u.s = walk.node
+        WHERE walk.d < 8
+    ),
+    md AS (SELECT node, min(d) AS dist FROM walk GROUP BY node)
+    SELECT dist::BIGINT AS dist, count(*)::BIGINT AS n_nodes
+    FROM md GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -9956,6 +10257,8 @@ _FRONT = [
     "supplier_breadth_histogram", "orders_dow_month_heatmap",
     "vocab_coverage_curve", "activity_union_monthly",
     "event_velocity_histogram", "median_totalprice_bisect",
+    "customer_spend_gini", "urgent_orderkey_islands",
+    "embedding_gram_matrix", "copurchase_bfs_dist",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

@@ -3057,3 +3057,134 @@ def test_vocab_coverage_curve_k_beyond_vocab(ray_session, tmp_path):
     assert int(got.loc[10, "covered_occurrences"]) == 6
     assert int(got.loc[10, "coverage_micro"]) == 1_000_000
     assert int(got.loc[10, "total_occurrences"]) == 6
+
+
+# ------------------------------------------- islands boundary stitching
+
+
+def test_islands_run_spanning_three_buckets(ray_session, tmp_path):
+    """A consecutive run that crosses TWO bucket boundaries must be
+    stitched back into one island with its full length, and non-urgent
+    keys must not leak into the key set."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        urgent_orderkey_islands,
+    )
+
+    urgent = list(range(2, 11)) + [13, 17, 18]   # runs: 2..10, 13, 17..18
+    other = [11, 12, 30]                          # must be filtered out
+    tbl = pa.table({
+        "o_orderkey": pa.array(urgent + other, pa.int64()),
+        "o_orderpriority": pa.array(
+            ["1-URGENT"] * len(urgent) + ["5-LOW"] * len(other),
+            pa.string()),
+    })
+    sf = _write(tmp_path, "orders", tbl)
+
+    # span=4 puts the 2..10 run across buckets 0, 1 and 2
+    out = urgent_orderkey_islands(sf, span=4).iloc[0]
+    assert out["n_keys"] == 12
+    assert out["n_islands"] == 3
+    assert out["longest_island"] == 9
+    assert out["n_missing"] == (18 - 2 + 1) - 12
+
+
+def test_islands_single_key_and_adjacent_bucket_edges(ray_session,
+                                                      tmp_path):
+    """Keys exactly at bucket edges (7|8 with span=4 → buckets 1|2) must
+    merge; an isolated max key must close its own island."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        urgent_orderkey_islands,
+    )
+
+    urgent = [7, 8, 20]
+    tbl = pa.table({
+        "o_orderkey": pa.array(urgent, pa.int64()),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3, pa.string()),
+    })
+    sf = _write(tmp_path, "orders", tbl)
+    out = urgent_orderkey_islands(sf, span=4).iloc[0]
+    assert out["n_keys"] == 3
+    assert out["n_islands"] == 2
+    assert out["longest_island"] == 2
+    assert out["n_missing"] == (20 - 7 + 1) - 3
+
+
+# ----------------------------------------------------- gini known value
+
+
+def test_gini_known_value_and_all_equal(ray_session, tmp_path):
+    """Totals {1, 1, 2} cents → gini = (2·9 − 4·4)/(3·4) = 1/6 exactly;
+    all-equal totals → gini 0."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        customer_spend_gini,
+    )
+
+    tbl = pa.table({
+        "o_custkey": pa.array([1, 2, 3], pa.int64()),
+        "o_totalprice": pa.array([0.01, 0.01, 0.02], pa.float64()),
+    })
+    out = customer_spend_gini(_write(tmp_path, "orders", tbl)).iloc[0]
+    assert out["n_customers"] == 3
+    assert out["total_cents"] == 4
+    assert out["gini"] == (2 * 9 - 4 * 4) / (3 * 4)
+
+    eq = pa.table({
+        "o_custkey": pa.array([1, 2], pa.int64()),
+        "o_totalprice": pa.array([0.05, 0.05], pa.float64()),
+    })
+    d2 = tmp_path / "eq"
+    d2.mkdir()
+    pq.write_table(eq, d2 / "orders.parquet")
+    out2 = customer_spend_gini(str(d2)).iloc[0]
+    assert out2["gini"] == 0.0
+
+
+# ----------------------------------------------- gram matrix exactness
+
+
+def test_gram_matrix_half_ties_and_bruteforce(ray_session, tmp_path):
+    """Values sitting exactly on the ·4096 half-tie (±2.5/4096) must
+    quantize half-AWAY (to ±3) like DuckDB round(); the gram must equal
+    the brute-force integer product matrix."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        embedding_gram_matrix,
+    )
+
+    v = 2.5 / 4096.0   # exactly representable in float32 (5 · 2^-13)
+    rows = [[v, -v, 1.0], [0.5, v, -1.0]]
+    tbl = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array(rows, pa.list_(pa.float32())),
+    })
+    out = embedding_gram_matrix(_write(tmp_path, "embeddings", tbl))
+
+    q = np.array([[3, -3, 4096], [2048, 3, -4096]], np.int64)
+    want = q.T @ q
+    got = {(r.i, r.j): r.gram for r in out.itertuples(index=False)}
+    for i in range(3):
+        for j in range(i, 3):
+            assert got[(i, j)] == want[i, j], (i, j)
+
+
+# ------------------------------------------------------- BFS hop levels
+
+
+def test_bfs_path_graph_caps_at_eight_hops(ray_session, tmp_path):
+    """A 12-node path from the min node: dists 0..8 reached (one node
+    each), nodes beyond the hop cap and a disconnected pair excluded."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        copurchase_bfs_dist,
+    )
+
+    edges = [(i, i + 1) for i in range(11)] + [(100, 101)]
+    ok, pk = [], []
+    for o, (a, b) in enumerate(edges):
+        ok += [o, o]
+        pk += [a, b]
+    tbl = pa.table({
+        "l_orderkey": pa.array(ok, pa.int64()),
+        "l_partkey": pa.array(pk, pa.int64()),
+    })
+    out = copurchase_bfs_dist(_write(tmp_path, "lineitem", tbl))
+    assert list(out["dist"]) == list(range(9))
+    assert (out["n_nodes"] == 1).all()
