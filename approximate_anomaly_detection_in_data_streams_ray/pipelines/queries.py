@@ -10197,6 +10197,644 @@ ORACLE_SQL["copurchase_bfs_dist"] = """
 """
 
 
+# ------------------------------------- round-4an: replica/impute/hash/trend
+
+
+def orders_replica_checksums(sf_dir: str, span: int = 2048):
+    """REPLICA ANTI-ENTROPY: order-independent per-bucket content
+    checksums — the Merkle-style primitive for verifying a migrated /
+    replicated table and LOCALIZING any divergence to a key range
+    without comparing rows.  Each row hashes via an LCG-multiplier
+    polynomial over (orderkey, custkey, cents, epoch-day), all
+    arithmetic mod 2⁶⁴ — numpy uint64 wraparound IS mod 2⁶⁴, and the
+    oracle reproduces it with HUGEINT ``% 2^64`` steps (each
+    intermediate ≤ 2⁶⁴·A < hugeint max).  Checksums SUM mod 2⁶⁴, so the
+    fold is order-independent and mergeable; buckets are key ranges
+    (``key // span``) so a mismatch names the range to re-sync.  The
+    signed int64 output is the two's-complement view both sides apply."""
+    A = np.uint64(6364136223846793005)
+    ds = _t(sf_dir, "orders",
+            columns=["o_orderkey", "o_custkey", "o_totalprice",
+                     "o_orderdate"],
+            blocks=_join_partitions(sf_dir, "orders"))
+
+    def pre(b: pa.Table, span=span) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False
+                                     ).astype(np.uint64)
+        cu = b["o_custkey"].to_numpy(zero_copy_only=False
+                                     ).astype(np.uint64)
+        cents = np.asarray(pc.cast(pc.round(pc.multiply(
+            b["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        ).astype(np.uint64)
+        day = (b["o_orderdate"].to_numpy(zero_copy_only=False
+                                         ).astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000).astype(np.uint64)
+        h = ((k * A + cu) * A + cents) * A + day      # uint64 wrap ≡ mod 2⁶⁴
+        bucket = (k // np.uint64(span)).astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
+        bucket, h = bucket[order], h[order]
+        starts = np.r_[0, np.nonzero(bucket[1:] != bucket[:-1])[0] + 1]
+        sums = np.add.reduceat(h, starts)             # uint64 wrap sum
+        n = np.diff(np.r_[starts, len(bucket)])
+        return pa.table({"bucket": pa.array(bucket[starts]),
+                         "n_rows": pa.array(n.astype(np.int64)),
+                         "csum": pa.array(sums.view(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        b = g["bucket"].to_numpy(np.int64)
+        n = g["n_rows"].to_numpy(np.int64)
+        cs = g["csum"].to_numpy(np.int64).view(np.uint64)
+        order = np.argsort(b, kind="stable")
+        b, n, cs = b[order], n[order], cs[order]
+        starts = np.r_[0, np.nonzero(b[1:] != b[:-1])[0] + 1]
+        return pd.DataFrame({
+            "bucket": b[starts],
+            "n_rows": np.add.reduceat(n, starts),
+            "checksum": np.add.reduceat(cs, starts).view(np.int64)})
+
+    out = _agg_partitioned(
+        ds.map_batches(pre, batch_format="pyarrow"), ["bucket"], fold
+    ).to_pandas()
+    return out.astype("int64").sort_values("bucket").reset_index(drop=True)
+
+
+QUERIES["orders_replica_checksums"] = orders_replica_checksums
+
+ORACLE_SQL["orders_replica_checksums"] = """
+    WITH h AS (
+        SELECT o_orderkey // 2048 AS bucket,
+               ((((CAST(o_orderkey AS HUGEINT) * 6364136223846793005
+                   + o_custkey) % 18446744073709551616
+                  ) * 6364136223846793005
+                  + CAST(round(o_totalprice * 100) AS BIGINT)
+                 ) % 18446744073709551616
+                 * 6364136223846793005
+                 + epoch_us(o_orderdate) // 86400000000
+               ) % 18446744073709551616 AS hv
+        FROM orders),
+    s AS (SELECT bucket, count(*) AS n_rows,
+                 sum(hv) % 18446744073709551616 AS s
+          FROM h GROUP BY bucket)
+    SELECT bucket::BIGINT AS bucket, n_rows::BIGINT AS n_rows,
+           (CASE WHEN s >= 9223372036854775808
+                 THEN s - 18446744073709551616 ELSE s END)::BIGINT
+               AS checksum
+    FROM s ORDER BY bucket
+"""
+
+
+def hourly_linear_interp(sf_dir: str):
+    """LINEAR-INTERPOLATION gap fill (the companion to
+    ``hourly_locf_value``): per event type, the latest observed cents of
+    each hour, densified to the corpus hour range with INTERIOR gaps
+    filled by the line between the two anchors — hours before the first
+    or after the last observation stay NULL (no anchor on one side,
+    where LOCF still carries forward).  Same distributed shape as LOCF
+    (per-block keep-latest pre-combine, one coarse exchange, driver
+    fills the (types × hours)-bounded spine); the interpolated value is
+    integer micro-units via TRUNCATING division — num and den are exact
+    int64 on both sides and DuckDB ``//`` truncates, matched by
+    ``sign·(|num| // den)`` (cents can be negative)."""
+    ds = _t(sf_dir, "events", columns=["event_id", "ts", "event_type",
+                                       "value"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def latest(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False
+                              ).astype("datetime64[us]").astype(np.int64)
+        hour = ts // 3_600_000_000
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        order = np.lexsort((eid, ts, hour, et))
+        et, hour, ts, eid, cents = (x[order] for x in
+                                    (et, hour, ts, eid, cents))
+        is_last = np.r_[(et[1:] != et[:-1]) | (hour[1:] != hour[:-1]), True]
+        return pa.table({"event_type": et[is_last], "hour": hour[is_last],
+                         "ts_us": ts[is_last], "event_id": eid[is_last],
+                         "cents": cents[is_last]})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "hour", "ts_us", "event_id"])
+        return g.groupby(["event_type", "hour"], as_index=False).last()
+
+    obs = _agg_partitioned(ds.map_batches(latest, batch_format="pyarrow"),
+                           ["event_type", "hour"], fold).to_pandas()
+    if not len(obs):
+        return pd.DataFrame({"event_type": pd.Series([], dtype=str),
+                             "hour": pd.Series([], dtype="int64"),
+                             "value_micro": pd.Series([], dtype="float64"),
+                             "is_imputed": pd.Series([], dtype=bool)})
+    h0, h1 = int(obs["hour"].min()), int(obs["hour"].max())
+    spine = np.arange(h0, h1 + 1, dtype=np.int64)
+    frames = []
+    for et, g in obs.groupby("event_type"):
+        g = g.sort_values("hour")
+        gh = g["hour"].to_numpy(np.int64)
+        gc = g["cents"].to_numpy(np.int64)
+        pos = np.searchsorted(spine, gh)
+        src = np.full(spine.size, -1, np.int64)
+        src[pos] = np.arange(len(g))
+        prev = np.maximum.accumulate(src)
+        nxt = src.copy()
+        nxt[nxt < 0] = len(g) + 1
+        nxt = np.minimum.accumulate(nxt[::-1])[::-1]
+        observed = np.zeros(spine.size, bool)
+        observed[pos] = True
+        micro = np.full(spine.size, np.nan)
+        micro[pos] = gc.astype(np.float64) * 10_000.0
+        interior = ~observed & (prev >= 0) & (nxt < len(g))
+        if interior.any():
+            p, q2 = prev[interior], nxt[interior]
+            hh = spine[interior]
+            num = (gc[p] * (gh[q2] - hh) + gc[q2] * (hh - gh[p])) * 10_000
+            den = gh[q2] - gh[p]
+            micro[interior] = (np.sign(num) * (np.abs(num) // den)
+                               ).astype(np.float64)
+        frames.append(pd.DataFrame({
+            "event_type": et, "hour": spine, "value_micro": micro,
+            "is_imputed": interior}))
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+QUERIES["hourly_linear_interp"] = hourly_linear_interp
+
+ORACLE_SQL["hourly_linear_interp"] = """
+    WITH e AS (SELECT event_type,
+                      epoch_us(ts) // 3600000000 AS hour,
+                      CAST(round(value * 100) AS BIGINT) AS cents,
+                      row_number() OVER (
+                          PARTITION BY event_type,
+                                       epoch_us(ts) // 3600000000
+                          ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events WHERE value IS NOT NULL),
+    obs AS (SELECT event_type, hour, cents FROM e WHERE rn = 1),
+    spine AS (SELECT unnest(generate_series(
+                         (SELECT min(hour) FROM obs),
+                         (SELECT max(hour) FROM obs))) AS hour),
+    grid AS (SELECT t.event_type, s.hour, o.cents
+             FROM (SELECT DISTINCT event_type FROM obs) t
+             CROSS JOIN spine s
+             LEFT JOIN obs o ON o.event_type = t.event_type
+                            AND o.hour = s.hour),
+    anchored AS (
+        SELECT event_type, hour, cents,
+               last_value(CASE WHEN cents IS NOT NULL THEN hour END
+                          IGNORE NULLS) OVER w_prev AS ph,
+               last_value(cents IGNORE NULLS) OVER w_prev AS pc,
+               first_value(CASE WHEN cents IS NOT NULL THEN hour END
+                           IGNORE NULLS) OVER w_next AS nh,
+               first_value(cents IGNORE NULLS) OVER w_next AS nc
+        FROM grid
+        WINDOW w_prev AS (PARTITION BY event_type ORDER BY hour
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW),
+               w_next AS (PARTITION BY event_type ORDER BY hour
+                          ROWS BETWEEN CURRENT ROW
+                                   AND UNBOUNDED FOLLOWING))
+    SELECT event_type, hour::BIGINT AS hour,
+           CAST(CASE
+                WHEN cents IS NOT NULL THEN cents * 10000
+                WHEN ph IS NOT NULL AND nh IS NOT NULL
+                THEN ((pc * (nh - hour) + nc * (hour - ph)) * 10000)
+                     // (nh - ph)
+                ELSE NULL END AS DOUBLE) AS value_micro,
+           (cents IS NULL AND ph IS NOT NULL AND nh IS NOT NULL)
+               AS is_imputed
+    FROM anchored ORDER BY event_type, hour
+"""
+
+
+def feature_hash_tokens(sf_dir: str, dims: int = 64):
+    """FEATURE HASHING (the hashing trick): project the unbounded token
+    vocabulary onto ``dims`` fixed buckets — the fixed-width featurizer
+    that replaces a vocabulary dictionary at corpus scale.  The shared
+    hash both engines can compute is md5: bucket =
+    ``md5(token)[8:16] little-endian % dims`` == DuckDB
+    ``md5_number_lower(token) % dims`` (byte-order verified).  Per-batch
+    Arrow token counts shrink the exchange to (token, count) pairs; the
+    per-token md5 runs once per DISTINCT token inside the fold (Python
+    over the vocabulary, never over occurrences), and only ``dims``
+    partial rows per partition reach the driver."""
+    import hashlib
+
+    ds = _t(sf_dir, "documents", columns=["text"],
+            blocks=_join_partitions(sf_dir, "documents"))
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.fill_null(b["text"], ""), pattern=r"[^A-Za-z0-9_]+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    def fold(g: pd.DataFrame, dims=dims) -> pd.DataFrame:
+        per = g.groupby("token")["n"].sum()
+        buckets = np.fromiter(
+            (int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:16],
+                            "little") % dims for t in per.index),
+            np.int64, len(per))
+        out = pd.DataFrame({"bucket": buckets, "n_occ": per.to_numpy()})
+        agg = out.groupby("bucket").agg(n_distinct=("n_occ", "size"),
+                                        n_occ=("n_occ", "sum"))
+        return agg.reset_index()
+
+    parts = _agg_partitioned(
+        ds.map_batches(explode, batch_format="pyarrow"), ["token"], fold
+    ).to_pandas()
+    out = parts.groupby("bucket", as_index=False).sum()
+    return out.astype("int64").sort_values("bucket").reset_index(drop=True)
+
+
+QUERIES["feature_hash_tokens"] = feature_hash_tokens
+
+ORACLE_SQL["feature_hash_tokens"] = """
+    WITH toks AS (SELECT unnest(regexp_extract_all(text,
+                                '[A-Za-z0-9_]+')) AS token
+                  FROM documents),
+    t AS (SELECT token, count(*) AS c FROM toks
+          WHERE token <> '' GROUP BY token)
+    SELECT CAST(md5_number_lower(token) % 64 AS BIGINT) AS bucket,
+           count(*)::BIGINT AS n_distinct,
+           sum(c)::BIGINT AS n_occ
+    FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
+def nation_revenue_trend(sf_dir: str):
+    """GROUPED LINEAR REGRESSION (trend detection): the OLS slope of
+    monthly order revenue per nation, from single-pass SUMMABLE MOMENTS
+    (n, Σx, Σy, Σxy, Σx²) over (month-index, monthly cents) — the
+    ``regr_slope`` family recomputed from exact integers so both sides
+    derive the slope double from IDENTICAL numerator/denominator ints
+    (Python bigints vs HUGEINT; Σxy passes int64 near sf10).  The
+    custkey→nationkey probe is a broadcast ``index_in`` against the
+    customer dimension (no shuffle); the (nation × month) partial is
+    dimension-bounded so the moments fold on the driver."""
+    cu = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+            ).to_pandas()
+    ck = pa.array(cu["c_custkey"].to_numpy(np.int64))
+    nk = cu["c_nationkey"].to_numpy(np.int64)
+    ck_ref, nk_ref = ray.put(ck), ray.put(nk)
+
+    ds = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice",
+                                       "o_orderdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b["o_custkey"], ray.get(ck_ref))
+        if idx.null_count:
+            raise ValueError("nation_revenue_trend: orders reference "
+                             "custkeys missing from customer — inner-join "
+                             "semantics require a clean dimension")
+        idx = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        nation = ray.get(nk_ref)[idx]
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False
+                                      ).astype("datetime64[M]")
+        x = (d.astype(np.int64) - (1995 - 1970) * 12).astype(np.int64)
+        cents = np.asarray(pc.cast(pc.round(pc.multiply(
+            b["o_totalprice"], pa.scalar(100.0))), pa.int64()))
+        key = nation * 4096 + x
+        order = np.argsort(key, kind="stable")
+        key, cents = key[order], cents[order]
+        starts = np.r_[0, np.nonzero(key[1:] != key[:-1])[0] + 1]
+        return pa.table({"key": pa.array(key[starts]),
+                         "y": pa.array(np.add.reduceat(cents, starts))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    per = parts.groupby("key")["y"].sum()
+    nation = per.index.to_numpy(np.int64) // 4096
+    x = per.index.to_numpy(np.int64) % 4096
+    y = per.to_numpy(np.int64)
+    rows = []
+    for nat in np.unique(nation):
+        m = nation == nat
+        xs = [int(v) for v in x[m]]
+        ys = [int(v) for v in y[m]]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        if n < 2 or den == 0:
+            continue
+        rows.append((int(nat), n, float(num) / float(den)))
+    return pd.DataFrame(rows, columns=["nation", "n_months",
+                                       "slope_cents_per_month"]
+                        ).astype({"nation": "int64",
+                                  "n_months": "int64"})
+
+
+QUERIES["nation_revenue_trend"] = nation_revenue_trend
+
+ORACLE_SQL["nation_revenue_trend"] = """
+    WITH m AS (SELECT c_nationkey AS nation,
+                      (year(o_orderdate) - 1995) * 12
+                          + month(o_orderdate) - 1 AS x,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+               FROM orders JOIN customer ON c_custkey = o_custkey
+               GROUP BY 1, 2),
+    a AS (SELECT nation, count(*) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy
+          FROM m GROUP BY 1)
+    SELECT nation::BIGINT AS nation, n::BIGINT AS n_months,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)
+               AS slope_cents_per_month
+    FROM a WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    ORDER BY nation
+"""
+
+
+# -------------------------------------- round-4ao: profiling & hygiene batch
+
+
+def schema_profile_numeric(sf_dir: str):
+    """WHOLE-SCHEMA NUMERIC PROFILE: one sweep producing (table, column,
+    n, n_null, min, max, sum) for every numeric measure across FIVE
+    tables — the data-profiling pass a migration or onboarding job runs
+    first.  Each table is ONE narrow scan that folds ALL of its profiled
+    columns per batch simultaneously (never a scan per column); the
+    per-batch partial is a fixed ≤10-row table, so the reduce is
+    metadata-sized.  Values are exact integer cents (×100 half-away)
+    so min/max/sum hash-match; int columns scale through the same
+    convention."""
+    SPEC = {
+        "orders": ["o_totalprice"],
+        "lineitem": ["l_quantity", "l_extendedprice", "l_discount",
+                     "l_tax"],
+        "events": ["value"],
+        "customer": ["c_acctbal"],
+        "part": ["p_retailprice", "p_size"],
+    }
+    frames = []
+    for tbl, cols in SPEC.items():
+        ds = _t(sf_dir, tbl, columns=cols)
+
+        def profile(b: pa.Table, tbl=tbl, cols=cols) -> pa.Table:
+            rows = []
+            for col in cols:
+                a = b[col]
+                n_null = a.null_count
+                v = a.drop_null()
+                f = pc.cast(v, pa.float64())
+                cents = pc.cast(pc.round(pc.multiply(
+                    f, pa.scalar(100.0))), pa.int64())
+                if len(cents):
+                    mn = pc.min(cents).as_py()
+                    mx = pc.max(cents).as_py()
+                    sm = pc.sum(cents).as_py()
+                else:
+                    mn = mx = None
+                    sm = 0
+                rows.append((tbl, col, len(a), n_null, mn, mx, sm))
+            return pa.table({
+                "tbl": pa.array([r[0] for r in rows], pa.string()),
+                "col": pa.array([r[1] for r in rows], pa.string()),
+                "n": pa.array([r[2] for r in rows], pa.int64()),
+                "n_null": pa.array([r[3] for r in rows], pa.int64()),
+                "min_cents": pa.array([r[4] for r in rows], pa.int64()),
+                "max_cents": pa.array([r[5] for r in rows], pa.int64()),
+                "sum_cents": pa.array([r[6] for r in rows], pa.int64()),
+            })
+
+        frames.append(ds.map_batches(profile,
+                                     batch_format="pyarrow").to_pandas())
+    allp = pd.concat(frames, ignore_index=True)
+    out = allp.groupby(["tbl", "col"], as_index=False).agg(
+        n=("n", "sum"), n_null=("n_null", "sum"),
+        min_cents=("min_cents", "min"), max_cents=("max_cents", "max"),
+        sum_cents=("sum_cents", "sum"))
+    for c in ["n", "n_null", "min_cents", "max_cents", "sum_cents"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["tbl", "col"]).reset_index(drop=True)
+
+
+QUERIES["schema_profile_numeric"] = schema_profile_numeric
+
+_PROFILE_BLOCK = """
+    SELECT '{tbl}' AS tbl, '{col}' AS col, count(*)::BIGINT AS n,
+           (count(*) - count({col}))::BIGINT AS n_null,
+           min(CAST(round(CAST({col} AS DOUBLE) * 100) AS BIGINT))
+               ::BIGINT AS min_cents,
+           max(CAST(round(CAST({col} AS DOUBLE) * 100) AS BIGINT))
+               ::BIGINT AS max_cents,
+           coalesce(sum(CAST(round(CAST({col} AS DOUBLE) * 100)
+               AS BIGINT)), 0)::BIGINT AS sum_cents
+    FROM {tbl}"""
+
+ORACLE_SQL["schema_profile_numeric"] = " UNION ALL ".join(
+    _PROFILE_BLOCK.format(tbl=t, col=c) for t, cs in {
+        "orders": ["o_totalprice"],
+        "lineitem": ["l_quantity", "l_extendedprice", "l_discount",
+                     "l_tax"],
+        "events": ["value"],
+        "customer": ["c_acctbal"],
+        "part": ["p_retailprice", "p_size"],
+    }.items() for c in cs) + " ORDER BY tbl, col"
+
+
+def hourly_series_correlation(sf_dir: str):
+    """CROSS-SERIES CORRELATION with TIME ALIGNMENT: Pearson correlation
+    between the hourly 'view' and 'purchase' value sums — the
+    two-signal co-movement readout that requires aligning two derived
+    series on a shared time spine first (only hours where BOTH series
+    observed enter, inner-join semantics).  One narrow scan pre-combines
+    (type, hour, cents) per batch; the (2 × hours)-bounded partial folds
+    on the driver, and the correlation double derives from identical
+    exact integer moments on both sides (Python bigints vs HUGEINT —
+    Σxy is a cents² sum that passes int64 around sf1)."""
+    ds = _t(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"],
+                     value_set=pa.array(["view", "purchase"]))
+        f = b.filter(pc.and_(m, pc.is_valid(b["value"])))
+        hour = (f["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64)
+                // 3_600_000_000)
+        v = f["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        is_view = (f["event_type"].to_numpy(zero_copy_only=False)
+                   == "view")
+        key = hour * 2 + is_view.astype(np.int64)
+        order = np.argsort(key, kind="stable")
+        key, cents = key[order], cents[order]
+        starts = np.r_[0, np.nonzero(key[1:] != key[:-1])[0] + 1]
+        return pa.table({"key": pa.array(key[starts]),
+                         "cents": pa.array(
+                             np.add.reduceat(cents, starts))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"n_hours": pd.Series([0], dtype="int64"),
+                             "corr": pd.Series([float("nan")],
+                                               dtype="float64")})
+    per = parts.groupby("key")["cents"].sum()
+    hour = per.index.to_numpy(np.int64) // 2
+    is_view = per.index.to_numpy(np.int64) % 2 == 1
+    vals = per.to_numpy(np.int64)
+    views = dict(zip(hour[is_view].tolist(), vals[is_view].tolist()))
+    purch = dict(zip(hour[~is_view].tolist(), vals[~is_view].tolist()))
+    common = sorted(set(views) & set(purch))
+    n = len(common)
+    if n < 2:
+        return pd.DataFrame({"n_hours": pd.Series([n], dtype="int64"),
+                             "corr": pd.Series([float("nan")],
+                                               dtype="float64")})
+    xs = [views[h] for h in common]
+    ys = [purch[h] for h in common]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    num = n * sxy - sx * sy
+    den2x, den2y = n * sxx - sx * sx, n * syy - sy * sy
+    corr = (float(num) / (float(den2x) ** 0.5 * float(den2y) ** 0.5)
+            if den2x > 0 and den2y > 0 else float("nan"))
+    return pd.DataFrame({"n_hours": pd.Series([n], dtype="int64"),
+                         "corr": pd.Series([corr], dtype="float64")})
+
+
+QUERIES["hourly_series_correlation"] = hourly_series_correlation
+
+ORACLE_SQL["hourly_series_correlation"] = """
+    WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+                      sum(CAST(round(value * 100) AS BIGINT)) AS c
+               FROM events
+               WHERE event_type IN ('view', 'purchase')
+                 AND value IS NOT NULL
+               GROUP BY 1, 2),
+    j AS (SELECT v.c AS x, p.c AS y
+          FROM (SELECT hour, c FROM h WHERE event_type = 'view') v
+          JOIN (SELECT hour, c FROM h WHERE event_type = 'purchase') p
+            ON v.hour = p.hour),
+    m AS (SELECT count(*) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y AS HUGEINT) * y) AS syy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy
+          FROM j)
+    SELECT n::BIGINT AS n_hours,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+    FROM m
+"""
+
+
+def modal_value_per_type(sf_dir: str):
+    """MODE aggregate with a DETERMINISTIC tie-break (count desc, value
+    asc) — the ordered-set aggregate SQL's ``mode()`` leaves
+    tie-nondeterministic, pinned here so both engines agree.  Per-batch
+    (type, cents) pre-combine shrinks the exchange to distinct-value
+    counts; the per-type value histogram completes in one partition
+    (types are low-cardinality — the exchange is narrow, the HISTOGRAM
+    per type is what must fit, the same per-group-fits trade as the
+    decile family) and the argmax readout is vectorized."""
+    ds = _t(sf_dir, "events", columns=["event_type", "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_valid(b["value"]))
+        cents = pc.cast(pc.round(pc.multiply(f["value"],
+                                             pa.scalar(100.0))),
+                        pa.int64())
+        g = pa.table({"event_type": f["event_type"], "cents": cents}
+                     ).group_by(["event_type", "cents"]).aggregate(
+            [("cents", "count")])
+        return g.rename_columns(["event_type", "cents", "n"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["event_type", "cents"], as_index=False)["n"].sum()
+        per = per.sort_values(["event_type", "n", "cents"],
+                              ascending=[True, False, True])
+        top = per.groupby("event_type", as_index=False).first()
+        return top.rename(columns={"cents": "modal_cents",
+                                   "n": "n_modal"})
+
+    out = _agg_partitioned(
+        ds.map_batches(pre, batch_format="pyarrow"), ["event_type"], fold
+    ).to_pandas()
+    out[["modal_cents", "n_modal"]] = out[["modal_cents", "n_modal"]
+                                          ].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["modal_value_per_type"] = modal_value_per_type
+
+ORACLE_SQL["modal_value_per_type"] = """
+    WITH c AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS cents,
+                      count(*) AS n
+               FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT event_type, cents, n,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY n DESC, cents ASC) AS rk
+          FROM c)
+    SELECT event_type, cents AS modal_cents, n::BIGINT AS n_modal
+    FROM r WHERE rk = 1 ORDER BY event_type
+"""
+
+
+def quarantine_bad_props(sf_dir: str):
+    """DEAD-LETTER ROUTING (bad-record quarantine): classify every event
+    by whether ``props`` parses under the expected contract
+    (``{"k": <int>}``), stream the malformed rows to a QUARANTINE
+    parquet sink for replay, and report per-type valid/invalid counts —
+    the poison-pill hygiene stage every production ingest needs so one
+    bad record cannot kill the pipeline.  One scan tags validity with a
+    single RE2 kernel (both engines run the same regex); the quarantine
+    branch writes only matching rows (resumable partitioned sink under a
+    run-keyed path); the counts fold is dimension-bounded."""
+    import shutil
+
+    ds = _t(sf_dir, "events",
+            columns=["event_id", "event_type", "props"])
+    pattern = r'^\{"k": -?[0-9]+\}$'
+
+    def tag(b: pa.Table) -> pa.Table:
+        ok = pc.match_substring_regex(pc.fill_null(b["props"], ""),
+                                      pattern=pattern)
+        return b.append_column("is_valid", ok)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    qdir = os.path.join("/tmp", "aads_quarantine",
+                        os.path.basename(os.path.normpath(sf_dir))
+                        + f"_{os.getpid()}")
+    shutil.rmtree(qdir, ignore_errors=True)
+    bad = tagged.filter(expr="is_valid == False")
+    bad.write_parquet(f"local://{qdir}")
+
+    def counts(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type", "is_valid"]).aggregate(
+            [("is_valid", "count")])
+        return g.rename_columns(["event_type", "is_valid", "n"])
+
+    out = tagged.map_batches(counts, batch_format="pyarrow").to_pandas()
+    out = out.groupby(["event_type", "is_valid"], as_index=False)["n"
+                                                                  ].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "is_valid"]).reset_index(
+        drop=True)
+
+
+QUERIES["quarantine_bad_props"] = quarantine_bad_props
+
+ORACLE_SQL["quarantine_bad_props"] = r"""
+    SELECT event_type,
+           regexp_matches(coalesce(props, ''),
+                          '^\{"k": -?[0-9]+\}$') AS is_valid,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -10259,6 +10897,8 @@ _FRONT = [
     "event_velocity_histogram", "median_totalprice_bisect",
     "customer_spend_gini", "urgent_orderkey_islands",
     "embedding_gram_matrix", "copurchase_bfs_dist",
+    "orders_replica_checksums", "hourly_linear_interp",
+    "feature_hash_tokens", "nation_revenue_trend",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

@@ -3188,3 +3188,140 @@ def test_bfs_path_graph_caps_at_eight_hops(ray_session, tmp_path):
     out = copurchase_bfs_dist(_write(tmp_path, "lineitem", tbl))
     assert list(out["dist"]) == list(range(9))
     assert (out["n_nodes"] == 1).all()
+
+
+# ------------------------------------------- replica bucket checksums
+
+
+def test_replica_checksums_order_independent_and_localizing(ray_session,
+                                                            tmp_path):
+    """Row order must not change any bucket checksum; a one-cent change
+    must flip exactly its own bucket's checksum and no counts."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        orders_replica_checksums,
+    )
+
+    base = {
+        "o_orderkey": [1, 2, 3000, 3001, 9000],
+        "o_custkey": [10, 20, 30, 40, 50],
+        "o_totalprice": [1.00, 2.00, 3.00, 4.00, 5.00],
+        "o_orderdate": pd.to_datetime(
+            ["1995-01-01", "1995-02-01", "1996-01-01", "1996-02-01",
+             "1997-01-01"]),
+    }
+    a = pa.Table.from_pandas(pd.DataFrame(base), preserve_index=False)
+    shuffled = pa.Table.from_pandas(
+        pd.DataFrame(base).iloc[[4, 2, 0, 3, 1]], preserve_index=False)
+    d1, d2, d3 = tmp_path / "a", tmp_path / "b", tmp_path / "c"
+    for d in (d1, d2, d3):
+        d.mkdir()
+    pq.write_table(a, d1 / "orders.parquet")
+    pq.write_table(shuffled, d2 / "orders.parquet")
+    perturbed = dict(base)
+    perturbed["o_totalprice"] = [1.00, 2.00, 3.01, 4.00, 5.00]
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(perturbed),
+                                        preserve_index=False),
+                   d3 / "orders.parquet")
+
+    r1 = orders_replica_checksums(str(d1))
+    r2 = orders_replica_checksums(str(d2))
+    r3 = orders_replica_checksums(str(d3))
+    pd.testing.assert_frame_equal(r1, r2)
+    assert (r1["n_rows"] == r3["n_rows"]).all()
+    diff = r1["checksum"] != r3["checksum"]
+    assert diff.sum() == 1
+    assert int(r1.loc[diff, "bucket"].iloc[0]) == 3000 // 2048
+
+
+# ------------------------------------------- linear interpolation fill
+
+
+def test_linear_interp_exact_points_and_truncation(ray_session, tmp_path):
+    """Gap hours must land exactly on the line (micro units), trailing
+    hours stay NULL, and a negative numerator must TRUNCATE (DuckDB //)
+    rather than floor."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        hourly_linear_interp,
+    )
+
+    h = 3_600_000_000
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([0, 3 * h, 0, 3 * h], pa.timestamp("us")),
+        "event_type": pa.array(["a", "a", "b", "b"], pa.string()),
+        "value": pa.array([1.00, 4.00, -1.00, 0.00], pa.float64()),
+    })
+    out = hourly_linear_interp(_write(tmp_path, "events", tbl))
+    a = out[out["event_type"] == "a"].set_index("hour")["value_micro"]
+    assert a.loc[0] == 1_000_000 and a.loc[3] == 4_000_000
+    assert a.loc[1] == 2_000_000 and a.loc[2] == 3_000_000
+    b = out[out["event_type"] == "b"].set_index("hour")["value_micro"]
+    # hour 1: (−100·2 + 0·1)·10000 / 3 = −666666.67 → truncates to −666666
+    assert b.loc[1] == -666_666
+    assert b.loc[2] == -333_333
+    imput = out[out["event_type"] == "a"].set_index("hour")["is_imputed"]
+    assert not imput.loc[0] and imput.loc[1] and imput.loc[2]
+
+
+# --------------------------------------------------- feature hashing
+
+
+def test_feature_hash_bucket_matches_md5_convention(ray_session,
+                                                    tmp_path):
+    """Bucket assignment must equal md5(token)[8:16] little-endian % 64
+    (the md5_number_lower convention), with occurrence and distinct
+    counts folding per bucket."""
+    import hashlib
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        feature_hash_tokens,
+    )
+
+    tbl = pa.table({
+        "text": pa.array(["abc abc xyz", "abc qq"], pa.string()),
+    })
+    out = feature_hash_tokens(_write(tmp_path, "documents", tbl))
+
+    def bkt(t):
+        return int.from_bytes(hashlib.md5(t.encode()).digest()[8:16],
+                              "little") % 64
+
+    want = {}
+    for tok, c in {"abc": 3, "xyz": 1, "qq": 1}.items():
+        b = bkt(tok)
+        d, o = want.get(b, (0, 0))
+        want[b] = (d + 1, o + c)
+    got = {int(r.bucket): (int(r.n_distinct), int(r.n_occ))
+           for r in out.itertuples(index=False)}
+    assert got == want
+
+
+# ------------------------------------------------ grouped trend slope
+
+
+def test_trend_slope_recovers_planted_line(ray_session, tmp_path):
+    """Orders whose monthly totals follow y = 100·x + 50 cents exactly
+    must yield slope exactly 100.0 for that nation."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        nation_revenue_trend,
+    )
+
+    months = ["1995-01-15", "1995-02-15", "1995-03-15", "1995-04-15"]
+    prices = [(100 * x + 50) / 100.0 for x in range(4)]
+    orders = pa.table({
+        "o_custkey": pa.array([1] * 4, pa.int64()),
+        "o_totalprice": pa.array(prices, pa.float64()),
+        "o_orderdate": pa.array(pd.to_datetime(months),
+                                pa.timestamp("us")),
+    })
+    customer = pa.table({
+        "c_custkey": pa.array([1], pa.int64()),
+        "c_nationkey": pa.array([7], pa.int32()),
+    })
+    sf = _write(tmp_path, "orders", orders)
+    pq.write_table(customer, tmp_path / "customer.parquet")
+    out = nation_revenue_trend(sf)
+    assert len(out) == 1
+    assert int(out["nation"].iloc[0]) == 7
+    assert int(out["n_months"].iloc[0]) == 4
+    assert out["slope_cents_per_month"].iloc[0] == 100.0
