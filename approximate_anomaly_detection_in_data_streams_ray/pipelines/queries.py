@@ -10610,8 +10610,12 @@ def schema_profile_numeric(sf_dir: str):
         n=("n", "sum"), n_null=("n_null", "sum"),
         min_cents=("min_cents", "min"), max_cents=("max_cents", "max"),
         sum_cents=("sum_cents", "sum"))
-    for c in ["n", "n_null", "min_cents", "max_cents", "sum_cents"]:
+    for c in ["n", "n_null", "sum_cents"]:
         out[c] = out[c].astype("int64")
+    for c in ["min_cents", "max_cents"]:
+        # an all-null column has no min/max — nullable, carried as float64
+        # (NaN == SQL NULL) so strict dtype parity with the oracle holds
+        out[c] = out[c].astype("float64")
     return out.sort_values(["tbl", "col"]).reset_index(drop=True)
 
 
@@ -10620,10 +10624,10 @@ QUERIES["schema_profile_numeric"] = schema_profile_numeric
 _PROFILE_BLOCK = """
     SELECT '{tbl}' AS tbl, '{col}' AS col, count(*)::BIGINT AS n,
            (count(*) - count({col}))::BIGINT AS n_null,
-           min(CAST(round(CAST({col} AS DOUBLE) * 100) AS BIGINT))
-               ::BIGINT AS min_cents,
-           max(CAST(round(CAST({col} AS DOUBLE) * 100) AS BIGINT))
-               ::BIGINT AS max_cents,
+           CAST(min(CAST(round(CAST({col} AS DOUBLE) * 100) AS BIGINT))
+               AS DOUBLE) AS min_cents,
+           CAST(max(CAST(round(CAST({col} AS DOUBLE) * 100) AS BIGINT))
+               AS DOUBLE) AS max_cents,
            coalesce(sum(CAST(round(CAST({col} AS DOUBLE) * 100)
                AS BIGINT)), 0)::BIGINT AS sum_cents
     FROM {tbl}"""
@@ -10788,35 +10792,39 @@ def quarantine_bad_props(sf_dir: str):
     (``{"k": <int>}``), stream the malformed rows to a QUARANTINE
     parquet sink for replay, and report per-type valid/invalid counts —
     the poison-pill hygiene stage every production ingest needs so one
-    bad record cannot kill the pipeline.  One scan tags validity with a
-    single RE2 kernel (both engines run the same regex); the quarantine
-    branch writes only matching rows (resumable partitioned sink under a
-    run-keyed path); the counts fold is dimension-bounded."""
+    bad record cannot kill the pipeline.  ONE scan does both jobs (the
+    media_pipeline lesson — never re-read the input for a second
+    output): each batch tags validity with a single RE2 kernel (both
+    engines run the same regex), side-writes its own invalid rows as a
+    self-contained quarantine shard (uuid-named under a run-keyed dir —
+    the resumable-sink layout, single writer per run), and returns only
+    the dimension-bounded count partial."""
     import shutil
+    import uuid
 
     ds = _t(sf_dir, "events",
             columns=["event_id", "event_type", "props"])
     pattern = r'^\{"k": -?[0-9]+\}$'
-
-    def tag(b: pa.Table) -> pa.Table:
-        ok = pc.match_substring_regex(pc.fill_null(b["props"], ""),
-                                      pattern=pattern)
-        return b.append_column("is_valid", ok)
-
-    tagged = ds.map_batches(tag, batch_format="pyarrow")
     qdir = os.path.join("/tmp", "aads_quarantine",
                         os.path.basename(os.path.normpath(sf_dir))
                         + f"_{os.getpid()}")
     shutil.rmtree(qdir, ignore_errors=True)
-    bad = tagged.filter(expr="is_valid == False")
-    bad.write_parquet(f"local://{qdir}")
+    os.makedirs(qdir, exist_ok=True)
 
-    def counts(b: pa.Table) -> pa.Table:
-        g = b.group_by(["event_type", "is_valid"]).aggregate(
+    def tag_and_quarantine(b: pa.Table, qdir=qdir) -> pa.Table:
+        ok = pc.match_substring_regex(pc.fill_null(b["props"], ""),
+                                      pattern=pattern)
+        t = b.append_column("is_valid", ok)
+        bad = t.filter(pc.invert(ok))
+        if bad.num_rows:
+            pq.write_table(bad, os.path.join(
+                qdir, f"shard-{uuid.uuid4().hex}.parquet"))
+        g = t.group_by(["event_type", "is_valid"]).aggregate(
             [("is_valid", "count")])
         return g.rename_columns(["event_type", "is_valid", "n"])
 
-    out = tagged.map_batches(counts, batch_format="pyarrow").to_pandas()
+    out = ds.map_batches(tag_and_quarantine,
+                         batch_format="pyarrow").to_pandas()
     out = out.groupby(["event_type", "is_valid"], as_index=False)["n"
                                                                   ].sum()
     out["n"] = out["n"].astype("int64")
@@ -10833,6 +10841,563 @@ ORACLE_SQL["quarantine_bad_props"] = r"""
            count(*)::BIGINT AS n
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ------------------------------------ round-4ap: streaming/skyline/graph batch
+
+
+def events_watermark_lateness(sf_dir: str, allowed_us: int = 60_000_000,
+                              span: int = 4096):
+    """WATERMARK LATENESS AUDIT (the Flink/Beam out-of-order primitive):
+    with arrival order = event_id and the watermark = running max event
+    time over all PRECEDING arrivals, count events arriving more than
+    ``allowed_us`` behind the watermark, per type, plus each type's max
+    lateness.  Distributed as the canonical two-phase scan: phase 1 is a
+    NO-exchange narrow pass folding per-bucket (event_id range) max
+    timestamps; the driver turns them into each bucket's INCOMING
+    watermark by an exclusive running max over the O(#buckets) summary;
+    phase 2 is one bucket exchange where each bucket sorts by event_id
+    and finalizes vectorized — effective watermark = max(incoming,
+    internal shifted running max).  Nothing row-sized ever reaches the
+    driver."""
+    ds = _t(sf_dir, "events", columns=["event_id", "ts", "event_type"],
+            blocks=_join_partitions(sf_dir, "events"))
+    FLOOR = -(2 ** 62)
+
+    def p1(b: pa.Table, span=span) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        ts = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        bucket = eid // span
+        order = np.argsort(bucket, kind="stable")
+        bucket, ts = bucket[order], ts[order]
+        starts = np.r_[0, np.nonzero(bucket[1:] != bucket[:-1])[0] + 1]
+        return pa.table({"bucket": pa.array(bucket[starts]),
+                         "max_ts": pa.array(
+                             np.maximum.reduceat(ts, starts))})
+
+    bmax = ds.map_batches(p1, batch_format="pyarrow").to_pandas()
+    bmax = bmax.groupby("bucket")["max_ts"].max().sort_index()
+    buckets = bmax.index.to_numpy(np.int64)
+    incoming = np.r_[FLOOR, np.maximum.accumulate(
+        bmax.to_numpy(np.int64))[:-1]]
+    win = dict(zip(buckets.tolist(), incoming.tolist()))
+    win_ref = ray.put(win)
+
+    def pre(b: pa.Table, span=span) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("bucket", pa.array(eid // span))
+
+    def fold(g: pd.DataFrame, allowed_us=allowed_us) -> pd.DataFrame:
+        wmap = ray.get(win_ref)
+        frames = []
+        for bkt, gg in g.groupby("bucket"):
+            gg = gg.sort_values("event_id")
+            ts = (gg["ts"].to_numpy().astype("datetime64[us]")
+                  .astype(np.int64))
+            internal = np.r_[FLOOR, np.maximum.accumulate(ts)[:-1]]
+            wm = np.maximum(internal, int(wmap[int(bkt)]))
+            late_by = wm - ts
+            late = late_by > allowed_us
+            et = gg["event_type"].to_numpy()
+            frames.append(pd.DataFrame({
+                "event_type": et, "late": late,
+                "late_by": np.where(late, late_by, 0)}))
+        f = pd.concat(frames, ignore_index=True)
+        out = f.groupby("event_type").agg(
+            n=("late", "size"), n_late=("late", "sum"),
+            max_lateness_us=("late_by", "max"))
+        return out.reset_index()
+
+    parts = _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                             ["bucket"], fold).to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), n_late=("n_late", "sum"),
+        max_lateness_us=("max_lateness_us", "max"))
+    for c in ["n", "n_late", "max_lateness_us"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["events_watermark_lateness"] = events_watermark_lateness
+
+ORACLE_SQL["events_watermark_lateness"] = """
+    WITH w AS (SELECT event_type, epoch_us(ts) AS t,
+                      max(epoch_us(ts)) OVER (
+                          ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS wm
+               FROM events),
+    l AS (SELECT event_type,
+                 (wm IS NOT NULL AND wm - t > 60000000) AS late,
+                 CASE WHEN wm IS NOT NULL AND wm - t > 60000000
+                      THEN wm - t ELSE 0 END AS late_by
+          FROM w)
+    SELECT event_type, count(*)::BIGINT AS n,
+           sum(CASE WHEN late THEN 1 ELSE 0 END)::BIGINT AS n_late,
+           max(late_by)::BIGINT AS max_lateness_us
+    FROM l GROUP BY 1 ORDER BY 1
+"""
+
+
+def part_price_size_skyline(sf_dir: str):
+    """SKYLINE / PARETO-FRONTIER query: parts not dominated on
+    (p_retailprice, p_size) (another part at-most-equal on both and
+    strictly better on one) — the multi-objective shortlist primitive.
+    Local skylines are MERGEABLE (the skyline of a union is contained in
+    the union of local skylines), so each batch reduces to its own
+    frontier vectorized (sort by price,size; a distinct-pair running-min
+    test), partials concatenate, and the driver runs the same kernel
+    once over the tiny union.  Duplicate (price, size) points dominate
+    neither each other nor get dropped — both survive, matching the
+    oracle's strict-somewhere NOT EXISTS."""
+    ds = _t(sf_dir, "part", columns=["p_partkey", "p_retailprice",
+                                     "p_size"])
+
+    def skyline(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.asarray((np.sign(df["p_retailprice"].to_numpy() * 100.0)
+                            * np.floor(np.abs(df["p_retailprice"
+                                                 ].to_numpy() * 100.0)
+                                       + 0.5)), np.int64)
+        size = df["p_size"].to_numpy(np.int64)
+        key = df["p_partkey"].to_numpy(np.int64)
+        pairs = np.stack([cents, size], 1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        # dominated iff a strictly-cheaper pair has size <= s, or an
+        # equal-price pair has size < s (i.e. not min-size in its group)
+        p, s = uniq[:, 0], uniq[:, 1]
+        grp_start = np.r_[True, p[1:] != p[:-1]]
+        grp_id = np.cumsum(grp_start) - 1
+        grp_min_s = s[grp_start]          # sorted by s within a p-group
+        prev_best = np.r_[np.int64(2 ** 62), np.minimum.accumulate(
+            grp_min_s)[:-1]]              # min size over strictly-cheaper
+        best_before = prev_best[grp_id]
+        dominated = (best_before <= s) | ~grp_start
+        keep_pair = ~dominated
+        keep = keep_pair[inv]
+        return pd.DataFrame({"p_partkey": key[keep],
+                             "price_cents": cents[keep],
+                             "p_size": size[keep]})
+
+    def local(b: pa.Table) -> pd.DataFrame:
+        return skyline(b.to_pandas())
+
+    parts = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    out = skyline(parts.rename(columns={"price_cents": "p_retailprice"})
+                  .assign(p_retailprice=lambda d:
+                          d["p_retailprice"] / 100.0))
+    return out.astype("int64").sort_values("p_partkey").reset_index(
+        drop=True)
+
+
+QUERIES["part_price_size_skyline"] = part_price_size_skyline
+
+ORACLE_SQL["part_price_size_skyline"] = """
+    SELECT p1.p_partkey,
+           CAST(round(p1.p_retailprice * 100) AS BIGINT) AS price_cents,
+           p1.p_size::BIGINT AS p_size
+    FROM part p1
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part p2
+        WHERE p2.p_retailprice <= p1.p_retailprice
+          AND p2.p_size <= p1.p_size
+          AND (p2.p_retailprice < p1.p_retailprice
+               OR p2.p_size < p1.p_size))
+    ORDER BY p1.p_partkey
+"""
+
+
+def nation_top2_acctbal_gap(sf_dir: str):
+    """TOP-2 WITH RUNNER-UP MARGIN per group: each nation's best supplier
+    by account balance, the second best, and the gap — the
+    confidence-margin readout behind labeling and model-routing
+    decisions.  Per-batch partial top-2 per nation (the global top-2 is
+    contained in the union of per-batch top-2s), tie-broken
+    (cents desc, suppkey asc) identically on both sides; single-supplier
+    nations carry NULL runner-up columns (LEFT JOIN semantics)."""
+    ds = _t(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey",
+                                         "s_acctbal"])
+
+    def top2(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["s_acctbal"].to_numpy() * 100.0
+        df = df.assign(cents=(np.sign(v) * np.floor(np.abs(v) + 0.5))
+                       .astype(np.int64))
+        df = df.sort_values(["s_nationkey", "cents", "s_suppkey"],
+                            ascending=[True, False, True])
+        return df.groupby("s_nationkey", as_index=False).head(2)[
+            ["s_nationkey", "s_suppkey", "cents"]]
+
+    parts = ds.map_batches(top2, batch_format="pandas").to_pandas()
+    fin = top2(parts.rename(columns={"cents": "s_acctbal"})
+               .assign(s_acctbal=lambda d: d["s_acctbal"] / 100.0))
+    rows = []
+    for nat, g in fin.groupby("s_nationkey"):
+        g = g.reset_index(drop=True)
+        top_k, top_c = int(g["s_suppkey"][0]), int(g["cents"][0])
+        if len(g) > 1:
+            sk, sc = int(g["s_suppkey"][1]), int(g["cents"][1])
+            rows.append((int(nat), top_k, top_c, sk, sc, top_c - sc))
+        else:
+            rows.append((int(nat), top_k, top_c, None, None, None))
+    out = pd.DataFrame(rows, columns=[
+        "nation", "top_suppkey", "top_cents", "second_suppkey",
+        "second_cents", "gap_cents"])
+    for c in ["second_suppkey", "second_cents", "gap_cents"]:
+        # single-supplier nations have no runner-up: NULL → NaN float64
+        out[c] = out[c].astype("float64")
+    return out.sort_values("nation").reset_index(drop=True)
+
+
+QUERIES["nation_top2_acctbal_gap"] = nation_top2_acctbal_gap
+
+ORACLE_SQL["nation_top2_acctbal_gap"] = """
+    WITH r AS (SELECT s_nationkey AS nation, s_suppkey,
+                      CAST(round(s_acctbal * 100) AS BIGINT) AS cents,
+                      row_number() OVER (
+                          PARTITION BY s_nationkey
+                          ORDER BY round(s_acctbal * 100) DESC,
+                                   s_suppkey ASC) AS rk
+               FROM supplier)
+    SELECT a.nation::BIGINT AS nation,
+           a.s_suppkey AS top_suppkey, a.cents AS top_cents,
+           CAST(b.s_suppkey AS DOUBLE) AS second_suppkey,
+           CAST(b.cents AS DOUBLE) AS second_cents,
+           CAST(a.cents - b.cents AS DOUBLE) AS gap_cents
+    FROM (SELECT * FROM r WHERE rk = 1) a
+    LEFT JOIN (SELECT * FROM r WHERE rk = 2) b ON a.nation = b.nation
+    ORDER BY a.nation
+"""
+
+
+def copurchase_assortativity(sf_dir: str):
+    """DEGREE ASSORTATIVITY of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over all edges (both orientations) —
+    the graph-structure audit that says whether hubs link to hubs.
+    Degrees broadcast (node-dimension bounded, shared with pagerank);
+    each edge batch folds exact integer moments (n, Σx, Σy, Σxy, Σx²,
+    Σy²) where x, y are the two endpoint degrees in BOTH directions
+    (making Σx = Σy — the undirected convention), so the final double
+    derives from identical Python-bigint vs HUGEINT integers."""
+    edges, n_edges, nodes, deg = _copurchase_graph(sf_dir)
+    if n_edges == 0:
+        return pd.DataFrame({"n_edge_ends": pd.Series([0], dtype="int64"),
+                             "assortativity": pd.Series(
+                                 [float("nan")], dtype="float64")})
+    nodes_ref, deg_ref = ray.put(nodes), ray.put(deg)
+
+    def moments(b: pa.Table) -> pa.Table:
+        nd, dg = ray.get(nodes_ref), ray.get(deg_ref)
+        ia = np.searchsorted(nd, b["a"].to_numpy(zero_copy_only=False))
+        ib = np.searchsorted(nd, b["b"].to_numpy(zero_copy_only=False))
+        x = np.r_[dg[ia], dg[ib]].astype(np.int64)
+        y = np.r_[dg[ib], dg[ia]].astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64())})
+
+    m = edges.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n = int(m["n"].sum())
+    sx, sy = int(m["sx"].sum()), int(m["sy"].sum())
+    sxx, syy = int(m["sxx"].sum()), int(m["syy"].sum())
+    sxy = int(m["sxy"].sum())
+    num = n * sxy - sx * sy
+    dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+    r = (float(num) / (float(dx) ** 0.5 * float(dy) ** 0.5)
+         if dx > 0 and dy > 0 else float("nan"))
+    return pd.DataFrame({"n_edge_ends": pd.Series([n], dtype="int64"),
+                         "assortativity": pd.Series([r],
+                                                    dtype="float64")})
+
+
+QUERIES["copurchase_assortativity"] = copurchase_assortativity
+
+ORACLE_SQL["copurchase_assortativity"] = """
+    WITH e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    u AS (SELECT a AS s, b AS t FROM e
+          UNION ALL SELECT b AS s, a AS t FROM e),
+    deg AS (SELECT s AS node, count(*)::BIGINT AS d FROM u GROUP BY s),
+    pairs AS (SELECT da.d AS x, db.d AS y
+              FROM u JOIN deg da ON da.node = u.s
+                     JOIN deg db ON db.node = u.t),
+    m AS (SELECT count(*) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y AS HUGEINT) * y) AS syy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy
+          FROM pairs)
+    SELECT n::BIGINT AS n_edge_ends,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+               AS assortativity
+    FROM m
+"""
+
+
+# ------------------------------------ round-4aq: drift/canon/agreement batch
+
+
+def trending_tokens(sf_dir: str, k: int = 20):
+    """WINDOW-OVER-WINDOW TOP MOVERS (trending detection): token counts
+    in the corpus' first half vs second half (split at the doc_id
+    midpoint read from parquet FOOTER stats — no scan), ranked by raise
+    ``n_b − n_a`` — the vocabulary-drift readout between two snapshots.
+    One pass counts both windows per batch (conditional aggregation);
+    the (token, n_a, n_b) exchange completes each token in one
+    partition, so a per-partition partial top-k is exact and the driver
+    merges ≤ k rows per partition."""
+    import pyarrow.parquet as _pq
+
+    lo = hi = None
+    for f in _table_paths(sf_dir, "documents"):
+        md = _pq.ParquetFile(f)
+        idx = md.schema_arrow.get_field_index("doc_id")
+        for rg in range(md.metadata.num_row_groups):
+            st = md.metadata.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError("trending_tokens: doc_id footer stats "
+                                 "missing")
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+    split = (int(lo) + int(hi) + 1) // 2
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"],
+            blocks=_join_partitions(sf_dir, "documents"))
+
+    def counts(b: pa.Table, split=split) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(b["text"], ""),
+                                      pattern=r"[^A-Za-z0-9_]+")
+        n_per = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = toks.combine_chunks().flatten() if isinstance(
+            toks, pa.ChunkedArray) else toks.flatten()
+        in_b = (b["doc_id"].to_numpy(zero_copy_only=False)
+                >= split).astype(np.int64)
+        win = np.repeat(in_b, n_per)
+        t = pa.table({"token": flat, "w": pa.array(win)})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        g = t.group_by(["token", "w"]).aggregate([("w", "count")])
+        return g.rename_columns(["token", "w", "n"])
+
+    def fold(g: pd.DataFrame, k=k) -> pd.DataFrame:
+        per = g.groupby(["token", "w"])["n"].sum().unstack(
+            fill_value=0).reindex(columns=[0, 1], fill_value=0)
+        out = pd.DataFrame({"token": per.index,
+                            "n_a": per[0].to_numpy(np.int64),
+                            "n_b": per[1].to_numpy(np.int64)})
+        out["raise_n"] = out["n_b"] - out["n_a"]
+        return out.sort_values(["raise_n", "token"],
+                               ascending=[False, True]).head(k)
+
+    parts = _agg_partitioned(
+        ds.map_batches(counts, batch_format="pyarrow"), ["token"], fold
+    ).to_pandas()
+    out = parts.sort_values(["raise_n", "token"],
+                            ascending=[False, True]).head(k)
+    for c in ["n_a", "n_b", "raise_n"]:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+QUERIES["trending_tokens"] = trending_tokens
+
+ORACLE_SQL["trending_tokens"] = """
+    WITH bounds AS (SELECT (min(doc_id) + max(doc_id) + 1) // 2 AS split
+                    FROM documents),
+    toks AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                 AS token,
+             (doc_id >= (SELECT split FROM bounds)) AS in_b
+             FROM documents),
+    t AS (SELECT token,
+                 sum(CASE WHEN in_b THEN 0 ELSE 1 END)::BIGINT AS n_a,
+                 sum(CASE WHEN in_b THEN 1 ELSE 0 END)::BIGINT AS n_b
+          FROM toks WHERE token <> '' GROUP BY token)
+    SELECT token, n_a, n_b, (n_b - n_a)::BIGINT AS raise_n
+    FROM t ORDER BY raise_n DESC, token ASC LIMIT 20
+"""
+
+
+def canonical_dedup_documents(sf_dir: str):
+    """NORMALIZATION-BEFORE-DEDUP: collapse case / punctuation /
+    whitespace to a canonical form, then measure duplication the RAW
+    exact-dedup pass cannot see (trivially-edited copies) — the standard
+    curation step between exact and fuzzy dedup.  One pass canonicalizes
+    with two RE2/arrow kernels and pre-combines (canon-hash, count); the
+    exchange carries only those pairs (the 2⁻⁶⁴ hash-collision
+    assumption documented at stages/dedup.py), per-partition group
+    sizes fold to four global counters."""
+    from ..functions.hashing import stable_hash64
+
+    ds = _t(sf_dir, "documents", columns=["text"],
+            blocks=_join_partitions(sf_dir, "documents"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        canon = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(pc.fill_null(b["text"], "")),
+            pattern=r"[^a-z0-9]+", replacement=" "))
+        h = stable_hash64(canon).astype(np.int64)
+        order = np.argsort(h, kind="stable")
+        h = h[order]
+        starts = np.r_[0, np.nonzero(h[1:] != h[:-1])[0] + 1]
+        n = np.diff(np.r_[starts, len(h)])
+        return pa.table({"h": pa.array(h[starts]),
+                         "n": pa.array(n.astype(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g.groupby("h")["n"].sum()
+        return pd.DataFrame({
+            "n_docs": [int(sz.sum())],
+            "n_groups": [len(sz)],
+            "largest_group": [int(sz.max()) if len(sz) else 0]})
+
+    parts = _agg_partitioned(
+        ds.map_batches(pre, batch_format="pyarrow"), ["h"], fold
+    ).to_pandas()
+    n_docs = int(parts["n_docs"].sum())
+    n_groups = int(parts["n_groups"].sum())
+    largest = int(parts["largest_group"].max()) if len(parts) else 0
+    return pd.DataFrame({
+        "n_docs": pd.Series([n_docs], dtype="int64"),
+        "n_groups": pd.Series([n_groups], dtype="int64"),
+        "n_redundant": pd.Series([n_docs - n_groups], dtype="int64"),
+        "largest_group": pd.Series([largest], dtype="int64")})
+
+
+QUERIES["canonical_dedup_documents"] = canonical_dedup_documents
+
+ORACLE_SQL["canonical_dedup_documents"] = """
+    WITH c AS (SELECT trim(regexp_replace(lower(coalesce(text, '')),
+                                          '[^a-z0-9]+', ' ', 'g'))
+                   AS canon
+               FROM documents),
+    g AS (SELECT canon, count(*) AS sz FROM c GROUP BY canon)
+    SELECT (SELECT count(*) FROM c)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_groups,
+           ((SELECT count(*) FROM c) - count(*))::BIGINT AS n_redundant,
+           max(sz)::BIGINT AS largest_group
+    FROM g
+"""
+
+
+def labeler_agreement_kappa(sf_dir: str):
+    """LABELER AGREEMENT (Cohen's kappa) between two independent quality
+    rules — the audit run before trusting any automated judge: rule A =
+    ``n_chars > 200``, rule B = ``token count > 40``.  One narrow scan
+    folds the 2×2 contingency ints per batch; kappa's numerator and
+    denominator are exact integers (n·(n00+n11) − (a1·b1 + a0·b0) over
+    n² − ·) on both sides, so the final double is one identical IEEE
+    divide."""
+    ds = _t(sf_dir, "documents", columns=["n_chars", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        a = pc.greater(b["n_chars"], pa.scalar(200))
+        real = pc.count_substring_regex(
+            pc.fill_null(b["text"], ""), pattern=r"[A-Za-z0-9_]+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = real > 40
+        av = a.to_numpy(zero_copy_only=False)
+        n11 = int((av & bb).sum())
+        n10 = int((av & ~bb).sum())
+        n01 = int((~av & bb).sum())
+        n00 = int((~av & ~bb).sum())
+        return pa.table({"n11": pa.array([n11], pa.int64()),
+                         "n10": pa.array([n10], pa.int64()),
+                         "n01": pa.array([n01], pa.int64()),
+                         "n00": pa.array([n00], pa.int64())})
+
+    m = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n11, n10 = int(m["n11"]), int(m["n10"])
+    n01, n00 = int(m["n01"]), int(m["n00"])
+    n = n11 + n10 + n01 + n00
+    a1, b1 = n11 + n10, n11 + n01
+    a0, b0 = n01 + n00, n10 + n00
+    pe_num = a1 * b1 + a0 * b0
+    num = n * (n11 + n00) - pe_num
+    den = n * n - pe_num
+    kappa = float(num) / float(den) if den else float("nan")
+    return pd.DataFrame({
+        "n": pd.Series([n], dtype="int64"),
+        "n_both": pd.Series([n11], dtype="int64"),
+        "n_neither": pd.Series([n00], dtype="int64"),
+        "n_only_a": pd.Series([n10], dtype="int64"),
+        "n_only_b": pd.Series([n01], dtype="int64"),
+        "kappa": pd.Series([kappa], dtype="float64")})
+
+
+QUERIES["labeler_agreement_kappa"] = labeler_agreement_kappa
+
+ORACLE_SQL["labeler_agreement_kappa"] = """
+    WITH r AS (SELECT (n_chars > 200) AS a,
+                      (length(regexp_extract_all(coalesce(text, ''),
+                                                 '[A-Za-z0-9_]+')) > 40)
+                          AS b
+               FROM documents),
+    c AS (SELECT
+              sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n11,
+              sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT
+                  AS n10,
+              sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT
+                  AS n01,
+              sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT
+                  AS n00
+          FROM r)
+    SELECT (n11 + n10 + n01 + n00) AS n, n11 AS n_both,
+           n00 AS n_neither, n10 AS n_only_a, n01 AS n_only_b,
+           CAST((n11 + n10 + n01 + n00) * (n11 + n00)
+                - ((n11 + n10) * (n11 + n01)
+                   + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+           / CAST((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+                  - ((n11 + n10) * (n11 + n01)
+                     + (n01 + n00) * (n10 + n00)) AS DOUBLE) AS kappa
+    FROM c
+"""
+
+
+def compression_quality_documents(sf_dir: str):
+    """COMPRESSION-RATIO quality signal (the CCNet/RefinedWeb-style
+    curation heuristic): highly repetitive text compresses far below
+    natural prose, so the per-doc zlib ratio is a cheap redundancy
+    detector.  Per (lang, ratio decile band) doc counts; zlib is
+    deterministic at a fixed level but NOT SQL-expressible, so this is a
+    rows-only entry whose semantics are pinned by planted tests
+    (repetitive → low band, high-entropy → high band).  The per-doc
+    compression is C-bound work inside a fanned-out scan (``spread``),
+    the fold is dimension-bounded."""
+    import zlib
+
+    ds = _t(sf_dir, "documents", columns=["lang", "text"], spread=True)
+
+    def bands(b: pa.Table) -> pa.Table:
+        langs = b["lang"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        bandv = np.empty(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            raw = (t or "").encode("utf-8")
+            if not raw:
+                bandv[i] = -1        # empty docs: their own band
+                continue
+            ratio10 = (len(zlib.compress(raw, 6)) * 10) // len(raw)
+            bandv[i] = min(ratio10, 10)
+        t = pa.table({"lang": pa.array(langs), "band": pa.array(bandv)})
+        g = t.group_by(["lang", "band"]).aggregate([("band", "count")])
+        return g.rename_columns(["lang", "band", "n"])
+
+    out = ds.map_batches(bands, batch_format="pyarrow").to_pandas()
+    out = out.groupby(["lang", "band"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang", "band"]).reset_index(drop=True)
+
+
+QUERIES["compression_quality_documents"] = compression_quality_documents
 
 
 # --------------------------------------------------------------------------
@@ -10899,6 +11464,12 @@ _FRONT = [
     "embedding_gram_matrix", "copurchase_bfs_dist",
     "orders_replica_checksums", "hourly_linear_interp",
     "feature_hash_tokens", "nation_revenue_trend",
+    "schema_profile_numeric", "hourly_series_correlation",
+    "modal_value_per_type", "quarantine_bad_props",
+    "events_watermark_lateness", "part_price_size_skyline",
+    "nation_top2_acctbal_gap", "copurchase_assortativity",
+    "trending_tokens", "canonical_dedup_documents",
+    "labeler_agreement_kappa", "compression_quality_documents",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

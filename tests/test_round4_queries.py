@@ -3325,3 +3325,338 @@ def test_trend_slope_recovers_planted_line(ray_session, tmp_path):
     assert int(out["nation"].iloc[0]) == 7
     assert int(out["n_months"].iloc[0]) == 4
     assert out["slope_cents_per_month"].iloc[0] == 100.0
+
+
+# ---------------------------------------------- schema numeric profile
+
+
+def test_schema_profile_counts_nulls_and_negatives(ray_session, tmp_path):
+    """Null values must count into n_null and drop out of min/max/sum;
+    negative values must survive the cents rounding."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        schema_profile_numeric,
+    )
+
+    pq.write_table(pa.table({
+        "o_totalprice": pa.array([1.25, None, -2.50], pa.float64())}),
+        tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_quantity": pa.array([3.0], pa.float64()),
+        "l_extendedprice": pa.array([10.0], pa.float64()),
+        "l_discount": pa.array([0.05], pa.float64()),
+        "l_tax": pa.array([0.02], pa.float64())}),
+        tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "value": pa.array([None, None], pa.float64())}),
+        tmp_path / "events.parquet")
+    pq.write_table(pa.table({
+        "c_acctbal": pa.array([0.0], pa.float64())}),
+        tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "p_retailprice": pa.array([9.99], pa.float64()),
+        "p_size": pa.array([7], pa.int32())}),
+        tmp_path / "part.parquet")
+
+    out = schema_profile_numeric(str(tmp_path)).set_index(["tbl", "col"])
+    o = out.loc[("orders", "o_totalprice")]
+    assert o["n"] == 3 and o["n_null"] == 1
+    assert o["min_cents"] == -250 and o["max_cents"] == 125
+    assert o["sum_cents"] == -125
+    ev = out.loc[("events", "value")]
+    assert ev["n"] == 2 and ev["n_null"] == 2 and ev["sum_cents"] == 0
+    assert pd.isna(ev["min_cents"]) and pd.isna(ev["max_cents"])
+    p = out.loc[("part", "p_size")]
+    assert p["min_cents"] == 700 and p["max_cents"] == 700
+
+
+# --------------------------------------------- cross-series correlation
+
+
+def test_series_correlation_perfect_and_inverse(ray_session, tmp_path):
+    """A purchase series equal to the view series gives corr ≈ 1; its
+    negation gives corr ≈ −1; hours present in only one series must be
+    excluded (inner-join alignment)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        hourly_series_correlation,
+    )
+
+    h = 3_600_000_000
+    ts, et, val = [], [], []
+    for i, v in enumerate([1.0, 2.0, 5.0, 3.0]):
+        ts += [i * h, i * h]
+        et += ["view", "purchase"]
+        val += [v, v]
+    ts.append(10 * h)         # view-only hour: must not enter
+    et.append("view")
+    val.append(99.0)
+    tbl = pa.table({
+        "event_type": pa.array(et, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "value": pa.array(val, pa.float64()),
+    })
+    out = hourly_series_correlation(_write(tmp_path, "events", tbl)).iloc[0]
+    assert out["n_hours"] == 4
+    assert abs(out["corr"] - 1.0) < 1e-12
+
+    val2 = [v if e == "view" else -v for e, v in zip(et, val)]
+    tbl2 = pa.table({
+        "event_type": pa.array(et, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "value": pa.array(val2, pa.float64()),
+    })
+    d2 = tmp_path / "neg"
+    d2.mkdir()
+    pq.write_table(tbl2, d2 / "events.parquet")
+    out2 = hourly_series_correlation(str(d2)).iloc[0]
+    assert abs(out2["corr"] + 1.0) < 1e-12
+
+
+# ----------------------------------------------------- mode tie-break
+
+
+def test_modal_value_tie_takes_smallest(ray_session, tmp_path):
+    """Two values with the same top count: the smaller cents value must
+    win on both engines."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        modal_value_per_type,
+    )
+
+    tbl = pa.table({
+        "event_type": pa.array(["a"] * 4 + ["b"], pa.string()),
+        "value": pa.array([2.0, 2.0, 1.0, 1.0, 7.0], pa.float64()),
+    })
+    out = modal_value_per_type(_write(tmp_path, "events", tbl))
+    a = out[out["event_type"] == "a"].iloc[0]
+    assert a["modal_cents"] == 100 and a["n_modal"] == 2
+    b = out[out["event_type"] == "b"].iloc[0]
+    assert b["modal_cents"] == 700 and b["n_modal"] == 1
+
+
+# ------------------------------------------------- dead-letter routing
+
+
+def test_quarantine_routes_malformed_rows(ray_session, tmp_path):
+    """Malformed props must be counted invalid AND land (exactly those
+    rows) in the quarantine sink; valid rows must not."""
+    import glob
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        quarantine_bad_props,
+    )
+
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "event_type": pa.array(["a", "a", "b", "b"], pa.string()),
+        "props": pa.array(['{"k": 5}', 'oops', None, '{"k": -3}'],
+                          pa.string()),
+    })
+    sf = _write(tmp_path, "events", tbl)
+    out = quarantine_bad_props(sf).set_index(["event_type", "is_valid"])
+    assert out.loc[("a", True), "n"] == 1
+    assert out.loc[("a", False), "n"] == 1
+    assert out.loc[("b", False), "n"] == 1
+    assert out.loc[("b", True), "n"] == 1
+
+    import os as _os
+    qbase = "/tmp/aads_quarantine"
+    shards = glob.glob(_os.path.join(
+        qbase, f"{_os.path.basename(str(tmp_path))}_{_os.getpid()}",
+        "*.parquet"))
+    got = pa.concat_tables([pq.read_table(s) for s in shards])
+    assert sorted(got["event_id"].to_pylist()) == [2, 3]
+
+
+# -------------------------------------------------- watermark lateness
+
+
+def test_watermark_lateness_cross_bucket_stitch(ray_session, tmp_path):
+    """Out-of-order events must measure lateness against the GLOBAL
+    running-max watermark; a tiny bucket span must stitch identically
+    to the default (incoming-watermark handoff)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        events_watermark_lateness,
+    )
+
+    S = 1_000_000
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array([100 * S, 200 * S, 50 * S, 210 * S, 205 * S],
+                       pa.timestamp("us")),
+        "event_type": pa.array(["a", "a", "b", "a", "b"], pa.string()),
+    })
+    sf = _write(tmp_path, "events", tbl)
+    out = events_watermark_lateness(sf).set_index("event_type")
+    # only eid 3 is late: wm=200s, ts=50s → 150s > 60s allowed
+    assert out.loc["b", "n_late"] == 1
+    assert out.loc["b", "max_lateness_us"] == 150 * S
+    assert out.loc["a", "n_late"] == 0
+
+    tiny = events_watermark_lateness(sf, span=2).set_index("event_type")
+    pd.testing.assert_frame_equal(out, tiny)
+
+
+# ------------------------------------------------------ skyline query
+
+
+def test_skyline_duplicates_kept_dominated_dropped(ray_session,
+                                                   tmp_path):
+    """Duplicate (price, size) points both survive; equal-price
+    larger-size and equal-size pricier points are dominated."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        part_price_size_skyline,
+    )
+
+    tbl = pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "p_retailprice": pa.array([1.00, 1.00, 0.50, 1.50, 0.50, 2.00,
+                                   0.50], pa.float64()),
+        "p_size": pa.array([5, 5, 10, 5, 10, 1, 12], pa.int32()),
+    })
+    out = part_price_size_skyline(_write(tmp_path, "part", tbl))
+    assert sorted(out["p_partkey"]) == [1, 2, 3, 5, 6]
+
+
+# --------------------------------------------------- top-2 margin
+
+
+def test_top2_gap_single_supplier_and_tie(ray_session, tmp_path):
+    """A tie on balance resolves to the smaller suppkey as top; a
+    single-supplier nation reports NaN runner-up columns."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        nation_top2_acctbal_gap,
+    )
+
+    tbl = pa.table({
+        "s_suppkey": pa.array([11, 7, 20, 30], pa.int64()),
+        "s_nationkey": pa.array([0, 0, 0, 1], pa.int32()),
+        "s_acctbal": pa.array([5.00, 5.00, 1.00, 9.99], pa.float64()),
+    })
+    out = nation_top2_acctbal_gap(_write(tmp_path, "supplier", tbl)
+                                  ).set_index("nation")
+    assert out.loc[0, "top_suppkey"] == 7
+    assert out.loc[0, "second_suppkey"] == 11.0
+    assert out.loc[0, "gap_cents"] == 0.0
+    assert out.loc[1, "top_suppkey"] == 30
+    assert pd.isna(out.loc[1, "second_suppkey"])
+    assert pd.isna(out.loc[1, "gap_cents"])
+
+
+# ----------------------------------------------- degree assortativity
+
+
+def test_assortativity_star_graph_is_minus_one(ray_session, tmp_path):
+    """A star K1,3 is perfectly disassortative: r must be exactly −1.0
+    (all integer moments, sqrt(36) exact)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        copurchase_assortativity,
+    )
+
+    edges = [(0, 1), (0, 2), (0, 3)]
+    ok, pk = [], []
+    for o, (a, b) in enumerate(edges):
+        ok += [o, o]
+        pk += [a, b]
+    tbl = pa.table({
+        "l_orderkey": pa.array(ok, pa.int64()),
+        "l_partkey": pa.array(pk, pa.int64()),
+    })
+    out = copurchase_assortativity(_write(tmp_path, "lineitem", tbl))
+    assert out["n_edge_ends"].iloc[0] == 6
+    assert out["assortativity"].iloc[0] == -1.0
+
+
+# ------------------------------------------------------ trending tokens
+
+
+def test_trending_tokens_split_and_ranking(ray_session, tmp_path):
+    """Tokens must split at the doc_id midpoint from footer stats; the
+    raise ranking ties must break token-ascending."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        trending_tokens,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        # split = (0 + 3 + 1)//2 = 2 → docs 0,1 are window A; 2,3 are B
+        "text": pa.array(["old old", "old", "new new new", "new riser"],
+                         pa.string()),
+    })
+    out = trending_tokens(_write(tmp_path, "documents", tbl))
+    top = out.iloc[0]
+    assert top["token"] == "new" and top["n_a"] == 0 and top["n_b"] == 4
+    assert top["raise_n"] == 4
+    old = out[out["token"] == "old"].iloc[0]
+    assert old["n_a"] == 3 and old["n_b"] == 0 and old["raise_n"] == -3
+
+
+# ------------------------------------------------- canonical dedup
+
+
+def test_canonical_dedup_collapses_trivial_variants(ray_session,
+                                                    tmp_path):
+    """Case, punctuation and whitespace variants must land in one
+    canonical group; genuinely different text must not."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        canonical_dedup_documents,
+    )
+
+    tbl = pa.table({
+        "text": pa.array(["Hello,   World!", "hello world",
+                          "HELLO--world", "different text"], pa.string()),
+    })
+    out = canonical_dedup_documents(_write(tmp_path, "documents", tbl)
+                                    ).iloc[0]
+    assert out["n_docs"] == 4
+    assert out["n_groups"] == 2
+    assert out["n_redundant"] == 2
+    assert out["largest_group"] == 3
+
+
+# ------------------------------------------------- labeler agreement
+
+
+def test_kappa_perfect_and_independent(ray_session, tmp_path):
+    """Rules that always agree → kappa 1.0; the 2×2 counts must match
+    the planted construction."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        labeler_agreement_kappa,
+    )
+
+    long_many = " ".join(["tok"] * 60)   # 239 chars AND 60 tokens
+    short_few = "tiny text"
+    tbl = pa.table({
+        "n_chars": pa.array([len(long_many), len(long_many),
+                             len(short_few)], pa.int64()),
+        "text": pa.array([long_many, long_many, short_few], pa.string()),
+    })
+    out = labeler_agreement_kappa(_write(tmp_path, "documents", tbl)
+                                  ).iloc[0]
+    assert out["n"] == 3 and out["n_both"] == 2 and out["n_neither"] == 1
+    assert out["n_only_a"] == 0 and out["n_only_b"] == 0
+    assert out["kappa"] == 1.0
+
+
+# --------------------------------------------- compression quality
+
+
+def test_compression_bands_separate_repetitive_from_random(ray_session,
+                                                           tmp_path):
+    """Highly repetitive text must land in a LOW ratio band and
+    high-entropy text in a HIGH band; empty docs get band −1."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        compression_quality_documents,
+    )
+
+    import hashlib
+    rand = "".join(hashlib.sha256(str(i).encode()).hexdigest()
+                   for i in range(64))
+    tbl = pa.table({
+        "lang": pa.array(["en", "en", "en"], pa.string()),
+        "text": pa.array(["ab" * 2000, rand, ""], pa.string()),
+    })
+    out = compression_quality_documents(_write(tmp_path, "documents",
+                                               tbl))
+    bands = dict(zip(out["band"], out["n"]))
+    low = [b for b in bands if 0 <= b <= 2]
+    high = [b for b in bands if b >= 5]
+    assert low and high and -1 in bands
