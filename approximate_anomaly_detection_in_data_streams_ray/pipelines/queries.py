@@ -11400,6 +11400,319 @@ def compression_quality_documents(sf_dir: str):
 QUERIES["compression_quality_documents"] = compression_quality_documents
 
 
+# --------------------------------- round-4ar: scan/cardinality/quality batch
+
+
+def user_ledger_clamped(sf_dir: str):
+    """CLAMPED RUNNING BALANCE (floor at zero) — the non-associative
+    scan every ledger/inventory pipeline needs, vectorized through the
+    identity ``B_t = S_t − min(0, min_{s≤t} S_s)`` (S = unclamped prefix
+    sum), which turns the sequential clamp into cumsum + running-min.
+    Credits are purchase/signup cents, debits everything else, ordered
+    (ts, event_id) per user.  One user-key exchange; each partition does
+    ONE lexsort, a segmented cumsum, and a segmented running-min via the
+    descending per-segment offset trick (offset > value range, bound
+    asserted) — no per-user Python.  Output per user: final balance,
+    unclamped minimum, and how many steps sat at zero."""
+    ds = _t(sf_dir, "events",
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_valid(b["value"]))
+        v = f["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        credit = pc.is_in(f["event_type"],
+                          value_set=pa.array(["purchase", "signup"])
+                          ).to_numpy(zero_copy_only=False)
+        delta = np.where(credit, cents, -cents)
+        return pa.table({"user_id": f["user_id"], "ts": f["ts"],
+                         "event_id": f["event_id"],
+                         "delta": pa.array(delta)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ts = (g["ts"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        u = g["user_id"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        delta = g["delta"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, delta = u[order], delta[order]
+        starts = np.r_[0, np.nonzero(u[1:] != u[:-1])[0] + 1]
+        seg = np.cumsum(np.r_[False, u[1:] != u[:-1]])
+        cs = np.cumsum(delta)
+        seg_base = np.r_[0, cs[starts[1:] - 1]]
+        s_local = cs - seg_base[seg]
+        big = np.abs(s_local).max(initial=0) * 2 + 1
+        n_segs = len(starts)
+        if big * n_segs >= 2 ** 62:
+            raise OverflowError("user_ledger_clamped: offset trick "
+                                "bound exceeded — shrink partitions")
+        shifted = s_local + (n_segs - seg) * big
+        runmin = np.minimum.accumulate(shifted) - (n_segs - seg) * big
+        bal = s_local - np.minimum(runmin, 0)
+        is_last = np.r_[u[1:] != u[:-1], True]
+        min_run = np.minimum.reduceat(s_local, starts)
+        n_zero = np.add.reduceat((bal == 0).astype(np.int64), starts)
+        return pd.DataFrame({
+            "user_id": u[is_last],
+            "final_balance": bal[is_last],
+            "min_unclamped": min_run,
+            "n_zero_steps": n_zero})
+
+    out = _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                           ["user_id"], fold).to_pandas()
+    out = out.drop(columns=[c for c in out.columns if c == "part"],
+                   errors="ignore")
+    for c in ["user_id", "final_balance", "min_unclamped",
+              "n_zero_steps"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["user_ledger_clamped"] = user_ledger_clamped
+
+ORACLE_SQL["user_ledger_clamped"] = """
+    WITH d AS (SELECT user_id, ts, event_id,
+                      CASE WHEN event_type IN ('purchase', 'signup')
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE -CAST(round(value * 100) AS BIGINT)
+                      END AS delta
+               FROM events WHERE value IS NOT NULL),
+    s AS (SELECT user_id, ts, event_id,
+                 sum(delta) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS run
+          FROM d),
+    b AS (SELECT user_id, ts, event_id, run,
+                 run - least(0, min(run) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)) AS bal,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC)
+                     AS rk
+          FROM s)
+    SELECT user_id,
+           max(CASE WHEN rk = 1 THEN bal END)::BIGINT AS final_balance,
+           min(run)::BIGINT AS min_unclamped,
+           sum(CASE WHEN bal = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_zero_steps
+    FROM b GROUP BY user_id ORDER BY user_id
+"""
+
+
+def join_cardinality_audit(sf_dir: str):
+    """JOIN-SIZE PREDICTION without running the join: the exact row
+    count a lineitem ⋈ lineitem self-join on l_partkey would produce is
+    Σ per-key multiplicity² — the audit a planner (or an engineer about
+    to fire a shuffle join) runs first, because a single hot key
+    dominates quadratically.  Per-batch (key, count) pre-combine, one
+    key exchange, and the fold ships three scalars per partition: key
+    count, Σn², and the hottest multiplicity."""
+    ds = _t(sf_dir, "lineitem", columns=["l_partkey"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        g = b.group_by("l_partkey").aggregate([("l_partkey", "count")])
+        return g.rename_columns(["l_partkey", "n"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("l_partkey")["n"].sum()
+        n = per.to_numpy(np.int64)
+        return pd.DataFrame({"n_keys": [len(n)],
+                             "predicted_rows": [int((n * n).sum())],
+                             "max_multiplicity": [int(n.max())
+                                                  if len(n) else 0]})
+
+    parts = _agg_partitioned(
+        ds.map_batches(pre, batch_format="pyarrow"), ["l_partkey"], fold
+    ).to_pandas()
+    return pd.DataFrame({
+        "n_keys": pd.Series([int(parts["n_keys"].sum())], dtype="int64"),
+        "predicted_rows": pd.Series([int(parts["predicted_rows"].sum())],
+                                    dtype="int64"),
+        "max_multiplicity": pd.Series([int(parts["max_multiplicity"
+                                                 ].max())],
+                                      dtype="int64")})
+
+
+QUERIES["join_cardinality_audit"] = join_cardinality_audit
+
+ORACLE_SQL["join_cardinality_audit"] = """
+    WITH c AS (SELECT l_partkey, count(*)::BIGINT AS n
+               FROM lineitem GROUP BY 1)
+    SELECT count(*)::BIGINT AS n_keys,
+           sum(n * n)::BIGINT AS predicted_rows,
+           max(n)::BIGINT AS max_multiplicity
+    FROM c
+"""
+
+
+def doc_ngram_repetition(sf_dir: str):
+    """INTRA-DOCUMENT REPETITION (the Gopher/MassiveText duplicate
+    n-gram rule): per document, the fraction of token 3-grams that are
+    duplicates, histogrammed per language in exact decile bands
+    (``(n_tri − n_distinct)·10⁶ // n_tri // 10⁵`` — all non-negative
+    floor division, identical on both sides).  Per batch the trigram
+    DISTINCT count is fully vectorized: tokens hash once, trigram key =
+    mult-xor of three shifted token hashes, ONE lexsort over (row,
+    key) counts uniques per row (the 2⁻⁶⁴ hash-collision assumption
+    documented at stages/dedup.py).  No shuffle — the (lang, band)
+    partial is dimension-bounded."""
+    from ..functions.hashing import stable_hash64
+
+    ds = _t(sf_dir, "documents", columns=["lang", "text"], spread=True)
+    M1, M2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def bands(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(b["text"], ""),
+                                      pattern=r"[^A-Za-z0-9_]+")
+        flat = toks.combine_chunks() if isinstance(
+            toks, pa.ChunkedArray) else toks
+        lens = pc.list_value_length(flat).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        fl = flat.flatten()
+        keep = pc.not_equal(fl, "").to_numpy(zero_copy_only=False)
+        h_all = stable_hash64(fl)
+        offs = np.r_[0, np.cumsum(lens)]
+        row_all = np.repeat(np.arange(len(lens)), lens)
+        h, row = h_all[keep], row_all[keep]
+        n_per = np.bincount(row, minlength=len(lens)).astype(np.int64)
+        n_tri = np.maximum(n_per - 2, 0)
+        tri_rows = np.repeat(np.arange(len(lens)), n_tri)
+        if len(h) >= 3:
+            tri = (h[:-2] * M1) ^ (h[1:-1] * M2) ^ h[2:]
+            starts = np.r_[0, np.cumsum(n_per)][:-1]
+            idx = (np.arange(int(n_tri.sum()))
+                   - np.repeat(np.cumsum(n_tri) - n_tri, n_tri)
+                   + np.repeat(starts, n_tri))
+            trik = tri[idx]
+        else:
+            trik = np.array([], np.uint64)
+        if len(trik):
+            order = np.lexsort((trik, tri_rows))
+            tr, tk = tri_rows[order], trik[order]
+            new = np.r_[True, (tr[1:] != tr[:-1]) | (tk[1:] != tk[:-1])]
+            n_dist = np.bincount(tr[new], minlength=len(lens)
+                                 ).astype(np.int64)
+        else:
+            n_dist = np.zeros(len(lens), np.int64)
+        has = n_tri > 0
+        frac = np.zeros(len(lens), np.int64)
+        frac[has] = ((n_tri[has] - n_dist[has]) * 1_000_000
+                     // n_tri[has])
+        band = frac // 100_000
+        langs = b["lang"].to_numpy(zero_copy_only=False)
+        t = pa.table({"lang": pa.array(langs[has]),
+                      "band": pa.array(band[has])})
+        g = t.group_by(["lang", "band"]).aggregate([("band", "count")])
+        return g.rename_columns(["lang", "band", "n_docs"])
+
+    out = ds.map_batches(bands, batch_format="pyarrow").to_pandas()
+    out = out.groupby(["lang", "band"], as_index=False)["n_docs"].sum()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(["lang", "band"]).reset_index(drop=True)
+
+
+QUERIES["doc_ngram_repetition"] = doc_ngram_repetition
+
+ORACLE_SQL["doc_ngram_repetition"] = """
+    WITH tk AS (SELECT doc_id, lang,
+                       regexp_extract_all(coalesce(text, ''),
+                                          '[A-Za-z0-9_]+') AS ts
+                FROM documents),
+    ix AS (SELECT unnest(range((SELECT coalesce(max(len(ts)), 0)
+                                FROM tk))) AS i),
+    tri AS (SELECT tk.doc_id, tk.lang,
+                   ts[i + 1] || ' ' || ts[i + 2] || ' ' || ts[i + 3]
+                       AS g
+            FROM tk, ix WHERE ix.i + 3 <= len(ts)),
+    per AS (SELECT doc_id, any_value(lang) AS lang,
+                   count(*) AS n_tri, count(DISTINCT g) AS n_dist
+            FROM tri GROUP BY doc_id)
+    SELECT lang,
+           (((n_tri - n_dist) * 1000000 // n_tri) // 100000)::BIGINT
+               AS band,
+           count(*)::BIGINT AS n_docs
+    FROM per GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def minmax_scale_tail_counts(sf_dir: str):
+    """MIN-MAX SCALING AUDIT in exact integer algebra: per event type,
+    how many values scale above 0.9 and how many sit exactly at the
+    max — the tail/saturation readout run before normalizing features,
+    WITHOUT a float division anywhere: ``(v−min)/(max−min) > 0.9  ⟺
+    (v−min)·10 > 9·(max−min)`` in int64.  Two narrow passes (min/max
+    per type, then broadcast thresholds and count) — the same
+    two-phase shape as the z-score family; degenerate one-value types
+    report every row at max."""
+    ds = _t(sf_dir, "events", columns=["event_type", "value"])
+
+    def mm(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_valid(b["value"]))
+        cents = pc.cast(pc.round(pc.multiply(f["value"],
+                                             pa.scalar(100.0))),
+                        pa.int64())
+        g = pa.table({"event_type": f["event_type"], "c": cents}
+                     ).group_by("event_type").aggregate(
+            [("c", "min"), ("c", "max")])
+        return g.rename_columns(["event_type", "mn", "mx"])
+
+    mmp = ds.map_batches(mm, batch_format="pyarrow").to_pandas()
+    mmd = mmp.groupby("event_type").agg(mn=("mn", "min"),
+                                        mx=("mx", "max"))
+    mm_ref = ray.put({t: (int(r["mn"]), int(r["mx"]))
+                      for t, r in mmd.iterrows()})
+
+    def count_tails(b: pa.Table) -> pa.Table:
+        bounds = ray.get(mm_ref)
+        f = b.filter(pc.is_valid(b["value"]))
+        cents = np.asarray(pc.cast(pc.round(pc.multiply(
+            f["value"], pa.scalar(100.0))), pa.int64()))
+        et = f["event_type"].to_numpy(zero_copy_only=False)
+        rows = []
+        for t in np.unique(et):
+            mn, mx = bounds[t]
+            c = cents[et == t]
+            top = int(((c - mn) * 10 > 9 * (mx - mn)).sum())
+            atmax = int((c == mx).sum())
+            rows.append((t, len(c), top, atmax))
+        return pa.table({
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "n_top_decile": pa.array([r[2] for r in rows], pa.int64()),
+            "n_at_max": pa.array([r[3] for r in rows], pa.int64())})
+
+    out = ds.map_batches(count_tails, batch_format="pyarrow").to_pandas()
+    out = out.groupby("event_type", as_index=False).sum()
+    j = mmd.reset_index()
+    out = out.merge(j, on="event_type")
+    for c in ["n", "n_top_decile", "n_at_max", "mn", "mx"]:
+        out[c] = out[c].astype("int64")
+    out = out.rename(columns={"mn": "min_cents", "mx": "max_cents"})
+    return out[["event_type", "min_cents", "max_cents", "n",
+                "n_top_decile", "n_at_max"]].sort_values(
+        "event_type").reset_index(drop=True)
+
+
+QUERIES["minmax_scale_tail_counts"] = minmax_scale_tail_counts
+
+ORACLE_SQL["minmax_scale_tail_counts"] = """
+    WITH c AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events WHERE value IS NOT NULL),
+    mm AS (SELECT event_type, min(cents) AS mn, max(cents) AS mx
+           FROM c GROUP BY 1)
+    SELECT c.event_type, mm.mn AS min_cents, mm.mx AS max_cents,
+           count(*)::BIGINT AS n,
+           sum(CASE WHEN (c.cents - mm.mn) * 10 > 9 * (mm.mx - mm.mn)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_top_decile,
+           sum(CASE WHEN c.cents = mm.mx THEN 1 ELSE 0 END)::BIGINT
+               AS n_at_max
+    FROM c JOIN mm ON mm.event_type = c.event_type
+    GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -11470,6 +11783,8 @@ _FRONT = [
     "nation_top2_acctbal_gap", "copurchase_assortativity",
     "trending_tokens", "canonical_dedup_documents",
     "labeler_agreement_kappa", "compression_quality_documents",
+    "user_ledger_clamped", "join_cardinality_audit",
+    "doc_ngram_repetition", "minmax_scale_tail_counts",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

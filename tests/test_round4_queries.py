@@ -3660,3 +3660,98 @@ def test_compression_bands_separate_repetitive_from_random(ray_session,
     low = [b for b in bands if 0 <= b <= 2]
     high = [b for b in bands if b >= 5]
     assert low and high and -1 in bands
+
+
+# ----------------------------------------------- clamped running ledger
+
+
+def test_ledger_clamp_identity_known_sequence(ray_session, tmp_path):
+    """Deltas [5,−8,4,−2,−9,3] must clamp to balances [5,0,4,2,0,3]:
+    final 3, unclamped min −10, two zero steps — plus a second user to
+    exercise the per-segment offset trick."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        user_ledger_clamped,
+    )
+
+    S = 1_000_000
+    deltas = [5, -8, 4, -2, -9, 3]
+    types = ["purchase" if d > 0 else "error" for d in deltas]
+    vals = [abs(d) / 100.0 for d in deltas]
+    tbl = pa.table({
+        "event_id": pa.array(list(range(1, 7)) + [10, 11], pa.int64()),
+        "ts": pa.array([i * S for i in range(6)] + [0, S],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1] * 6 + [2, 2], pa.int64()),
+        "event_type": pa.array(types + ["error", "purchase"],
+                               pa.string()),
+        "value": pa.array(vals + [0.07, 0.03], pa.float64()),
+    })
+    out = user_ledger_clamped(_write(tmp_path, "events", tbl)
+                              ).set_index("user_id")
+    assert out.loc[1, "final_balance"] == 3
+    assert out.loc[1, "min_unclamped"] == -10
+    assert out.loc[1, "n_zero_steps"] == 2
+    # user 2: −7 then +3 → balances [0, 3]; min unclamped −7
+    assert out.loc[2, "final_balance"] == 3
+    assert out.loc[2, "min_unclamped"] == -7
+    assert out.loc[2, "n_zero_steps"] == 1
+
+
+# --------------------------------------------- join cardinality audit
+
+
+def test_join_cardinality_sum_of_squares(ray_session, tmp_path):
+    """Multiplicities {3, 1} → predicted self-join rows 3² + 1² = 10."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        join_cardinality_audit,
+    )
+
+    tbl = pa.table({"l_partkey": pa.array([7, 7, 7, 9], pa.int64())})
+    out = join_cardinality_audit(_write(tmp_path, "lineitem", tbl)
+                                 ).iloc[0]
+    assert out["n_keys"] == 2
+    assert out["predicted_rows"] == 10
+    assert out["max_multiplicity"] == 3
+
+
+# ------------------------------------------------ n-gram repetition
+
+
+def test_ngram_repetition_bands_exact(ray_session, tmp_path):
+    """'a b c' ×3 has 7 trigrams, 3 distinct → dup fraction 4/7 →
+    band 5; a no-repeat doc lands in band 0; docs under 3 tokens are
+    excluded."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        doc_ngram_repetition,
+    )
+
+    tbl = pa.table({
+        "lang": pa.array(["en", "en", "en"], pa.string()),
+        "text": pa.array(["a b c a b c a b c", "x y z w", "hi"],
+                         pa.string()),
+    })
+    out = doc_ngram_repetition(_write(tmp_path, "documents", tbl))
+    bands = dict(zip(out["band"], out["n_docs"]))
+    assert bands == {0: 1, 5: 1}
+
+
+# ------------------------------------------------ min-max tail audit
+
+
+def test_minmax_tail_strict_boundary(ray_session, tmp_path):
+    """scaled == 0.9 exactly must NOT count as top decile (strict >);
+    the max row counts in both tails."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        minmax_scale_tail_counts,
+    )
+
+    tbl = pa.table({
+        "event_type": pa.array(["t"] * 4, pa.string()),
+        "value": pa.array([0.00, 1.00, 0.90, 0.95], pa.float64()),
+    })
+    out = minmax_scale_tail_counts(_write(tmp_path, "events", tbl)
+                                   ).iloc[0]
+    assert out["min_cents"] == 0 and out["max_cents"] == 100
+    assert out["n"] == 4
+    assert out["n_top_decile"] == 2      # 0.95 and 1.00; 0.90 excluded
+    assert out["n_at_max"] == 1
