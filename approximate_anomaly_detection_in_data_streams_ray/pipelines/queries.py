@@ -11713,6 +11713,250 @@ ORACLE_SQL["minmax_scale_tail_counts"] = """
 """
 
 
+# ----------------------------------------- round-4as: cdc/markov/rank batch
+
+
+def cdc_last_write_wins(sf_dir: str):
+    """CDC COMPACTION with TOMBSTONES (last-write-wins merge): treat the
+    event stream as a change log per user — the latest event (by ts,
+    event_id) wins; an ``error`` as the last event is a tombstone that
+    DELETES the key — exactly the upsert/delete semantics a snapshot
+    materializer applies.  One user-key exchange, one lexsort, the
+    segmented last row per user read off vectorized; output is the
+    compaction summary (live keys, tombstoned keys, surviving cents
+    total).  The same kernel as keep-latest (hourly LOCF) plus delete
+    semantics."""
+    ds = _t(sf_dir, "events",
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        # per-block keep-latest per user shrinks the exchange
+        ts = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        is_last = np.r_[u[order][1:] != u[order][:-1], True]
+        keep = order[is_last]
+        return b.take(pa.array(keep))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ts = (g["ts"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        order = np.lexsort((g["event_id"].to_numpy(np.int64), ts,
+                            g["user_id"].to_numpy(np.int64)))
+        gg = g.iloc[order]
+        last = gg.groupby("user_id", sort=False).tail(1)
+        dead = last["event_type"].to_numpy() == "error"
+        v = last["value"].to_numpy() * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        cents = np.where(np.isnan(v), 0, cents)
+        return pd.DataFrame({
+            "n_live": [int((~dead).sum())],
+            "n_tombstoned": [int(dead.sum())],
+            "live_cents": [int(cents[~dead].sum())]})
+
+    parts = _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                             ["user_id"], fold).to_pandas()
+    return pd.DataFrame({
+        "n_live": pd.Series([int(parts["n_live"].sum())], dtype="int64"),
+        "n_tombstoned": pd.Series([int(parts["n_tombstoned"].sum())],
+                                  dtype="int64"),
+        "live_cents": pd.Series([int(parts["live_cents"].sum())],
+                                dtype="int64")})
+
+
+QUERIES["cdc_last_write_wins"] = cdc_last_write_wins
+
+ORACLE_SQL["cdc_last_write_wins"] = """
+    WITH r AS (SELECT user_id, event_type, value,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC,
+                                                  event_id DESC) AS rk
+               FROM events),
+    last AS (SELECT * FROM r WHERE rk = 1)
+    SELECT sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+               ::BIGINT AS n_live,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               ::BIGINT AS n_tombstoned,
+           coalesce(sum(CASE WHEN event_type <> 'error'
+                    THEN coalesce(CAST(round(value * 100) AS BIGINT), 0)
+                    ELSE 0 END), 0)::BIGINT AS live_cents
+    FROM last
+"""
+
+
+def transition_dwell_times(sf_dir: str):
+    """MARKOV TIMING MODEL: per (previous type → current type)
+    transition within a user's event sequence, the count, total and max
+    dwell time (gap to the previous event) — transition COUNTS alone
+    miss how long states hold.  One user-key exchange, ONE lexsort per
+    partition, segmented shift for (prev_type, gap) — first events have
+    no predecessor and drop out on both sides.  The (5×5 × partitions)
+    partial is dimension-bounded."""
+    ds = _t(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                       "event_type"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ts = (g["ts"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        u = g["user_id"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        same = np.r_[False, u[1:] == u[:-1]]
+        gap = np.empty(len(u), np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        prev = np.empty_like(et)
+        prev[1:] = et[:-1]
+        m = same
+        df = pd.DataFrame({"prev_type": prev[m], "event_type": et[m],
+                           "gap": gap[m]})
+        out = df.groupby(["prev_type", "event_type"]).agg(
+            n=("gap", "size"), sum_gap_us=("gap", "sum"),
+            max_gap_us=("gap", "max"))
+        return out.reset_index()
+
+    parts = _agg_partitioned(ds, ["user_id"], fold).to_pandas()
+    out = parts.groupby(["prev_type", "event_type"], as_index=False).agg(
+        n=("n", "sum"), sum_gap_us=("sum_gap_us", "sum"),
+        max_gap_us=("max_gap_us", "max"))
+    for c in ["n", "sum_gap_us", "max_gap_us"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["prev_type", "event_type"]).reset_index(
+        drop=True)
+
+
+QUERIES["transition_dwell_times"] = transition_dwell_times
+
+ORACLE_SQL["transition_dwell_times"] = """
+    WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+                      lag(event_type) OVER w AS prev_type,
+                      lag(epoch_us(ts)) OVER w AS pt
+               FROM events
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY ts, event_id))
+    SELECT prev_type, event_type, count(*)::BIGINT AS n,
+           sum(t - pt)::BIGINT AS sum_gap_us,
+           max(t - pt)::BIGINT AS max_gap_us
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def event_type_fano(sf_dir: str):
+    """BURSTINESS INDEX (Fano factor) of arrivals per type: the
+    variance-to-mean ratio of per-hour event counts over the DENSE
+    corpus hour spine (zero-count hours matter — dropping them hides
+    the burstiness) — Fano ≈ 1 is Poisson, ≫ 1 is bursty.  One narrow
+    scan pre-combines (type, hour, n); the spine length comes from the
+    global hour range, so zero hours enter the moments WITHOUT being
+    materialized (n_hours − observed count of each type); the final
+    double derives from exact integer moments on both sides."""
+    ds = _t(sf_dir, "events", columns=["event_type", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.divide(pc.cast(b["ts"], pa.int64()),
+                                 pa.scalar(3_600_000_000)), pa.int64())
+        g = pa.table({"event_type": b["event_type"], "hour": hour}
+                     ).group_by(["event_type", "hour"]).aggregate(
+            [("hour", "count")])
+        return g.rename_columns(["event_type", "hour", "n"])
+
+    parts = ds.map_batches(pre, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=str),
+                             "n_events": pd.Series([], dtype="int64"),
+                             "fano": pd.Series([], dtype="float64")})
+    per = parts.groupby(["event_type", "hour"])["n"].sum()
+    h0 = int(parts["hour"].min())
+    h1 = int(parts["hour"].max())
+    n_hours = h1 - h0 + 1
+    rows = []
+    for et, g in per.groupby(level=0):
+        c = [int(v) for v in g.to_numpy()]
+        s1, s2 = sum(c), sum(v * v for v in c)
+        # zero hours contribute nothing to s1/s2; n = spine length
+        num = n_hours * s2 - s1 * s1
+        den = n_hours * s1
+        rows.append((et, s1, float(num) / float(den) if den else
+                     float("nan")))
+    out = pd.DataFrame(rows, columns=["event_type", "n_events", "fano"])
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["event_type_fano"] = event_type_fano
+
+ORACLE_SQL["event_type_fano"] = """
+    WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+                      count(*)::BIGINT AS n
+               FROM events GROUP BY 1, 2),
+    spine AS (SELECT max(hour) - min(hour) + 1 AS n_hours FROM c),
+    m AS (SELECT event_type, sum(n) AS s1, sum(n * n) AS s2
+          FROM c GROUP BY 1)
+    SELECT event_type, s1::BIGINT AS n_events,
+           CAST(spine.n_hours * s2 - s1 * s1 AS DOUBLE)
+               / CAST(spine.n_hours * s1 AS DOUBLE) AS fano
+    FROM m, spine ORDER BY event_type
+"""
+
+
+def diversified_top_parts(sf_dir: str, per_brand: int = 2, k: int = 10):
+    """DIVERSIFIED TOP-K (round-robin ranking): the global price
+    leaderboard capped at ``per_brand`` entries per brand, ordered
+    brand-rank-first — the de-domination pattern every recommendation /
+    sampling surface needs so one hot group cannot fill the page.
+    Per-batch partial top-``per_brand`` per brand (exact under
+    union-merge), deterministic ties (cents desc, partkey asc), final
+    interleave on the (brands × per_brand)-bounded survivors."""
+    ds = _t(sf_dir, "part", columns=["p_partkey", "p_brand",
+                                     "p_retailprice"])
+
+    def topb(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["p_retailprice"].to_numpy() * 100.0
+        df = df.assign(cents=(np.sign(v) * np.floor(np.abs(v) + 0.5))
+                       .astype(np.int64))
+        df = df.sort_values(["p_brand", "cents", "p_partkey"],
+                            ascending=[True, False, True])
+        return df.groupby("p_brand", as_index=False).head(per_brand)[
+            ["p_brand", "p_partkey", "cents"]]
+
+    parts = ds.map_batches(topb, batch_format="pandas").to_pandas()
+    fin = topb(parts.rename(columns={"cents": "p_retailprice"})
+               .assign(p_retailprice=lambda d: d["p_retailprice"]
+                       / 100.0))
+    fin = fin.sort_values(["p_brand", "cents", "p_partkey"],
+                          ascending=[True, False, True])
+    fin["brand_rank"] = fin.groupby("p_brand").cumcount() + 1
+    fin = fin.sort_values(["brand_rank", "cents", "p_partkey"],
+                          ascending=[True, False, True]).head(k)
+    out = fin[["brand_rank", "p_brand", "p_partkey", "cents"]]
+    out = out.astype({"brand_rank": "int64", "p_partkey": "int64",
+                      "cents": "int64"})
+    return out.reset_index(drop=True)
+
+
+QUERIES["diversified_top_parts"] = diversified_top_parts
+
+ORACLE_SQL["diversified_top_parts"] = """
+    WITH r AS (SELECT p_brand, p_partkey,
+                      CAST(round(p_retailprice * 100) AS BIGINT)
+                          AS cents,
+                      row_number() OVER (
+                          PARTITION BY p_brand
+                          ORDER BY round(p_retailprice * 100) DESC,
+                                   p_partkey ASC) AS brand_rank
+               FROM part)
+    SELECT brand_rank::BIGINT AS brand_rank, p_brand, p_partkey, cents
+    FROM r WHERE brand_rank <= 2
+    ORDER BY brand_rank, cents DESC, p_partkey LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -11785,6 +12029,8 @@ _FRONT = [
     "labeler_agreement_kappa", "compression_quality_documents",
     "user_ledger_clamped", "join_cardinality_audit",
     "doc_ngram_repetition", "minmax_scale_tail_counts",
+    "cdc_last_write_wins", "transition_dwell_times",
+    "event_type_fano", "diversified_top_parts",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

@@ -3755,3 +3755,106 @@ def test_minmax_tail_strict_boundary(ray_session, tmp_path):
     assert out["n"] == 4
     assert out["n_top_decile"] == 2      # 0.95 and 1.00; 0.90 excluded
     assert out["n_at_max"] == 1
+
+
+# -------------------------------------------------- CDC last-write-wins
+
+
+def test_cdc_tombstone_and_upsert_semantics(ray_session, tmp_path):
+    """The LAST event per user decides: an error tombstone deletes the
+    key even after earlier purchases; a later upsert resurrects
+    nothing retroactively."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        cdc_last_write_wins,
+    )
+
+    S = 1_000_000
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array([0, S, 0, S, 2 * S], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 2, 2, 2], pa.int64()),
+        "event_type": pa.array(
+            ["purchase", "error", "error", "purchase", "view"],
+            pa.string()),
+        "value": pa.array([10.0, 1.0, 1.0, 3.0, 2.5], pa.float64()),
+    })
+    out = cdc_last_write_wins(_write(tmp_path, "events", tbl)).iloc[0]
+    # user 1 ends on error → tombstoned; user 2 ends on view 2.50 → live
+    assert out["n_live"] == 1
+    assert out["n_tombstoned"] == 1
+    assert out["live_cents"] == 250
+
+
+# ---------------------------------------------- transition dwell times
+
+
+def test_transition_dwell_gaps_exact(ray_session, tmp_path):
+    """Per-user consecutive pairs only: cross-user boundaries must not
+    produce transitions; gaps are exact microseconds."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        transition_dwell_times,
+    )
+
+    S = 1_000_000
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([0, 5 * S, 100 * S, 107 * S], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["view", "click", "view", "click"],
+                               pa.string()),
+    })
+    out = transition_dwell_times(_write(tmp_path, "events", tbl))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["prev_type"], r["event_type"]) == ("view", "click")
+    assert r["n"] == 2
+    assert r["sum_gap_us"] == 12 * S
+    assert r["max_gap_us"] == 7 * S
+
+
+# ------------------------------------------------------- Fano factor
+
+
+def test_fano_constant_rate_is_zero_poissonish(ray_session, tmp_path):
+    """A perfectly constant arrival count per hour has variance 0 →
+    Fano 0; packing every event into one hour of a long spine drives
+    Fano toward the event count."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        event_type_fano,
+    )
+
+    H = 3_600_000_000
+    ts = [i * H for i in range(4)] + [0, 0, 0, 3 * H]
+    et = ["flat"] * 4 + ["burst"] * 4
+    tbl = pa.table({
+        "event_type": pa.array(et, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    out = event_type_fano(_write(tmp_path, "events", tbl)
+                          ).set_index("event_type")
+    assert out.loc["flat", "fano"] == 0.0
+    # burst: counts over 4-hour spine = [3,0,0,1]: mean 1, var 1.5
+    assert out.loc["burst", "fano"] == 1.5
+
+
+# ------------------------------------------------- diversified top-k
+
+
+def test_diversified_topk_caps_per_brand(ray_session, tmp_path):
+    """A brand with the three priciest parts may place only two, and
+    rank-1 rows of every brand precede any rank-2 row."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        diversified_top_parts,
+    )
+
+    tbl = pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "p_brand": pa.array(["A", "A", "A", "B", "B"], pa.string()),
+        "p_retailprice": pa.array([9.0, 8.0, 7.0, 1.0, 2.0],
+                                  pa.float64()),
+    })
+    out = diversified_top_parts(_write(tmp_path, "part", tbl))
+    assert 3 not in set(out["p_partkey"])          # brand A capped at 2
+    ranks = out["brand_rank"].to_numpy()
+    assert (np.diff(ranks) >= 0).all()             # rank-major order
+    assert list(out[out["brand_rank"] == 1]["p_partkey"]) == [1, 5]
