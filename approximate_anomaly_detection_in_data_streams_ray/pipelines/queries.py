@@ -11957,6 +11957,264 @@ ORACLE_SQL["diversified_top_parts"] = """
 """
 
 
+# -------------------------------------- round-4at: allocation/storage batch
+
+
+def stratified_quota_allocation(sf_dir: str, budget: int = 1000):
+    """LARGEST-REMAINDER quota allocation (the Hamilton method): split a
+    sampling budget across language strata proportionally, distributing
+    the leftover seats to the largest remainders — the deterministic
+    integer method behind every stratified-sampling design (quotas sum
+    EXACTLY to the budget, no float drift).  One narrow scan counts
+    strata; the allocation is pure integer arithmetic over the
+    stratum-dimension-bounded counts (remainder ties break
+    lang-ascending on both sides)."""
+    ds = _t(sf_dir, "documents", columns=["lang"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        g = b.group_by("lang").aggregate([("lang", "count")])
+        return g.rename_columns(["lang", "n"])
+
+    per = ds.map_batches(counts, batch_format="pyarrow").to_pandas()
+    per = per.groupby("lang")["n"].sum().sort_index()
+    total = int(per.sum())
+    if total == 0:
+        return pd.DataFrame({"lang": pd.Series([], dtype=str),
+                             "n": pd.Series([], dtype="int64"),
+                             "quota": pd.Series([], dtype="int64")})
+    langs = list(per.index)
+    ns = [int(v) for v in per.to_numpy()]
+    floors = [budget * n // total for n in ns]
+    rems = [budget * n % total for n in ns]
+    leftover = budget - sum(floors)
+    order = sorted(range(len(langs)), key=lambda i: (-rems[i], langs[i]))
+    quota = list(floors)
+    for i in order[:leftover]:
+        quota[i] += 1
+    return pd.DataFrame({"lang": langs,
+                         "n": pd.Series(ns, dtype="int64"),
+                         "quota": pd.Series(quota, dtype="int64")})
+
+
+QUERIES["stratified_quota_allocation"] = stratified_quota_allocation
+
+ORACLE_SQL["stratified_quota_allocation"] = """
+    WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents
+               GROUP BY 1),
+    t AS (SELECT sum(n) AS total FROM c),
+    f AS (SELECT lang, n, (1000 * n) // t.total AS fl,
+                 (1000 * n) % t.total AS rem
+          FROM c, t),
+    s AS (SELECT sum(fl) AS fsum FROM f),
+    r AS (SELECT lang, n, fl,
+                 row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
+          FROM f)
+    SELECT lang, n,
+           (fl + CASE WHEN rk <= 1000 - (SELECT fsum FROM s)
+                      THEN 1 ELSE 0 END)::BIGINT AS quota
+    FROM r ORDER BY lang
+"""
+
+
+def encoding_advisor_strings(sf_dir: str):
+    """DICTIONARY-ENCODING ADVISOR: for each low-cardinality string
+    column, the exact byte math a storage planner runs — raw bytes
+    (Σ value lengths) vs dictionary-encoded bytes (Σ DISTINCT lengths +
+    4·n index entries) — deciding which columns to dict-encode before a
+    100-TB rewrite.  Each table is one narrow scan; per-batch partials
+    carry (value, count) pairs bounded by the column's cardinality, and
+    the fold is dimension-bounded.  All integers, no estimation."""
+    SPEC = {
+        "orders": ["o_orderpriority", "o_orderstatus"],
+        "part": ["p_brand", "p_type"],
+        "events": ["event_type"],
+        "customer": ["c_mktsegment"],
+        "documents": ["lang", "source"],
+    }
+    frames = []
+    for tbl, cols in SPEC.items():
+        ds = _t(sf_dir, tbl, columns=cols)
+
+        def vc(b: pa.Table, tbl=tbl, cols=cols) -> pa.Table:
+            outs = []
+            for col in cols:
+                v = b[col].drop_null()
+                c = v.value_counts()
+                outs.append(pa.table({
+                    "tbl": pa.array([tbl] * len(c), pa.string()),
+                    "col": pa.array([col] * len(c), pa.string()),
+                    "val": pc.cast(c.field("values"), pa.string()),
+                    "n": pc.cast(c.field("counts"), pa.int64())}))
+            return pa.concat_tables(outs)
+
+        frames.append(ds.map_batches(vc, batch_format="pyarrow"
+                                     ).to_pandas())
+    allv = pd.concat(frames, ignore_index=True)
+    per = allv.groupby(["tbl", "col", "val"], as_index=False)["n"].sum()
+    per["vlen"] = per["val"].str.len().astype("int64")
+    out = per.groupby(["tbl", "col"], as_index=False).agg(
+        n=("n", "sum"), n_distinct=("val", "size"),
+        dict_val_bytes=("vlen", "sum"),
+        raw_bytes=("n", lambda s: 0))  # placeholder, fixed below
+    raw = (per["vlen"] * per["n"]).groupby(
+        [per["tbl"], per["col"]]).sum().reset_index(name="raw")
+    out = out.drop(columns=["raw_bytes"]).merge(raw, on=["tbl", "col"])
+    out["raw_bytes"] = out["raw"].astype("int64")
+    out["dict_bytes"] = (out["dict_val_bytes"] + 4 * out["n"]
+                         ).astype("int64")
+    out = out[["tbl", "col", "n", "n_distinct", "raw_bytes",
+               "dict_bytes"]]
+    for c in ["n", "n_distinct", "raw_bytes", "dict_bytes"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["tbl", "col"]).reset_index(drop=True)
+
+
+QUERIES["encoding_advisor_strings"] = encoding_advisor_strings
+
+_ENC_BLOCK = """
+    SELECT '{tbl}' AS tbl, '{col}' AS col, count({col})::BIGINT AS n,
+           count(DISTINCT {col})::BIGINT AS n_distinct,
+           sum(length({col}))::BIGINT AS raw_bytes,
+           ((SELECT sum(length(v)) FROM
+                 (SELECT DISTINCT {col} AS v FROM {tbl}
+                  WHERE {col} IS NOT NULL))
+            + 4 * count({col}))::BIGINT AS dict_bytes
+    FROM {tbl} WHERE {col} IS NOT NULL"""
+
+ORACLE_SQL["encoding_advisor_strings"] = " UNION ALL ".join(
+    _ENC_BLOCK.format(tbl=t, col=c) for t, cs in {
+        "orders": ["o_orderpriority", "o_orderstatus"],
+        "part": ["p_brand", "p_type"],
+        "events": ["event_type"],
+        "customer": ["c_mktsegment"],
+        "documents": ["lang", "source"],
+    }.items() for c in cs) + " ORDER BY tbl, col"
+
+
+def source_mixture_weights(sf_dir: str):
+    """DATA-MIXTURE REWEIGHTING (the DoReMi/The-Pile mixing primitive):
+    per-source token counts and the per-document sampling weight that
+    equalizes the mixture to a UNIFORM token share across sources —
+    weight_micro = total·10⁶ // (n_sources · n_source), exact floor
+    arithmetic on both sides, so a sampler multiplying these weights
+    reproduces the target mix deterministically.  One narrow scan counts
+    tokens per source with a single RE2 kernel; the fold is
+    source-dimension bounded."""
+    ds = _t(sf_dir, "documents", columns=["source", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        ntok = pc.count_substring_regex(pc.fill_null(b["text"], ""),
+                                        pattern=r"[A-Za-z0-9_]+")
+        t = pa.table({"source": b["source"],
+                      "ntok": pc.cast(ntok, pa.int64())})
+        g = t.group_by("source").aggregate([("ntok", "sum"),
+                                            ("ntok", "count")])
+        return g.rename_columns(["source", "n_tokens", "n_docs"])
+
+    per = ds.map_batches(counts, batch_format="pyarrow").to_pandas()
+    per = per.groupby("source", as_index=False).agg(
+        n_tokens=("n_tokens", "sum"), n_docs=("n_docs", "sum"))
+    total = int(per["n_tokens"].sum())
+    k = len(per)
+    per["weight_micro"] = [
+        (total * 1_000_000) // (k * int(n)) if n else 0
+        for n in per["n_tokens"]]
+    for c in ["n_tokens", "n_docs", "weight_micro"]:
+        per[c] = per[c].astype("int64")
+    return per.sort_values("source").reset_index(drop=True)
+
+
+QUERIES["source_mixture_weights"] = source_mixture_weights
+
+ORACLE_SQL["source_mixture_weights"] = """
+    WITH c AS (SELECT source,
+                      sum(length(regexp_extract_all(
+                          coalesce(text, ''), '[A-Za-z0-9_]+')))::BIGINT
+                          AS n_tokens,
+                      count(*)::BIGINT AS n_docs
+               FROM documents GROUP BY 1),
+    t AS (SELECT sum(n_tokens) AS total, count(*) AS k FROM c)
+    SELECT source, n_tokens, n_docs,
+           CASE WHEN n_tokens > 0
+                THEN (t.total * 1000000) // (t.k * n_tokens)
+                ELSE 0 END::BIGINT AS weight_micro
+    FROM c, t ORDER BY source
+"""
+
+
+def name_key_consistency_audit(sf_dir: str):
+    """FORMAT-CONTRACT AUDIT across two dimensions in one result: do
+    ``c_name`` / ``s_name`` encode their own keys
+    (``Customer#000000042`` ↔ c_custkey 42)?  The cross-field
+    consistency check every entity pipeline runs on ingest.  Each table
+    is one narrow scan; the parse is a single RE2 ``extract`` kernel and
+    the comparison is vectorized; output per entity: rows, parse
+    failures, key mismatches."""
+    SPEC = [("customer", "c_name", "c_custkey", r"^Customer#(\d+)$"),
+            ("supplier", "s_name", "s_suppkey", r"^Supplier#(\d+)$")]
+    rows = []
+    for tbl, name_col, key_col, pat in SPEC:
+        ds = _t(sf_dir, tbl, columns=[name_col, key_col])
+
+        def audit(b: pa.Table, name_col=name_col, key_col=key_col,
+                  pat=pat) -> pa.Table:
+            ex = pc.extract_regex(pc.fill_null(b[name_col], ""),
+                                  pattern=pat.replace(
+                                      r"(\d+)", r"(?P<id>\d+)"))
+            ok = pc.is_valid(ex)
+            ids = pc.struct_field(ex, "id")
+            parsed = pc.cast(pc.if_else(ok, ids, "0"), pa.int64())
+            keys = pc.cast(b[key_col], pa.int64())
+            okv = ok.to_numpy(zero_copy_only=False)
+            mm = (okv & pc.not_equal(parsed, keys
+                                     ).to_numpy(zero_copy_only=False))
+            return pa.table({
+                "n": pa.array([b.num_rows], pa.int64()),
+                "n_unparseable": pa.array([int((~okv).sum())],
+                                          pa.int64()),
+                "n_key_mismatch": pa.array([int(mm.sum())], pa.int64())})
+
+        m = ds.map_batches(audit, batch_format="pyarrow"
+                           ).to_pandas().sum()
+        rows.append((tbl, int(m["n"]), int(m["n_unparseable"]),
+                     int(m["n_key_mismatch"])))
+    out = pd.DataFrame(rows, columns=["tbl", "n", "n_unparseable",
+                                      "n_key_mismatch"])
+    for c in ["n", "n_unparseable", "n_key_mismatch"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("tbl").reset_index(drop=True)
+
+
+QUERIES["name_key_consistency_audit"] = name_key_consistency_audit
+
+ORACLE_SQL["name_key_consistency_audit"] = r"""
+    SELECT 'customer' AS tbl, count(*)::BIGINT AS n,
+           sum(CASE WHEN NOT regexp_matches(coalesce(c_name, ''),
+                                            '^Customer#(\d+)$')
+                    THEN 1 ELSE 0 END)::BIGINT AS n_unparseable,
+           sum(CASE WHEN regexp_matches(coalesce(c_name, ''),
+                                        '^Customer#(\d+)$')
+                     AND CAST(regexp_extract(c_name,
+                              '^Customer#(\d+)$', 1) AS BIGINT)
+                         <> c_custkey
+                    THEN 1 ELSE 0 END)::BIGINT AS n_key_mismatch
+    FROM customer
+    UNION ALL
+    SELECT 'supplier' AS tbl, count(*)::BIGINT AS n,
+           sum(CASE WHEN NOT regexp_matches(coalesce(s_name, ''),
+                                            '^Supplier#(\d+)$')
+                    THEN 1 ELSE 0 END)::BIGINT AS n_unparseable,
+           sum(CASE WHEN regexp_matches(coalesce(s_name, ''),
+                                        '^Supplier#(\d+)$')
+                     AND CAST(regexp_extract(s_name,
+                              '^Supplier#(\d+)$', 1) AS BIGINT)
+                         <> s_suppkey
+                    THEN 1 ELSE 0 END)::BIGINT AS n_key_mismatch
+    FROM supplier
+    ORDER BY tbl
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -12031,6 +12289,8 @@ _FRONT = [
     "doc_ngram_repetition", "minmax_scale_tail_counts",
     "cdc_last_write_wins", "transition_dwell_times",
     "event_type_fano", "diversified_top_parts",
+    "stratified_quota_allocation", "encoding_advisor_strings",
+    "source_mixture_weights", "name_key_consistency_audit",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

@@ -3858,3 +3858,105 @@ def test_diversified_topk_caps_per_brand(ray_session, tmp_path):
     ranks = out["brand_rank"].to_numpy()
     assert (np.diff(ranks) >= 0).all()             # rank-major order
     assert list(out[out["brand_rank"] == 1]["p_partkey"]) == [1, 5]
+
+
+# -------------------------------------------- largest-remainder quota
+
+
+def test_quota_largest_remainder_tie_breaks_lexically(ray_session,
+                                                      tmp_path):
+    """Three equal strata, budget 1000: floors 333, one leftover seat,
+    equal remainders — the lexicographically first lang gets it."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        stratified_quota_allocation,
+    )
+
+    tbl = pa.table({"lang": pa.array(["a", "b", "c"], pa.string())})
+    out = stratified_quota_allocation(_write(tmp_path, "documents", tbl)
+                                      ).set_index("lang")
+    assert out.loc["a", "quota"] == 334
+    assert out.loc["b", "quota"] == 333
+    assert out.loc["c", "quota"] == 333
+    assert int(out["quota"].sum()) == 1000
+
+
+# ------------------------------------------------ encoding advisor
+
+
+def test_encoding_advisor_byte_math(ray_session, tmp_path):
+    """dict_bytes = Σ distinct lengths + 4n; raw = Σ value lengths."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        encoding_advisor_strings,
+    )
+
+    pq.write_table(pa.table({
+        "o_orderpriority": pa.array(["HIGH", "HIGH", "LO"], pa.string()),
+        "o_orderstatus": pa.array(["F", "F", "F"], pa.string())}),
+        tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "p_brand": pa.array(["B1"], pa.string()),
+        "p_type": pa.array(["t"], pa.string())}),
+        tmp_path / "part.parquet")
+    pq.write_table(pa.table({
+        "event_type": pa.array(["x"], pa.string())}),
+        tmp_path / "events.parquet")
+    pq.write_table(pa.table({
+        "c_mktsegment": pa.array(["SEG"], pa.string())}),
+        tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "lang": pa.array(["en"], pa.string()),
+        "source": pa.array(["s"], pa.string())}),
+        tmp_path / "documents.parquet")
+
+    out = encoding_advisor_strings(str(tmp_path)).set_index(
+        ["tbl", "col"])
+    r = out.loc[("orders", "o_orderpriority")]
+    assert r["n"] == 3 and r["n_distinct"] == 2
+    assert r["raw_bytes"] == 4 + 4 + 2
+    assert r["dict_bytes"] == (4 + 2) + 4 * 3
+
+
+# ------------------------------------------------ mixture weights
+
+
+def test_mixture_weights_equalize_uniform_target(ray_session, tmp_path):
+    """Sources with 1 and 3 tokens: weights 4e6//2 and 4e6//6 exactly."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        source_mixture_weights,
+    )
+
+    tbl = pa.table({
+        "source": pa.array(["s1", "s2"], pa.string()),
+        "text": pa.array(["one", "a b c"], pa.string()),
+    })
+    out = source_mixture_weights(_write(tmp_path, "documents", tbl)
+                                 ).set_index("source")
+    assert out.loc["s1", "n_tokens"] == 1
+    assert out.loc["s2", "n_tokens"] == 3
+    assert out.loc["s1", "weight_micro"] == 2_000_000
+    assert out.loc["s2", "weight_micro"] == 666_666
+
+
+# ------------------------------------------------ name-key audit
+
+
+def test_name_key_audit_counts_violations(ray_session, tmp_path):
+    """A mismatched id and an unparseable name must each count once."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        name_key_consistency_audit,
+    )
+
+    pq.write_table(pa.table({
+        "c_name": pa.array(["Customer#000000007", "Customer#000000009",
+                            "garbled"], pa.string()),
+        "c_custkey": pa.array([7, 8, 9], pa.int64())}),
+        tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "s_name": pa.array(["Supplier#000000001"], pa.string()),
+        "s_suppkey": pa.array([1], pa.int64())}),
+        tmp_path / "supplier.parquet")
+    out = name_key_consistency_audit(str(tmp_path)).set_index("tbl")
+    assert out.loc["customer", "n"] == 3
+    assert out.loc["customer", "n_unparseable"] == 1
+    assert out.loc["customer", "n_key_mismatch"] == 1
+    assert out.loc["supplier", "n_key_mismatch"] == 0
