@@ -12215,6 +12215,223 @@ ORACLE_SQL["name_key_consistency_audit"] = r"""
 """
 
 
+# ------------------------------------- round-4au: source-format coverage
+
+
+def jsonl_roundtrip_events(sf_dir: str):
+    """JSONL SOURCE/SINK parity: events → ``write_json`` (line-delimited)
+    → ``read_json`` → per-type totals, oracle-checked against the
+    PARQUET originals — proving the JSON path loses nothing.  Floats do
+    NOT survive JSON text round-trips bit-exactly, so the cents
+    conversion happens BEFORE the sink (ints round-trip exactly) — the
+    rule every JSON interchange pipeline should follow.  Sink under a
+    run-keyed /tmp dir; both legs stream."""
+    import shutil
+
+    ds = _t(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_valid(b["value"]))
+        cents = pc.cast(pc.round(pc.multiply(f["value"],
+                                             pa.scalar(100.0))),
+                        pa.int64())
+        return pa.table({"event_type": f["event_type"], "cents": cents})
+
+    out_dir = os.path.join("/tmp", "aads_jsonl",
+                           os.path.basename(os.path.normpath(sf_dir))
+                           + f"_{os.getpid()}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.map_batches(to_cents, batch_format="pyarrow").write_json(
+        f"local://{out_dir}")
+
+    back = ray.data.read_json(out_dir)
+
+    def agg(b: pa.Table) -> pa.Table:
+        g = b.group_by("event_type").aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["event_type", "sum_cents", "n"])
+
+    parts = back.map_batches(agg, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        sum_cents=("sum_cents", "sum"), n=("n", "sum"))
+    for c in ["sum_cents", "n"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["jsonl_roundtrip_events"] = jsonl_roundtrip_events
+
+ORACLE_SQL["jsonl_roundtrip_events"] = """
+    SELECT event_type,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+           count(value)::BIGINT AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def csv_roundtrip_orders(sf_dir: str):
+    """CSV SOURCE/SINK parity: orders → ``write_csv`` → ``read_csv`` →
+    per-priority totals vs the parquet oracle.  Same discipline as the
+    JSONL leg: integers only through the text format (cents before the
+    sink); strings here are comma-free by schema.  Exercises Ray's CSV
+    schema inference on read-back."""
+    import shutil
+
+    ds = _t(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"],
+                                             pa.scalar(100.0))),
+                        pa.int64())
+        return pa.table({"o_orderpriority": b["o_orderpriority"],
+                         "cents": cents})
+
+    out_dir = os.path.join("/tmp", "aads_csv",
+                           os.path.basename(os.path.normpath(sf_dir))
+                           + f"_{os.getpid()}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.map_batches(to_cents, batch_format="pyarrow").write_csv(
+        f"local://{out_dir}")
+
+    back = ray.data.read_csv(out_dir)
+
+    def agg(b: pa.Table) -> pa.Table:
+        g = b.group_by("o_orderpriority").aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["o_orderpriority", "sum_cents", "n"])
+
+    parts = back.map_batches(agg, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False).agg(
+        sum_cents=("sum_cents", "sum"), n=("n", "sum"))
+    for c in ["sum_cents", "n"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+QUERIES["csv_roundtrip_orders"] = csv_roundtrip_orders
+
+ORACLE_SQL["csv_roundtrip_orders"] = """
+    SELECT o_orderpriority,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS sum_cents,
+           count(*)::BIGINT AS n
+    FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def orc_custom_source_parts(sf_dir: str):
+    """CUSTOM CONNECTOR for a format Ray Data lacks (ORC): each batch
+    side-writes a self-contained ORC shard (pyarrow.orc), then the READ
+    path is a hand-built source — ``from_items`` over the shard paths
+    fanned into ``map_batches`` that parse ORC into Arrow tables — the
+    recipe for ANY unsupported format: parallelize over files, parse
+    zero-copy per task.  Per-brand stats off the ORC leg are
+    oracle-checked against the parquet originals."""
+    import shutil
+
+    from pyarrow import orc as pa_orc
+
+    ds = _t(sf_dir, "part", columns=["p_brand", "p_retailprice"],
+            spread=True)
+    out_dir = os.path.join("/tmp", "aads_orc",
+                           os.path.basename(os.path.normpath(sf_dir))
+                           + f"_{os.getpid()}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(b: pa.Table, out_dir=out_dir) -> pa.Table:
+        import uuid
+
+        cents = pc.cast(pc.round(pc.multiply(b["p_retailprice"],
+                                             pa.scalar(100.0))),
+                        pa.int64())
+        t = pa.table({"p_brand": b["p_brand"], "cents": cents})
+        path = os.path.join(out_dir, f"shard-{uuid.uuid4().hex}.orc")
+        pa_orc.write_table(t, path)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+    manifest = ds.map_batches(write_shard,
+                              batch_format="pyarrow").to_pandas()
+    paths = sorted(manifest["path"].tolist())
+
+    def read_orc(batch: dict) -> pa.Table:
+        from pyarrow import orc as _orc
+
+        tables = [_orc.read_table(p) for p in batch["item"]]
+        return pa.concat_tables(tables)
+
+    back = ray.data.from_items(paths).map_batches(
+        read_orc, batch_format="numpy")
+
+    def agg(b: pa.Table) -> pa.Table:
+        g = b.group_by("p_brand").aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["p_brand", "sum_cents", "n"])
+
+    parts = back.map_batches(agg, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("p_brand", as_index=False).agg(
+        sum_cents=("sum_cents", "sum"), n=("n", "sum"))
+    for c in ["sum_cents", "n"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+QUERIES["orc_custom_source_parts"] = orc_custom_source_parts
+
+ORACLE_SQL["orc_custom_source_parts"] = """
+    SELECT p_brand,
+           sum(CAST(round(p_retailprice * 100) AS BIGINT))::BIGINT
+               AS sum_cents,
+           count(*)::BIGINT AS n
+    FROM part GROUP BY 1 ORDER BY 1
+"""
+
+
+def orders_page_slice(sf_dir: str, offset: int = 50, limit: int = 10):
+    """DEEP PAGINATION (ORDER BY … OFFSET … LIMIT) without a global
+    sort: every block keeps only its local top-(offset+limit) by
+    (cents desc, orderkey asc) — the global page is contained in the
+    union of local top-60s — and the driver merges ≤ 60·blocks rows and
+    slices.  The deterministic tie-break makes page boundaries stable
+    across runs, which is what makes pagination REPRODUCIBLE."""
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    k = offset + limit
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["o_totalprice"].to_numpy() * 100.0
+        df = df.assign(cents=(np.sign(v) * np.floor(np.abs(v) + 0.5))
+                       .astype(np.int64))
+        return df.sort_values(["cents", "o_orderkey"],
+                              ascending=[False, True]).head(k)[
+            ["o_orderkey", "cents"]]
+
+    parts = ds.map_batches(local_top, batch_format="pandas").to_pandas()
+    page = parts.sort_values(["cents", "o_orderkey"],
+                             ascending=[False, True]
+                             ).iloc[offset:offset + limit]
+    page = page.astype("int64").reset_index(drop=True)
+    page["page_rank"] = pd.Series(range(offset + 1, offset + 1 +
+                                        len(page)), dtype="int64")
+    return page[["page_rank", "o_orderkey", "cents"]]
+
+
+QUERIES["orders_page_slice"] = orders_page_slice
+
+ORACLE_SQL["orders_page_slice"] = """
+    WITH r AS (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      row_number() OVER (
+                          ORDER BY round(o_totalprice * 100) DESC,
+                                   o_orderkey ASC) AS page_rank
+               FROM orders)
+    SELECT page_rank::BIGINT AS page_rank, o_orderkey, cents
+    FROM r WHERE page_rank > 50 AND page_rank <= 60
+    ORDER BY page_rank
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -12291,6 +12508,8 @@ _FRONT = [
     "event_type_fano", "diversified_top_parts",
     "stratified_quota_allocation", "encoding_advisor_strings",
     "source_mixture_weights", "name_key_consistency_audit",
+    "jsonl_roundtrip_events", "csv_roundtrip_orders",
+    "orc_custom_source_parts", "orders_page_slice",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

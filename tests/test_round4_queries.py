@@ -8,6 +8,8 @@ decile ties, and inner-join semantics with dangling keys on both sides.
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import numpy as np
 import pandas as pd
@@ -3960,3 +3962,64 @@ def test_name_key_audit_counts_violations(ray_session, tmp_path):
     assert out.loc["customer", "n_unparseable"] == 1
     assert out.loc["customer", "n_key_mismatch"] == 1
     assert out.loc["supplier", "n_key_mismatch"] == 0
+
+
+# ---------------------------------------------- format roundtrips
+
+
+def test_jsonl_roundtrip_preserves_negative_cents(ray_session, tmp_path):
+    """Negative values must survive the JSONL leg exactly (ints through
+    text, converted before the sink)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        jsonl_roundtrip_events,
+    )
+
+    tbl = pa.table({
+        "event_type": pa.array(["a", "a", "b"], pa.string()),
+        "value": pa.array([-1.23, 2.00, None], pa.float64()),
+    })
+    out = jsonl_roundtrip_events(_write(tmp_path, "events", tbl)
+                                 ).set_index("event_type")
+    assert out.loc["a", "sum_cents"] == 77    # −123 + 200
+    assert out.loc["a", "n"] == 2
+    assert "b" not in out.index               # null value dropped
+
+
+def test_orc_custom_source_accounts_for_all_rows(ray_session, tmp_path):
+    """The hand-built ORC source must read back every row the sink
+    wrote (shard manifest totals == input rows)."""
+    import glob
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        orc_custom_source_parts,
+    )
+
+    tbl = pa.table({
+        "p_brand": pa.array(["X"] * 7 + ["Y"] * 5, pa.string()),
+        "p_retailprice": pa.array([1.0] * 7 + [2.0] * 5, pa.float64()),
+    })
+    out = orc_custom_source_parts(_write(tmp_path, "part", tbl)
+                                  ).set_index("p_brand")
+    assert out.loc["X", "n"] == 7 and out.loc["X", "sum_cents"] == 700
+    assert out.loc["Y", "n"] == 5 and out.loc["Y", "sum_cents"] == 1000
+    shards = glob.glob(os.path.join(
+        "/tmp", "aads_orc",
+        f"{os.path.basename(str(tmp_path))}_{os.getpid()}", "*.orc"))
+    assert len(shards) >= 1
+
+
+def test_page_slice_tie_straddles_boundary_deterministically(
+        ray_session, tmp_path):
+    """60 equal-price orders: the page (rows 51-60) must pick keys 51-60
+    in orderkey order — tie-break stability across the offset edge."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        orders_page_slice,
+    )
+
+    tbl = pa.table({
+        "o_orderkey": pa.array(list(range(1, 71)), pa.int64()),
+        "o_totalprice": pa.array([5.0] * 60 + [1.0] * 10, pa.float64()),
+    })
+    out = orders_page_slice(_write(tmp_path, "orders", tbl))
+    assert list(out["o_orderkey"]) == list(range(51, 61))
+    assert list(out["page_rank"]) == list(range(51, 61))
