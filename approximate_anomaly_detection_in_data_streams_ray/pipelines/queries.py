@@ -12432,6 +12432,269 @@ ORACLE_SQL["orders_page_slice"] = """
 """
 
 
+# --------------------------------- round-4av: cache/incremental/evolution
+
+
+def cached_pricing_summary(sf_dir: str):
+    """CONTENT-ADDRESSED RESULT CACHE: the pricing summary behind a
+    cache keyed by sha256 of (query name, per-file footer row counts) —
+    the incremental-recompute primitive: identical inputs are answered
+    from the cached parquet without touching the cluster; any input
+    change (row count drift) changes the key and recomputes.  The cached
+    result round-trips through parquet, so dtypes and float bits are
+    preserved and the oracle CANNOT tell a hit from a miss — caching
+    must never change answers.  A ``.computes`` counter file records
+    misses for the planted test."""
+    import hashlib
+
+    sig = hashlib.sha256(b"pricing_summary")
+    for f in _table_paths(sf_dir, "lineitem"):
+        md = pq.ParquetFile(f).metadata
+        sig.update(os.path.basename(f).encode())
+        sig.update(str(md.num_rows).encode())
+    key = sig.hexdigest()
+    cdir = os.path.join("/tmp", "aads_result_cache")
+    os.makedirs(cdir, exist_ok=True)
+    cpath = os.path.join(cdir, f"{key}.parquet")
+    if os.path.exists(cpath):
+        return pq.read_table(cpath).to_pandas()
+    res = QUERIES["pricing_summary"](sf_dir)
+    if hasattr(res, "to_pandas"):
+        res = res.to_pandas()
+    tmp = cpath + ".tmp"
+    pq.write_table(pa.Table.from_pandas(res, preserve_index=False), tmp)
+    os.replace(tmp, cpath)            # atomic publish — never half-read
+    with open(os.path.join(cdir, f"{key}.computes"), "a") as fh:
+        fh.write("1\n")
+    return res
+
+
+QUERIES["cached_pricing_summary"] = cached_pricing_summary
+
+# caching must never change answers: the oracle IS pricing_summary's
+ORACLE_SQL["cached_pricing_summary"] = ORACLE_SQL["pricing_summary"]
+
+
+def incremental_agg_maintenance(sf_dir: str):
+    """INCREMENTAL VIEW MAINTENANCE: the per-priority aggregate is
+    produced by MERGING a base partial (orders before 1999-01-01) with a
+    delta partial (on/after) — two predicate-pushdown scans that never
+    see each other's rows — proving the engine's aggregates are
+    mergeable partials, the property that lets a daily delta update a
+    100-TB rollup without rescanning history.  The oracle recomputes
+    over ALL rows; equality IS the merge law."""
+    import pyarrow.dataset as pads
+
+    split = pa.scalar(pd.Timestamp("1999-01-01"), pa.timestamp("us"))
+
+    def agg_side(flt) -> pd.DataFrame:
+        ds = ray.data.read_parquet(
+            _table_paths(sf_dir, "orders"),
+            columns=["o_orderpriority", "o_totalprice", "o_orderdate"],
+            filter=flt)
+
+        def pre(b: pa.Table) -> pa.Table:
+            cents = pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], pa.scalar(100.0))), pa.int64())
+            g = pa.table({"p": b["o_orderpriority"], "c": cents}
+                         ).group_by("p").aggregate(
+                [("c", "sum"), ("c", "count")])
+            return g.rename_columns(["o_orderpriority", "sum_cents",
+                                     "n"])
+
+        out = ds.map_batches(pre, batch_format="pyarrow").to_pandas()
+        if out.empty:
+            return pd.DataFrame({"o_orderpriority": pd.Series([],
+                                                              dtype=str),
+                                 "sum_cents": pd.Series([],
+                                                        dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        return out.groupby("o_orderpriority", as_index=False).sum()
+
+    base = agg_side(pads.field("o_orderdate") < split)
+    delta = agg_side(pads.field("o_orderdate") >= split)
+    merged = pd.concat([base, delta], ignore_index=True).groupby(
+        "o_orderpriority", as_index=False).sum()
+    for c in ["sum_cents", "n"]:
+        merged[c] = merged[c].astype("int64")
+    return merged.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+QUERIES["incremental_agg_maintenance"] = incremental_agg_maintenance
+
+ORACLE_SQL["incremental_agg_maintenance"] = """
+    SELECT o_orderpriority,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS sum_cents,
+           count(*)::BIGINT AS n
+    FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def schema_evolution_union(sf_dir: str):
+    """SCHEMA-EVOLUTION READER: a table whose newer shards carry a
+    column older shards lack (the universal backfill situation).  Ray
+    2.49 reads such a directory but emits blocks with INCONSISTENT
+    schemas ("may lead to unexpected behavior"); this operator derives
+    the SUPERSET schema from the FOOTERS alone and normalizes every
+    batch to it (missing columns → typed nulls) — the contract any
+    downstream stage needs.  Old shards = even orderkeys (key, cents);
+    new shards add o_orderpriority; output: rows with/without the
+    evolved column and the cents total, oracle-checked against the
+    original table."""
+    import shutil
+
+    src = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice",
+                                        "o_orderpriority"], spread=True)
+    out_dir = os.path.join("/tmp", "aads_evolution",
+                           os.path.basename(os.path.normpath(sf_dir))
+                           + f"_{os.getpid()}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_generations(b: pa.Table, out_dir=out_dir) -> pa.Table:
+        import uuid
+
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"],
+                                             pa.scalar(100.0))),
+                        pa.int64())
+        t = pa.table({"o_orderkey": b["o_orderkey"], "cents": cents,
+                      "o_orderpriority": b["o_orderpriority"]})
+        even = pc.equal(pc.bit_wise_and(t["o_orderkey"], pa.scalar(1)),
+                        pa.scalar(0))
+        old = t.filter(even).select(["o_orderkey", "cents"])
+        new = t.filter(pc.invert(even))
+        u = uuid.uuid4().hex
+        if old.num_rows:
+            pq.write_table(old, os.path.join(out_dir, f"old-{u}.parquet"))
+        if new.num_rows:
+            pq.write_table(new, os.path.join(out_dir, f"new-{u}.parquet"))
+        return pa.table({"n": pa.array([b.num_rows], pa.int64())})
+
+    src.map_batches(write_generations,
+                    batch_format="pyarrow").to_pandas()
+
+    files = sorted(
+        os.path.join(out_dir, f) for f in os.listdir(out_dir))
+    super_schema = pa.unify_schemas(
+        [pq.ParquetFile(f).schema_arrow for f in files])
+    schema_ref = ray.put(super_schema)
+
+    def normalize(b: pa.Table) -> pa.Table:
+        target = ray.get(schema_ref)
+        cols = []
+        for field in target:
+            if field.name in b.schema.names:
+                cols.append(pc.cast(b[field.name], field.type))
+            else:
+                cols.append(pa.nulls(b.num_rows, field.type))
+        return pa.table(dict(zip(target.names, cols)))
+
+    back = ray.data.read_parquet(files).map_batches(
+        normalize, batch_format="pyarrow")
+
+    def agg(b: pa.Table) -> pa.Table:
+        has = pc.is_valid(b["o_orderpriority"])
+        return pa.table({
+            "n_evolved": pa.array([int(pc.sum(pc.cast(
+                has, pa.int64())).as_py() or 0)], pa.int64()),
+            "n_legacy": pa.array([int(b.num_rows - (pc.sum(pc.cast(
+                has, pa.int64())).as_py() or 0))], pa.int64()),
+            "sum_cents": pa.array([int(pc.sum(b["cents"]).as_py() or 0)],
+                                  pa.int64())})
+
+    m = back.map_batches(agg, batch_format="pyarrow").to_pandas().sum()
+    return pd.DataFrame({
+        "n_evolved": pd.Series([int(m["n_evolved"])], dtype="int64"),
+        "n_legacy": pd.Series([int(m["n_legacy"])], dtype="int64"),
+        "sum_cents": pd.Series([int(m["sum_cents"])], dtype="int64")})
+
+
+QUERIES["schema_evolution_union"] = schema_evolution_union
+
+ORACLE_SQL["schema_evolution_union"] = """
+    SELECT sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_evolved,
+           sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_legacy,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS sum_cents
+    FROM orders
+"""
+
+
+def clustered_write_orders(sf_dir: str, span: int = 2048):
+    """CLUSTERED (range-disjoint) WRITE: orders land in output files
+    whose key ranges DO NOT overlap (one file per ``orderkey // span``
+    bucket via a bucket exchange), the layout that makes footer-stats
+    pruning actually work on the next read.  The audit reads ONLY the
+    written footers: per-file min/max must be pairwise disjoint.
+    Output: rows written, global key range, and the overlap count
+    (zero by construction — the contract the planted test also pins
+    with shard counts)."""
+    import shutil
+
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"],
+            blocks=_join_partitions(sf_dir, "orders"))
+    out_dir = os.path.join("/tmp", "aads_clustered",
+                           os.path.basename(os.path.normpath(sf_dir))
+                           + f"_{os.getpid()}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def pre(b: pa.Table, span=span) -> pa.Table:
+        bucket = pc.cast(pc.divide(b["o_orderkey"], pa.scalar(span)),
+                         pa.int64())
+        return b.append_column("bucket", bucket)
+
+    def write_bucket(g: pd.DataFrame, out_dir=out_dir) -> pd.DataFrame:
+        rows = []
+        for bkt, gg in g.groupby("bucket"):
+            t = pa.Table.from_pandas(
+                gg[["o_orderkey", "o_totalprice"]].sort_values(
+                    "o_orderkey"), preserve_index=False)
+            path = os.path.join(out_dir, f"bucket-{int(bkt):08d}.parquet")
+            pq.write_table(t, path)
+            rows.append((int(bkt), t.num_rows))
+        return pd.DataFrame(rows, columns=["bucket", "n"])
+
+    _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                     ["bucket"], write_bucket).to_pandas()
+
+    mins, maxs, total = [], [], 0
+    for f in sorted(os.listdir(out_dir)):
+        md = pq.ParquetFile(os.path.join(out_dir, f))
+        idx = md.schema_arrow.get_field_index("o_orderkey")
+        lo = hi = None
+        for rg in range(md.metadata.num_row_groups):
+            st = md.metadata.row_group(rg).column(idx).statistics
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+        mins.append(lo)
+        maxs.append(hi)
+        total += md.metadata.num_rows
+    order = np.argsort(np.asarray(mins))
+    mn = np.asarray(mins)[order]
+    mx = np.asarray(maxs)[order]
+    overlaps = int((mn[1:] <= mx[:-1]).sum()) if len(mn) > 1 else 0
+    return pd.DataFrame({
+        "n_rows": pd.Series([total], dtype="int64"),
+        "min_key": pd.Series([int(mn.min())], dtype="int64"),
+        "max_key": pd.Series([int(mx.max())], dtype="int64"),
+        "n_overlapping_files": pd.Series([overlaps], dtype="int64")})
+
+
+QUERIES["clustered_write_orders"] = clustered_write_orders
+
+ORACLE_SQL["clustered_write_orders"] = """
+    SELECT count(*)::BIGINT AS n_rows,
+           min(o_orderkey)::BIGINT AS min_key,
+           max(o_orderkey)::BIGINT AS max_key,
+           0::BIGINT AS n_overlapping_files
+    FROM orders
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -12510,6 +12773,8 @@ _FRONT = [
     "source_mixture_weights", "name_key_consistency_audit",
     "jsonl_roundtrip_events", "csv_roundtrip_orders",
     "orc_custom_source_parts", "orders_page_slice",
+    "cached_pricing_summary", "incremental_agg_maintenance",
+    "schema_evolution_union", "clustered_write_orders",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

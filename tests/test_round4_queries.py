@@ -4023,3 +4023,98 @@ def test_page_slice_tie_straddles_boundary_deterministically(
     out = orders_page_slice(_write(tmp_path, "orders", tbl))
     assert list(out["o_orderkey"]) == list(range(51, 61))
     assert list(out["page_rank"]) == list(range(51, 61))
+
+
+# --------------------------------------------- content-addressed cache
+
+
+def test_cached_query_hits_without_recompute(ray_session, tmp_path):
+    """Two calls on identical input: one compute, identical results;
+    changing the input rows changes the key and recomputes."""
+    import glob
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        cached_pricing_summary,
+    )
+
+    li = pa.table({
+        "l_returnflag": pa.array(["A", "A", "R"], pa.string()),
+        "l_linestatus": pa.array(["F", "F", "O"], pa.string()),
+        "l_quantity": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "l_extendedprice": pa.array([10.0, 20.0, 30.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.1, 0.2], pa.float64()),
+        "l_tax": pa.array([0.0, 0.0, 0.0], pa.float64()),
+        "l_shipdate": pa.array(pd.to_datetime(["1998-01-01"] * 3),
+                               pa.timestamp("us")),
+    })
+    sf = _write(tmp_path, "lineitem", li)
+
+    def n_computes():
+        total = 0
+        for f in glob.glob("/tmp/aads_result_cache/*.computes"):
+            total += sum(1 for _ in open(f))
+        return total
+
+    before = n_computes()
+    r1 = cached_pricing_summary(sf)
+    mid = n_computes()
+    r2 = cached_pricing_summary(sf)
+    after = n_computes()
+    assert mid == before + 1          # first call computed
+    assert after == mid               # second call was a pure hit
+    pd.testing.assert_frame_equal(r1, r2)
+
+    # grow the input → new key → recompute
+    li2 = pa.concat_tables([li, li.slice(0, 1)])
+    pq.write_table(li2, tmp_path / "lineitem.parquet")
+    cached_pricing_summary(sf)
+    assert n_computes() == after + 1
+
+
+# --------------------------------------------- schema evolution
+
+
+def test_schema_evolution_fills_missing_column_with_nulls(ray_session,
+                                                          tmp_path):
+    """Legacy shards (even keys) must read back with NULL priority and
+    still contribute cents."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        schema_evolution_union,
+    )
+
+    tbl = pa.table({
+        "o_orderkey": pa.array([2, 4, 5], pa.int64()),
+        "o_totalprice": pa.array([1.00, 2.00, 4.00], pa.float64()),
+        "o_orderpriority": pa.array(["P", "P", "P"], pa.string()),
+    })
+    out = schema_evolution_union(_write(tmp_path, "orders", tbl)).iloc[0]
+    assert out["n_legacy"] == 2
+    assert out["n_evolved"] == 1
+    assert out["sum_cents"] == 700
+
+
+# --------------------------------------------- clustered write
+
+
+def test_clustered_write_files_are_range_disjoint(ray_session,
+                                                  tmp_path):
+    """A small span must produce several files with pairwise-disjoint
+    key ranges and full row accounting."""
+    import glob
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        clustered_write_orders,
+    )
+
+    tbl = pa.table({
+        "o_orderkey": pa.array(list(range(0, 40)), pa.int64()),
+        "o_totalprice": pa.array([1.0] * 40, pa.float64()),
+    })
+    out = clustered_write_orders(_write(tmp_path, "orders", tbl),
+                                 span=8).iloc[0]
+    assert out["n_rows"] == 40
+    assert out["n_overlapping_files"] == 0
+    shards = glob.glob(os.path.join(
+        "/tmp", "aads_clustered",
+        f"{os.path.basename(str(tmp_path))}_{os.getpid()}", "*.parquet"))
+    assert len(shards) == 5
