@@ -12695,6 +12695,310 @@ ORACLE_SQL["clustered_write_orders"] = """
 """
 
 
+# ------------------------------------ round-4aw: bi/scoring/generator batch
+
+
+def monthly_new_vs_returning_revenue(sf_dir: str):
+    """NEW vs RETURNING revenue split per month — the acquisition-vs-
+    retention readout every revenue dashboard leads with, and a
+    two-level dependency: each order's class depends on its CUSTOMER'S
+    first-ever month.  One custkey exchange carries pre-combined
+    (cust, month, cents) rows; each partition derives its customers'
+    first months locally (customers land whole) and folds the
+    (month × class)-bounded partial.  Month index = (y−1995)·12+m−1 on
+    both sides."""
+    ds = _t(sf_dir, "orders", columns=["o_custkey", "o_orderdate",
+                                       "o_totalprice"],
+            blocks=_join_partitions(sf_dir, "orders"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        d = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[M]"))
+        x = (d.astype(np.int64) - (1995 - 1970) * 12).astype(np.int64)
+        cents = np.asarray(pc.cast(pc.round(pc.multiply(
+            b["o_totalprice"], pa.scalar(100.0))), pa.int64()))
+        cu = b["o_custkey"].to_numpy(zero_copy_only=False)
+        key = cu * 4096 + x
+        order = np.argsort(key, kind="stable")
+        key, cents = key[order], cents[order]
+        starts = np.r_[0, np.nonzero(key[1:] != key[:-1])[0] + 1]
+        return pa.table({
+            "o_custkey": pa.array(key[starts] // 4096),
+            "month": pa.array(key[starts] % 4096),
+            "cents": pa.array(np.add.reduceat(cents, starts)),
+            "n_orders": pa.array(np.diff(np.r_[starts, len(key)])
+                                 .astype(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["o_custkey", "month"], as_index=False).agg(
+            cents=("cents", "sum"))
+        first = per.groupby("o_custkey")["month"].transform("min")
+        per["is_new"] = per["month"] == first
+        out = per.groupby(["month", "is_new"], as_index=False).agg(
+            cents=("cents", "sum"),
+            n_customers=("o_custkey", "nunique"))
+        return out
+
+    parts = _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                             ["o_custkey"], fold).to_pandas()
+    agg = parts.groupby(["month", "is_new"], as_index=False).agg(
+        cents=("cents", "sum"), n_customers=("n_customers", "sum"))
+    piv = agg.pivot_table(index="month", columns="is_new",
+                          values=["cents", "n_customers"],
+                          fill_value=0, aggfunc="sum")
+    out = pd.DataFrame({
+        "month": piv.index.to_numpy(np.int64),
+        "new_cents": piv.get(("cents", True),
+                             pd.Series(0, index=piv.index)).to_numpy(
+                                 np.int64),
+        "returning_cents": piv.get(("cents", False),
+                                   pd.Series(0, index=piv.index)
+                                   ).to_numpy(np.int64),
+        "n_new_customers": piv.get(("n_customers", True),
+                                   pd.Series(0, index=piv.index)
+                                   ).to_numpy(np.int64),
+        "n_returning_customers": piv.get(("n_customers", False),
+                                         pd.Series(0, index=piv.index)
+                                         ).to_numpy(np.int64)})
+    return out.sort_values("month").reset_index(drop=True)
+
+
+QUERIES["monthly_new_vs_returning_revenue"] = (
+    monthly_new_vs_returning_revenue)
+
+ORACLE_SQL["monthly_new_vs_returning_revenue"] = """
+    WITH o AS (SELECT o_custkey,
+                      (year(o_orderdate) - 1995) * 12
+                          + month(o_orderdate) - 1 AS month,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS cents
+               FROM orders GROUP BY 1, 2),
+    f AS (SELECT o_custkey, min(month) AS first_month FROM o
+          GROUP BY 1),
+    c AS (SELECT o.month, o.cents,
+                 (o.month = f.first_month) AS is_new, o.o_custkey
+          FROM o JOIN f ON f.o_custkey = o.o_custkey)
+    SELECT month::BIGINT AS month,
+           sum(CASE WHEN is_new THEN cents ELSE 0 END)::BIGINT
+               AS new_cents,
+           sum(CASE WHEN is_new THEN 0 ELSE cents END)::BIGINT
+               AS returning_cents,
+           sum(CASE WHEN is_new THEN 1 ELSE 0 END)::BIGINT
+               AS n_new_customers,
+           sum(CASE WHEN is_new THEN 0 ELSE 1 END)::BIGINT
+               AS n_returning_customers
+    FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def rule_based_user_scores(sf_dir: str, k: int = 15):
+    """LINEAR RULE SCORING (feature counts × weight vector): score =
+    3·purchases + 2·clicks + 1·views − 5·errors per user, top-``k`` by
+    (score desc, user asc) — the deterministic-model scoring join that
+    precedes any learned ranker.  Per-batch (user, type) pre-combine,
+    one user exchange, vectorized dot with the broadcast weight map,
+    partial top-k per partition (exact: a user's counts complete in one
+    partition)."""
+    W = {"purchase": 3, "click": 2, "view": 1, "error": -5, "signup": 0}
+    ds = _t(sf_dir, "events", columns=["user_id", "event_type"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    def fold(g: pd.DataFrame, k=k) -> pd.DataFrame:
+        per = g.groupby(["user_id", "event_type"])["n"].sum().unstack(
+            fill_value=0)
+        for t in W:
+            if t not in per.columns:
+                per[t] = 0
+        score = sum(w * per[t] for t, w in W.items())
+        out = pd.DataFrame({
+            "user_id": per.index.to_numpy(np.int64),
+            "n_purchase": per["purchase"].to_numpy(np.int64),
+            "n_click": per["click"].to_numpy(np.int64),
+            "n_view": per["view"].to_numpy(np.int64),
+            "n_error": per["error"].to_numpy(np.int64),
+            "score": score.to_numpy(np.int64)})
+        return out.sort_values(["score", "user_id"],
+                               ascending=[False, True]).head(k)
+
+    parts = _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                             ["user_id"], fold).to_pandas()
+    out = parts.sort_values(["score", "user_id"],
+                            ascending=[False, True]).head(k)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+QUERIES["rule_based_user_scores"] = rule_based_user_scores
+
+ORACLE_SQL["rule_based_user_scores"] = """
+    WITH c AS (SELECT user_id,
+                      sum(CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END)::BIGINT AS n_purchase,
+                      sum(CASE WHEN event_type = 'click' THEN 1
+                          ELSE 0 END)::BIGINT AS n_click,
+                      sum(CASE WHEN event_type = 'view' THEN 1
+                          ELSE 0 END)::BIGINT AS n_view,
+                      sum(CASE WHEN event_type = 'error' THEN 1
+                          ELSE 0 END)::BIGINT AS n_error
+               FROM events GROUP BY 1)
+    SELECT user_id, n_purchase, n_click, n_view, n_error,
+           (3 * n_purchase + 2 * n_click + n_view - 5 * n_error)::BIGINT
+               AS score
+    FROM c
+    ORDER BY score DESC, user_id ASC LIMIT 15
+"""
+
+
+def generated_source_parity(sf_dir: str, n: int = 100_000):
+    """GENERATOR SOURCE (no input files at all): ``ray.data.range`` →
+    a deterministic LCG per index materializes a synthetic table whose
+    aggregate the oracle reproduces with ``generate_series`` + the same
+    integer arithmetic — the pattern for load generation and
+    property-test corpora at cluster scale (every worker generates its
+    own slice; nothing ships from a driver).  All arithmetic is mod 2⁶⁴
+    (uint64 wraparound == HUGEINT % 2⁶⁴).  ``sf_dir`` is unused — the
+    source IS the generator."""
+    A, C = np.uint64(6364136223846793005), np.uint64(1442695040888963407)
+    ds = ray.data.range(n)
+
+    def gen(b: pa.Table) -> pa.Table:
+        i = b["id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = i * A + C                        # uint64 wrap ≡ mod 2⁶⁴
+        bucket = (x % np.uint64(16)).astype(np.int64)
+        val = (x % np.uint64(1000)).astype(np.int64)
+        t = pa.table({"bucket": pa.array(bucket), "v": pa.array(val)})
+        g = t.group_by("bucket").aggregate([("v", "sum"), ("v", "count")])
+        return g.rename_columns(["bucket", "sum_v", "n"])
+
+    parts = ds.map_batches(gen, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("bucket", as_index=False).agg(
+        sum_v=("sum_v", "sum"), n=("n", "sum"))
+    for c in ["bucket", "sum_v", "n"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+QUERIES["generated_source_parity"] = generated_source_parity
+
+ORACLE_SQL["generated_source_parity"] = """
+    WITH g AS (SELECT (CAST(i AS HUGEINT) * 6364136223846793005
+                       + 1442695040888963407)
+                      % 18446744073709551616 AS x
+               FROM generate_series(0, 99999) t(i)),
+    v AS (SELECT (x % 16) AS bucket, (x % 1000) AS val FROM g)
+    SELECT bucket::BIGINT AS bucket, sum(val)::BIGINT AS sum_v,
+           count(*)::BIGINT AS n
+    FROM v GROUP BY 1 ORDER BY 1
+"""
+
+
+def token_position_stats(sf_dir: str):
+    """POSITIONAL EXPLODE (posexplode / unnest WITH ORDINALITY): where
+    in documents does the corpus' most frequent token appear?  Phase 1
+    finds the global top token (count desc, token asc — the word_freq
+    kernel, top-1); phase 2 re-scans with POSITIONS: flat tokens carry a
+    per-row 1-based index (arange minus segment starts — no Python
+    loop), and per-lang occurrence count, mean position (floor micro)
+    and max position fold dimension-bounded.  The oracle rebuilds
+    positions with the unnest(range(max_len)) index CTE."""
+    ds = _t(sf_dir, "documents", columns=["lang", "text"],
+            blocks=_join_partitions(sf_dir, "documents"))
+
+    def counts(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.fill_null(b["text"], ""), pattern=r"[^A-Za-z0-9_]+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    tok = _agg_partitioned(
+        ds.map_batches(counts, batch_format="pyarrow"), ["token"],
+        lambda g: g.groupby("token", as_index=False)["n"].sum()
+        .sort_values(["n", "token"], ascending=[False, True]).head(1),
+    ).to_pandas().sort_values(["n", "token"],
+                              ascending=[False, True]).head(1)
+    if tok.empty:
+        return pd.DataFrame({"lang": pd.Series([], dtype=str),
+                             "token": pd.Series([], dtype=str),
+                             "n_occ": pd.Series([], dtype="int64"),
+                             "mean_pos_micro": pd.Series([],
+                                                         dtype="int64"),
+                             "max_pos": pd.Series([], dtype="int64")})
+    top = str(tok["token"].iloc[0])
+    top_ref = ray.put(top)
+
+    def positions(b: pa.Table) -> pa.Table:
+        t = ray.get(top_ref)
+        toks = pc.split_pattern_regex(pc.fill_null(b["text"], ""),
+                                      pattern=r"[^A-Za-z0-9_]+")
+        flat = toks.combine_chunks() if isinstance(
+            toks, pa.ChunkedArray) else toks
+        lens = pc.list_value_length(flat).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        fl = flat.flatten()
+        keep = pc.not_equal(fl, "").to_numpy(zero_copy_only=False)
+        row_all = np.repeat(np.arange(len(lens)), lens)
+        # 1-based token position among NON-EMPTY fragments per row
+        cum = np.cumsum(keep.astype(np.int64))
+        prev_end = np.r_[0, np.cumsum(lens)[:-1]]   # row start offsets
+        base = np.where(prev_end > 0,
+                        cum[np.maximum(prev_end - 1, 0)], 0)
+        pos_all = cum - base[row_all]
+        hit = keep & pc.equal(fl, t).to_numpy(zero_copy_only=False)
+        rows, pos = row_all[hit], pos_all[hit]
+        langs = b["lang"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"lang": langs[rows], "pos": pos})
+        out = df.groupby("lang").agg(n_occ=("pos", "size"),
+                                     sum_pos=("pos", "sum"),
+                                     max_pos=("pos", "max"))
+        return pa.Table.from_pandas(out.reset_index(),
+                                    preserve_index=False)
+
+    parts = ds.map_batches(positions, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("lang", as_index=False).agg(
+        n_occ=("n_occ", "sum"), sum_pos=("sum_pos", "sum"),
+        max_pos=("max_pos", "max"))
+    agg["token"] = top
+    agg["mean_pos_micro"] = (agg["sum_pos"] * 1_000_000
+                             // agg["n_occ"]).astype("int64")
+    for c in ["n_occ", "max_pos"]:
+        agg[c] = agg[c].astype("int64")
+    return agg[["lang", "token", "n_occ", "mean_pos_micro", "max_pos"]
+               ].sort_values("lang").reset_index(drop=True)
+
+
+QUERIES["token_position_stats"] = token_position_stats
+
+ORACLE_SQL["token_position_stats"] = """
+    WITH tk AS (SELECT lang,
+                       list_filter(regexp_extract_all(
+                           coalesce(text, ''), '[A-Za-z0-9_]+'),
+                           t -> t <> '') AS ts
+                FROM documents),
+    freq AS (SELECT unnest(ts) AS token FROM tk),
+    top AS (SELECT token FROM freq GROUP BY token
+            ORDER BY count(*) DESC, token ASC LIMIT 1),
+    ix AS (SELECT unnest(range((SELECT coalesce(max(len(ts)), 0)
+                                FROM tk))) AS i),
+    hits AS (SELECT tk.lang, ix.i + 1 AS pos
+             FROM tk, ix
+             WHERE ix.i < len(ts)
+               AND ts[i + 1] = (SELECT token FROM top))
+    SELECT lang, (SELECT token FROM top) AS token,
+           count(*)::BIGINT AS n_occ,
+           (sum(pos) * 1000000 // count(*))::BIGINT AS mean_pos_micro,
+           max(pos)::BIGINT AS max_pos
+    FROM hits GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -12775,6 +13079,8 @@ _FRONT = [
     "orc_custom_source_parts", "orders_page_slice",
     "cached_pricing_summary", "incremental_agg_maintenance",
     "schema_evolution_union", "clustered_write_orders",
+    "monthly_new_vs_returning_revenue", "rule_based_user_scores",
+    "generated_source_parity", "token_position_stats",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

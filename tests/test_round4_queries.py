@@ -4118,3 +4118,94 @@ def test_clustered_write_files_are_range_disjoint(ray_session,
         "/tmp", "aads_clustered",
         f"{os.path.basename(str(tmp_path))}_{os.getpid()}", "*.parquet"))
     assert len(shards) == 5
+
+
+# --------------------------------------- new vs returning revenue
+
+
+def test_new_vs_returning_split_by_first_month(ray_session, tmp_path):
+    """A customer's first month is 'new'; every later month is
+    'returning' — even if revenue is larger later."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        monthly_new_vs_returning_revenue,
+    )
+
+    tbl = pa.table({
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+        "o_orderdate": pa.array(pd.to_datetime(
+            ["1995-01-10", "1995-02-10", "1995-02-20"]),
+            pa.timestamp("us")),
+        "o_totalprice": pa.array([1.00, 5.00, 2.00], pa.float64()),
+    })
+    out = monthly_new_vs_returning_revenue(
+        _write(tmp_path, "orders", tbl)).set_index("month")
+    assert out.loc[0, "new_cents"] == 100
+    assert out.loc[0, "returning_cents"] == 0
+    assert out.loc[1, "new_cents"] == 200        # cust 2's first month
+    assert out.loc[1, "returning_cents"] == 500  # cust 1 returning
+    assert out.loc[1, "n_new_customers"] == 1
+    assert out.loc[1, "n_returning_customers"] == 1
+
+
+# ----------------------------------------------- rule-based scoring
+
+
+def test_rule_scores_weighted_sum_and_order(ray_session, tmp_path):
+    """score = 3p + 2c + v − 5e; negative scores rank below, ties break
+    user-ascending."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        rule_based_user_scores,
+    )
+
+    et, uid = [], []
+    for u, types in [(1, ["purchase", "click"]),       # 3+2 = 5
+                     (2, ["view"] * 5),                # 5
+                     (3, ["error"])]:                  # −5
+        for t in types:
+            uid.append(u)
+            et.append(t)
+    tbl = pa.table({"user_id": pa.array(uid, pa.int64()),
+                    "event_type": pa.array(et, pa.string())})
+    out = rule_based_user_scores(_write(tmp_path, "events", tbl))
+    assert list(out["user_id"]) == [1, 2, 3]     # tie 5 → smaller user
+    assert list(out["score"]) == [5, 5, -5]
+
+
+# ----------------------------------------------- generator source
+
+
+def test_generated_source_counts_sum_to_n(ray_session):
+    """Buckets must partition all n generated rows; LCG determinism
+    makes repeated runs identical."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        generated_source_parity,
+    )
+
+    a = generated_source_parity("unused", n=10_000)
+    b = generated_source_parity("unused", n=10_000)
+    pd.testing.assert_frame_equal(a, b)
+    assert int(a["n"].sum()) == 10_000
+
+
+# ----------------------------------------------- token positions
+
+
+def test_token_positions_with_leading_empty_doc(ray_session, tmp_path):
+    """An empty first document must not shift positions in later docs
+    (base-offset edge); positions are 1-based among real tokens."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        token_position_stats,
+    )
+
+    tbl = pa.table({
+        "lang": pa.array(["en", "en", "de"], pa.string()),
+        "text": pa.array(["", "the cat the", "dog the"], pa.string()),
+    })
+    out = token_position_stats(_write(tmp_path, "documents", tbl)
+                               ).set_index("lang")
+    assert out.loc["en", "token"] == "the"
+    assert out.loc["en", "n_occ"] == 2
+    # positions 1 and 3 → mean 2.0
+    assert out.loc["en", "mean_pos_micro"] == 2_000_000
+    assert out.loc["en", "max_pos"] == 3
+    assert out.loc["de", "n_occ"] == 1 and out.loc["de", "max_pos"] == 2
