@@ -12999,6 +12999,393 @@ ORACLE_SQL["token_position_stats"] = """
 """
 
 
+# --------------------------------- round-4ax: venn/proration/snm/fifo batch
+
+
+def key_venn3(sf_dir: str):
+    """THREE-SOURCE KEY RECONCILIATION (Venn regions): every key is
+    classified by which of {events.user_id, orders.o_custkey,
+    customer.c_custkey} contain it — the multi-source onboarding audit
+    that a pair of anti-joins cannot express.  Per-source per-batch
+    DISTINCT partials tag a mask bit; ONE key exchange ORs the masks per
+    key; the 7-region histogram folds per partition.  No source ever
+    joins another — the exchange carries (key, 3-bit mask) pairs only."""
+    srcs = [("events", "user_id", 4),
+            ("orders", "o_custkey", 2),
+            ("customer", "c_custkey", 1)]
+    tagged = []
+    for tbl, col, bit in srcs:
+        ds = _t(sf_dir, tbl, columns=[col])
+
+        def pre(b: pa.Table, col=col, bit=bit) -> pa.Table:
+            k = np.unique(np.asarray(b[col].drop_null(),
+                                     dtype=np.int64))
+            return pa.table({"k": pa.array(k),
+                             "m": pa.array(np.full(len(k), bit,
+                                                   np.int64))})
+
+        tagged.append(ds.map_batches(pre, batch_format="pyarrow"))
+    union = tagged[0].union(*tagged[1:])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("k")["m"].agg(lambda s: int(np.bitwise_or.reduce(
+            s.to_numpy(np.int64))))
+        h = per.value_counts()
+        return pd.DataFrame({"mask": h.index.to_numpy(np.int64),
+                             "n_keys": h.to_numpy(np.int64)})
+
+    parts = _agg_partitioned(union, ["k"], fold).to_pandas()
+    out = parts.groupby("mask", as_index=False)["n_keys"].sum()
+    out["in_events"] = (out["mask"] & 4) > 0
+    out["in_orders"] = (out["mask"] & 2) > 0
+    out["in_customer"] = (out["mask"] & 1) > 0
+    out = out[["in_events", "in_orders", "in_customer", "n_keys"]]
+    out["n_keys"] = out["n_keys"].astype("int64")
+    return out.sort_values(["in_events", "in_orders", "in_customer"]
+                           ).reset_index(drop=True)
+
+
+QUERIES["key_venn3"] = key_venn3
+
+ORACLE_SQL["key_venn3"] = """
+    WITH e AS (SELECT DISTINCT user_id AS k FROM events
+               WHERE user_id IS NOT NULL),
+    o AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    c AS (SELECT DISTINCT c_custkey AS k FROM customer),
+    u AS (SELECT k FROM e UNION SELECT k FROM o UNION
+          SELECT k FROM c),
+    m AS (SELECT k, k IN (SELECT k FROM e) AS in_events,
+                 k IN (SELECT k FROM o) AS in_orders,
+                 k IN (SELECT k FROM c) AS in_customer
+          FROM u)
+    SELECT in_events, in_orders, in_customer,
+           count(*)::BIGINT AS n_keys
+    FROM m GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def revenue_proration_monthly(sf_dir: str):
+    """REVENUE PRORATION (allocation / spread join): each lineitem's
+    revenue cents spread EVENLY over the months between its order date
+    and ship date (inclusive, span normalized to [min, max] because
+    inverted rows exist in this corpus), integer division with the
+    remainder pinned to the FIRST month — allocations sum exactly to the
+    source.  The order-month joins in via a tagged-union orderkey
+    exchange (no broadcast of a fact-sized side); each partition merges
+    its keys and EXPLODES month allocations vectorized (np.repeat off
+    span lengths); the (month, cents) fold is dimension-bounded."""
+    li = _t(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_extendedprice", "l_shipdate"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+    od = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"],
+            blocks=_join_partitions(sf_dir, "orders"))
+
+    def li_pre(b: pa.Table) -> pa.Table:
+        cents = np.asarray(pc.cast(pc.round(pc.multiply(
+            b["l_extendedprice"], pa.scalar(100.0))), pa.int64()))
+        m = (b["l_shipdate"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[M]").astype(np.int64)
+             - (1995 - 1970) * 12)
+        return pa.table({"k": b["l_orderkey"], "cents": pa.array(cents),
+                         "month": pa.array(m.astype(np.int64)),
+                         "side": pa.array(np.zeros(b.num_rows,
+                                                   np.int64))})
+
+    def od_pre(b: pa.Table) -> pa.Table:
+        m = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[M]").astype(np.int64)
+             - (1995 - 1970) * 12)
+        return pa.table({"k": b["o_orderkey"],
+                         "cents": pa.array(np.zeros(b.num_rows,
+                                                    np.int64)),
+                         "month": pa.array(m.astype(np.int64)),
+                         "side": pa.array(np.ones(b.num_rows,
+                                                  np.int64))})
+
+    union = li.map_batches(li_pre, batch_format="pyarrow").union(
+        od.map_batches(od_pre, batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        orders_m = g[g["side"] == 1].set_index("k")["month"]
+        items = g[g["side"] == 0]
+        om = items["k"].map(orders_m)
+        if om.isna().any():
+            raise ValueError("revenue_proration_monthly: lineitem "
+                             "references a missing orderkey")
+        om = om.to_numpy(np.int64)
+        sm = items["month"].to_numpy(np.int64)
+        cents = items["cents"].to_numpy(np.int64)
+        lo = np.minimum(om, sm)
+        hi = np.maximum(om, sm)
+        span = hi - lo + 1
+        base = cents // span
+        rem = cents - base * span
+        rows = np.repeat(np.arange(len(lo)), span)
+        offs = (np.arange(int(span.sum()))
+                - np.repeat(np.cumsum(span) - span, span))
+        month = lo[rows] + offs
+        alloc = base[rows] + np.where(offs == 0, rem[rows], 0)
+        df = pd.DataFrame({"month": month, "cents": alloc})
+        return df.groupby("month", as_index=False)["cents"].sum()
+
+    parts = _agg_partitioned(union, ["k"], fold).to_pandas()
+    out = parts.groupby("month", as_index=False)["cents"].sum()
+    for c in ["month", "cents"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("month").reset_index(drop=True)
+
+
+QUERIES["revenue_proration_monthly"] = revenue_proration_monthly
+
+ORACLE_SQL["revenue_proration_monthly"] = """
+    WITH j AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS cents,
+                      least((year(o_orderdate) - 1995) * 12
+                                + month(o_orderdate) - 1,
+                            (year(l_shipdate) - 1995) * 12
+                                + month(l_shipdate) - 1) AS lo,
+                      greatest((year(o_orderdate) - 1995) * 12
+                                   + month(o_orderdate) - 1,
+                               (year(l_shipdate) - 1995) * 12
+                                   + month(l_shipdate) - 1) AS hi
+               FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+    ix AS (SELECT unnest(range((SELECT max(hi - lo + 1) FROM j)))
+               AS i),
+    a AS (SELECT j.lo + ix.i AS month,
+                 cents // (hi - lo + 1)
+                 + CASE WHEN ix.i = 0
+                        THEN cents % (hi - lo + 1) ELSE 0 END AS alloc
+          FROM j, ix WHERE ix.i <= j.hi - j.lo)
+    SELECT month::BIGINT AS month, sum(alloc)::BIGINT AS cents
+    FROM a GROUP BY 1 ORDER BY 1
+"""
+
+
+def snm_adjacent_pairs(sf_dir: str, window: int = 2):
+    """SORTED-NEIGHBORHOOD entity-resolution blocking (SNM): sort all
+    names once, compare each row only to its next ``window`` neighbors —
+    the classic alternative to token blocking, whose distributed form
+    needs a BOUNDARY HALO: partitions own disjoint sorted ranges and the
+    pairs that straddle a boundary are recovered from each partition's
+    edge rows (≤ window per side) on the driver.  Here: one exchange on
+    a name-prefix range key, per-partition sort + vectorized adjacent
+    pairs, Levenshtein ≤ 1 via the tested DP kernel (== DuckDB
+    ``levenshtein``).  Output: candidate pairs and close matches."""
+    from ..functions.text import levenshtein_batch
+
+    ds = _t(sf_dir, "part", columns=["p_partkey", "p_name"],
+            blocks=_join_partitions(sf_dir, "part"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        # range key: first byte — ORDERED buckets so partitions own
+        # contiguous sorted ranges (ascii corpus)
+        first = pc.utf8_slice_codeunits(pc.fill_null(b["p_name"], ""),
+                                        start=0, stop=1)
+        return pa.table({"bucket": first, "p_name": b["p_name"],
+                         "p_partkey": b["p_partkey"]})
+
+    def fold(g: pd.DataFrame, window=window) -> pd.DataFrame:
+        frames = []
+        for bkt, gg in g.groupby("bucket"):
+            gg = gg.sort_values(["p_name", "p_partkey"])
+            names = gg["p_name"].to_numpy()
+            a_all, b_all = [], []
+            for d in range(1, window + 1):
+                if len(names) > d:
+                    a_all.append(names[:-d])
+                    b_all.append(names[d:])
+            n_pairs = sum(len(x) for x in a_all)
+            n_match = 0
+            if n_pairs:
+                av = np.concatenate(a_all)
+                bv = np.concatenate(b_all)
+                n_match = int((levenshtein_batch(av, bv) <= 1).sum())
+            edge_lo = gg.head(window)
+            edge_hi = gg.tail(window)
+            frames.append(pd.DataFrame({
+                "bucket": [bkt], "n_rows": [len(gg)],
+                "n_pairs": [n_pairs], "n_match": [n_match],
+                "lo_names": ["\x00".join(edge_lo["p_name"])],
+                "hi_names": ["\x00".join(edge_hi["p_name"])],
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    parts = _agg_partitioned(
+        ds.map_batches(pre, batch_format="pyarrow"), ["bucket"], fold
+    ).to_pandas().sort_values("bucket").reset_index(drop=True)
+    n_pairs = int(parts["n_pairs"].sum())
+    n_match = int(parts["n_match"].sum())
+    # boundary halo: compressed edge sequence with REAL global positions
+    # (cumulative bucket sizes) so a pair may straddle ANY number of
+    # tiny buckets; only cross-bucket pairs are new (within-bucket pairs
+    # were counted in the fold)
+    names, bkts, poss = [], [], []
+    start_pos = 0
+    for row in parts.itertuples(index=False):
+        lo = [x for x in row.lo_names.split("\x00") if x]
+        hi = [x for x in row.hi_names.split("\x00") if x]
+        n = int(row.n_rows)
+        if n <= 2 * window:               # whole bucket is edge rows
+            overlap = max(0, len(lo) + len(hi) - n)
+            merged = lo + hi[overlap:]
+            for j, nm in enumerate(merged[:n]):
+                names.append(nm)
+                bkts.append(row.bucket)
+                poss.append(start_pos + j)
+        else:
+            for j, nm in enumerate(lo):
+                names.append(nm)
+                bkts.append(row.bucket)
+                poss.append(start_pos + j)
+            for j, nm in enumerate(hi):
+                names.append(nm)
+                bkts.append(row.bucket)
+                poss.append(start_pos + n - len(hi) + j)
+        start_pos += n
+    a_all, b_all = [], []
+    for ai in range(len(names)):
+        bi = ai + 1
+        while bi < len(names) and poss[bi] - poss[ai] <= window:
+            if bkts[bi] != bkts[ai]:
+                a_all.append(names[ai])
+                b_all.append(names[bi])
+            bi += 1
+    if a_all:
+        n_pairs += len(a_all)
+        n_match += int((levenshtein_batch(
+            np.asarray(a_all, object),
+            np.asarray(b_all, object)) <= 1).sum())
+    return pd.DataFrame({
+        "n_pairs": pd.Series([n_pairs], dtype="int64"),
+        "n_match_lev1": pd.Series([n_match], dtype="int64")})
+
+
+QUERIES["snm_adjacent_pairs"] = snm_adjacent_pairs
+
+ORACLE_SQL["snm_adjacent_pairs"] = """
+    WITH s AS (SELECT p_name,
+                      lead(p_name, 1) OVER w AS n1,
+                      lead(p_name, 2) OVER w AS n2
+               FROM part
+               WINDOW w AS (ORDER BY p_name, p_partkey)),
+    p AS (SELECT p_name AS a, n1 AS b FROM s WHERE n1 IS NOT NULL
+          UNION ALL
+          SELECT p_name AS a, n2 AS b FROM s WHERE n2 IS NOT NULL)
+    SELECT count(*)::BIGINT AS n_pairs,
+           sum(CASE WHEN levenshtein(a, b) <= 1 THEN 1 ELSE 0 END)
+               ::BIGINT AS n_match_lev1
+    FROM p
+"""
+
+
+def fifo_lot_matching(sf_dir: str):
+    """FIFO LOT MATCHING (order-matching / cost-basis primitive): per
+    user, purchase events are BUY lots and click events SELL volume,
+    both in (ts, event_id) order; FIFO consumption classifies each lot
+    as fully consumed (its cumulative bound ≤ total sells), partially
+    consumed (the one lot straddling the sell total), or open — all from
+    CUMULATIVE CURVES, no sequential matching loop.  One user exchange,
+    one lexsort, segmented cumsum; output: global lot classes and
+    matched cents = Σ min(buy total, sell total)."""
+    ds = _t(sf_dir, "events",
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"],
+                     value_set=pa.array(["purchase", "click"]))
+        f = b.filter(pc.and_(m, pc.is_valid(b["value"])))
+        v = f["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        return pa.table({"user_id": f["user_id"], "ts": f["ts"],
+                         "event_id": f["event_id"],
+                         "is_buy": pc.equal(f["event_type"],
+                                            pa.scalar("purchase")),
+                         "cents": pa.array(np.abs(cents))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ts = (g["ts"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        u = g["user_id"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        buy = g["is_buy"].to_numpy(bool)
+        cents = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, buy, cents = u[order], buy[order], cents[order]
+        stats = []
+        starts = np.r_[0, np.nonzero(u[1:] != u[:-1])[0] + 1]
+        ends = np.r_[starts[1:], len(u)]
+        for s0, s1 in zip(starts, ends):
+            bb = buy[s0:s1]
+            cc = cents[s0:s1]
+            buys = cc[bb]
+            sell_total = int(cc[~bb].sum())
+            cum = np.cumsum(buys)
+            full = int((cum <= sell_total).sum())
+            prev = np.r_[0, cum[:-1]]
+            partial = int(((prev < sell_total) & (cum > sell_total)
+                           ).sum())
+            open_lots = len(buys) - full - partial
+            matched = min(int(cum[-1]) if len(cum) else 0, sell_total)
+            stats.append((full, partial, open_lots, matched))
+        a = np.asarray(stats, np.int64).reshape(-1, 4)
+        return pd.DataFrame({
+            "full_lots": [int(a[:, 0].sum())],
+            "partial_lots": [int(a[:, 1].sum())],
+            "open_lots": [int(a[:, 2].sum())],
+            "matched_cents": [int(a[:, 3].sum())]})
+
+    parts = _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                             ["user_id"], fold).to_pandas()
+    return pd.DataFrame({
+        "full_lots": pd.Series([int(parts["full_lots"].sum())],
+                               dtype="int64"),
+        "partial_lots": pd.Series([int(parts["partial_lots"].sum())],
+                                  dtype="int64"),
+        "open_lots": pd.Series([int(parts["open_lots"].sum())],
+                               dtype="int64"),
+        "matched_cents": pd.Series([int(parts["matched_cents"].sum())],
+                                   dtype="int64")})
+
+
+QUERIES["fifo_lot_matching"] = fifo_lot_matching
+
+ORACLE_SQL["fifo_lot_matching"] = """
+    WITH f AS (SELECT user_id, ts, event_id,
+                      event_type = 'purchase' AS is_buy,
+                      abs(CAST(round(value * 100) AS BIGINT)) AS cents
+               FROM events
+               WHERE event_type IN ('purchase', 'click')
+                 AND value IS NOT NULL),
+    sells AS (SELECT user_id, coalesce(sum(CASE WHEN NOT is_buy
+                                     THEN cents END), 0) AS s_total
+              FROM f GROUP BY 1),
+    buys AS (SELECT user_id, cents,
+                    sum(cents) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS cum
+             FROM f WHERE is_buy),
+    cls AS (SELECT b.user_id, b.cum, b.cum - b.cents AS prev, s.s_total
+            FROM buys b JOIN sells s ON s.user_id = b.user_id),
+    lots AS (SELECT
+                 sum(CASE WHEN cum <= s_total THEN 1 ELSE 0 END)
+                     AS full_lots,
+                 sum(CASE WHEN prev < s_total AND cum > s_total
+                          THEN 1 ELSE 0 END) AS partial_lots,
+                 sum(CASE WHEN prev >= s_total THEN 1 ELSE 0 END)
+                     AS open_lots
+             FROM cls),
+    m AS (SELECT sum(least(bt.b_total, s.s_total)) AS matched_cents
+          FROM (SELECT user_id, sum(cents) AS b_total FROM f
+                WHERE is_buy GROUP BY 1) bt
+          JOIN sells s ON s.user_id = bt.user_id)
+    SELECT coalesce(lots.full_lots, 0)::BIGINT AS full_lots,
+           coalesce(lots.partial_lots, 0)::BIGINT AS partial_lots,
+           coalesce(lots.open_lots, 0)::BIGINT AS open_lots,
+           coalesce(m.matched_cents, 0)::BIGINT AS matched_cents
+    FROM lots, m
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -13081,6 +13468,8 @@ _FRONT = [
     "schema_evolution_union", "clustered_write_orders",
     "monthly_new_vs_returning_revenue", "rule_based_user_scores",
     "generated_source_parity", "token_position_stats",
+    "key_venn3", "revenue_proration_monthly",
+    "snm_adjacent_pairs", "fifo_lot_matching",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

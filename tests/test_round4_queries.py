@@ -4209,3 +4209,106 @@ def test_token_positions_with_leading_empty_doc(ray_session, tmp_path):
     assert out.loc["en", "mean_pos_micro"] == 2_000_000
     assert out.loc["en", "max_pos"] == 3
     assert out.loc["de", "n_occ"] == 1 and out.loc["de", "max_pos"] == 2
+
+
+# ------------------------------------------------------- 3-way venn
+
+
+def test_venn3_all_regions(ray_session, tmp_path):
+    """Keys planted into every one of the 7 membership regions."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        key_venn3,
+    )
+
+    # regions: E=4 O=2 C=1  → keys: 7→EOC, 6→EO, 5→EC, 4→E, 3→OC, 2→O, 1→C
+    pq.write_table(pa.table({
+        "user_id": pa.array([7, 6, 5, 4], pa.int64())}),
+        tmp_path / "events.parquet")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([7, 6, 3, 2], pa.int64())}),
+        tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([7, 5, 3, 1], pa.int64())}),
+        tmp_path / "customer.parquet")
+    out = key_venn3(str(tmp_path))
+    assert len(out) == 7
+    assert (out["n_keys"] == 1).all()
+
+
+# ------------------------------------------------------ proration
+
+
+def test_proration_remainder_first_month_and_inversion(ray_session,
+                                                       tmp_path):
+    """cents=1000 over 3 months → 334/333/333 (remainder to the FIRST
+    month); an inverted ship<order span must normalize, not vanish."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        revenue_proration_monthly,
+    )
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2], pa.int64()),
+        "l_extendedprice": pa.array([10.00, 2.00], pa.float64()),
+        "l_shipdate": pa.array(pd.to_datetime(
+            ["1995-03-15", "1995-01-10"]), pa.timestamp("us"))}),
+        tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": pa.array(pd.to_datetime(
+            ["1995-01-05", "1995-02-20"]), pa.timestamp("us"))}),
+        tmp_path / "orders.parquet")
+    out = revenue_proration_monthly(str(tmp_path)).set_index("month")
+    # item 1: 1000 cents over months 0..2 → 334, 333, 333
+    # item 2 (inverted): 200 cents over months 0..1 → 100, 100
+    assert out.loc[0, "cents"] == 334 + 100
+    assert out.loc[1, "cents"] == 333 + 100
+    assert out.loc[2, "cents"] == 333
+    assert int(out["cents"].sum()) == 1200
+
+
+# ---------------------------------------------------- SNM blocking
+
+
+def test_snm_straddles_one_row_middle_bucket(ray_session, tmp_path):
+    """A window-2 pair that jumps over a single-row bucket must still be
+    produced by the boundary halo; the close pair is found."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        snm_adjacent_pairs,
+    )
+
+    tbl = pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_name": pa.array(["apple1", "bzz", "capple1"], pa.string()),
+    })
+    out = snm_adjacent_pairs(_write(tmp_path, "part", tbl)).iloc[0]
+    # sorted: apple1, bzz, capple1 → pairs (a,b),(a,c),(b,c)
+    assert out["n_pairs"] == 3
+    assert out["n_match_lev1"] == 1     # levenshtein(apple1, capple1)=1
+
+
+# ---------------------------------------------------- FIFO matching
+
+
+def test_fifo_lot_classes_from_cumulative_curves(ray_session, tmp_path):
+    """Buys [5,3,2] vs sells 6: one full, one partial, one open lot;
+    matched = 6.  A sells-only user adds nothing."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        fifo_lot_matching,
+    )
+
+    S = 1_000_000
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "ts": pa.array([0, S, 2 * S, 3 * S, 4 * S, 0],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+        "event_type": pa.array(["purchase", "purchase", "purchase",
+                                "click", "click", "click"], pa.string()),
+        "value": pa.array([0.05, 0.03, 0.02, 0.04, 0.02, 9.99],
+                          pa.float64()),
+    })
+    out = fifo_lot_matching(_write(tmp_path, "events", tbl)).iloc[0]
+    assert out["full_lots"] == 1
+    assert out["partial_lots"] == 1
+    assert out["open_lots"] == 1
+    assert out["matched_cents"] == 6
