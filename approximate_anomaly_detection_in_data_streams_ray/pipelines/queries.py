@@ -13386,6 +13386,372 @@ ORACLE_SQL["fifo_lot_matching"] = """
 """
 
 
+def acctbal_ntile_quartiles(sf_dir: str):
+    """GLOBAL NTILE (exact window-function parity WITHOUT a global sort):
+    assign every customer its ``NTILE(4)`` tile in the total order
+    (acctbal cents, custkey) using the BOUNDED-DOMAIN rank trick — pass 1
+    folds per-batch value histograms over the exact integer cents domain
+    into one CDF (driver state = one small histogram, never rows), the
+    driver derives the three NTILE boundary RANKS (remainder rows go to
+    the FIRST tiles, per the SQL-standard rule) and resolves ties AT a
+    boundary cents value by fetching only those few tied rows' custkeys;
+    pass 2 assigns tiles with a vectorized three-threshold lexicographic
+    compare and pre-aggregates per tile.  Two streaming passes, zero
+    shuffle — the shape that replaces ``ORDER BY``-windowed NTILE at
+    10^12 rows whenever the sort key has a bounded integer domain."""
+    ds = _t(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def _cents(col: pa.ChunkedArray) -> np.ndarray:
+        v = col.to_numpy(zero_copy_only=False) * 100.0
+        return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        c = np.sort(_cents(b["c_acctbal"]))
+        if not len(c):
+            return pa.table({"cents": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        starts = np.r_[0, np.nonzero(c[1:] != c[:-1])[0] + 1]
+        n = np.diff(np.r_[starts, len(c)])
+        return pa.table({"cents": pa.array(c[starts]),
+                         "n": pa.array(n.astype(np.int64))})
+
+    h = (ds.map_batches(hist_partial, batch_format="pyarrow")
+         .to_pandas().groupby("cents")["n"].sum().sort_index())
+    vals = h.index.to_numpy(np.int64)
+    cum = np.cumsum(h.to_numpy(np.int64))
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in
+                             ["quartile", "n_customers", "sum_cents",
+                              "min_cents", "max_cents"]})
+    q, r = divmod(n, 4)
+    bound_ranks = np.cumsum([q + 1 if i < r else q for i in range(4)])[:3]
+
+    # boundary rank b → (cents value v, how many of v's ties are lower)
+    NEG, POS = np.int64(-(2 ** 62)), np.int64(2 ** 62)
+    cuts: list[tuple[int, int]] = []   # (v, k): lower = cents<v or k ties
+    need: dict[int, list[int]] = {}    # v → boundary indexes needing a
+    for bi, b in enumerate(bound_ranks):  # k-th-smallest-custkey split
+        if b <= 0:
+            cuts.append((int(NEG), 0))
+            continue
+        i = int(np.searchsorted(cum, b, side="left"))
+        v = int(vals[i])
+        k = b - (int(cum[i - 1]) if i else 0)
+        cuts.append((v, k))
+        if k < int(cum[i]) - (int(cum[i - 1]) if i else 0):
+            need.setdefault(v, []).append(bi)
+
+    thr: list[tuple[int, int]] = []    # (v, max custkey still lower)
+    if need:
+        need_ref = ray.put(pa.array(np.array(sorted(need), np.int64)))
+
+        def grab_ties(b: pa.Table) -> pa.Table:
+            c = _cents(b["c_acctbal"])
+            m = pc.is_in(pa.array(c), value_set=ray.get(need_ref))
+            t = pa.table({"cents": pa.array(c),
+                          "c_custkey": b["c_custkey"]})
+            return t.filter(m)
+
+        ties = (ds.map_batches(grab_ties, batch_format="pyarrow")
+                .to_pandas())
+    for v, k in cuts:
+        if v == NEG:
+            thr.append((int(NEG), 0))
+        elif v in need:
+            ck = np.sort(ties.loc[ties["cents"] == v,
+                                  "c_custkey"].to_numpy(np.int64))
+            thr.append((v, int(ck[k - 1])))
+        else:
+            thr.append((v, int(POS)))  # every tie of v is in the lower set
+
+    thr_ref = ray.put(thr)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = _cents(b["c_acctbal"])
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False)
+        if not len(c):
+            return pa.table({k: pa.array([], pa.int64()) for k in
+                             ["quartile", "n_customers", "sum_cents",
+                              "min_cents", "max_cents"]})
+        tile = np.ones(len(c), np.int64)
+        for v, t in ray.get(thr_ref):
+            tile += ~((c < v) | ((c == v) & (ck <= t)))
+        order = np.argsort(tile, kind="stable")
+        tile, c = tile[order], c[order]
+        starts = np.r_[0, np.nonzero(tile[1:] != tile[:-1])[0] + 1]
+        ends = np.r_[starts[1:], len(tile)]
+        return pa.table({
+            "quartile": pa.array(tile[starts]),
+            "n_customers": pa.array((ends - starts).astype(np.int64)),
+            "sum_cents": pa.array(np.add.reduceat(c, starts)),
+            "min_cents": pa.array(np.minimum.reduceat(c, starts)),
+            "max_cents": pa.array(np.maximum.reduceat(c, starts))})
+
+    parts = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("quartile", as_index=False).agg(
+        n_customers=("n_customers", "sum"), sum_cents=("sum_cents", "sum"),
+        min_cents=("min_cents", "min"), max_cents=("max_cents", "max"))
+    return out.sort_values("quartile").reset_index(drop=True).astype(
+        {c: "int64" for c in out.columns})
+
+
+QUERIES["acctbal_ntile_quartiles"] = acctbal_ntile_quartiles
+
+ORACLE_SQL["acctbal_ntile_quartiles"] = """
+    WITH t AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+                      ntile(4) OVER (
+                          ORDER BY CAST(round(c_acctbal * 100) AS BIGINT),
+                                   c_custkey) AS quartile
+               FROM customer)
+    SELECT quartile::BIGINT AS quartile,
+           count(*)::BIGINT AS n_customers,
+           sum(cents)::BIGINT AS sum_cents,
+           min(cents)::BIGINT AS min_cents,
+           max(cents)::BIGINT AS max_cents
+    FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
+def theilsen_nation_trend(sf_dir: str):
+    """THEIL–SEN ROBUST TREND (median of pairwise slopes) of monthly
+    order revenue per nation — the outlier-immune alternative to the OLS
+    ``regr_slope`` of :func:`nation_revenue_trend`.  The custkey→nation
+    probe is the same broadcast ``index_in`` (no shuffle) and the
+    (nation × month) cents partial is dimension-bounded, so the O(m²)
+    pairwise-slope step runs on ≤ a few thousand folded rows, never on
+    the fact table.  Exact parity: slopes are ONE int64-difference
+    division each (bit-equal IEEE on both sides) and the median is the
+    discrete inverted-CDF element (``quantile_disc``), so no float
+    accumulation exists anywhere."""
+    cu = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+            ).to_pandas()
+    ck_ref = ray.put(pa.array(cu["c_custkey"].to_numpy(np.int64)))
+    nk_ref = ray.put(cu["c_nationkey"].to_numpy(np.int64))
+
+    ds = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice",
+                                       "o_orderdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b["o_custkey"], ray.get(ck_ref))
+        if idx.null_count:
+            raise ValueError("theilsen_nation_trend: orders reference "
+                             "custkeys missing from customer")
+        nation = ray.get(nk_ref)[
+            idx.to_numpy(zero_copy_only=False).astype(np.int64)]
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False
+                                      ).astype("datetime64[M]")
+        x = d.astype(np.int64) - (1995 - 1970) * 12
+        cents = np.asarray(pc.cast(pc.round(pc.multiply(
+            b["o_totalprice"], pa.scalar(100.0))), pa.int64()))
+        key = nation * 4096 + x
+        order = np.argsort(key, kind="stable")
+        key, cents = key[order], cents[order]
+        starts = np.r_[0, np.nonzero(key[1:] != key[:-1])[0] + 1]
+        return pa.table({"key": pa.array(key[starts]),
+                         "y": pa.array(np.add.reduceat(cents, starts))})
+
+    per = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("key")["y"].sum())
+    key = per.index.to_numpy(np.int64)
+    rows = []
+    for nat in np.unique(key // 4096):
+        sel = key // 4096 == nat
+        m = (key[sel] % 4096).astype(np.int64)
+        y = per.to_numpy(np.int64)[sel]
+        if len(m) < 2:
+            continue
+        order = np.argsort(m)
+        m, y = m[order], y[order]
+        i, j = np.triu_indices(len(m), k=1)
+        slopes = (y[j] - y[i]) / (m[j] - m[i])
+        med = np.sort(slopes)[
+            int(np.ceil(0.5 * len(slopes))) - 1]  # == quantile_disc(0.5)
+        rows.append((int(nat), len(slopes), float(med)))
+    return pd.DataFrame(rows, columns=[
+        "n_nationkey", "n_pairs", "slope_cents_per_month"]).astype(
+        {"n_nationkey": "int64", "n_pairs": "int64"}).sort_values(
+        "n_nationkey").reset_index(drop=True)
+
+
+QUERIES["theilsen_nation_trend"] = theilsen_nation_trend
+
+ORACLE_SQL["theilsen_nation_trend"] = """
+    WITH m AS (SELECT c.c_nationkey AS nation,
+                      (year(o_orderdate) - 1995) * 12
+                          + month(o_orderdate) - 1 AS mi,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS cents
+               FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+               GROUP BY 1, 2),
+    p AS (SELECT a.nation, (b.cents - a.cents) / (b.mi - a.mi) AS slope
+          FROM m a JOIN m b ON a.nation = b.nation AND a.mi < b.mi)
+    SELECT nation::BIGINT AS n_nationkey, count(*)::BIGINT AS n_pairs,
+           quantile_disc(slope, 0.5) AS slope_cents_per_month
+    FROM p GROUP BY 1 ORDER BY 1
+"""
+
+
+def interval_overlap_pairs(sf_dir: str):
+    """INTERVAL SELF-OVERLAP JOIN counted WITHOUT the join: each event is
+    a half-open interval [ts, ts + value-cents seconds); the number of
+    overlapping same-user pairs — what SQL writes as the quadratic
+    ``a.s < b.e AND b.s < a.e`` self-join — is computed per user as
+    C(n,2) minus the DISJOINT pair count, and a pair is disjoint iff one
+    interval ends on/before the other starts, which one
+    ``searchsorted(sorted_ends, starts)`` counts in O(n log n).  One
+    coarse user exchange; zero-length (cents ≤ 0) and null-value rows
+    are no intervals on either side."""
+    ds = _t(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                       "value"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_valid(b["value"]))
+        v = f["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        s = f["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        keep = cents > 0
+        return pa.table({
+            "user_id": pa.array(f["user_id"].to_numpy(
+                zero_copy_only=False)[keep]),
+            "s": pa.array(s[keep]),
+            "e": pa.array(s[keep] + cents[keep] * 1_000_000)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        s = g["s"].to_numpy(np.int64)
+        e = g["e"].to_numpy(np.int64)
+        order = np.lexsort((s, u))
+        u, s, e = u[order], s[order], e[order]
+        starts = np.r_[0, np.nonzero(u[1:] != u[:-1])[0] + 1]
+        ends = np.r_[starts[1:], len(u)]
+        per_user = []
+        for s0, s1 in zip(starts, ends):
+            n = s1 - s0
+            disjoint = int(np.searchsorted(
+                np.sort(e[s0:s1]), s[s0:s1], side="right").sum())
+            per_user.append(n * (n - 1) // 2 - disjoint)
+        p = np.asarray(per_user, np.int64)
+        ov = p[p > 0]
+        return pd.DataFrame({
+            "n_pairs": [int(p.sum())],
+            "n_users_overlap": [int(len(ov))],
+            "max_user_pairs": [int(ov.max()) if len(ov) else 0]})
+
+    parts = _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                             ["user_id"], fold).to_pandas()
+    return pd.DataFrame({
+        "n_pairs": pd.Series([int(parts["n_pairs"].sum())], dtype="int64"),
+        "n_users_overlap": pd.Series(
+            [int(parts["n_users_overlap"].sum())], dtype="int64"),
+        "max_user_pairs": pd.Series(
+            [int(parts["max_user_pairs"].max()) if len(parts) else 0],
+            dtype="int64")})
+
+
+QUERIES["interval_overlap_pairs"] = interval_overlap_pairs
+
+ORACLE_SQL["interval_overlap_pairs"] = """
+    WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+                       epoch_us(ts) + CAST(round(value * 100) AS BIGINT)
+                           * 1000000 AS e
+                FROM events
+                WHERE value IS NOT NULL
+                  AND CAST(round(value * 100) AS BIGINT) > 0),
+    pu AS (SELECT a.user_id, count(*)::BIGINT AS n_pairs
+           FROM iv a JOIN iv b
+             ON a.user_id = b.user_id AND a.event_id < b.event_id
+            AND a.s < b.e AND b.s < a.e
+           GROUP BY 1)
+    SELECT coalesce(sum(n_pairs), 0)::BIGINT AS n_pairs,
+           count(*)::BIGINT AS n_users_overlap,
+           coalesce(max(n_pairs), 0)::BIGINT AS max_user_pairs
+    FROM pu
+"""
+
+
+def lineitem_corr_matrix(sf_dir: str):
+    """PAIRWISE PEARSON CORRELATION MATRIX in ONE streaming pass:
+    quantity × discount × tax correlations from summable cross-moments
+    (n, Σx, Σxy, Σx²) — the X'X sufficient-statistics pattern that
+    computes every pairwise correlation of k columns in a single scan
+    with k(k+3)/2 int64 partials per batch, instead of k(k-1)/2 separate
+    ``corr()`` passes.  Exactness: the three variables are small exact
+    integers (units / percent points), so every moment is an exact
+    integer on both sides (DuckDB sums BIGINT into HUGEINT; the driver
+    folds Python bigints) and the final double formula
+    num/sqrt(d1·d2) runs the identical IEEE ops."""
+    ds = _t(sf_dir, "lineitem",
+            columns=["l_quantity", "l_discount", "l_tax"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        def col(name, scale):
+            v = b[name].to_numpy(zero_copy_only=False) * scale
+            return (np.sign(v) * np.floor(np.abs(v) + 0.5)
+                    ).astype(np.int64)
+
+        q, d, t = col("l_quantity", 1.0), col("l_discount", 100.0), \
+            col("l_tax", 100.0)
+        return pa.table({k: pa.array([int(v)], pa.int64()) for k, v in [
+            ("n", len(q)), ("sq", q.sum()), ("sd", d.sum()),
+            ("st", t.sum()), ("sqq", (q * q).sum()),
+            ("sdd", (d * d).sum()), ("stt", (t * t).sum()),
+            ("sqd", (q * d).sum()), ("sqt", (q * t).sum()),
+            ("sdt", (d * t).sum())]})
+
+    import math
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    s = {c: int(p[c].sum()) for c in p.columns}  # Python bigints
+
+    def corr(sx, sy, sxy, sxx, syy):
+        num = float(s["n"] * s[sxy] - s[sx] * s[sy])
+        return num / math.sqrt(
+            float(s["n"] * s[sxx] - s[sx] * s[sx])
+            * float(s["n"] * s[syy] - s[sy] * s[sy]))
+
+    return pd.DataFrame({
+        "var_x": ["discount", "quantity", "quantity"],
+        "var_y": ["tax", "discount", "tax"],
+        "corr": [corr("sd", "st", "sdt", "sdd", "stt"),
+                 corr("sq", "sd", "sqd", "sqq", "sdd"),
+                 corr("sq", "st", "sqt", "sqq", "stt")]})
+
+
+QUERIES["lineitem_corr_matrix"] = lineitem_corr_matrix
+
+ORACLE_SQL["lineitem_corr_matrix"] = """
+    WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+                      CAST(round(l_discount * 100) AS BIGINT) AS d,
+                      CAST(round(l_tax * 100) AS BIGINT) AS t
+               FROM lineitem),
+    s AS (SELECT count(*) AS n, sum(q) AS sq, sum(d) AS sd, sum(t) AS st,
+                 sum(q * q) AS sqq, sum(d * d) AS sdd, sum(t * t) AS stt,
+                 sum(q * d) AS sqd, sum(q * t) AS sqt, sum(d * t) AS sdt
+          FROM b)
+    SELECT var_x, var_y, corr FROM (
+        SELECT 'discount' AS var_x, 'tax' AS var_y,
+               CAST(n * sdt - sd * st AS DOUBLE)
+               / sqrt(CAST(n * sdd - sd * sd AS DOUBLE)
+                      * CAST(n * stt - st * st AS DOUBLE)) AS corr
+        FROM s
+        UNION ALL
+        SELECT 'quantity', 'discount',
+               CAST(n * sqd - sq * sd AS DOUBLE)
+               / sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                      * CAST(n * sdd - sd * sd AS DOUBLE))
+        FROM s
+        UNION ALL
+        SELECT 'quantity', 'tax',
+               CAST(n * sqt - sq * st AS DOUBLE)
+               / sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                      * CAST(n * stt - st * st AS DOUBLE))
+        FROM s)
+    ORDER BY var_x, var_y
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -13470,6 +13836,8 @@ _FRONT = [
     "generated_source_parity", "token_position_stats",
     "key_venn3", "revenue_proration_monthly",
     "snm_adjacent_pairs", "fifo_lot_matching",
+    "acctbal_ntile_quartiles", "theilsen_nation_trend",
+    "interval_overlap_pairs", "lineitem_corr_matrix",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

@@ -4312,3 +4312,102 @@ def test_fifo_lot_classes_from_cumulative_curves(ray_session, tmp_path):
     assert out["partial_lots"] == 1
     assert out["open_lots"] == 1
     assert out["matched_cents"] == 6
+
+
+# ----------------------------------------------------- global NTILE
+
+
+def test_ntile_all_tied_splits_by_custkey(ray_session, tmp_path):
+    """7 customers with IDENTICAL acctbal: every boundary falls inside
+    one tie group, so the split is purely the custkey tie-resolution
+    path — NTILE(4) sizes must be [2, 2, 2, 1] (remainder to the FIRST
+    tiles)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        acctbal_ntile_quartiles,
+    )
+
+    tbl = pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "c_acctbal": pa.array([5.0] * 7, pa.float64()),
+    })
+    out = acctbal_ntile_quartiles(_write(tmp_path, "customer", tbl))
+    assert list(out["quartile"]) == [1, 2, 3, 4]
+    assert list(out["n_customers"]) == [2, 2, 2, 1]
+    assert list(out["sum_cents"]) == [1000, 1000, 1000, 500]
+
+
+# ------------------------------------------------------- Theil–Sen
+
+
+def test_theilsen_resists_outlier_month(ray_session, tmp_path):
+    """y = 100 + 10·month for months 0..3 plus a wild outlier at month
+    4: the median pairwise slope stays exactly 10 cents/month (OLS
+    would be in the thousands)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        theilsen_nation_trend,
+    )
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], pa.int64()),
+        "c_nationkey": pa.array([0], pa.int32())}),
+        tmp_path / "customer.parquet")
+    months = pd.to_datetime(["1995-01-15", "1995-02-15", "1995-03-15",
+                             "1995-04-15", "1995-05-15"])
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1] * 5, pa.int64()),
+        "o_totalprice": pa.array([1.00, 1.10, 1.20, 1.30, 100.00],
+                                 pa.float64()),
+        "o_orderdate": pa.array(months, pa.timestamp("us"))}),
+        tmp_path / "orders.parquet")
+    out = theilsen_nation_trend(str(tmp_path)).iloc[0]
+    assert out["n_nationkey"] == 0
+    assert out["n_pairs"] == 10
+    assert out["slope_cents_per_month"] == 10.0
+
+
+# --------------------------------------------- interval overlaps
+
+
+def test_interval_overlap_ties_and_zero_duration(ray_session, tmp_path):
+    """Equal-start intervals overlap; zero-duration (cents rounds to 0)
+    and null-value rows are not intervals at all."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        interval_overlap_pairs,
+    )
+
+    S = 1_000_000
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "ts": pa.array([0, 0, 5 * S, 100 * S, 0, 0], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2, 3], pa.int64()),
+        # durations (s): A=10, D=1, B=10, C=1; user2 null; user3 → 0
+        "value": pa.array([0.10, 0.01, 0.10, 0.01, None, 0.004],
+                          pa.float64()),
+    })
+    out = interval_overlap_pairs(_write(tmp_path, "events", tbl)).iloc[0]
+    # user 1 pairs: (A,B) and (A,D) overlap; (D,B), (·,C) disjoint
+    assert out["n_pairs"] == 2
+    assert out["n_users_overlap"] == 1
+    assert out["max_user_pairs"] == 2
+
+
+# ----------------------------------------------- correlation matrix
+
+
+def test_corr_matrix_exact_unit_correlations(ray_session, tmp_path):
+    """Perfectly (anti-)correlated integer columns give EXACT ±1.0 —
+    the integer-moments path has no float accumulation to drift."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        lineitem_corr_matrix,
+    )
+
+    tbl = pa.table({
+        "l_quantity": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "l_discount": pa.array([0.02, 0.04, 0.06], pa.float64()),
+        "l_tax": pa.array([0.08, 0.04, 0.00], pa.float64()),
+    })
+    out = lineitem_corr_matrix(_write(tmp_path, "lineitem", tbl))
+    got = dict(zip(zip(out["var_x"], out["var_y"]), out["corr"]))
+    assert got[("quantity", "discount")] == 1.0
+    assert got[("quantity", "tax")] == -1.0
+    assert got[("discount", "tax")] == -1.0
