@@ -13752,6 +13752,312 @@ ORACLE_SQL["lineitem_corr_matrix"] = """
 """
 
 
+_ZONEMAP_DIR = f"/tmp/aads_zonemap_{os.getpid()}"
+_ZONEMAP_MONTH = 12  # predicate month: 1996-01, present at every sf
+
+
+def zonemap_prune_audit(sf_dir: str, row_group_rows: int = 512):
+    """ZONE-MAP (footer min/max) PRUNING AUDIT: writes orders CLUSTERED
+    by month (one file per month bucket, small row groups), then proves
+    — from the FOOTERS ALONE, no data read — how many row groups a
+    ``month_idx = M`` predicate skips and how many rows the scan still
+    touches.  This is the I/O contract every 100-TB predicate read rests
+    on: clustering makes stats disjoint, so pruning approaches 100% and
+    ``rows_scanned`` collapses to the matching bucket.  The oracle reads
+    the SAME footers via DuckDB ``parquet_metadata()`` — both sides
+    audit identical physical metadata, not each other's compute."""
+    import shutil
+
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"],
+            blocks=_join_partitions(sf_dir, "orders"))
+    shutil.rmtree(_ZONEMAP_DIR, ignore_errors=True)
+    os.makedirs(_ZONEMAP_DIR, exist_ok=True)
+
+    def pre(b: pa.Table) -> pa.Table:
+        d = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[M]"))
+        x = (d.astype(np.int64) - (1995 - 1970) * 12).astype(np.int64)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "month_idx": pa.array(x)})
+
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for m, gg in g.groupby("month_idx"):
+            t = pa.Table.from_pandas(
+                gg.sort_values("o_orderkey"), preserve_index=False)
+            path = os.path.join(_ZONEMAP_DIR,
+                                f"month-{int(m):06d}.parquet")
+            pq.write_table(t, path, row_group_size=row_group_rows)
+            rows.append((int(m), t.num_rows))
+        return pd.DataFrame(rows, columns=["month_idx", "n"])
+
+    _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                     ["month_idx"], write_bucket).to_pandas()
+
+    # footer-only audit, parallelized over files (plan-time metadata
+    # pass — at 10^12 rows this is the only part that runs per query)
+    def audit(path: str) -> tuple[int, int, int, int]:
+        f = pq.ParquetFile(path)
+        idx = f.schema_arrow.get_field_index("month_idx")
+        n_rg = pruned = scanned = total = 0
+        for rg in range(f.metadata.num_row_groups):
+            g = f.metadata.row_group(rg)
+            st = g.column(idx).statistics
+            n_rg += 1
+            total += g.num_rows
+            if st.max < _ZONEMAP_MONTH or st.min > _ZONEMAP_MONTH:
+                pruned += 1
+            else:
+                scanned += g.num_rows
+        return n_rg, pruned, scanned, total
+
+    paths = sorted(os.path.join(_ZONEMAP_DIR, f)
+                   for f in os.listdir(_ZONEMAP_DIR))
+    task = ray.remote(num_cpus=0.25)(audit)
+    res = np.asarray(ray.get([task.remote(p) for p in paths]), np.int64
+                     ).reshape(-1, 4)
+    return pd.DataFrame({
+        "n_row_groups": pd.Series([int(res[:, 0].sum())], dtype="int64"),
+        "n_pruned": pd.Series([int(res[:, 1].sum())], dtype="int64"),
+        "rows_scanned": pd.Series([int(res[:, 2].sum())], dtype="int64"),
+        "n_rows_total": pd.Series([int(res[:, 3].sum())], dtype="int64")})
+
+
+QUERIES["zonemap_prune_audit"] = zonemap_prune_audit
+
+ORACLE_SQL["zonemap_prune_audit"] = f"""
+    WITH md AS (SELECT CAST(stats_min_value AS BIGINT) AS mn,
+                       CAST(stats_max_value AS BIGINT) AS mx,
+                       row_group_num_rows AS nr
+                FROM parquet_metadata('{_ZONEMAP_DIR}/*.parquet')
+                WHERE path_in_schema = 'month_idx')
+    SELECT count(*)::BIGINT AS n_row_groups,
+           sum(CASE WHEN mx < {_ZONEMAP_MONTH}
+                      OR mn > {_ZONEMAP_MONTH}
+                    THEN 1 ELSE 0 END)::BIGINT AS n_pruned,
+           coalesce(sum(CASE WHEN mx >= {_ZONEMAP_MONTH}
+                              AND mn <= {_ZONEMAP_MONTH}
+                             THEN nr END), 0)::BIGINT AS rows_scanned,
+           sum(nr)::BIGINT AS n_rows_total
+    FROM md
+"""
+
+
+def part_attributes_unpivot(sf_dir: str):
+    """UNPIVOT / MELT: the wide part attributes (size, retail cents)
+    rotate into long (attr, val) rows INSIDE each batch — a zero-copy
+    column concat plus a repeated label column, never a row loop — and
+    the long table folds to per-attribute profiles.  The inverse of the
+    pivot (``events_type_pivot``); together they close the reshape
+    pair.  Exact integers end-to-end."""
+    ds = _t(sf_dir, "part", columns=["p_size", "p_retailprice"])
+
+    def melt(b: pa.Table) -> pa.Table:
+        size = pc.cast(b["p_size"], pa.int64())
+        v = b["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = pa.array((np.sign(v) * np.floor(np.abs(v) + 0.5)
+                          ).astype(np.int64))
+        n = len(b)
+        long = pa.table({
+            "attr": pa.array(["retail_cents"] * n + ["size"] * n),
+            "val": pa.concat_arrays([cents, size.combine_chunks()])})
+        # per-batch partial: the melt stays distributed, the fold is 2 rows
+        return long.group_by("attr").aggregate(
+            [("val", "count"), ("val", "sum"), ("val", "min"),
+             ("val", "max")])
+
+    p = ds.map_batches(melt, batch_format="pyarrow").to_pandas()
+    out = p.groupby("attr", as_index=False).agg(
+        n=("val_count", "sum"), sum_val=("val_sum", "sum"),
+        min_val=("val_min", "min"), max_val=("val_max", "max"))
+    return out.sort_values("attr").reset_index(drop=True).astype(
+        {c: "int64" for c in ["n", "sum_val", "min_val", "max_val"]})
+
+
+QUERIES["part_attributes_unpivot"] = part_attributes_unpivot
+
+ORACLE_SQL["part_attributes_unpivot"] = """
+    WITH w AS (SELECT p_size::BIGINT AS size,
+                      CAST(round(p_retailprice * 100) AS BIGINT)
+                          AS retail_cents
+               FROM part),
+    long AS (SELECT attr, val FROM w
+             UNPIVOT (val FOR attr IN (size, retail_cents)))
+    SELECT attr, count(*)::BIGINT AS n, sum(val)::BIGINT AS sum_val,
+           min(val)::BIGINT AS min_val, max(val)::BIGINT AS max_val
+    FROM long GROUP BY 1 ORDER BY 1
+"""
+
+
+def event_crosscorr_lag(sf_dir: str, max_lag: int = 12):
+    """CROSS-CORRELATION LAG SCAN (lead/lag detection between two event
+    series): Pearson corr of hourly view vs purchase counts at every
+    lag in ±``max_lag`` hours, on the DENSE hour grid (missing hours
+    are true zeros).  The distributed part is one narrow (hour, views,
+    purchases) partial fold; the 25-lag scan is then pure vectorized
+    slicing of a span-bounded array on the driver.  Integer moments on
+    both sides make every corr double bit-equal; the argmax row answers
+    \"do purchases trail views, and by how many hours?\"."""
+    ds = _t(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"],
+                     value_set=pa.array(["view", "purchase"]))
+        f = b.filter(m)
+        h = (f["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+             // 3_600_000_000)
+        is_v = np.asarray(pc.equal(f["event_type"], pa.scalar("view")))
+        order = np.argsort(h, kind="stable")
+        h, is_v = h[order], is_v[order]
+        starts = np.r_[0, np.nonzero(h[1:] != h[:-1])[0] + 1]
+        return pa.table({
+            "h": pa.array(h[starts]),
+            "x": pa.array(np.add.reduceat(
+                is_v.astype(np.int64), starts)),
+            "y": pa.array(np.add.reduceat(
+                (~is_v).astype(np.int64), starts))})
+
+    p = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("h", as_index=False).sum())
+    lo, hi = int(p["h"].min()), int(p["h"].max())
+    x = np.zeros(hi - lo + 1, np.int64)
+    y = np.zeros(hi - lo + 1, np.int64)
+    idx = p["h"].to_numpy(np.int64) - lo
+    x[idx] = p["x"].to_numpy(np.int64)
+    y[idx] = p["y"].to_numpy(np.int64)
+    rows = []
+    for lag in range(-max_lag, max_lag + 1):
+        a = x[max(0, -lag): len(x) - max(0, lag)]
+        b = y[max(0, lag): len(y) - max(0, -lag)]
+        n = len(a)
+        sx, sy = int(a.sum()), int(b.sum())
+        sxy = int((a * b).sum())
+        sxx, syy = int((a * a).sum()), int((b * b).sum())
+        num = float(n * sxy - sx * sy)
+        den = np.sqrt(float(n * sxx - sx * sx)
+                      * float(n * syy - sy * sy))
+        rows.append((lag, n, num / den))
+    return pd.DataFrame(rows, columns=["lag", "n_hours", "corr"]).astype(
+        {"lag": "int64", "n_hours": "int64"})
+
+
+QUERIES["event_crosscorr_lag"] = event_crosscorr_lag
+
+ORACLE_SQL["event_crosscorr_lag"] = """
+    WITH e AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+                      event_type
+               FROM events WHERE event_type IN ('view', 'purchase')),
+    span AS (SELECT min(h) AS mn, max(h) AS mx FROM e),
+    hours AS (SELECT unnest(generate_series(mn, mx)) AS h FROM span),
+    c AS (SELECT hours.h,
+                 coalesce(sum(CASE WHEN event_type = 'view'
+                                   THEN 1 END), 0)::BIGINT AS x,
+                 coalesce(sum(CASE WHEN event_type = 'purchase'
+                                   THEN 1 END), 0)::BIGINT AS y
+          FROM hours LEFT JOIN e ON e.h = hours.h GROUP BY 1),
+    lags AS (SELECT unnest(range(-12, 13)) AS lag),
+    p AS (SELECT l.lag, count(*) AS n, sum(a.x) AS sx, sum(b.y) AS sy,
+                 sum(a.x * b.y) AS sxy, sum(a.x * a.x) AS sxx,
+                 sum(b.y * b.y) AS syy
+          FROM lags l JOIN c a ON TRUE JOIN c b ON b.h = a.h + l.lag
+          GROUP BY 1)
+    SELECT lag::BIGINT AS lag, n::BIGINT AS n_hours,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
+    FROM p ORDER BY 1
+"""
+
+
+def copartitioned_bucket_join(sf_dir: str, n_buckets: int = 8):
+    """CO-PARTITIONED STORAGE JOIN (bucketed tables, ZERO query-time
+    exchange): orders and lineitem are first written bucketed by the
+    SAME function of the join key (``orderkey % B``, one file per
+    bucket per side); the join then runs as B independent local
+    bucket-pair joins — no shuffle, no broadcast — because co-bucketing
+    guarantees every matching pair lives in the same bucket index.
+    This is the write-once/join-many layout that amortizes the
+    all-to-all across every future join at 100 TB.  Each bucket task
+    joins with Arrow and folds its revenue partial; the driver sums the
+    priority-bounded partials."""
+    import shutil
+
+    root = os.path.join("/tmp", "aads_bucketed",
+                        os.path.basename(os.path.normpath(sf_dir))
+                        + f"_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    for side in ("orders", "lineitem"):
+        os.makedirs(os.path.join(root, side), exist_ok=True)
+
+    def write_side(table: str, key: str, cols: list[str]) -> None:
+        ds = _t(sf_dir, table, columns=cols,
+                blocks=_join_partitions(sf_dir, table))
+
+        def pre(b: pa.Table) -> pa.Table:
+            bkt = pc.cast(pc.subtract(
+                b[key], pc.multiply(pc.divide(
+                    b[key], pa.scalar(n_buckets)),
+                    pa.scalar(n_buckets))), pa.int64())
+            return b.append_column("bucket", bkt)
+
+        def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for bkt, gg in g.groupby("bucket"):
+                t = pa.Table.from_pandas(gg[cols], preserve_index=False)
+                pq.write_table(t, os.path.join(
+                    root, table, f"bucket-{int(bkt):04d}.parquet"))
+                rows.append((int(bkt), t.num_rows))
+            return pd.DataFrame(rows, columns=["bucket", "n"])
+
+        _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                         ["bucket"], write_bucket).to_pandas()
+
+    write_side("orders", "o_orderkey", ["o_orderkey", "o_orderpriority"])
+    write_side("lineitem", "l_orderkey",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def join_bucket(bkt: int) -> list[tuple[str, int, int]]:
+        po = os.path.join(root, "orders", f"bucket-{bkt:04d}.parquet")
+        pl = os.path.join(root, "lineitem", f"bucket-{bkt:04d}.parquet")
+        if not (os.path.exists(po) and os.path.exists(pl)):
+            return []
+        o = pq.read_table(po)
+        li = pq.read_table(pl)
+        j = li.join(o, keys=["l_orderkey"], right_keys=["o_orderkey"],
+                    join_type="inner")
+        v = (j["l_extendedprice"].to_numpy(zero_copy_only=False)
+             * (1.0 - j["l_discount"].to_numpy(zero_copy_only=False))
+             * 100.0)
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        pr = j["o_orderpriority"].to_numpy(zero_copy_only=False)
+        out = pd.DataFrame({"p": pr, "c": cents}).groupby("p")["c"].agg(
+            ["sum", "count"])
+        return [(str(p), int(r["sum"]), int(r["count"]))
+                for p, r in out.iterrows()]
+
+    task = ray.remote(num_cpus=1)(join_bucket)
+    parts = [r for rs in ray.get(
+        [task.remote(b) for b in range(n_buckets)]) for r in rs]
+    df = pd.DataFrame(parts, columns=["o_orderpriority", "cents", "n"])
+    out = df.groupby("o_orderpriority", as_index=False).agg(
+        revenue_cents=("cents", "sum"), n_lineitems=("n", "sum"))
+    return out.sort_values("o_orderpriority").reset_index(
+        drop=True).astype({"revenue_cents": "int64",
+                           "n_lineitems": "int64"})
+
+
+QUERIES["copartitioned_bucket_join"] = copartitioned_bucket_join
+
+ORACLE_SQL["copartitioned_bucket_join"] = """
+    SELECT o.o_orderpriority,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT))::BIGINT AS revenue_cents,
+           count(*)::BIGINT AS n_lineitems
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -13838,6 +14144,8 @@ _FRONT = [
     "snm_adjacent_pairs", "fifo_lot_matching",
     "acctbal_ntile_quartiles", "theilsen_nation_trend",
     "interval_overlap_pairs", "lineitem_corr_matrix",
+    "zonemap_prune_audit", "part_attributes_unpivot",
+    "event_crosscorr_lag", "copartitioned_bucket_join",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

@@ -4411,3 +4411,103 @@ def test_corr_matrix_exact_unit_correlations(ray_session, tmp_path):
     assert got[("quantity", "discount")] == 1.0
     assert got[("quantity", "tax")] == -1.0
     assert got[("discount", "tax")] == -1.0
+
+
+# ---------------------------------------------------- zone-map audit
+
+
+def test_zonemap_prunes_other_month_row_groups(ray_session, tmp_path):
+    """Months 11/12/13 with 3/5/2 rows at row_group_rows=2: only month
+    12's row groups survive the month_idx=12 predicate; every other
+    row group is pruned from the FOOTERS alone."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        zonemap_prune_audit,
+    )
+
+    months = [11] * 3 + [12] * 5 + [13] * 2
+    dates = pd.to_datetime([f"{1995 + m // 12}-{m % 12 + 1:02d}-10"
+                            for m in months])
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(1, 11), pa.int64()),
+        "o_orderdate": pa.array(dates, pa.timestamp("us"))}),
+        tmp_path / "orders.parquet")
+    out = zonemap_prune_audit(str(tmp_path), row_group_rows=2).iloc[0]
+    assert out["n_row_groups"] == 2 + 3 + 1
+    assert out["n_pruned"] == 2 + 1
+    assert out["rows_scanned"] == 5
+    assert out["n_rows_total"] == 10
+
+
+# -------------------------------------------------------- unpivot
+
+
+def test_unpivot_per_attr_profiles(ray_session, tmp_path):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        part_attributes_unpivot,
+    )
+
+    tbl = pa.table({
+        "p_size": pa.array([3, 10], pa.int32()),
+        "p_retailprice": pa.array([1.25, 9.99], pa.float64()),
+    })
+    out = part_attributes_unpivot(
+        _write(tmp_path, "part", tbl)).set_index("attr")
+    assert out.loc["size", "sum_val"] == 13
+    assert out.loc["size", "min_val"] == 3
+    assert out.loc["retail_cents", "sum_val"] == 125 + 999
+    assert out.loc["retail_cents", "max_val"] == 999
+
+
+# ------------------------------------------------- cross-correlation
+
+
+def test_crosscorr_detects_exact_2h_shift(ray_session, tmp_path):
+    """purchases[h] = views[h-2] exactly → corr at lag +2 is EXACTLY
+    1.0 and is the argmax (purchases trail views by 2 hours)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        event_crosscorr_lag,
+    )
+
+    counts = [1, 2, 1, 3, 1, 2, 1, 4, 1, 2]
+    rows = []
+    for h, c in enumerate(counts):
+        rows += [("view", h)] * c + [("purchase", h + 2)] * c
+    H = 3_600_000_000
+    tbl = pa.table({
+        "ts": pa.array([h * H for _, h in rows], pa.timestamp("us")),
+        "event_type": pa.array([t for t, _ in rows], pa.string()),
+    })
+    out = event_crosscorr_lag(_write(tmp_path, "events", tbl))
+    row2 = out.set_index("lag").loc[2]
+    assert row2["corr"] == 1.0
+    assert row2["n_hours"] == 10  # span 0..11 dense, minus |lag|
+    assert out.loc[out["corr"].idxmax(), "lag"] == 2
+
+
+# --------------------------------------------- co-partitioned join
+
+
+def test_bucket_join_matches_plain_join(ray_session, tmp_path):
+    """Keys land in different buckets; a lineitem with no order is
+    dropped by the inner bucket-pair join."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        copartitioned_bucket_join,
+    )
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_orderpriority": pa.array(["1-URGENT", "3-MEDIUM"],
+                                    pa.string())}),
+        tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 99], pa.int64()),
+        "l_extendedprice": pa.array([10.0, 20.0, 5.0, 7.0],
+                                    pa.float64()),
+        "l_discount": pa.array([0.1, 0.0, 0.2, 0.0], pa.float64())}),
+        tmp_path / "lineitem.parquet")
+    out = copartitioned_bucket_join(
+        str(tmp_path)).set_index("o_orderpriority")
+    assert out.loc["1-URGENT", "revenue_cents"] == 900 + 2000
+    assert out.loc["1-URGENT", "n_lineitems"] == 2
+    assert out.loc["3-MEDIUM", "revenue_cents"] == 400
+    assert 99 not in out.index and len(out) == 2
