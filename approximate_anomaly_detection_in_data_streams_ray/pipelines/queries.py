@@ -14058,6 +14058,331 @@ ORACLE_SQL["copartitioned_bucket_join"] = """
 """
 
 
+_ZORDER_DIR = f"/tmp/aads_zorder_{os.getpid()}"
+_ZORDER_CK_LO, _ZORDER_CK_HI, _ZORDER_MONTH = 10, 40, 12
+
+
+def zorder_write_audit(sf_dir: str, row_group_rows: int = 512):
+    """Z-ORDER (Morton-curve) MULTI-DIMENSIONAL CLUSTERING: orders are
+    written sorted by the BIT-INTERLEAVED (custkey, month) key, so the
+    footer min/max of BOTH columns stay tight per row group and BOTH a
+    custkey-band predicate and a month predicate prune — the property no
+    single-column sort can give, and the standard layout for 100-TB
+    tables queried along two axes.  The interleave is pure vectorized
+    uint64 bit-spreading; the audit is footer-only (parallel metadata
+    tasks), and the oracle recomputes it from the IDENTICAL footers via
+    DuckDB ``parquet_metadata()``."""
+    import shutil
+
+    ds = _t(sf_dir, "orders", columns=["o_custkey", "o_orderdate"],
+            blocks=_join_partitions(sf_dir, "orders"))
+    shutil.rmtree(_ZORDER_DIR, ignore_errors=True)
+    os.makedirs(_ZORDER_DIR, exist_ok=True)
+
+    def _spread16(x: np.ndarray) -> np.ndarray:
+        x = x.astype(np.uint64)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+        x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return x
+
+    def pre(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        d = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[M]"))
+        m = (d.astype(np.int64) - (1995 - 1970) * 12).astype(np.int64)
+        # 16-bit cells per dimension (documented bound: custkey < 65536
+        # per z-cell at this corpus scale; clipping only coarsens the
+        # CLUSTERING, never the audited footer stats)
+        z = (_spread16(np.minimum(ck, 65535))
+             | (_spread16(np.minimum(m, 65535)) << np.uint64(1))
+             ).astype(np.int64)
+        return pa.table({"o_custkey": pa.array(ck),
+                         "month_idx": pa.array(m),
+                         "z": pa.array(z),
+                         "bucket": pa.array(z >> 27)})
+
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bkt, gg in g.groupby("bucket"):
+            t = pa.Table.from_pandas(
+                gg.sort_values("z")[["o_custkey", "month_idx", "z"]],
+                preserve_index=False)
+            pq.write_table(t, os.path.join(
+                _ZORDER_DIR, f"z-{int(bkt):06d}.parquet"),
+                row_group_size=row_group_rows)
+            rows.append((int(bkt), t.num_rows))
+        return pd.DataFrame(rows, columns=["bucket", "n"])
+
+    _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                     ["bucket"], write_bucket).to_pandas()
+
+    def audit(path: str) -> tuple[int, int, int, int, int, int]:
+        f = pq.ParquetFile(path)
+        ic = f.schema_arrow.get_field_index("o_custkey")
+        im = f.schema_arrow.get_field_index("month_idx")
+        n_rg = pc_ck = sc_ck = pc_m = sc_m = total = 0
+        for rg in range(f.metadata.num_row_groups):
+            g = f.metadata.row_group(rg)
+            sck = g.column(ic).statistics
+            sm = g.column(im).statistics
+            n_rg += 1
+            total += g.num_rows
+            if sck.max < _ZORDER_CK_LO or sck.min > _ZORDER_CK_HI:
+                pc_ck += 1
+            else:
+                sc_ck += g.num_rows
+            if sm.max < _ZORDER_MONTH or sm.min > _ZORDER_MONTH:
+                pc_m += 1
+            else:
+                sc_m += g.num_rows
+        return n_rg, pc_ck, sc_ck, pc_m, sc_m, total
+
+    paths = sorted(os.path.join(_ZORDER_DIR, f)
+                   for f in os.listdir(_ZORDER_DIR))
+    task = ray.remote(num_cpus=0.25)(audit)
+    res = np.asarray(ray.get([task.remote(p) for p in paths]), np.int64
+                     ).reshape(-1, 6)
+    cols = ["n_row_groups", "pruned_cust", "scanned_cust_rows",
+            "pruned_month", "scanned_month_rows", "n_rows_total"]
+    return pd.DataFrame({c: pd.Series([int(res[:, i].sum())],
+                                      dtype="int64")
+                         for i, c in enumerate(cols)})
+
+
+QUERIES["zorder_write_audit"] = zorder_write_audit
+
+ORACLE_SQL["zorder_write_audit"] = f"""
+    WITH c AS (SELECT file_name, row_group_id,
+                      CAST(stats_min_value AS BIGINT) AS mn,
+                      CAST(stats_max_value AS BIGINT) AS mx,
+                      row_group_num_rows AS nr
+               FROM parquet_metadata('{_ZORDER_DIR}/*.parquet')
+               WHERE path_in_schema = 'o_custkey'),
+    m AS (SELECT file_name, row_group_id,
+                 CAST(stats_min_value AS BIGINT) AS mn,
+                 CAST(stats_max_value AS BIGINT) AS mx
+          FROM parquet_metadata('{_ZORDER_DIR}/*.parquet')
+          WHERE path_in_schema = 'month_idx')
+    SELECT count(*)::BIGINT AS n_row_groups,
+           sum(CASE WHEN c.mx < {_ZORDER_CK_LO}
+                      OR c.mn > {_ZORDER_CK_HI}
+                    THEN 1 ELSE 0 END)::BIGINT AS pruned_cust,
+           coalesce(sum(CASE WHEN c.mx >= {_ZORDER_CK_LO}
+                              AND c.mn <= {_ZORDER_CK_HI}
+                             THEN c.nr END), 0)::BIGINT
+               AS scanned_cust_rows,
+           sum(CASE WHEN m.mx < {_ZORDER_MONTH}
+                      OR m.mn > {_ZORDER_MONTH}
+                    THEN 1 ELSE 0 END)::BIGINT AS pruned_month,
+           coalesce(sum(CASE WHEN m.mx >= {_ZORDER_MONTH}
+                              AND m.mn <= {_ZORDER_MONTH}
+                             THEN c.nr END), 0)::BIGINT
+               AS scanned_month_rows,
+           sum(c.nr)::BIGINT AS n_rows_total
+    FROM c JOIN m USING (file_name, row_group_id)
+"""
+
+
+def user_event_signature_top(sf_dir: str):
+    """ORDERED STRING_AGG (sequence signatures): each user's full
+    event-type sequence in (ts, event_id) order collapses to one
+    comma-joined signature string, and the output is the top-20
+    signatures by user count — the behavioral-archetype readout.  Two
+    exchanges, both scale-clean: users land whole in the first (so each
+    signature is built locally and correctly ordered), signatures land
+    whole in the second (so per-partition counts and top-20 candidates
+    are globally exact); the driver merges P×20 candidate rows, never
+    the signature table."""
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                       "event_type"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b["event_type"]))
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        sig = g.groupby("user_id", sort=False)["event_type"].agg(
+            ",".join)
+        vc = sig.value_counts()
+        return pd.DataFrame({"signature": vc.index.to_numpy(),
+                             "n_users": vc.to_numpy(np.int64)})
+
+    def top20(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("signature", as_index=False)["n_users"].sum()
+        return t.sort_values(["n_users", "signature"],
+                             ascending=[False, True]).head(20)
+
+    sigs = _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["user_id"], build)
+    cand = _agg_partitioned(sigs, ["signature"], top20).to_pandas()
+    out = cand.groupby("signature", as_index=False)["n_users"].sum()
+    return (out.sort_values(["n_users", "signature"],
+                            ascending=[False, True]).head(20)
+            .reset_index(drop=True).astype({"n_users": "int64"}))
+
+
+QUERIES["user_event_signature_top"] = user_event_signature_top
+
+ORACLE_SQL["user_event_signature_top"] = """
+    WITH s AS (SELECT user_id,
+                      string_agg(event_type, ',' ORDER BY ts, event_id)
+                          AS signature
+               FROM events WHERE event_type IS NOT NULL GROUP BY 1)
+    SELECT signature, count(*)::BIGINT AS n_users
+    FROM s GROUP BY 1 ORDER BY n_users DESC, signature LIMIT 20
+"""
+
+
+def postings_gap_stats(sf_dir: str):
+    """POSTINGS DELTA-GAP PROFILE (the inverted-index compressibility
+    question): for the top-10 tokens by document frequency, the gap
+    distribution of their sorted doc-id postings — min/max gap and how
+    many postings are delta-1 runs.  Gap stats are computed INSIDE the
+    token partition (each token's postings land whole after one
+    exchange, a vectorized segmented diff), so only per-token stat rows
+    ever leave a worker — the postings lists themselves, which for head
+    tokens are corpus-sized, never move or materialize."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"], spread=True)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(b["text"], ""),
+                                      pattern=r"[^A-Za-z0-9_]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        doc = (b["doc_id"].to_numpy(zero_copy_only=False)
+               [parent.filter(mask).to_numpy(zero_copy_only=False)])
+        df = pd.DataFrame({"token": flat.filter(mask).to_pandas(),
+                           "doc_id": doc}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def gap_stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", "doc_id"])
+        tok = g["token"].to_numpy()
+        doc = g["doc_id"].to_numpy(np.int64)
+        new_tok = np.r_[True, tok[1:] != tok[:-1]]
+        gap = np.diff(doc, prepend=doc[:1])
+        gap[new_tok] = 0                      # mask the segment firsts
+        starts = np.nonzero(new_tok)[0]
+        ends = np.r_[starts[1:], len(tok)]
+        n_docs = ends - starts
+        keep = n_docs >= 2
+        # per-segment gap aggregates over positions starts+1 .. ends-1
+        NOGAP = np.int64(2 ** 62)
+        gmin = np.where(new_tok, NOGAP, gap)
+        gmax = np.where(new_tok, -NOGAP, gap)
+        seg_min = np.minimum.reduceat(gmin, starts)
+        seg_max = np.maximum.reduceat(gmax, starts)
+        seg_g1 = np.add.reduceat(
+            ((gap == 1) & ~new_tok).astype(np.int64), starts)
+        return pd.DataFrame({
+            "token": tok[starts][keep],
+            "n_docs": n_docs[keep].astype(np.int64),
+            "min_gap": seg_min[keep].astype(np.int64),
+            "max_gap": seg_max[keep].astype(np.int64),
+            "n_gap1": seg_g1[keep].astype(np.int64)})
+
+    parts = _agg_partitioned(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["token"], gap_stats).to_pandas()
+    return (parts.sort_values(["n_docs", "token"],
+                              ascending=[False, True]).head(10)
+            .reset_index(drop=True))
+
+
+QUERIES["postings_gap_stats"] = postings_gap_stats
+
+ORACLE_SQL["postings_gap_stats"] = """
+    WITH pairs AS (SELECT DISTINCT token, doc_id FROM (
+             SELECT doc_id,
+                    unnest(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                        AS token
+             FROM documents) WHERE token <> ''),
+    g AS (SELECT token, doc_id,
+                 doc_id - lag(doc_id) OVER (PARTITION BY token
+                                            ORDER BY doc_id) AS gap
+          FROM pairs),
+    s AS (SELECT token, count(*)::BIGINT AS n_docs,
+                 min(gap)::BIGINT AS min_gap,
+                 max(gap)::BIGINT AS max_gap,
+                 sum(CASE WHEN gap = 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_gap1
+          FROM g GROUP BY 1 HAVING count(*) >= 2)
+    SELECT * FROM s ORDER BY n_docs DESC, token LIMIT 10
+"""
+
+
+def top_orders_with_ties(sf_dir: str):
+    """TOP-K WITH TIES (``RANK() <= k``, not ``LIMIT k``): every order
+    whose price RANK is ≤ 10, which can be MORE than 10 rows when the
+    boundary value ties.  Distributed as threshold-with-ties: each
+    block emits its top-10 DISTINCT values with complete counts (any
+    value above the global threshold is within every holder's local
+    top-10, so the merged counts are exact), the driver derives the
+    smallest value whose rank ≤ 10, and one vectorized filter pass
+    fetches exactly the qualifying rows.  No sort, no limit-pushdown
+    ambiguity."""
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _cents(b: pa.Table) -> np.ndarray:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+    def top_partial(b: pa.Table) -> pa.Table:
+        c = np.sort(_cents(b))[::-1]
+        if not len(c):
+            return pa.table({"cents": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        starts = np.r_[0, np.nonzero(c[1:] != c[:-1])[0] + 1][:10]
+        ends = np.r_[starts[1:], int(np.searchsorted(
+            -c, -c[starts[-1]], side="right"))]
+        return pa.table({"cents": pa.array(c[starts]),
+                         "n": pa.array((ends - starts).astype(np.int64))})
+
+    p = (ds.map_batches(top_partial, batch_format="pyarrow")
+         .to_pandas().groupby("cents", as_index=False)["n"].sum()
+         .sort_values("cents", ascending=False))
+    above = 0
+    thr = None
+    for _, row in p.iterrows():
+        if above + 1 > 10:
+            break
+        thr = int(row["cents"])
+        above += int(row["n"])
+    thr_ref = ray.put(thr)
+
+    def fetch(b: pa.Table) -> pa.Table:
+        c = _cents(b)
+        keep = c >= ray.get(thr_ref)
+        return pa.table({
+            "o_orderkey": pa.array(b["o_orderkey"].to_numpy(
+                zero_copy_only=False)[keep]),
+            "cents": pa.array(c[keep])})
+
+    rows = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    c = rows["cents"].to_numpy(np.int64)
+    rnk = np.array([1 + int((c > v).sum()) for v in c], np.int64)
+    rows["rnk"] = rnk
+    return (rows.sort_values(["rnk", "o_orderkey"])
+            .reset_index(drop=True).astype({"rnk": "int64"}))
+
+
+QUERIES["top_orders_with_ties"] = top_orders_with_ties
+
+ORACLE_SQL["top_orders_with_ties"] = """
+    SELECT o_orderkey, cents, rnk::BIGINT AS rnk FROM (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               rank() OVER (ORDER BY CAST(round(o_totalprice * 100)
+                                          AS BIGINT) DESC) AS rnk
+        FROM orders)
+    WHERE rnk <= 10 ORDER BY rnk, o_orderkey
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -14146,6 +14471,8 @@ _FRONT = [
     "interval_overlap_pairs", "lineitem_corr_matrix",
     "zonemap_prune_audit", "part_attributes_unpivot",
     "event_crosscorr_lag", "copartitioned_bucket_join",
+    "zorder_write_audit", "user_event_signature_top",
+    "postings_gap_stats", "top_orders_with_ties",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

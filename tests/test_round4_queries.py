@@ -4511,3 +4511,107 @@ def test_bucket_join_matches_plain_join(ray_session, tmp_path):
     assert out.loc["1-URGENT", "n_lineitems"] == 2
     assert out.loc["3-MEDIUM", "revenue_cents"] == 400
     assert 99 not in out.index and len(out) == 2
+
+
+# ------------------------------------------------------ Z-order
+
+
+def test_zorder_prunes_both_dimensions(ray_session, tmp_path):
+    """A 64-custkey × 4-month grid written z-ordered with 16-row row
+    groups must prune row groups for BOTH the custkey band and the
+    month predicate — the property a single-column sort cannot give."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        zorder_write_audit,
+    )
+
+    # 16×16 Morton grid: every 16 consecutive z values are one aligned
+    # 4×4 (custkey × month) tile, so each row group's min/max is tight
+    # in BOTH dimensions
+    cks, ms = np.meshgrid(np.arange(0, 16), np.arange(0, 16))
+    dates = pd.to_datetime([f"{1995 + m // 12}-{m % 12 + 1:02d}-05"
+                            for m in ms.ravel()])
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(cks.ravel(), pa.int64()),
+        "o_orderdate": pa.array(dates, pa.timestamp("us"))}),
+        tmp_path / "orders.parquet")
+    out = zorder_write_audit(str(tmp_path), row_group_rows=16).iloc[0]
+    assert out["n_rows_total"] == 256
+    assert out["n_row_groups"] == 16
+    # custkey band 10..40 hits tiles with custkeys 8..15 → 8 of 16
+    assert out["pruned_cust"] == 8
+    # month 12 lives in the 12..15 tile row only → 12 of 16 pruned
+    assert out["pruned_month"] == 12
+    # every matching row is inside a scanned group
+    assert out["scanned_cust_rows"] >= 6 * 16     # custkeys 10..15
+    assert out["scanned_month_rows"] >= 16        # month 12
+
+
+# ----------------------------------------------- sequence signatures
+
+
+def test_signature_orders_by_ts_then_event_id(ray_session, tmp_path):
+    """Two users share the signature 'view,purchase' only if the
+    (ts, event_id) order is respected — equal timestamps fall back to
+    event_id order."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        user_event_signature_top,
+    )
+
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([0, 1_000_000, 5, 5], pa.timestamp("us")),
+        "event_id": pa.array([10, 11, 21, 20], pa.int64()),
+        "event_type": pa.array(["view", "purchase", "purchase", "view"],
+                               pa.string()),
+    })
+    out = user_event_signature_top(_write(tmp_path, "events", tbl))
+    got = dict(zip(out["signature"], out["n_users"]))
+    assert got == {"view,purchase": 2}
+
+
+# --------------------------------------------------- postings gaps
+
+
+def test_postings_gap_profile(ray_session, tmp_path):
+    """Token in docs {1,2,3,5} → gaps 1,1,2; a single-doc token is
+    excluded (no gaps exist)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        postings_gap_stats,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["alpha beta", "alpha", "alpha", "solo",
+                          "alpha beta"], pa.string()),
+    })
+    out = postings_gap_stats(
+        _write(tmp_path, "documents", tbl)).set_index("token")
+    assert out.loc["alpha", "n_docs"] == 4
+    assert out.loc["alpha", "min_gap"] == 1
+    assert out.loc["alpha", "max_gap"] == 2
+    assert out.loc["alpha", "n_gap1"] == 2
+    assert out.loc["beta", "n_docs"] == 2
+    assert out.loc["beta", "min_gap"] == 4
+    assert "solo" not in out.index
+
+
+# ---------------------------------------------------- rank ≤ k ties
+
+
+def test_top_with_ties_includes_boundary_tie_group(ray_session,
+                                                   tmp_path):
+    """Prices 100×3, 90×5, 80×4, 70×1: rank(80)=9 ≤ 10, so ALL four
+    80s qualify → 12 rows, not 10; 70 (rank 13) is out."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        top_orders_with_ties,
+    )
+
+    prices = [1.00] * 3 + [0.90] * 5 + [0.80] * 4 + [0.70]
+    tbl = pa.table({
+        "o_orderkey": pa.array(range(1, len(prices) + 1), pa.int64()),
+        "o_totalprice": pa.array(prices, pa.float64()),
+    })
+    out = top_orders_with_ties(_write(tmp_path, "orders", tbl))
+    assert len(out) == 12
+    assert list(out["rnk"].unique()) == [1, 4, 9]
+    assert 70 not in out["cents"].to_numpy()
