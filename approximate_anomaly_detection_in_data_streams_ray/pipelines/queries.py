@@ -14383,6 +14383,355 @@ ORACLE_SQL["top_orders_with_ties"] = """
 """
 
 
+# ------------------------- round-4bb: sliding distinct / TPC-H / time travel
+
+
+def rolling_7d_distinct_users(sf_dir: str):
+    """SLIDING-WINDOW COUNT DISTINCT (trailing 7 days) without windowed
+    state or the day×event range join the SQL writes: a user active on
+    day ``d`` contributes to window-days ``d..d+6``, so each user's
+    contribution set is the INTERVAL UNION of ``[d, d+6]`` over their
+    active days — distinct-ness falls out of the union (a user covers
+    each window day at most once) and the per-day count becomes a plain
+    SUM.  Per-batch (user, day) dedup shrinks the exchange to active
+    pairs; ONE user exchange; the ≤7× interval explode happens inside
+    the partition (vectorized repeat+arange, no per-user Python); the
+    driver folds a day-bounded table.  The oracle's ``BETWEEN d-6 AND
+    d`` join touches every event × 7 — this plan touches every active
+    PAIR × ≤7 and never re-reads history per window."""
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        day = (b["ts"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[D]").astype(np.int64))
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # epoch-day < 2^21 until year 7710; user_id is positive int64
+        key = np.unique((uid << np.int64(21)) | day)
+        return pa.table({"user_id": pa.array(key >> np.int64(21)),
+                         "day": pa.array(key & np.int64((1 << 21) - 1))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])  # cross-batch dups
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        o = np.lexsort((d, u))
+        u, d = u[o], d[o]
+        first = np.r_[True, u[1:] != u[:-1]]
+        prev = np.r_[np.int64(0), d[:-1]]
+        # interval union: this day's fresh coverage starts after the
+        # previous active day's [prev, prev+6] window ends
+        start = np.where(first, d, np.maximum(d, prev + 7))
+        ln = (d + 7) - start  # >= 1: d strictly increases within a user
+        base = np.repeat(start, ln)
+        offs = np.arange(int(ln.sum())) - np.repeat(np.cumsum(ln) - ln, ln)
+        cov_day, n_cov = np.unique(base + offs, return_counts=True)
+        act_day = np.unique(d)
+        out = pd.DataFrame({
+            "day": np.r_[cov_day, act_day],
+            "n_cov": np.r_[n_cov, np.zeros(len(act_day), np.int64)],
+            "n_act": np.r_[np.zeros(len(cov_day), np.int64),
+                           np.ones(len(act_day), np.int64)]})
+        return out.groupby("day", as_index=False).sum()
+
+    parts = _agg_partitioned(
+        ds.map_batches(pre, batch_format="pyarrow"), ["user_id"], fold
+    ).to_pandas()
+    s = parts.groupby("day", as_index=False).sum()
+    # coverage extends ≤6 days past the last activity; the window is only
+    # reported for days on which anything actually happened (oracle ditto)
+    s = s[s["n_act"] > 0]
+    return pd.DataFrame({
+        "day": s["day"].to_numpy(np.int64).astype("datetime64[D]").astype(str),
+        "n_users_7d": s["n_cov"].to_numpy(np.int64),
+    }).sort_values("day").reset_index(drop=True)
+
+
+QUERIES["rolling_7d_distinct_users"] = rolling_7d_distinct_users
+
+ORACLE_SQL["rolling_7d_distinct_users"] = """
+    WITH acts AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                  FROM events),
+         days AS (SELECT DISTINCT day FROM acts)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           count(DISTINCT a.user_id)::BIGINT AS n_users_7d
+    FROM days d JOIN acts a ON a.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def promo_revenue_share(sf_dir: str):
+    """TPC-H Q14-shaped PROMO REVENUE SHARE per ship month: conditional
+    aggregation over a fact⋈dimension join, run as a BROADCAST
+    membership probe (``ray.put`` the promo partkey set once, ``is_in``
+    per batch) — the fact table never shuffles and the join never
+    exchanges.  Revenue is exact-integer ``cents × (10000 − discount
+    basis points)`` so the month sums and the final share division are
+    bit-equal to the SQL (cf. `lineitem_corr_matrix`'s integer-moment
+    rule).  Partials are month-bounded (one row per month per batch);
+    the driver folds ≤ tens of rows.  At 100 TB the part dimension stays
+    broadcastable (~GBs of keys); were it not, `copartitioned_bucket_join`
+    is the layout-level alternative."""
+    pt = pa.concat_tables([
+        pq.read_table(f, columns=["p_partkey", "p_type"])
+        for f in _table_paths(sf_dir, "part")])
+    promo = pt.filter(pc.starts_with(pc.fill_null(pt["p_type"], ""),
+                                     "PROMO"))["p_partkey"].combine_chunks()
+    promo_ref = ray.put(promo)
+
+    ds = _t(sf_dir, "lineitem",
+            columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ep = b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(ep) * np.floor(np.abs(ep) + 0.5)).astype(np.int64)
+        dc = b["l_discount"].to_numpy(zero_copy_only=False) * 10000.0
+        bp = (np.sign(dc) * np.floor(np.abs(dc) + 0.5)).astype(np.int64)
+        rev = cents * (10000 - bp)
+        mon = (b["l_shipdate"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[M]").astype(np.int64))
+        is_promo = pc.is_in(b["l_partkey"],
+                            value_set=ray.get(promo_ref)).to_numpy(
+                                zero_copy_only=False)
+        m, inv = np.unique(mon, return_inverse=True)
+        return pa.table({
+            "mon": pa.array(m),
+            "promo_rev": pa.array(np.bincount(
+                inv, weights=np.where(is_promo, rev, 0),
+                minlength=len(m)).astype(np.int64)),
+            "total_rev": pa.array(np.bincount(
+                inv, weights=rev, minlength=len(m)).astype(np.int64)),
+        })
+
+    p = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("mon", as_index=False).sum())
+    out = pd.DataFrame({
+        "month": p["mon"].to_numpy(np.int64).astype("datetime64[M]").astype(str),
+        "promo_rev": p["promo_rev"].astype("int64"),
+        "total_rev": p["total_rev"].astype("int64"),
+    })
+    out["promo_share"] = out["promo_rev"].astype(float) / out[
+        "total_rev"].astype(float)
+    return out.sort_values("month").reset_index(drop=True)
+
+
+QUERIES["promo_revenue_share"] = promo_revenue_share
+
+ORACLE_SQL["promo_revenue_share"] = """
+    WITH l AS (SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                      l_partkey,
+                      CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+                        AS rev
+               FROM lineitem),
+         pr AS (SELECT p_partkey FROM part WHERE p_type LIKE 'PROMO%')
+    SELECT month,
+           sum(CASE WHEN pr.p_partkey IS NOT NULL THEN rev ELSE 0 END)
+               ::BIGINT AS promo_rev,
+           sum(rev)::BIGINT AS total_rev,
+           sum(CASE WHEN pr.p_partkey IS NOT NULL THEN rev ELSE 0 END)
+               ::DOUBLE / sum(rev)::DOUBLE AS promo_share
+    FROM l LEFT JOIN pr ON l.l_partkey = pr.p_partkey
+    GROUP BY month ORDER BY month
+"""
+
+
+def large_volume_customers(sf_dir: str):
+    """TPC-H Q18-shaped LARGE-VOLUME ORDERS: ``HAVING sum(qty) > 300``
+    over lineitem, then enrich the (tiny) qualifying set from orders.
+    The HAVING is the scale lever: per-batch Arrow ``group_by`` partials
+    + ONE orderkey exchange reduce the fact table to per-order sums, the
+    ``> 300`` filter runs INSIDE the fold so only qualifying rows ever
+    reach the driver, and the enrichment is a broadcast semi-join
+    (``ray.put`` the qualifying keys, ``is_in`` per orders batch) — the
+    classic aggregate→filter→semi-join plan with no orders shuffle.
+    Quantities are integral-valued doubles; per-batch sums stay exact in
+    float64 (≪ 2^53) and are pinned to int64 at the partial."""
+    ds = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        g = b.group_by("l_orderkey").aggregate([("l_quantity", "sum")])
+        q = g["l_quantity_sum"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": g["l_orderkey"],
+            "qty": pa.array((np.sign(q) * np.floor(np.abs(q) + 0.5))
+                            .astype(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("o_orderkey", as_index=False)["qty"].sum()
+        return s[s["qty"] > 300].rename(columns={"qty": "total_qty"})
+
+    qual = _agg_partitioned(
+        ds.map_batches(pre, batch_format="pyarrow"), ["o_orderkey"], fold
+    ).to_pandas()
+    keys_ref = ray.put(pa.array(qual["o_orderkey"].to_numpy(np.int64)))
+
+    def fetch(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_in(b["o_orderkey"], value_set=ray.get(keys_ref)))
+        tp = f["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        return pa.table({
+            "o_orderkey": f["o_orderkey"],
+            "o_custkey": f["o_custkey"],
+            "cents": pa.array((np.sign(tp) * np.floor(np.abs(tp) + 0.5))
+                              .astype(np.int64))})
+
+    o = (_t(sf_dir, "orders",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+         .map_batches(fetch, batch_format="pyarrow").to_pandas())
+    out = o.merge(qual, on="o_orderkey", how="inner")
+    out["total_qty"] = out["total_qty"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+QUERIES["large_volume_customers"] = large_volume_customers
+
+ORACLE_SQL["large_volume_customers"] = """
+    WITH q AS (SELECT l_orderkey AS o_orderkey,
+                      CAST(round(sum(l_quantity)) AS BIGINT) AS total_qty
+               FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+           q.total_qty
+    FROM orders o JOIN q ON o.o_orderkey = q.o_orderkey
+    ORDER BY o.o_orderkey
+"""
+
+
+_TT_APPEND_OFFSET = 1 << 40  # appended keys live far above any base key
+
+
+def time_travel_read(sf_dir: str):
+    """SNAPSHOT ISOLATION / TIME TRAVEL via manifests (Iceberg-lite):
+    a table version is a MANIFEST — a JSON list of immutable data files
+    plus delete-KEY files — so a commit appends files without rewriting
+    history and any past snapshot stays readable forever.  v1 = the
+    orders table written as data files; one commit then (a) deletes
+    every ``o_orderkey % 10 == 3`` row by writing their keys to a
+    delete file (merge-on-read: the data files are untouched) and (b)
+    appends status-'A' copies of every ``% 100 == 7`` row as new data
+    files.  The snapshot reader resolves a manifest to
+    ``read_parquet(manifest.files)`` + a broadcast anti-filter on the
+    delete-key set — deletes are an EXPLICIT key list, not a predicate,
+    so appended rows (whose keys may collide with the predicate mod 10)
+    are immune by construction.  Both snapshots are then summarized
+    per status from status-bounded partials; the oracle reconstructs v1
+    and v2 relationally from the same deterministic commit rules."""
+    import glob as _glob
+    import json
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="aads_timetravel_")
+    base_dir = os.path.join(root, "base")
+    delta_dir = os.path.join(root, "delta")
+    del_dir = os.path.join(root, "deletes")
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    _t(sf_dir, "orders", columns=cols).write_parquet(base_dir)
+    base_files = sorted(_glob.glob(os.path.join(base_dir, "*.parquet")))
+    m1_path = os.path.join(root, "v1.json")
+    with open(m1_path, "w") as f:
+        json.dump({"snapshot": "v1", "files": base_files,
+                   "delete_files": []}, f)
+
+    # the commit is computed FROM the current snapshot's files (not the
+    # original source) — exactly how a table-format writer operates
+    v1 = ray.data.read_parquet(base_files, columns=cols)
+
+    def mk_appends(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(k % 100 == 7))
+        kk = f["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": pa.array(kk + _TT_APPEND_OFFSET),
+            "o_orderstatus": pa.array(np.full(len(kk), "A"), pa.string()),
+            "o_totalprice": f["o_totalprice"]})
+
+    def mk_deletes(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": pa.array(k[k % 10 == 3])})
+
+    v1.map_batches(mk_appends, batch_format="pyarrow").write_parquet(
+        delta_dir)
+    v1.map_batches(mk_deletes, batch_format="pyarrow").write_parquet(
+        del_dir)
+    m2_path = os.path.join(root, "v2.json")
+    with open(m2_path, "w") as f:
+        json.dump({"snapshot": "v2",
+                   "files": base_files + sorted(_glob.glob(
+                       os.path.join(delta_dir, "*.parquet"))),
+                   "delete_files": sorted(_glob.glob(
+                       os.path.join(del_dir, "*.parquet")))}, f)
+
+    def read_snapshot(manifest_path: str):
+        with open(manifest_path) as f:
+            m = json.load(f)
+        d = ray.data.read_parquet(m["files"], columns=cols)
+        if m["delete_files"]:
+            dels = pa.concat_tables([
+                pq.read_table(f) for f in m["delete_files"]])[
+                    "o_orderkey"].combine_chunks()
+            ref = ray.put(dels)
+            d = d.map_batches(
+                lambda b: b.filter(pc.invert(pc.is_in(
+                    b["o_orderkey"], value_set=ray.get(ref)))),
+                batch_format="pyarrow")
+        return d
+
+    def summarize(d, tag: str) -> pd.DataFrame:
+        def partial(b: pa.Table) -> pa.Table:
+            tp = b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            cents = (np.sign(tp) * np.floor(np.abs(tp) + 0.5)).astype(
+                np.int64)
+            st, inv = np.unique(
+                b["o_orderstatus"].to_numpy(zero_copy_only=False),
+                return_inverse=True)
+            return pa.table({
+                "o_orderstatus": pa.array(st, pa.string()),
+                "n_orders": pa.array(np.bincount(
+                    inv, minlength=len(st)).astype(np.int64)),
+                "cents": pa.array(np.bincount(
+                    inv, weights=cents, minlength=len(st)).astype(
+                        np.int64))})
+
+        p = (d.map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby("o_orderstatus", as_index=False).sum())
+        p.insert(0, "snapshot", tag)
+        return p
+
+    out = pd.concat([summarize(read_snapshot(m1_path), "v1"),
+                     summarize(read_snapshot(m2_path), "v2")])
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["cents"] = out["cents"].astype("int64")
+    return out.sort_values(["snapshot", "o_orderstatus"]).reset_index(
+        drop=True)
+
+
+QUERIES["time_travel_read"] = time_travel_read
+
+ORACLE_SQL["time_travel_read"] = """
+    WITH v1 AS (SELECT o_orderstatus, o_totalprice FROM orders),
+         v2 AS (SELECT o_orderstatus, o_totalprice FROM orders
+                WHERE o_orderkey % 10 <> 3
+                UNION ALL
+                SELECT 'A' AS o_orderstatus, o_totalprice FROM orders
+                WHERE o_orderkey % 100 = 7),
+         s1 AS (SELECT 'v1' AS snapshot, o_orderstatus,
+                       count(*)::BIGINT AS n_orders,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           ::BIGINT AS cents
+                FROM v1 GROUP BY 2),
+         s2 AS (SELECT 'v2' AS snapshot, o_orderstatus,
+                       count(*)::BIGINT AS n_orders,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           ::BIGINT AS cents
+                FROM v2 GROUP BY 2)
+    SELECT * FROM s1 UNION ALL SELECT * FROM s2
+    ORDER BY snapshot, o_orderstatus
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -14473,6 +14822,8 @@ _FRONT = [
     "event_crosscorr_lag", "copartitioned_bucket_join",
     "zorder_write_audit", "user_event_signature_top",
     "postings_gap_stats", "top_orders_with_ties",
+    "rolling_7d_distinct_users", "promo_revenue_share",
+    "large_volume_customers", "time_travel_read",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

@@ -4615,3 +4615,119 @@ def test_top_with_ties_includes_boundary_tie_group(ray_session,
     assert len(out) == 12
     assert list(out["rnk"].unique()) == [1, 4, 9]
     assert 70 not in out["cents"].to_numpy()
+
+
+# ------------------------------------------- sliding 7d count distinct
+
+
+def test_rolling_7d_interval_union(ray_session, tmp_path):
+    """User A active on days 1 and 4 (overlapping windows → union, not
+    double count), user B on day 1 only, user C on days 1 and 20 (gap
+    longer than the window → two disjoint islands).  Day 4 must count A
+    once (via either active day) plus B (day 1 covers days 1-7) plus C."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        rolling_7d_distinct_users,
+    )
+
+    def d(day):
+        return np.datetime64(f"2024-01-{day:02d}T12:00:00", "us")
+
+    rows = [(1, d(1)), (1, d(4)), (1, d(4)),  # dup event same day
+            (2, d(1)), (3, d(1)), (3, d(20))]
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    out = rolling_7d_distinct_users(
+        _write(tmp_path, "events", tbl)).set_index("day")
+    # activity days are 1, 4, 20 only
+    assert list(out.index) == ["2024-01-01", "2024-01-04", "2024-01-20"]
+    assert out.loc["2024-01-01", "n_users_7d"] == 3
+    assert out.loc["2024-01-04", "n_users_7d"] == 3  # A counted ONCE
+    assert out.loc["2024-01-20", "n_users_7d"] == 1  # C's second island
+
+
+# ----------------------------------------------------- TPC-H Q14 / Q18
+
+
+def test_promo_share_exact_integer_arithmetic(ray_session, tmp_path):
+    """Two parts (one PROMO), one month: share must be the exact ratio of
+    integer micro-revenues, including the discount basis points."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        promo_revenue_share,
+    )
+
+    part = pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_type": pa.array(["PROMO BURNISHED TIN", "STANDARD PLATED BRASS"]),
+    })
+    li = pa.table({
+        "l_partkey": pa.array([1, 2], pa.int64()),
+        "l_shipdate": pa.array([np.datetime64("2024-03-05", "us")] * 2),
+        "l_extendedprice": pa.array([100.00, 300.00], pa.float64()),
+        "l_discount": pa.array([0.05, 0.00], pa.float64()),
+    })
+    sf = _write(tmp_path, "part", part)
+    _write(tmp_path, "lineitem", li)
+    out = promo_revenue_share(sf)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["month"] == "2024-03"
+    assert r["promo_rev"] == 10000 * (10000 - 500)      # 95_000_000
+    assert r["total_rev"] == r["promo_rev"] + 30000 * 10000
+    assert r["promo_share"] == 95_000_000 / 395_000_000
+
+
+def test_large_volume_having_boundary(ray_session, tmp_path):
+    """HAVING sum(qty) > 300 is strict: an order at exactly 300 is out,
+    301 is in — partial sums split across batches must still land exact."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        large_volume_customers,
+    )
+
+    li = pa.table({
+        "l_orderkey": pa.array([1] * 3 + [2] * 3, pa.int64()),
+        "l_quantity": pa.array([100.0, 100.0, 100.0,
+                                100.0, 100.0, 101.0], pa.float64()),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([10, 20], pa.int64()),
+        "o_totalprice": pa.array([111.11, 222.22], pa.float64()),
+    })
+    sf = _write(tmp_path, "lineitem", li)
+    _write(tmp_path, "orders", orders)
+    out = large_volume_customers(sf)
+    assert list(out["o_orderkey"]) == [2]
+    assert list(out["total_qty"]) == [301]
+    assert list(out["cents"]) == [22222]
+
+
+# --------------------------------------------------- time-travel read
+
+
+def test_time_travel_delete_is_key_list_not_predicate(ray_session,
+                                                      tmp_path):
+    """Appended keys are base_key + 2^40, and 2^40 % 10 == 6, so the
+    appended copy of key 7 lands on 3 (mod 10) — the delete predicate's
+    residue.  Deletes are an explicit KEY LIST snapshot, so the appended
+    row must survive in v2; v1 must be byte-identical to the source."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        time_travel_read,
+    )
+
+    orders = pa.table({
+        "o_orderkey": pa.array([3, 7, 10, 13], pa.int64()),
+        "o_orderstatus": pa.array(["F", "O", "O", "P"]),
+        "o_totalprice": pa.array([1.00, 2.00, 3.00, 4.00], pa.float64()),
+    })
+    out = time_travel_read(_write(tmp_path, "orders", orders))
+    v1 = out[out["snapshot"] == "v1"].set_index("o_orderstatus")
+    v2 = out[out["snapshot"] == "v2"].set_index("o_orderstatus")
+    assert v1["n_orders"].sum() == 4 and v1["cents"].sum() == 1000
+    # v2: keys 3 (F) and 13 (P) deleted; key 7's 'A' copy appended
+    assert "F" not in v2.index and "P" not in v2.index
+    assert v2.loc["O", "n_orders"] == 2          # keys 7 and 10 survive
+    assert v2.loc["A", "n_orders"] == 1          # the appended copy LIVES
+    assert v2.loc["A", "cents"] == 200
