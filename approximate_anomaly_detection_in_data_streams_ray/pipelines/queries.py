@@ -14732,6 +14732,502 @@ ORACLE_SQL["time_travel_read"] = """
 """
 
 
+# ---------------- round-4bc: percentile_cont / rollup / repair / compaction
+
+
+def price_percentile_cont(sf_dir: str):
+    """EXACT interpolated PERCENTILE_CONT (p25/p50/p75/p90) in TWO data
+    scans — no global sort, no sketch approximation.  Scan 1 builds a
+    65536-bucket histogram over the footer-derived cents domain (each
+    batch ships only its nonzero (bucket, n) pairs); the driver's
+    cumulative histogram then names, for every needed ORDER STATISTIC
+    rank, the single bucket that holds it.  Scan 2 fetches only rows in
+    those ≤8 buckets (~n/65536 each) and selects the exact ranked
+    elements locally.  Interpolation mirrors DuckDB's two-multiply form
+    ``lo·(1−frac) + hi·frac`` (fuzz-pinned bit-equal over 1000 cases; the
+    one-multiply lerp differs in the last ulp).  Heavy skew (one bucket
+    ≫ memory) would recurse the same histogram step inside the bucket —
+    documented, not needed at any tested scale."""
+    files = _table_paths(sf_dir, "orders")
+    lo_p = hi_p = None
+    for f in files:
+        md = pq.ParquetFile(f)
+        idx = md.schema_arrow.get_field_index("o_totalprice")
+        for rg in range(md.metadata.num_row_groups):
+            st = md.metadata.row_group(rg).column(idx).statistics
+            lo_p = st.min if lo_p is None or st.min < lo_p else lo_p
+            hi_p = st.max if hi_p is None or st.max > hi_p else hi_p
+    lo_c = int(np.floor(lo_p * 100.0 - 1))
+    hi_c = int(np.ceil(hi_p * 100.0 + 1))
+    nb = 65536
+    width = max(1, (hi_c - lo_c + nb) // nb)
+
+    ds = _t(sf_dir, "orders", columns=["o_totalprice"])
+
+    def _cents(b: pa.Table) -> np.ndarray:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        bkt = (_cents(b) - lo_c) // width
+        cnt = np.bincount(bkt)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    hp = (ds.map_batches(hist_partial, batch_format="pyarrow")
+          .to_pandas().groupby("bucket", as_index=False)["n"].sum())
+    hist = np.zeros(nb + 1, np.int64)
+    hist[hp["bucket"].to_numpy(np.int64)] = hp["n"].to_numpy(np.int64)
+    cum = np.cumsum(hist)  # cum[b] = rows in buckets <= b
+    n = int(cum[-1])
+
+    probes = [("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p90", 0.90)]
+    ranks = set()
+    for _, p in probes:
+        pos = np.float64(n - 1) * np.float64(p)
+        r = int(np.floor(pos))
+        ranks.update((r, min(r + 1, n - 1)))
+    # bucket holding 0-indexed rank r = first b with cum[b] >= r+1
+    need = {int(np.searchsorted(cum, r + 1)) for r in ranks}
+    need_ref = ray.put(pa.array(sorted(need), pa.int64()))
+
+    def fetch(b: pa.Table) -> pa.Table:
+        c = _cents(b)
+        bkt = (c - lo_c) // width
+        keep = pc.is_in(pa.array(bkt), value_set=ray.get(need_ref))
+        return pa.table({"cents": pa.array(c[keep.to_numpy(
+            zero_copy_only=False)])})
+
+    got = np.sort(ds.map_batches(fetch, batch_format="pyarrow")
+                  .to_pandas()["cents"].to_numpy(np.int64))
+    # rank r's value = got[r - (rows in buckets BELOW r's bucket)]
+    by_rank = {}
+    for r in ranks:
+        bkt = int(np.searchsorted(cum, r + 1))
+        below = int(cum[bkt - 1]) if bkt > 0 else 0
+        # got holds several buckets; offset by rows of FETCHED buckets
+        # that sort before this one
+        fetched_below = sum(int(hist[bb]) for bb in need if bb < bkt)
+        by_rank[r] = int(got[fetched_below + (r - below)])
+
+    rows = []
+    for lbl, p in probes:
+        pos = np.float64(n - 1) * np.float64(p)
+        rlo = int(np.floor(pos))
+        frac = np.float64(pos - rlo)
+        lo_v = np.float64(by_rank[rlo])
+        hi_v = np.float64(by_rank[min(rlo + 1, n - 1)])
+        rows.append((lbl, float(lo_v * (np.float64(1.0) - frac)
+                                + hi_v * frac)))
+    return pd.DataFrame(rows, columns=["pct", "value"])
+
+
+QUERIES["price_percentile_cont"] = price_percentile_cont
+
+ORACLE_SQL["price_percentile_cont"] = """
+    WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+               FROM orders)
+    SELECT 'p25' AS pct, quantile_cont(v, 0.25) AS value FROM c
+    UNION ALL SELECT 'p50', quantile_cont(v, 0.50) FROM c
+    UNION ALL SELECT 'p75', quantile_cont(v, 0.75) FROM c
+    UNION ALL SELECT 'p90', quantile_cont(v, 0.90) FROM c
+    ORDER BY pct
+"""
+
+
+def region_nation_rollup(sf_dir: str):
+    """ROLLUP (region → nation → grand total) revenue: hierarchical
+    subtotals from ONE detail fold, never re-scanning the fact table per
+    level.  orders pre-combine per batch to (custkey, cents, n); ONE
+    tagged-union custkey exchange co-locates each customer row with its
+    orders partials (same trick as `monthly_new_vs_returning_revenue` —
+    the customer dimension scales with users, so it is exchanged, not
+    broadcast); each partition resolves custkey → nationkey locally and
+    folds to nation-bounded partials.  The driver joins the TINY
+    nation/region dims and derives all three rollup levels by summing
+    the ~25-row detail — subtotals are free once the detail exists.
+    'ALL' is the subtotal sentinel on both sides (COALESCE in the
+    oracle's GROUP BY ROLLUP)."""
+    nat = pa.concat_tables([pq.read_table(f) for f in
+                            _table_paths(sf_dir, "nation")]).to_pandas()
+    reg = pa.concat_tables([pq.read_table(f) for f in
+                            _table_paths(sf_dir, "region")]).to_pandas()
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    nkey_to_names = dict(zip(nat["n_nationkey"].astype(int),
+                             zip(nat["r_name"], nat["n_name"])))
+
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
+                blocks=_join_partitions(sf_dir, "orders"))
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def o_pre(b: pa.Table) -> pa.Table:
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(tp) * np.floor(np.abs(tp) + 0.5)).astype(np.int64)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        k, inv = np.unique(ck, return_inverse=True)
+        return pa.table({
+            "custkey": pa.array(k.astype(np.int64)),
+            "nationkey": pa.array(np.full(len(k), -1, np.int64)),
+            "cents": pa.array(np.bincount(
+                inv, weights=cents, minlength=len(k)).astype(np.int64)),
+            "n": pa.array(np.bincount(inv, minlength=len(k))
+                          .astype(np.int64))})
+
+    def c_pre(b: pa.Table) -> pa.Table:
+        z = np.zeros(b.num_rows, np.int64)
+        return pa.table({
+            "custkey": pc.cast(b["c_custkey"], pa.int64()),
+            "nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+            "cents": pa.array(z), "n": pa.array(z)})
+
+    tagged = orders.map_batches(o_pre, batch_format="pyarrow").union(
+        cust.map_batches(c_pre, batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["nationkey"] >= 0]
+        facts = g[g["nationkey"] < 0]
+        nk = facts["custkey"].map(
+            dict(zip(dim["custkey"], dim["nationkey"])))
+        f = pd.DataFrame({"nationkey": nk,
+                          "cents": facts["cents"], "n": facts["n"]})
+        f = f.dropna(subset=["nationkey"])  # inner-join semantics
+        f["nationkey"] = f["nationkey"].astype(np.int64)
+        out = f.groupby("nationkey", as_index=False)[["cents", "n"]].sum()
+        return out.rename(columns={"nationkey": "nk"})
+
+    parts = _agg_partitioned(tagged, ["custkey"], fold).to_pandas()
+    det = parts.groupby("nk", as_index=False)[["cents", "n"]].sum()
+    det["region"] = det["nk"].map(lambda k: nkey_to_names[int(k)][0])
+    det["nation"] = det["nk"].map(lambda k: nkey_to_names[int(k)][1])
+
+    lvl0 = det.groupby(["region", "nation"], as_index=False)[
+        ["n", "cents"]].sum()
+    lvl1 = det.groupby("region", as_index=False)[["n", "cents"]].sum()
+    lvl1["nation"] = "ALL"
+    lvl2 = pd.DataFrame({"region": ["ALL"], "nation": ["ALL"],
+                         "n": [det["n"].sum()],
+                         "cents": [det["cents"].sum()]})
+    out = pd.concat([lvl0, lvl1, lvl2], ignore_index=True)[
+        ["region", "nation", "n", "cents"]].rename(
+            columns={"n": "n_orders"})
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["cents"] = out["cents"].astype("int64")
+    return out.sort_values(["region", "nation"]).reset_index(drop=True)
+
+
+QUERIES["region_nation_rollup"] = region_nation_rollup
+
+ORACLE_SQL["region_nation_rollup"] = """
+    WITH j AS (SELECT r_name, n_name,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey)
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(n_name, 'ALL') AS nation,
+           count(*)::BIGINT AS n_orders, sum(cents)::BIGINT AS cents
+    FROM j GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY region, nation
+"""
+
+
+def replica_antientropy_repair(sf_dir: str):
+    """ANTI-ENTROPY REPAIR, the step AFTER `orders_replica_checksums`
+    detects drift: per-bucket (count, mod-2⁶⁴ checksum) summaries of
+    both replicas are compared DRIVER-SIDE (bounded: one row per key
+    bucket), and only the diverging buckets' rows are re-read for the
+    row-level diff — the Merkle-narrowing protocol that repairs a 100-TB
+    replica by moving kilobytes of summaries plus only the damaged key
+    ranges.  Replica B is materialized to scratch with two localized,
+    deterministic faults (a +1-cent corruption band and a dropped-rows
+    band around 0.2·maxkey and 0.6·maxkey), so the diff — classified
+    from OBSERVED data, not the fault rules — is relationally checkable.
+    A loud guard asserts the narrowing actually skipped buckets."""
+    import tempfile
+
+    files = _table_paths(sf_dir, "orders")
+    mk = None
+    for f in files:
+        md = pq.ParquetFile(f)
+        idx = md.schema_arrow.get_field_index("o_orderkey")
+        for rg in range(md.metadata.num_row_groups):
+            st = md.metadata.row_group(rg).column(idx).statistics
+            mk = st.max if mk is None or st.max > mk else mk
+    mk = int(mk)
+    ch_lo, ch_hi = (mk * 2) // 10, (mk * 2) // 10 + mk // 100
+    ms_lo, ms_hi = (mk * 6) // 10, (mk * 6) // 10 + mk // 100
+    span = max(1, (mk + 1) // 64)
+
+    cols = ["o_orderkey", "o_totalprice"]
+    a = _t(sf_dir, "orders", columns=cols)
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(~((k >= ms_lo) & (k <= ms_hi))))
+        kk = f["o_orderkey"].to_numpy(zero_copy_only=False)
+        tp = f["o_totalprice"].to_numpy(zero_copy_only=False).copy()
+        hit = (kk >= ch_lo) & (kk <= ch_hi)
+        tp[hit] += 0.01  # +1 cent
+        return pa.table({"o_orderkey": f["o_orderkey"],
+                         "o_totalprice": pa.array(tp)})
+
+    b_dir = tempfile.mkdtemp(prefix="aads_replica_b_")
+    a.map_batches(corrupt, batch_format="pyarrow").write_parquet(b_dir)
+    b = ray.data.read_parquet(b_dir, columns=cols)
+
+    A = np.uint64(6364136223846793005)
+
+    def summarize(d) -> pd.DataFrame:
+        def partial(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            tp = t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            cents = (np.sign(tp) * np.floor(np.abs(tp) + 0.5)).astype(
+                np.int64).astype(np.uint64)
+            h = k.astype(np.uint64) * A + cents
+            bkt = (k // span).astype(np.int64)
+            u, inv = np.unique(bkt, return_inverse=True)
+            cs = np.zeros(len(u), np.uint64)
+            np.add.at(cs, inv, h)  # uint64 wraparound == mod 2^64
+            return pa.table({
+                "bucket": pa.array(u),
+                "n": pa.array(np.bincount(inv, minlength=len(u))
+                              .astype(np.int64)),
+                "cs": pa.array(cs.view(np.int64))})
+
+        p = d.map_batches(partial, batch_format="pyarrow").to_pandas()
+        g = p.groupby("bucket").agg(
+            n=("n", "sum"),
+            cs=("cs", lambda s: np.int64(
+                np.sum(s.to_numpy(np.int64).view(np.uint64),
+                       dtype=np.uint64).view(np.int64))))
+        return g
+
+    sa, sb = summarize(a), summarize(b)
+    # compare as python ints — an outer-join fillna would upcast the
+    # int64 checksums to float64 and silently equate values that differ
+    # only in the low mantissa-lost bits
+    da = {int(i): (int(r), int(c))
+          for i, r, c in zip(sa.index, sa["n"], sa["cs"])}
+    db = {int(i): (int(r), int(c))
+          for i, r, c in zip(sb.index, sb["n"], sb["cs"])}
+    div = np.array(sorted(k for k in set(da) | set(db)
+                          if da.get(k) != db.get(k)), np.int64)
+    n_buckets = len(set(da) | set(db))
+    if n_buckets > 8 and len(div) >= n_buckets:
+        raise RuntimeError(
+            f"anti-entropy narrowing degenerated: {len(div)}/{n_buckets} "
+            "buckets diverge — checksum protocol broken")
+    div_ref = ray.put(pa.array(div))
+
+    def fetch(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        keep = pc.is_in(pa.array((k // span).astype(np.int64)),
+                        value_set=ray.get(div_ref)).to_numpy(
+                            zero_copy_only=False)
+        tp = t["o_totalprice"].to_numpy(zero_copy_only=False)[keep] * 100.0
+        return pa.table({
+            "o_orderkey": pa.array(k[keep]),
+            "cents": pa.array((np.sign(tp) * np.floor(np.abs(tp) + 0.5))
+                              .astype(np.int64))})
+
+    ra = a.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    rb = b.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    m = ra.merge(rb, on="o_orderkey", how="outer",
+                 suffixes=("_a", "_b"), indicator=True)
+    changed = m[(m["_merge"] == "both")
+                & (m["cents_a"] != m["cents_b"])].copy()
+    changed["kind"] = "changed"
+    missing = m[m["_merge"] == "left_only"].copy()
+    missing["kind"] = "missing_b"
+    missing["cents_b"] = -1
+    out = pd.concat([changed, missing])[
+        ["o_orderkey", "kind", "cents_a", "cents_b"]]
+    out["cents_a"] = out["cents_a"].astype("int64")
+    out["cents_b"] = out["cents_b"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+QUERIES["replica_antientropy_repair"] = replica_antientropy_repair
+
+ORACLE_SQL["replica_antientropy_repair"] = """
+    WITH c AS (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      (SELECT max(o_orderkey) FROM orders) AS m
+               FROM orders)
+    SELECT o_orderkey, 'changed' AS kind,
+           cents AS cents_a, cents + 1 AS cents_b
+    FROM c
+    WHERE o_orderkey BETWEEN (m * 2) // 10 AND (m * 2) // 10 + m // 100
+      AND NOT (o_orderkey BETWEEN (m * 6) // 10
+                               AND (m * 6) // 10 + m // 100)
+    UNION ALL
+    SELECT o_orderkey, 'missing_b', cents, -1
+    FROM c
+    WHERE o_orderkey BETWEEN (m * 6) // 10 AND (m * 6) // 10 + m // 100
+    ORDER BY o_orderkey
+"""
+
+
+def sorted_run_compaction(sf_dir: str):
+    """LSM-STYLE COMPACTION: merge two clustered sorted runs into ONE
+    globally sorted, range-disjoint layout with NO global shuffle.  The
+    runs (even / odd orderkeys, each written range-clustered and sorted
+    like `clustered_write_orders`) are compacted by planning R output
+    key ranges from FOOTERS ONLY, then one independent task per range
+    reads just the overlapping input files from each run, merges
+    locally, and writes one output file — the planning data is
+    kilobytes, the merges never exchange.  The audit proves global
+    sortedness with an ORDER-DEPENDENT checksum Σ rank·key (mod 2⁶⁴)
+    assembled from per-range partials shifted by cumulative offsets
+    (Σ(j+off)·k = Σj·k + off·Σk) — bit-checkable against the oracle's
+    ``row_number() OVER (ORDER BY key)`` without ever materializing a
+    global sort, plus footer-level pairwise disjointness."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="aads_compact_")
+    run_dirs = [os.path.join(root, "run1"), os.path.join(root, "run2")]
+    out_dir = os.path.join(root, "compacted")
+    os.makedirs(out_dir, exist_ok=True)
+
+    files = _table_paths(sf_dir, "orders")
+    mk = None
+    for f in files:
+        md = pq.ParquetFile(f)
+        idx = md.schema_arrow.get_field_index("o_orderkey")
+        for rg in range(md.metadata.num_row_groups):
+            st = md.metadata.row_group(rg).column(idx).statistics
+            mk = st.max if mk is None or st.max > mk else mk
+    span = max(1, (int(mk) + 1) // 16)
+
+    ds = _t(sf_dir, "orders", columns=["o_orderkey"],
+            blocks=_join_partitions(sf_dir, "orders"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "run": pa.array((k % 2).astype(np.int64)),
+                         "bucket": pa.array((k // span)
+                                            .astype(np.int64))})
+
+    def write_runs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (run, bkt), gg in g.groupby(["run", "bucket"]):
+            os.makedirs(run_dirs[int(run)], exist_ok=True)
+            t = pa.Table.from_pandas(
+                gg[["o_orderkey"]].sort_values("o_orderkey"),
+                preserve_index=False)
+            path = os.path.join(run_dirs[int(run)],
+                                f"bucket-{int(bkt):08d}.parquet")
+            pq.write_table(t, path)
+            rows.append((int(run), int(bkt), t.num_rows))
+        return pd.DataFrame(rows, columns=["run", "bucket", "n"])
+
+    _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                     ["bucket"], write_runs).to_pandas()
+
+    # ---- plan from footers only: (path, min, max) per input file
+    specs = []
+    lo_all, hi_all = None, None
+    for rd in run_dirs:
+        for fn in sorted(os.listdir(rd)):
+            p = os.path.join(rd, fn)
+            md = pq.ParquetFile(p)
+            idx = md.schema_arrow.get_field_index("o_orderkey")
+            lo = hi = None
+            for rg in range(md.metadata.num_row_groups):
+                st = md.metadata.row_group(rg).column(idx).statistics
+                lo = st.min if lo is None or st.min < lo else lo
+                hi = st.max if hi is None or st.max > hi else hi
+            specs.append((p, int(lo), int(hi)))
+            lo_all = lo if lo_all is None or lo < lo_all else lo_all
+            hi_all = hi if hi_all is None or hi > hi_all else hi_all
+    n_ranges = 8
+    rspan = max(1, (int(hi_all) - int(lo_all) + n_ranges) // n_ranges)
+    ranges = []
+    for i in range(n_ranges):
+        r_lo = int(lo_all) + i * rspan
+        r_hi = r_lo + rspan - 1  # inclusive
+        inp = [p for (p, lo, hi) in specs if lo <= r_hi and hi >= r_lo]
+        if inp:
+            ranges.append({"range_id": i, "r_lo": r_lo, "r_hi": r_hi,
+                           "files": inp})
+
+    def compact_range(row: dict, out_dir=out_dir) -> dict:
+        ks = [pq.read_table(p, columns=["o_orderkey"])["o_orderkey"]
+              .to_numpy(zero_copy_only=False) for p in row["files"]]
+        k = np.concatenate(ks) if ks else np.empty(0, np.int64)
+        k = np.sort(k[(k >= row["r_lo"]) & (k <= row["r_hi"])],
+                    kind="mergesort")
+        path = os.path.join(out_dir,
+                            f"range-{int(row['range_id']):04d}.parquet")
+        pq.write_table(pa.table({"o_orderkey": pa.array(k)}), path)
+        j = np.arange(len(k), dtype=np.uint64)
+        ku = k.astype(np.uint64)
+        return {"range_id": row["range_id"], "n": len(k),
+                "min_key": int(k.min()) if len(k) else -1,
+                "max_key": int(k.max()) if len(k) else -1,
+                "local_cs": int(np.sum(j * ku, dtype=np.uint64)),
+                "sum_k": int(np.sum(ku, dtype=np.uint64))}
+
+    res = (ray.data.from_items(ranges).map(compact_range)
+           .to_pandas().sort_values("min_key"))
+    res = res[res["n"] > 0]
+    offs = np.r_[0, np.cumsum(res["n"].to_numpy(np.int64))[:-1]]
+    cs = 0  # python-int mod 2^64: scalar uint64 ops can warn on overflow
+    for off, lc, sk in zip(offs.tolist(), res["local_cs"].tolist(),
+                           res["sum_k"].tolist()):
+        cs = (cs + int(lc) + int(off) * int(sk)) % (1 << 64)
+
+    # footer audit of the compacted layout
+    mins, maxs, total = [], [], 0
+    for fn in sorted(os.listdir(out_dir)):
+        md = pq.ParquetFile(os.path.join(out_dir, fn))
+        if md.metadata.num_rows == 0:
+            continue
+        idx = md.schema_arrow.get_field_index("o_orderkey")
+        lo = hi = None
+        for rg in range(md.metadata.num_row_groups):
+            st = md.metadata.row_group(rg).column(idx).statistics
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+        mins.append(lo)
+        maxs.append(hi)
+        total += md.metadata.num_rows
+    order = np.argsort(np.asarray(mins))
+    mn = np.asarray(mins)[order]
+    mx = np.asarray(maxs)[order]
+    overlaps = int((mn[1:] <= mx[:-1]).sum()) if len(mn) > 1 else 0
+    return pd.DataFrame({
+        "n_rows": pd.Series([total], dtype="int64"),
+        "min_key": pd.Series([int(mn.min())], dtype="int64"),
+        "max_key": pd.Series([int(mx.max())], dtype="int64"),
+        "n_overlapping_files": pd.Series([overlaps], dtype="int64"),
+        "ordered_checksum": pd.Series(
+            [cs - (1 << 64) if cs >= (1 << 63) else cs],
+            dtype="int64")})
+
+
+QUERIES["sorted_run_compaction"] = sorted_run_compaction
+
+ORACLE_SQL["sorted_run_compaction"] = """
+    WITH r AS (SELECT o_orderkey AS k,
+                      row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+               FROM orders),
+    s AS (SELECT count(*) AS n_rows, min(k) AS min_key, max(k) AS max_key,
+                 sum((CAST(rn AS HUGEINT) * k) % 18446744073709551616)
+                     % 18446744073709551616 AS cs
+          FROM r)
+    SELECT n_rows::BIGINT AS n_rows, min_key::BIGINT AS min_key,
+           max_key::BIGINT AS max_key, 0::BIGINT AS n_overlapping_files,
+           (CASE WHEN cs >= 9223372036854775808
+                 THEN cs - 18446744073709551616 ELSE cs END)::BIGINT
+               AS ordered_checksum
+    FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -14824,6 +15320,8 @@ _FRONT = [
     "postings_gap_stats", "top_orders_with_ties",
     "rolling_7d_distinct_users", "promo_revenue_share",
     "large_volume_customers", "time_travel_read",
+    "price_percentile_cont", "region_nation_rollup",
+    "replica_antientropy_repair", "sorted_run_compaction",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

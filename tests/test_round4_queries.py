@@ -4731,3 +4731,125 @@ def test_time_travel_delete_is_key_list_not_predicate(ray_session,
     assert v2.loc["O", "n_orders"] == 2          # keys 7 and 10 survive
     assert v2.loc["A", "n_orders"] == 1          # the appended copy LIVES
     assert v2.loc["A", "cents"] == 200
+
+
+# ------------------------------------------ exact PERCENTILE_CONT 2-scan
+
+
+def test_percentile_cont_bit_equal_on_planted(ray_session, tmp_path):
+    """Single-row edge (all percentiles collapse to the value) and an
+    all-equal table (degenerate histogram domain, width clamped to 1)
+    plus a tiny spread table checked bit-for-bit against DuckDB's
+    quantile_cont."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        price_percentile_cont,
+    )
+
+    one = pa.table({"o_orderkey": pa.array([1], pa.int64()),
+                    "o_totalprice": pa.array([10.00], pa.float64())})
+    for sub in ("a", "b", "c"):
+        (tmp_path / sub).mkdir()
+    out = price_percentile_cont(_write(tmp_path / "a", "orders", one))
+    assert list(out["value"]) == [1000.0] * 4
+
+    prices = [1.00, 2.00, 3.00, 4.00, 5.00, 6.00, 7.00]
+    tbl = pa.table({
+        "o_orderkey": pa.array(range(7), pa.int64()),
+        "o_totalprice": pa.array(prices, pa.float64())})
+    out = price_percentile_cont(
+        _write(tmp_path / "b", "orders", tbl)).set_index("pct")
+    con = duckdb.connect()
+    for p, lbl in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"),
+                   (0.9, "p90")]:
+        want = con.execute(
+            "SELECT quantile_cont(CAST(round(v*100) AS BIGINT), ?) "
+            "FROM (SELECT unnest(?) AS v)", [p, prices]).fetchone()[0]
+        assert out.loc[lbl, "value"] == want, lbl
+
+    same = pa.table({"o_orderkey": pa.array(range(5), pa.int64()),
+                     "o_totalprice": pa.array([42.42] * 5, pa.float64())})
+    out = price_percentile_cont(_write(tmp_path / "c", "orders", same))
+    assert list(out["value"]) == [4242.0] * 4
+
+
+# ----------------------------------------------------- ROLLUP levels
+
+
+def test_rollup_subtotals_and_grand_total(ray_session, tmp_path):
+    """Two regions, three nations; a customer with no orders adds
+    nothing; subtotal and grand-total rows must sum the detail."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        region_nation_rollup,
+    )
+
+    region = pa.table({"r_regionkey": pa.array([0, 1], pa.int32()),
+                       "r_name": pa.array(["EAST", "WEST"])})
+    nation = pa.table({"n_nationkey": pa.array([0, 1, 2], pa.int32()),
+                       "n_name": pa.array(["AAA", "BBB", "CCC"]),
+                       "n_regionkey": pa.array([0, 0, 1], pa.int32())})
+    customer = pa.table({
+        "c_custkey": pa.array([10, 20, 30, 40], pa.int64()),
+        "c_nationkey": pa.array([0, 1, 2, 2], pa.int32())})  # 40: no orders
+    orders = pa.table({
+        "o_custkey": pa.array([10, 10, 20, 30], pa.int64()),
+        "o_totalprice": pa.array([1.00, 2.00, 4.00, 8.00], pa.float64())})
+    sf = _write(tmp_path, "region", region)
+    _write(tmp_path, "nation", nation)
+    _write(tmp_path, "customer", customer)
+    _write(tmp_path, "orders", orders)
+    out = region_nation_rollup(sf).set_index(["region", "nation"])
+    assert out.loc[("EAST", "AAA"), "cents"] == 300
+    assert out.loc[("EAST", "BBB"), "cents"] == 400
+    assert out.loc[("WEST", "CCC"), "cents"] == 800
+    assert out.loc[("EAST", "ALL"), "cents"] == 700
+    assert out.loc[("WEST", "ALL"), "cents"] == 800
+    assert out.loc[("ALL", "ALL"), "cents"] == 1500
+    assert out.loc[("ALL", "ALL"), "n_orders"] == 4
+    assert len(out) == 6
+
+
+# --------------------------------------------- anti-entropy narrowing
+
+
+def test_antientropy_finds_planted_faults(ray_session, tmp_path):
+    """Keys 0..1000, price i cents: the corruption band is [200, 210]
+    (+1 cent) and the dropped band is [600, 610]; the diff must name
+    exactly those keys with the right classes and values."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        replica_antientropy_repair,
+    )
+
+    n = 1001
+    tbl = pa.table({
+        "o_orderkey": pa.array(range(n), pa.int64()),
+        "o_totalprice": pa.array([i / 100.0 for i in range(n)],
+                                 pa.float64())})
+    out = replica_antientropy_repair(_write(tmp_path, "orders", tbl))
+    ch = out[out["kind"] == "changed"]
+    ms = out[out["kind"] == "missing_b"]
+    assert list(ch["o_orderkey"]) == list(range(200, 211))
+    assert (ch["cents_b"] == ch["cents_a"] + 1).all()
+    assert list(ms["o_orderkey"]) == list(range(600, 611))
+    assert (ms["cents_b"] == -1).all()
+    assert (ms["cents_a"] == ms["o_orderkey"]).all()
+
+
+# ------------------------------------------------- sorted-run compaction
+
+
+def test_compaction_ordered_checksum_and_disjoint(ray_session, tmp_path):
+    """Shuffled keys in, one sorted range-disjoint layout out; the
+    order-dependent checksum equals the hand-computed Σ rank·key."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        sorted_run_compaction,
+    )
+
+    keys = [5, 3, 9, 14, 1, 7, 12, 0]
+    tbl = pa.table({"o_orderkey": pa.array(keys, pa.int64())})
+    out = sorted_run_compaction(_write(tmp_path, "orders", tbl))
+    s = sorted(keys)
+    want_cs = sum(i * k for i, k in enumerate(s)) % (1 << 64)
+    assert out["n_rows"].iloc[0] == len(keys)
+    assert out["min_key"].iloc[0] == 0 and out["max_key"].iloc[0] == 14
+    assert out["n_overlapping_files"].iloc[0] == 0
+    assert out["ordered_checksum"].iloc[0] == want_cs
