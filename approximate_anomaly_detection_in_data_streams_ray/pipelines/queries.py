@@ -15228,6 +15228,451 @@ ORACLE_SQL["sorted_run_compaction"] = """
 """
 
 
+# ------------- round-4bd: Q5 star join / JSON extract / basket / bin-pack
+
+
+def q5_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5-shaped LOCAL-SUPPLIER REVENUE: the canonical two-hop
+    star join (lineitem⋈orders on orderkey, then ⋈customer on custkey)
+    with the cross-dimension predicate ``c_nationkey = s_nationkey``
+    and a region+year filter.  Dimension discipline: supplier/nation/
+    region are read driver-side and BROADCAST (supplier→nationkey map,
+    region's nation set), so the supplier-side region filter pushes
+    into the lineitem SCAN — off-region rows never enter the first
+    exchange.  The two fact exchanges are tagged unions (orders rows
+    ride along keyed by orderkey, customer rows by custkey), each fold
+    pre-grouping so exchange 2 carries (custkey, s_nation) partials and
+    the driver sees only nation-bounded rows.  Exact-integer
+    micro-revenue (cents × (10000−bp)) end to end."""
+    sup = pa.concat_tables([pq.read_table(f, columns=["s_suppkey",
+                                                      "s_nationkey"])
+                            for f in _table_paths(sf_dir, "supplier")]
+                           ).to_pandas()
+    nat = pa.concat_tables([pq.read_table(f) for f in
+                            _table_paths(sf_dir, "nation")]).to_pandas()
+    reg = pa.concat_tables([pq.read_table(f) for f in
+                            _table_paths(sf_dir, "region")]).to_pandas()
+    asia = set(nat.merge(reg, left_on="n_regionkey",
+                         right_on="r_regionkey")
+               .query("r_name == 'ASIA'")["n_nationkey"].astype(int))
+    nk_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    supp_map_ref = ray.put(dict(zip(sup["s_suppkey"].astype(int),
+                                    sup["s_nationkey"].astype(int))))
+    asia_ref = ray.put(asia)
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    orders = _t(sf_dir, "orders",
+                columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                blocks=_join_partitions(sf_dir, "orders"))
+    li = _t(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def o_pre(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b["o_orderdate"], lo),
+                       pc.less(b["o_orderdate"], hi))
+        f = b.filter(pc.fill_null(keep, False))
+        z = np.full(f.num_rows, -1, np.int64)
+        return pa.table({"okey": f["o_orderkey"],
+                         "custkey": pc.cast(f["o_custkey"], pa.int64()),
+                         "s_nk": pa.array(z),
+                         "rev": pa.array(np.zeros(f.num_rows, np.int64))})
+
+    def l_pre(b: pa.Table) -> pa.Table:
+        sm = ray.get(supp_map_ref)
+        az = ray.get(asia_ref)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        s_nk = np.array([sm.get(int(s), -1) for s in np.unique(sk)])
+        lut = dict(zip(np.unique(sk).tolist(), s_nk.tolist()))
+        nk = np.array([lut[int(s)] for s in sk], np.int64)
+        keep = np.isin(nk, list(az))  # region filter AT THE SCAN
+        f = b.filter(pa.array(keep))
+        nk = nk[keep]
+        ep = f["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(ep) * np.floor(np.abs(ep) + 0.5)).astype(np.int64)
+        dc = f["l_discount"].to_numpy(zero_copy_only=False) * 10000.0
+        bp = (np.sign(dc) * np.floor(np.abs(dc) + 0.5)).astype(np.int64)
+        return pa.table({"okey": f["l_orderkey"],
+                         "custkey": pa.array(np.full(f.num_rows, -1,
+                                                     np.int64)),
+                         "s_nk": pa.array(nk),
+                         "rev": pa.array(cents * (10000 - bp))})
+
+    tagged1 = orders.map_batches(o_pre, batch_format="pyarrow").union(
+        li.map_batches(l_pre, batch_format="pyarrow"))
+
+    def fold1(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["custkey"] >= 0]
+        facts = g[g["custkey"] < 0]
+        ck = facts["okey"].map(dict(zip(dim["okey"], dim["custkey"])))
+        f = pd.DataFrame({"custkey": ck, "s_nk": facts["s_nk"],
+                          "rev": facts["rev"]}).dropna(subset=["custkey"])
+        f["custkey"] = f["custkey"].astype(np.int64)
+        return f.groupby(["custkey", "s_nk"], as_index=False)["rev"].sum()
+
+    # exchange 1 keeps _agg_partitioned's CPU-scaled default P (the
+    # sort's reduce width tracks the input block count, so P must stay
+    # >= blocks); exchange 2 is Ray's hash-shuffle Dataset.join via the
+    # _join_nparts guard — a union-into-exchange here emits schema-less
+    # empty-partition blocks that spam the executor log
+    stage1 = _agg_partitioned(tagged1, ["okey"], fold1)
+
+    _S1 = pa.schema([("custkey", pa.int64()), ("s_nk", pa.int64()),
+                     ("rev", pa.int64())])
+
+    def to_arrow(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            df[["custkey", "s_nk", "rev"]].astype(np.int64),
+            schema=_S1, preserve_index=False).replace_schema_metadata(None)
+
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def c_pre(b: pa.Table) -> pa.Table:
+        az = ray.get(asia_ref)
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        keep = np.isin(nk, list(az))
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"custkey": pa.array(ck.astype(np.int64)),
+                         "c_nk": pa.array(nk[keep])})
+
+    joined = stage1.map_batches(to_arrow, batch_format="pandas").join(
+        cust.map_batches(c_pre, batch_format="pyarrow"),
+        join_type="inner", num_partitions=_join_nparts(sf_dir, "customer"),
+        on=("custkey",))
+
+    def local_only(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["c_nk"], b["s_nk"]))
+        g = f.group_by("s_nk").aggregate([("rev", "sum")])
+        return g.rename_columns(["s_nk", "rev"])
+
+    parts = joined.map_batches(local_only,
+                               batch_format="pyarrow").to_pandas()
+    det = parts.groupby("s_nk", as_index=False)["rev"].sum()
+    det["n_name"] = det["s_nk"].map(lambda k: nk_name[int(k)])
+    out = det[["n_name", "rev"]].rename(columns={"rev": "rev_micros"})
+    out["rev_micros"] = out["rev_micros"].astype("int64")
+    return out.sort_values(["rev_micros", "n_name"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+QUERIES["q5_local_supplier_revenue"] = q5_local_supplier_revenue
+
+ORACLE_SQL["q5_local_supplier_revenue"] = """
+    SELECT n_name,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+              )::BIGINT AS rev_micros
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name ORDER BY rev_micros DESC, n_name
+"""
+
+
+def props_field_stats(sf_dir: str):
+    """SEMI-STRUCTURED FIELD EXTRACTION (schema-on-read): pull the
+    integer ``k`` out of the JSON-ish ``props`` string with ONE RE2
+    kernel per batch (``pc.extract_regex`` — DuckDB runs the identical
+    RE2 pattern), treat contract violations as NULL, and fold per-type
+    count / bad-count / sum / min / max — the profile a pipeline runs
+    before promoting a loosely-typed column to a real schema.  Partials
+    are event-type-bounded; empty-group min/max use the −1 sentinel on
+    both sides (COALESCE in SQL)."""
+    ds = _t(sf_dir, "events", columns=["event_type", "props"])
+    pat = r'^\{"k": (?P<k>-?\d+)\}$'
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(pc.fill_null(b["props"], ""), pat)
+        ks = pc.struct_field(ex, "k")
+        k = np.where(ks.is_valid().to_numpy(zero_copy_only=False),
+                     pc.cast(pc.fill_null(ks, "0"),
+                             pa.int64()).to_numpy(zero_copy_only=False),
+                     0).astype(np.int64)
+        ok = ks.is_valid().to_numpy(zero_copy_only=False)
+        et, inv = np.unique(b["event_type"].to_numpy(
+            zero_copy_only=False), return_inverse=True)
+        m = len(et)
+        mins = np.full(m, np.iinfo(np.int64).max, np.int64)
+        maxs = np.full(m, np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(mins, inv[ok], k[ok])
+        np.maximum.at(maxs, inv[ok], k[ok])
+        return pa.table({
+            "event_type": pa.array(et, pa.string()),
+            "n": pa.array(np.bincount(inv, minlength=m).astype(np.int64)),
+            "n_bad": pa.array(np.bincount(
+                inv, weights=~ok, minlength=m).astype(np.int64)),
+            "sum_k": pa.array(np.bincount(
+                inv, weights=np.where(ok, k, 0), minlength=m)
+                .astype(np.int64)),
+            "min_k": pa.array(mins), "max_k": pa.array(maxs)})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = p.groupby("event_type").agg(
+        n=("n", "sum"), n_bad=("n_bad", "sum"), sum_k=("sum_k", "sum"),
+        min_k=("min_k", "min"), max_k=("max_k", "max")).reset_index()
+    allbad = g["n_bad"] == g["n"]
+    g.loc[allbad, "min_k"] = -1
+    g.loc[allbad, "max_k"] = -1
+    for c in ["n", "n_bad", "sum_k", "min_k", "max_k"]:
+        g[c] = g[c].astype("int64")
+    return g.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["props_field_stats"] = props_field_stats
+
+ORACLE_SQL["props_field_stats"] = """
+    WITH e AS (SELECT event_type,
+                      CASE WHEN regexp_matches(props,
+                                               '^\\{"k": (-?\\d+)\\}$')
+                           THEN CAST(regexp_extract(props,
+                                     '^\\{"k": (-?\\d+)\\}$', 1)
+                                     AS BIGINT)
+                      END AS k
+               FROM events)
+    SELECT event_type, count(*)::BIGINT AS n,
+           count(*) FILTER (WHERE k IS NULL)::BIGINT AS n_bad,
+           COALESCE(sum(k), 0)::BIGINT AS sum_k,
+           COALESCE(min(k), -1)::BIGINT AS min_k,
+           COALESCE(max(k), -1)::BIGINT AS max_k
+    FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
+def basket_association_rules(sf_dir: str):
+    """MARKET-BASKET ASSOCIATION RULES (support / confidence / lift)
+    over parts co-ordered in lineitem: frequent-pair mining with the
+    min-support prune applied WHERE the counts live.  Orders land whole
+    in an orderkey exchange (baskets are tiny — pairs explode ≤ C(7,2)
+    per order, vectorized per partition); pair partials then flow
+    through ONE (a,b) exchange whose fold applies ``n_ab ≥ 3`` so only
+    frequent pairs ever reach the driver; per-part basket counts and
+    the basket total ride the same exchange as tagged rows.  Metrics
+    are ratios of exact ints mirrored to SQL's cast order; top-20 by
+    (lift DESC, part_a, part_b) is deterministic through ties."""
+    ds = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        key = np.unique((ok.astype(np.uint64) << np.uint64(32))
+                        | pk.astype(np.uint64))  # partkey < 2^32
+        # NB: "part" is _agg_partitioned's reserved partition column
+        return pa.table({
+            "okey": pa.array((key >> np.uint64(32)).astype(np.int64)),
+            "pk": pa.array((key & np.uint64((1 << 32) - 1))
+                           .astype(np.int64))})
+
+    def fold_orders(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["okey", "pk"]).sort_values(
+            ["okey", "pk"])
+        ok = g["okey"].to_numpy(np.int64)
+        pk = g["pk"].to_numpy(np.int64)
+        # vectorized within-order pairs: for each row i, pair with every
+        # later row of the same order
+        seg_start = np.r_[0, np.nonzero(ok[1:] != ok[:-1])[0] + 1]
+        seg_len = np.r_[seg_start[1:], len(ok)] - seg_start
+        reps = np.repeat(seg_len, seg_len) - (
+            np.arange(len(ok)) - np.repeat(seg_start, seg_len)) - 1
+        a = np.repeat(pk, reps)
+        starts = np.arange(len(ok)) + 1
+        idx = np.repeat(starts, reps) + (
+            np.arange(int(reps.sum()))
+            - np.repeat(np.cumsum(reps) - reps, reps))
+        b_ = pk[idx]
+        pairs = pd.DataFrame({"a": a, "b": b_}).groupby(
+            ["a", "b"], as_index=False).size().rename(
+                columns={"size": "n"})
+        pcounts = pd.DataFrame({"a": pk}).groupby(
+            "a", as_index=False).size().rename(columns={"size": "n"})
+        pcounts["b"] = -1
+        total = pd.DataFrame({"a": [-1], "b": [-1],
+                              "n": [int(len(np.unique(ok)))]})
+        return pd.concat([pairs, pcounts[["a", "b", "n"]], total],
+                         ignore_index=True)
+
+    stage1 = _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                              ["okey"], fold_orders)
+
+    def fold_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["a", "b"], as_index=False)["n"].sum()
+        keep = (s["b"] < 0) | (s["n"] >= 3)  # min-support INSIDE the fold
+        return s[keep]
+
+    c = _agg_partitioned(stage1, ["a", "b"], fold_pairs).to_pandas()
+    c = c.groupby(["a", "b"], as_index=False)["n"].sum()
+    N = int(c[(c["a"] == -1) & (c["b"] == -1)]["n"].sum())
+    n_part = dict(zip(c[(c["b"] == -1) & (c["a"] >= 0)]["a"],
+                      c[(c["b"] == -1) & (c["a"] >= 0)]["n"]))
+    pr = c[(c["a"] >= 0) & (c["b"] >= 0)].copy()
+    pr = pr[pr["n"] >= 3]
+    pr["n_a"] = pr["a"].map(n_part).astype(np.int64)
+    pr["n_b"] = pr["b"].map(n_part).astype(np.int64)
+    n_ab = pr["n"].to_numpy(np.float64)
+    pr["support"] = n_ab / np.float64(N)
+    pr["confidence"] = n_ab / pr["n_a"].to_numpy(np.float64)
+    pr["lift"] = (np.float64(N) * n_ab) / (
+        pr["n_a"].to_numpy(np.float64) * pr["n_b"].to_numpy(np.float64))
+    pr = pr.sort_values(["lift", "a", "b"],
+                        ascending=[False, True, True]).head(20)
+    out = pr.rename(columns={"a": "part_a", "b": "part_b", "n": "n_ab"})[
+        ["part_a", "part_b", "n_ab", "n_a", "n_b", "support",
+         "confidence", "lift"]]
+    out["n_ab"] = out["n_ab"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+QUERIES["basket_association_rules"] = basket_association_rules
+
+ORACLE_SQL["basket_association_rules"] = """
+    WITH s AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+         pc_ AS (SELECT l_partkey, count(*) AS n_p FROM s GROUP BY 1),
+         pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                       count(*) AS n_ab
+                FROM s a JOIN s b ON a.l_orderkey = b.l_orderkey
+                                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 3)
+    SELECT pa AS part_a, pb AS part_b, n_ab::BIGINT AS n_ab,
+           ca.n_p::BIGINT AS n_a, cb.n_p::BIGINT AS n_b,
+           CAST(n_ab AS DOUBLE) / (SELECT n FROM tot) AS support,
+           CAST(n_ab AS DOUBLE) / ca.n_p AS confidence,
+           (CAST((SELECT n FROM tot) AS DOUBLE) * n_ab)
+               / (CAST(ca.n_p AS DOUBLE) * cb.n_p) AS lift
+    FROM pr
+    JOIN pc_ ca ON pa = ca.l_partkey
+    JOIN pc_ cb ON pb = cb.l_partkey
+    ORDER BY lift DESC, part_a, part_b LIMIT 20
+"""
+
+
+def small_file_compaction(sf_dir: str, target_bytes: int | None = None,
+                          out_root: str | None = None):
+    """SMALL-FILE COMPACTION (the 100-TB "small files problem"): pack
+    many undersized parquet shards into few target-sized files with a
+    FOOTER-ONLY plan — first-fit-decreasing bin packing over the
+    shards' byte sizes (kilobytes of metadata plan the whole job), then
+    ONE independent task per bin concatenates its files.  No row is
+    decoded during planning; the audit proves content conservation with
+    an order-independent mod-2⁶⁴ checksum over the COMPACTED files
+    (read back, not trusted from the inputs) plus an oversize-bin count
+    (a bin exceeds target only when a single input already does).
+    Deterministic given the input shards; the planted test forces
+    multi-bin packing with crafted sizes."""
+    import tempfile
+
+    root = out_root or tempfile.mkdtemp(prefix="aads_smallfiles_")
+    shards_dir = os.path.join(root, "shards")
+    out_dir = os.path.join(root, "compacted")
+    os.makedirs(out_dir, exist_ok=True)
+
+    # manufacture the small-file problem: events scattered into many
+    # hash shards (any real ingest's per-task output layout)
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("shard", pa.array((e % 32)
+                                                 .astype(np.int64)))
+
+    def write_shards(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        os.makedirs(shards_dir, exist_ok=True)
+        for sh, gg in g.groupby("shard"):
+            t = pa.Table.from_pandas(gg[["event_id", "user_id"]],
+                                     preserve_index=False)
+            pq.write_table(t, os.path.join(
+                shards_dir, f"shard-{int(sh):05d}.parquet"))
+            rows.append((int(sh), t.num_rows))
+        return pd.DataFrame(rows, columns=["shard", "n"])
+
+    _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                     ["shard"], write_shards).to_pandas()
+
+    # ---- footer-only FFD plan
+    sizes = [(f, os.path.getsize(os.path.join(shards_dir, f)))
+             for f in sorted(os.listdir(shards_dir))]
+    if target_bytes is None:
+        target_bytes = max(1, sum(sz for _, sz in sizes) // 6)
+    bins: list[dict] = []
+    for f, sz in sorted(sizes, key=lambda x: (-x[1], x[0])):
+        placed = False
+        for b in bins:
+            if b["bytes"] + sz <= target_bytes:
+                b["files"].append(f)
+                b["bytes"] += sz
+                placed = True
+                break
+        if not placed:
+            bins.append({"files": [f], "bytes": sz})
+    n_oversize = sum(1 for b in bins
+                     if b["bytes"] > target_bytes and len(b["files"]) > 1)
+
+    def compact_bin(row: dict, shards_dir=shards_dir,
+                    out_dir=out_dir) -> dict:
+        t = pa.concat_tables([
+            pq.read_table(os.path.join(shards_dir, f))
+            for f in row["files"]])
+        pq.write_table(t, os.path.join(out_dir,
+                                       f"bin-{int(row['bin_id']):05d}"
+                                       ".parquet"))
+        return {"bin_id": row["bin_id"], "n": t.num_rows}
+
+    items = [{"bin_id": i, "files": b["files"]}
+             for i, b in enumerate(bins)]
+    ray.data.from_items(items).map(compact_bin).materialize()
+
+    # ---- audit from the COMPACTED output
+    A = np.uint64(6364136223846793005)
+
+    def audit(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = e * A + u
+        return pa.table({
+            "n": pa.array([b.num_rows], pa.int64()),
+            "cs": pa.array([int(np.sum(h, dtype=np.uint64))
+                            % (1 << 64)], pa.uint64())})
+
+    p = (ray.data.read_parquet(out_dir)
+         .map_batches(audit, batch_format="pyarrow").to_pandas())
+    cs = int(sum(int(v) for v in p["cs"]) % (1 << 64))
+    return pd.DataFrame({
+        "n_rows": pd.Series([int(p["n"].sum())], dtype="int64"),
+        "checksum": pd.Series([cs - (1 << 64) if cs >= (1 << 63) else cs],
+                              dtype="int64"),
+        "n_oversize_bins": pd.Series([n_oversize], dtype="int64")})
+
+
+QUERIES["small_file_compaction"] = small_file_compaction
+
+ORACLE_SQL["small_file_compaction"] = """
+    WITH h AS (SELECT ((CAST(event_id AS HUGEINT) * 6364136223846793005
+                        + user_id) % 18446744073709551616) AS hv
+               FROM events),
+    s AS (SELECT count(*) AS n_rows,
+                 sum(hv) % 18446744073709551616 AS cs
+          FROM h)
+    SELECT n_rows::BIGINT AS n_rows,
+           (CASE WHEN cs >= 9223372036854775808
+                 THEN cs - 18446744073709551616 ELSE cs END)::BIGINT
+               AS checksum,
+           0::BIGINT AS n_oversize_bins
+    FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -15322,6 +15767,8 @@ _FRONT = [
     "large_volume_customers", "time_travel_read",
     "price_percentile_cont", "region_nation_rollup",
     "replica_antientropy_repair", "sorted_run_compaction",
+    "q5_local_supplier_revenue", "props_field_stats",
+    "basket_association_rules", "small_file_compaction",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

@@ -4853,3 +4853,135 @@ def test_compaction_ordered_checksum_and_disjoint(ray_session, tmp_path):
     assert out["min_key"].iloc[0] == 0 and out["max_key"].iloc[0] == 14
     assert out["n_overlapping_files"].iloc[0] == 0
     assert out["ordered_checksum"].iloc[0] == want_cs
+
+
+# --------------------------------------------------------- TPC-H Q5
+
+
+def test_q5_local_supplier_predicate(ray_session, tmp_path):
+    """The c_nationkey = s_nationkey cross-dimension predicate: order 1's
+    lineitems split between a LOCAL supplier (counted) and a foreign one
+    (dropped); order 2 is outside the date window (dropped); customer 30
+    is outside the region (dropped)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        q5_local_supplier_revenue,
+    )
+
+    region = pa.table({"r_regionkey": pa.array([0, 1], pa.int32()),
+                       "r_name": pa.array(["ASIA", "EUROPE"])})
+    nation = pa.table({"n_nationkey": pa.array([0, 1, 2], pa.int32()),
+                       "n_name": pa.array(["JAPAN", "CHINA", "FRANCE"]),
+                       "n_regionkey": pa.array([0, 0, 1], pa.int32())})
+    supplier = pa.table({"s_suppkey": pa.array([100, 200], pa.int64()),
+                         "s_nationkey": pa.array([0, 1], pa.int32())})
+    customer = pa.table({"c_custkey": pa.array([10, 30], pa.int64()),
+                         "c_nationkey": pa.array([0, 2], pa.int32())})
+    d_in = np.datetime64("1996-06-01", "us")
+    d_out = np.datetime64("1995-06-01", "us")
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([10, 10, 30], pa.int64()),
+        "o_orderdate": pa.array([d_in, d_out, d_in])})
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_suppkey": pa.array([100, 200, 100, 100], pa.int64()),
+        "l_extendedprice": pa.array([10.0, 20.0, 40.0, 80.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0])})
+    sf = _write(tmp_path, "region", region)
+    for n, t in [("nation", nation), ("supplier", supplier),
+                 ("customer", customer), ("orders", orders),
+                 ("lineitem", li)]:
+        _write(tmp_path, n, t)
+    out = q5_local_supplier_revenue(sf)
+    # only order 1 × supplier 100 (JAPAN local to customer 10) survives
+    assert len(out) == 1
+    assert out.iloc[0]["n_name"] == "JAPAN"
+    assert out.iloc[0]["rev_micros"] == 1000 * 10000
+
+
+# --------------------------------------------- props contract nulls
+
+
+def test_props_field_stats_contract_violations(ray_session, tmp_path):
+    """Malformed props count as bad; an all-bad type gets the −1
+    sentinel for min/max; negative k parses."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        props_field_stats,
+    )
+
+    tbl = pa.table({
+        "event_type": pa.array(["a", "a", "a", "b", "b"]),
+        "props": pa.array(['{"k": 5}', '{"k": -7}', '{"k": oops}',
+                           "not json", '{"k": 3.5}']),
+    })
+    out = props_field_stats(
+        _write(tmp_path, "events", tbl)).set_index("event_type")
+    assert out.loc["a", "n"] == 3 and out.loc["a", "n_bad"] == 1
+    assert out.loc["a", "sum_k"] == -2
+    assert out.loc["a", "min_k"] == -7 and out.loc["a", "max_k"] == 5
+    assert out.loc["b", "n_bad"] == 2
+    assert out.loc["b", "min_k"] == -1 and out.loc["b", "max_k"] == -1
+
+
+# ------------------------------------------------- basket rules
+
+
+def test_basket_min_support_and_lift(ray_session, tmp_path):
+    """Pair (1,2) co-occurs 3× (kept, boundary), (1,3) only 2×
+    (pruned); duplicate lineitems of the same part in one order count
+    once.  Lift checked against the exact integer formula."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        basket_association_rules,
+    )
+
+    baskets = {1: [1, 2], 2: [1, 2], 3: [1, 2, 2], 4: [1, 3], 5: [1, 3],
+               6: [2], 7: [3]}
+    ok, pk = [], []
+    for o, parts in baskets.items():
+        for p in parts:
+            ok.append(o)
+            pk.append(p)
+    li = pa.table({"l_orderkey": pa.array(ok, pa.int64()),
+                   "l_partkey": pa.array(pk, pa.int64())})
+    out = basket_association_rules(_write(tmp_path, "lineitem", li))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["part_a"], r["part_b"]) == (1, 2)
+    assert r["n_ab"] == 3 and r["n_a"] == 5 and r["n_b"] == 4
+    N = 7
+    assert r["lift"] == (float(N) * 3.0) / (5.0 * 4.0)
+    assert r["support"] == 3.0 / N and r["confidence"] == 3.0 / 5.0
+
+
+# --------------------------------------------- small-file bin packing
+
+
+def test_small_file_compaction_packs_and_conserves(ray_session,
+                                                   tmp_path):
+    """A tiny target forces multiple bins; every compacted file stays
+    under target (no single input exceeds it), and rows survive."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        small_file_compaction,
+    )
+
+    n = 2000
+    tbl = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array([i * 7 % 101 for i in range(n)], pa.int64()),
+        "event_type": pa.array(["x"] * n),
+        "ts": pa.array([np.datetime64("2024-01-01", "us")] * n),
+        "value": pa.array([0.0] * n),
+        "props": pa.array(["{}"] * n)})
+    sf = _write(tmp_path, "events", tbl)
+    out_root = str(tmp_path / "compact_out")
+    res = small_file_compaction(sf, target_bytes=6000, out_root=out_root)
+    assert res["n_rows"].iloc[0] == n
+    assert res["n_oversize_bins"].iloc[0] == 0
+    out_dir = os.path.join(out_root, "compacted")
+    files = os.listdir(out_dir)
+    assert len(files) >= 2  # packing actually happened
+    sizes = [os.path.getsize(os.path.join(out_dir, f)) for f in files]
+    import pyarrow.parquet as _pq
+    total = sum(_pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
+                for f in files)
+    assert total == n
