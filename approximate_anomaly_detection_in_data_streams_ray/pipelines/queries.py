@@ -13014,8 +13014,15 @@ def key_venn3(sf_dir: str):
             ("orders", "o_custkey", 2),
             ("customer", "c_custkey", 1)]
     tagged = []
+    n_blocks = 0
     for tbl, col, bit in srcs:
-        ds = _t(sf_dir, tbl, columns=[col])
+        # data-sized reads + a key domain wider than the union's total
+        # block count: the sort derives one reduce range per input
+        # block, so blocks > P pigeonholes some ranges empty (a
+        # schema-less block and an executor warning per transition)
+        ds = _t(sf_dir, tbl, columns=[col],
+                blocks=_join_partitions(sf_dir, tbl))
+        n_blocks += _join_partitions(sf_dir, tbl)
 
         def pre(b: pa.Table, col=col, bit=bit) -> pa.Table:
             k = np.unique(np.asarray(b[col].drop_null(),
@@ -13034,7 +13041,9 @@ def key_venn3(sf_dir: str):
         return pd.DataFrame({"mask": h.index.to_numpy(np.int64),
                              "n_keys": h.to_numpy(np.int64)})
 
-    parts = _agg_partitioned(union, ["k"], fold).to_pandas()
+    from ..stages.dedup import _n_partitions as _np_
+    parts = _agg_partitioned(union, ["k"], fold,
+                             P=max(_np_(), 2 * n_blocks)).to_pandas()
     out = parts.groupby("mask", as_index=False)["n_keys"].sum()
     out["in_events"] = (out["mask"] & 4) > 0
     out["in_orders"] = (out["mask"] & 2) > 0
@@ -15673,6 +15682,364 @@ ORACLE_SQL["small_file_compaction"] = """
 """
 
 
+# -------------- round-4be: SCD2 / bloom sidecar / keyset pages / FK audit
+
+
+def scd2_user_state_history(sf_dir: str):
+    """SCD TYPE-2 DIMENSION BUILD: collapse each user's event stream
+    into versioned validity intervals — one row per CONSECUTIVE RUN of
+    the same event_type with (version, valid_from, valid_to) and the
+    −1 sentinel marking the open current row — the
+    slowly-changing-dimension history a warehouse keeps per entity.
+    Users land whole in ONE key exchange; inside each partition a
+    single lexsort + segmented compare finds run starts, versions are a
+    per-user cumsum, and valid_to is the NEXT run's start (vectorized
+    shift, no window function).  Output is sampled to user_id % 25 == 0
+    (same rule in the oracle) — at 100 TB the full history is a SINK,
+    not a driver result."""
+    ds = _t(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                       "event_type"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(u % 25 == 0))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "version": pd.Series(dtype="int64"),
+                                 "event_type": pd.Series(dtype="object"),
+                                 "valid_from_us": pd.Series(dtype="int64"),
+                                 "valid_to_us": pd.Series(dtype="int64")})
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        o = np.lexsort((eid, t, u))
+        u, t, et = u[o], t[o], et[o]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        run_start = new_user | np.r_[True, et[1:] != et[:-1]]
+        starts = np.nonzero(run_start)[0]
+        # version = 1-based run index within the user
+        run_user = u[starts]
+        first_of_user = np.r_[True, run_user[1:] != run_user[:-1]]
+        idx = np.arange(len(starts))
+        base = np.maximum.accumulate(np.where(first_of_user, idx, 0))
+        version = idx - base + 1
+        vf = t[starts]
+        vt = np.r_[vf[1:], np.int64(-1)]
+        vt[np.r_[first_of_user[1:], True]] = -1  # last run per user open
+        return pd.DataFrame({"user_id": run_user, "version": version,
+                             "event_type": et[starts],
+                             "valid_from_us": vf, "valid_to_us": vt})
+
+    out = _agg_partitioned(
+        ds.map_batches(pre, batch_format="pyarrow"), ["user_id"], fold
+    ).to_pandas()
+    for c in ["user_id", "version", "valid_from_us", "valid_to_us"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["user_id", "version"]).reset_index(drop=True)
+
+
+QUERIES["scd2_user_state_history"] = scd2_user_state_history
+
+ORACLE_SQL["scd2_user_state_history"] = """
+    WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+               WHERE user_id % 25 = 0),
+    o AS (SELECT *, lag(event_type) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+          FROM e),
+    r AS (SELECT *, sum(CASE WHEN prev_t IS NULL
+                              OR prev_t <> event_type THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS version
+          FROM o),
+    s AS (SELECT user_id, version, event_type, min(ts) AS vf
+          FROM r GROUP BY 1, 2, 3)
+    SELECT user_id, version::BIGINT AS version, event_type,
+           epoch_us(vf) AS valid_from_us,
+           COALESCE(epoch_us(lead(vf) OVER
+               (PARTITION BY user_id ORDER BY version)), -1)
+               AS valid_to_us
+    FROM s ORDER BY user_id, version
+"""
+
+
+def bloom_sidecar_point_lookup(sf_dir: str, out_root: str | None = None,
+                               _audit: dict | None = None):
+    """BLOOM SIDECAR INDEX for point lookups: each ingest shard gets a
+    tiny Bloom-filter sidecar of its user_ids at write time; a point
+    query consults ONLY the sidecars (kilobytes) to choose which shards
+    to read — the file-skipping index that turns a 100-TB full scan
+    into a handful of file reads.  Shards are event_id-ordered ("time
+    of ingest"), so a user's rows touch few shards and the skip rate is
+    real.  Bloom membership has false POSITIVES only, so skipped files
+    provably hold no probe rows and the result is exact; the oracle
+    answers the same probes relationally.  Probes = the 3 smallest
+    distinct user_ids (same rule in SQL)."""
+    import tempfile
+
+    root = out_root or tempfile.mkdtemp(prefix="aads_bloomside_")
+    shards_dir = os.path.join(root, "shards")
+    os.makedirs(shards_dir, exist_ok=True)
+    M, K = 1 << 13, 4  # bits per sidecar, hash count
+
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "value"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def _hashes(u: np.ndarray) -> np.ndarray:
+        a = u.astype(np.uint64)
+        h1 = a * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
+        h2 = a * np.uint64(2862933555777941757) + np.uint64(3037000493)
+        return np.stack([(h1 + np.uint64(i) * h2) % np.uint64(M)
+                         for i in range(K)])
+
+    def pre(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("shard", pa.array((e % 24)
+                                                 .astype(np.int64)))
+
+    def write_with_sidecar(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for sh, gg in g.groupby("shard"):
+            t = pa.Table.from_pandas(
+                gg[["event_id", "user_id", "value"]],
+                preserve_index=False)
+            pq.write_table(t, os.path.join(
+                shards_dir, f"shard-{int(sh):05d}.parquet"))
+            bits = np.zeros(M, bool)
+            hs = _hashes(gg["user_id"].to_numpy(np.int64))
+            bits[hs.ravel()] = True
+            pq.write_table(
+                pa.table({"bits": pa.array(np.packbits(bits))}),
+                os.path.join(shards_dir,
+                             f"shard-{int(sh):05d}.bloom.parquet"))
+            rows.append((int(sh), len(gg)))
+        return pd.DataFrame(rows, columns=["shard", "n"])
+
+    _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                     ["shard"], write_with_sidecar).to_pandas()
+
+    # probe keys: the 3 smallest distinct user_ids (partial min-3/block)
+    def min3(b: pa.Table) -> pa.Table:
+        u = np.unique(b["user_id"].to_numpy(zero_copy_only=False))[:3]
+        return pa.table({"user_id": pa.array(u.astype(np.int64))})
+
+    cand = (_t(sf_dir, "events", columns=["user_id"])
+            .map_batches(min3, batch_format="pyarrow").to_pandas())
+    probes = np.unique(cand["user_id"].to_numpy(np.int64))[:3]
+
+    # sidecar-only planning: kilobytes decide which shards to read
+    data_files = sorted(f for f in os.listdir(shards_dir)
+                        if not f.endswith(".bloom.parquet"))
+    hs = _hashes(probes)  # (K, n_probes)
+    to_read = []
+    for f in data_files:
+        packed = pq.read_table(os.path.join(
+            shards_dir, f.replace(".parquet", ".bloom.parquet")))[
+                "bits"].to_numpy(zero_copy_only=False)
+        bits = np.unpackbits(packed.astype(np.uint8))
+        if bool(np.any(np.all(bits[hs], axis=0))):
+            to_read.append(os.path.join(shards_dir, f))
+    if _audit is not None:
+        _audit["n_files_total"] = len(data_files)
+        _audit["n_files_read"] = len(to_read)
+
+    probes_ref = ray.put(pa.array(probes))
+
+    def fetch(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_in(b["user_id"], value_set=ray.get(probes_ref)))
+        v = f["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        u, inv = np.unique(f["user_id"].to_numpy(zero_copy_only=False),
+                           return_inverse=True)
+        return pa.table({
+            "user_id": pa.array(u.astype(np.int64)),
+            "n_events": pa.array(np.bincount(inv, minlength=len(u))
+                                 .astype(np.int64)),
+            "value_cents": pa.array(np.bincount(
+                inv, weights=cents, minlength=len(u)).astype(np.int64))})
+
+    p = (ray.data.read_parquet(to_read, columns=["user_id", "value"])
+         .map_batches(fetch, batch_format="pyarrow").to_pandas())
+    out = p.groupby("user_id", as_index=False)[["n_events",
+                                                "value_cents"]].sum()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["bloom_sidecar_point_lookup"] = bloom_sidecar_point_lookup
+
+ORACLE_SQL["bloom_sidecar_point_lookup"] = """
+    WITH p AS (SELECT DISTINCT user_id FROM events
+               ORDER BY user_id LIMIT 3)
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT
+               AS value_cents
+    FROM events WHERE user_id IN (SELECT user_id FROM p)
+    GROUP BY user_id ORDER BY user_id
+"""
+
+
+def keyset_pagination_orders(sf_dir: str, page_size: int = 15,
+                             n_pages: int = 3):
+    """KEYSET (cursor) PAGINATION — the scale-correct alternative to
+    OFFSET: each page filters ``(cents, key) < cursor`` and takes a
+    partial top-``page_size`` per block, so page N costs one pruned
+    scan instead of sorting N·page_size rows like `orders_page_slice`'s
+    OFFSET plan.  The cursor is the last (cents DESC, orderkey ASC) of
+    the previous page; ties across a page boundary are split exactly
+    because the cursor is the full sort key, not just the value.  The
+    oracle reproduces all pages at once with row_number()."""
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    pages = []
+    cursor = None  # (cents, okey) of last row served
+    for page in range(1, n_pages + 1):
+        cur_ref = ray.put(cursor)
+
+        def top_page(b: pa.Table, _cur=cur_ref) -> pa.Table:
+            v = b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(
+                np.int64)
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            cur = ray.get(_cur)
+            if cur is not None:
+                cc, ck = cur
+                keep = (cents < cc) | ((cents == cc) & (k > ck))
+                cents, k = cents[keep], k[keep]
+            o = np.lexsort((k, -cents))[:page_size]
+            return pa.table({"o_orderkey": pa.array(k[o]),
+                             "cents": pa.array(cents[o])})
+
+        part = (ds.map_batches(top_page, batch_format="pyarrow")
+                .to_pandas())
+        part = part.sort_values(["cents", "o_orderkey"],
+                                ascending=[False, True]).head(page_size)
+        part.insert(0, "page", page)
+        pages.append(part)
+        if len(part) < page_size:
+            break
+        cursor = (int(part["cents"].iloc[-1]),
+                  int(part["o_orderkey"].iloc[-1]))
+
+    out = pd.concat(pages, ignore_index=True)
+    out["page"] = out["page"].astype("int64")
+    return out
+
+
+QUERIES["keyset_pagination_orders"] = keyset_pagination_orders
+
+ORACLE_SQL["keyset_pagination_orders"] = """
+    WITH r AS (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      row_number() OVER (ORDER BY
+                          CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                          o_orderkey) AS rn
+               FROM orders)
+    SELECT ((rn - 1) // 15 + 1)::BIGINT AS page, o_orderkey, cents
+    FROM r WHERE rn <= 45 ORDER BY rn
+"""
+
+
+def fk_containment_audit(sf_dir: str):
+    """FOREIGN-KEY INFERENCE audit: for every candidate child→parent
+    column pair, the CONTAINMENT coefficient |child ∩ parent| / |child|
+    over distinct values — the inclusion-dependency profile a schema
+    crawler runs to discover joinable keys.  All four candidate pairs
+    share ONE tagged exchange: per-source per-batch DISTINCT partials
+    carry (pair_id, key, side-bit), the fold ORs bits per (pair, key)
+    and counts — no pair ever joins its tables, and the driver sees a
+    4-row table.  Ratios are exact-int divisions (bit-equal)."""
+    pairs = [
+        (0, "lineitem", "l_partkey", "part", "p_partkey"),
+        (1, "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        (2, "orders", "o_custkey", "customer", "c_custkey"),
+        (3, "events", "user_id", "customer", "c_custkey"),
+    ]
+    tagged = []
+    n_blocks = 0
+    for pid, ct, cc, pt, pcol in pairs:
+        for tbl, col, bit in [(ct, cc, 2), (pt, pcol, 1)]:
+            blocks = _join_partitions(sf_dir, tbl)
+            n_blocks += blocks
+            ds = _t(sf_dir, tbl, columns=[col], blocks=blocks)
+
+            def pre(b: pa.Table, col=col, bit=bit,
+                    pid=pid) -> pa.Table:
+                k = np.unique(np.asarray(b[col].drop_null(),
+                                         dtype=np.int64))
+                return pa.table({
+                    "pair_id": pa.array(np.full(len(k), pid, np.int64)),
+                    "k": pa.array(k),
+                    "m": pa.array(np.full(len(k), bit, np.int64))})
+
+            tagged.append(ds.map_batches(pre, batch_format="pyarrow"))
+    union = tagged[0].union(*tagged[1:])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["pair_id", "k"])["m"].agg(
+            lambda s: int(np.bitwise_or.reduce(s.to_numpy(np.int64))))
+        d = per.reset_index()
+        out = d.groupby("pair_id").agg(
+            n_child=("m", lambda s: int(((s.to_numpy() & 2) > 0).sum())),
+            n_contained=("m", lambda s: int((s.to_numpy() == 3).sum())))
+        return out.reset_index()
+
+    from ..stages.dedup import _n_partitions as _np_
+    parts = _agg_partitioned(union, ["pair_id", "k"], fold,
+                             P=max(_np_(), 2 * n_blocks)).to_pandas()
+    agg = parts.groupby("pair_id", as_index=False)[
+        ["n_child", "n_contained"]].sum()
+    names = {p[0]: f"{p[1]}.{p[2]}->{p[3]}.{p[4]}" for p in pairs}
+    agg["candidate"] = agg["pair_id"].map(names)
+    agg["containment"] = (agg["n_contained"].to_numpy(np.float64)
+                          / agg["n_child"].to_numpy(np.float64))
+    out = agg[["candidate", "n_child", "n_contained",
+               "containment"]].copy()
+    for c in ["n_child", "n_contained"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("candidate").reset_index(drop=True)
+
+
+QUERIES["fk_containment_audit"] = fk_containment_audit
+
+ORACLE_SQL["fk_containment_audit"] = """
+    WITH c0 AS (SELECT DISTINCT l_partkey AS k FROM lineitem),
+    p0 AS (SELECT DISTINCT p_partkey AS k FROM part),
+    c1 AS (SELECT DISTINCT l_suppkey AS k FROM lineitem),
+    p1 AS (SELECT DISTINCT s_suppkey AS k FROM supplier),
+    c2 AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    p2 AS (SELECT DISTINCT c_custkey AS k FROM customer),
+    c3 AS (SELECT DISTINCT user_id AS k FROM events
+           WHERE user_id IS NOT NULL),
+    p3 AS (SELECT DISTINCT c_custkey AS k FROM customer),
+    r AS (
+      SELECT 'lineitem.l_partkey->part.p_partkey' AS candidate,
+             (SELECT count(*) FROM c0) AS n_child,
+             (SELECT count(*) FROM c0 WHERE k IN (SELECT k FROM p0))
+                 AS n_contained
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+             (SELECT count(*) FROM c1),
+             (SELECT count(*) FROM c1 WHERE k IN (SELECT k FROM p1))
+      UNION ALL
+      SELECT 'orders.o_custkey->customer.c_custkey',
+             (SELECT count(*) FROM c2),
+             (SELECT count(*) FROM c2 WHERE k IN (SELECT k FROM p2))
+      UNION ALL
+      SELECT 'events.user_id->customer.c_custkey',
+             (SELECT count(*) FROM c3),
+             (SELECT count(*) FROM c3 WHERE k IN (SELECT k FROM p3)))
+    SELECT candidate, n_child::BIGINT AS n_child,
+           n_contained::BIGINT AS n_contained,
+           CAST(n_contained AS DOUBLE) / n_child AS containment
+    FROM r ORDER BY candidate
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -15769,6 +16136,8 @@ _FRONT = [
     "replica_antientropy_repair", "sorted_run_compaction",
     "q5_local_supplier_revenue", "props_field_stats",
     "basket_association_rules", "small_file_compaction",
+    "scd2_user_state_history", "bloom_sidecar_point_lookup",
+    "keyset_pagination_orders", "fk_containment_audit",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

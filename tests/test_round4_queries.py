@@ -4032,10 +4032,17 @@ def test_cached_query_hits_without_recompute(ray_session, tmp_path):
     """Two calls on identical input: one compute, identical results;
     changing the input rows changes the key and recomputes."""
     import glob
+    import shutil
 
     from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
         cached_pricing_summary,
     )
+
+    # the cache is persistent scratch by design — a PREVIOUS pytest
+    # session's entry for this same planted input (same basename + row
+    # count → same key) would turn call 1 into a hit and break the
+    # miss-counting below, so start from a clean cache dir
+    shutil.rmtree("/tmp/aads_result_cache", ignore_errors=True)
 
     li = pa.table({
         "l_returnflag": pa.array(["A", "A", "R"], pa.string()),
@@ -4985,3 +4992,123 @@ def test_small_file_compaction_packs_and_conserves(ray_session,
     total = sum(_pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
                 for f in files)
     assert total == n
+
+
+# ------------------------------------------------------ SCD2 build
+
+
+def test_scd2_runs_versions_and_open_row(ray_session, tmp_path):
+    """User 0 (sampled: 0 % 25 == 0): types A,A,B,A → 3 versions with
+    chained validity; the last run stays open (−1); same-ts ties order
+    by event_id."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        scd2_user_state_history,
+    )
+
+    def ts(m):
+        return np.datetime64(f"2024-01-01T00:{m:02d}:00", "us")
+
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array([ts(0), ts(1), ts(2), ts(3), ts(0)]),
+        "user_id": pa.array([0, 0, 0, 0, 7], pa.int64()),  # 7: unsampled
+        "event_type": pa.array(["A", "A", "B", "A", "X"]),
+    })
+    out = scd2_user_state_history(_write(tmp_path, "events", tbl))
+    assert list(out["user_id"].unique()) == [0]
+    assert list(out["version"]) == [1, 2, 3]
+    assert list(out["event_type"]) == ["A", "B", "A"]
+    e = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    m = 60_000_000
+    assert list(out["valid_from_us"]) == [e, e + 2 * m, e + 3 * m]
+    assert list(out["valid_to_us"]) == [e + 2 * m, e + 3 * m, -1]
+
+
+# ------------------------------------------------ bloom sidecar skip
+
+
+def test_bloom_sidecar_actually_skips_files(ray_session, tmp_path):
+    """Probe users 1,2,3 live only in shard 0 (event_id ≡ 0 mod 24);
+    the sidecar plan must read strictly fewer files than exist and the
+    aggregates must still be exact."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        bloom_sidecar_point_lookup,
+    )
+
+    eid, uid, val = [], [], []
+    for i in range(3):  # probe users in shard 0 only
+        eid.append(i * 24)
+        uid.append(i + 1)
+        val.append(float(i + 1))
+    for j in range(200):  # filler users spread over all shards
+        eid.append(j + 1000)
+        uid.append(100 + j)
+        val.append(0.5)
+    tbl = pa.table({"event_id": pa.array(eid, pa.int64()),
+                    "user_id": pa.array(uid, pa.int64()),
+                    "value": pa.array(val, pa.float64())})
+    audit = {}
+    out = bloom_sidecar_point_lookup(
+        _write(tmp_path, "events", tbl),
+        out_root=str(tmp_path / "bloom"), _audit=audit)
+    assert audit["n_files_read"] < audit["n_files_total"]
+    assert list(out["user_id"]) == [1, 2, 3]
+    assert list(out["n_events"]) == [1, 1, 1]
+    assert list(out["value_cents"]) == [100, 200, 300]
+
+
+# -------------------------------------------------- keyset pagination
+
+
+def test_keyset_cursor_splits_tie_group_exactly(ray_session, tmp_path):
+    """A 20-way tie at the page-1/page-2 boundary: the cursor carries
+    (cents, orderkey), so page 2 resumes mid-tie with no dup or skip."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        keyset_pagination_orders,
+    )
+
+    prices = [9.99] * 5 + [5.55] * 20 + [1.11] * 20
+    tbl = pa.table({
+        "o_orderkey": pa.array(range(len(prices)), pa.int64()),
+        "o_totalprice": pa.array(prices, pa.float64())})
+    out = keyset_pagination_orders(_write(tmp_path, "orders", tbl))
+    assert len(out) == 45
+    assert out["o_orderkey"].is_unique
+    p1 = out[out["page"] == 1]
+    p2 = out[out["page"] == 2]
+    # page 1 = five 999s + first ten 555s (by orderkey); page 2 resumes
+    # at the 11th 555
+    assert list(p1["cents"]) == [999] * 5 + [555] * 10
+    assert list(p2["cents"]) == [555] * 10 + [111] * 5
+    assert list(p2["o_orderkey"])[:10] == list(range(15, 25))
+
+
+# ------------------------------------------------- FK containment
+
+
+def test_fk_containment_counts_dangling_keys(ray_session, tmp_path):
+    """Orders references custkeys {1,2,9}; customer holds {1,2,3} →
+    containment 2/3 for that pair."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        fk_containment_audit,
+    )
+
+    sf = _write(tmp_path, "orders", pa.table({
+        "o_custkey": pa.array([1, 2, 9, 2], pa.int64())}))
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64())}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_partkey": pa.array([1], pa.int64()),
+        "l_suppkey": pa.array([1], pa.int64())}))
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([1], pa.int64())}))
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([1], pa.int64())}))
+    _write(tmp_path, "events", pa.table({
+        "user_id": pa.array([1, 3], pa.int64())}))
+    out = fk_containment_audit(sf).set_index("candidate")
+    r = out.loc["orders.o_custkey->customer.c_custkey"]
+    assert r["n_child"] == 3 and r["n_contained"] == 2
+    assert r["containment"] == 2.0 / 3.0
+    assert out.loc["events.user_id->customer.c_custkey",
+                   "containment"] == 1.0
