@@ -16040,6 +16040,404 @@ ORACLE_SQL["fk_containment_audit"] = """
 """
 
 
+# ---------------- round-4bf: Q3 / Q10 / grouped percentile_cont / retry
+
+
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped SHIPPING PRIORITY: top-10 unshipped-revenue
+    orders for one market segment — both join sides are FILTERED AT THE
+    SCAN (orders by date, lineitem by shipdate, customer by segment)
+    before any exchange, then two tagged-union exchanges (custkey
+    qualifies the orders, orderkey attaches revenue) with a per-
+    partition TOP-10 partial so the driver merges ≤10 rows per
+    partition.  Exchange 2's key domain is widened past its input block
+    count (exchange 1's P output blocks + the lineitem blocks) — the
+    sort pigeonholes an empty range otherwise (see key_venn3)."""
+    from ..stages.dedup import _n_partitions as _np_
+
+    split = pa.scalar(np.datetime64("1998-01-01", "us"))
+    seg_ref = ray.put("BUILDING")
+
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
+              blocks=_join_partitions(sf_dir, "customer"))
+    orders = _t(sf_dir, "orders",
+                columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                blocks=_join_partitions(sf_dir, "orders"))
+    li = _t(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def c_pre(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(pc.fill_null(b["c_mktsegment"], ""),
+                              ray.get(seg_ref)))
+        return pa.table({
+            "custkey": pc.cast(f["c_custkey"], pa.int64()),
+            "okey": pa.array(np.full(f.num_rows, -1, np.int64)),
+            "oday": pa.array(np.zeros(f.num_rows, np.int64))})
+
+    def o_pre(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.fill_null(pc.less(b["o_orderdate"], split),
+                                  False))
+        day = (f["o_orderdate"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[D]").astype(np.int64))
+        return pa.table({"custkey": pc.cast(f["o_custkey"], pa.int64()),
+                         "okey": f["o_orderkey"],
+                         "oday": pa.array(day)})
+
+    tagged1 = cust.map_batches(c_pre, batch_format="pyarrow").union(
+        orders.map_batches(o_pre, batch_format="pyarrow"))
+
+    def fold1(g: pd.DataFrame) -> pd.DataFrame:
+        seg_custs = set(g[g["okey"] < 0]["custkey"])
+        f = g[(g["okey"] >= 0) & g["custkey"].isin(seg_custs)]
+        return f[["okey", "oday"]]
+
+    stage1 = _agg_partitioned(tagged1, ["custkey"], fold1)
+
+    def l_pre(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.fill_null(pc.greater(b["l_shipdate"], split),
+                                  False))
+        ep = f["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(ep) * np.floor(np.abs(ep) + 0.5)).astype(np.int64)
+        dc = f["l_discount"].to_numpy(zero_copy_only=False) * 10000.0
+        bp = (np.sign(dc) * np.floor(np.abs(dc) + 0.5)).astype(np.int64)
+        t = pa.table({"okey": f["l_orderkey"],
+                      "rev": pa.array(cents * (10000 - bp))})
+        g = t.group_by("okey").aggregate([("rev", "sum")])
+        g = g.rename_columns(["okey", "rev"])
+        # pandas return: exchange 2 unions with stage1's pandas blocks
+        return pd.DataFrame({
+            "okey": g["okey"].to_numpy(zero_copy_only=False),
+            "oday": np.full(g.num_rows, -1, np.int64),
+            "rev": g["rev"].to_numpy(zero_copy_only=False)})
+
+    def s1_tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rev"] = np.zeros(len(df), np.int64)
+        return df[["okey", "oday", "rev"]]
+
+    tagged2 = stage1.map_batches(s1_tag, batch_format="pandas").union(
+        li.map_batches(l_pre, batch_format="pyarrow"))
+
+    def fold2(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["oday"] >= 0]
+        facts = g[g["oday"] < 0]
+        od = dict(zip(dim["okey"], dim["oday"]))
+        f = facts[facts["okey"].isin(od)]
+        s = f.groupby("okey", as_index=False)["rev"].sum()
+        s["oday"] = s["okey"].map(od).astype(np.int64)
+        return s.sort_values(["rev", "oday", "okey"],
+                             ascending=[False, True, True]).head(10)
+
+    n_blocks2 = _np_() + _join_partitions(sf_dir, "lineitem")
+    parts = _agg_partitioned(tagged2, ["okey"], fold2,
+                             P=max(_np_(), 2 * n_blocks2)).to_pandas()
+    top = parts.sort_values(["rev", "oday", "okey"],
+                            ascending=[False, True, True]).head(10)
+    out = pd.DataFrame({
+        "o_orderkey": top["okey"].to_numpy(np.int64),
+        "rev_micros": top["rev"].to_numpy(np.int64),
+        "o_orderdate": top["oday"].to_numpy(np.int64)
+        .astype("datetime64[D]").astype(str)})
+    return out.reset_index(drop=True)
+
+
+QUERIES["q3_shipping_priority"] = q3_shipping_priority
+
+ORACLE_SQL["q3_shipping_priority"] = """
+    SELECT l_orderkey AS o_orderkey,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+              )::BIGINT AS rev_micros,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1998-01-01'
+      AND l_shipdate > DATE '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY rev_micros DESC, o_orderdate, o_orderkey LIMIT 10
+"""
+
+
+def q10_returned_item_revenue(sf_dir: str):
+    """TPC-H Q10-shaped RETURNED-ITEM REPORTING: top-20 customers by
+    revenue lost to returns.  lineitem filters to returnflag='R' at the
+    scan and pre-groups per orderkey; ONE orderkey exchange resolves
+    orderkey→custkey (orders rides tagged); ONE custkey exchange
+    attaches the customer name and folds — with a per-partition top-20
+    partial so the driver merges ≤20 rows per partition.  Both second-
+    hop exchanges widen P past their input block count (key_venn3's
+    pigeonhole rule)."""
+    from ..stages.dedup import _n_partitions as _np_
+
+    li = _t(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                     "l_discount"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                blocks=_join_partitions(sf_dir, "orders"))
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_name"],
+              blocks=_join_partitions(sf_dir, "customer"))
+
+    def l_pre(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(pc.fill_null(b["l_returnflag"], ""), "R"))
+        ep = f["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(ep) * np.floor(np.abs(ep) + 0.5)).astype(np.int64)
+        dc = f["l_discount"].to_numpy(zero_copy_only=False) * 10000.0
+        bp = (np.sign(dc) * np.floor(np.abs(dc) + 0.5)).astype(np.int64)
+        t = pa.table({"okey": f["l_orderkey"],
+                      "rev": pa.array(cents * (10000 - bp))})
+        g = t.group_by("okey").aggregate([("rev", "sum")])
+        g = g.rename_columns(["okey", "rev"])
+        return pa.table({"okey": g["okey"],
+                         "custkey": pa.array(np.full(g.num_rows, -1,
+                                                     np.int64)),
+                         "rev": g["rev"]})
+
+    def o_pre(b: pa.Table) -> pa.Table:
+        return pa.table({"okey": b["o_orderkey"],
+                         "custkey": pc.cast(b["o_custkey"], pa.int64()),
+                         "rev": pa.array(np.zeros(b.num_rows, np.int64))})
+
+    tagged1 = li.map_batches(l_pre, batch_format="pyarrow").union(
+        orders.map_batches(o_pre, batch_format="pyarrow"))
+
+    def fold1(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["custkey"] >= 0]
+        facts = g[g["custkey"] < 0]
+        ck = facts["okey"].map(dict(zip(dim["okey"], dim["custkey"])))
+        f = pd.DataFrame({"custkey": ck, "rev": facts["rev"]}).dropna(
+            subset=["custkey"])
+        f["custkey"] = f["custkey"].astype(np.int64)
+        return f.groupby("custkey", as_index=False)["rev"].sum()
+
+    stage1 = _agg_partitioned(tagged1, ["okey"], fold1)
+
+    def c_pre(b: pa.Table) -> pd.DataFrame:
+        # pandas return: exchange 2 mixes with stage1's pandas blocks
+        return pd.DataFrame({
+            "custkey": b["c_custkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "rev": np.full(b.num_rows, -1, np.int64),
+            "name": b["c_name"].to_pylist()})
+
+    def s1_tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["name"] = ""
+        return df[["custkey", "rev", "name"]]
+
+    tagged2 = stage1.map_batches(s1_tag, batch_format="pandas").union(
+        cust.map_batches(c_pre, batch_format="pyarrow"))
+
+    def fold2(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["rev"] < 0]
+        facts = g[g["rev"] >= 0]
+        nm = dict(zip(dim["custkey"], dim["name"]))
+        s = facts.groupby("custkey", as_index=False)["rev"].sum()
+        s = s[s["custkey"].isin(nm)]
+        s["name"] = s["custkey"].map(nm)
+        return s.sort_values(["rev", "custkey"],
+                             ascending=[False, True]).head(20)
+
+    n_blocks2 = _np_() + _join_partitions(sf_dir, "customer")
+    parts = _agg_partitioned(tagged2, ["custkey"], fold2,
+                             P=max(_np_(), 2 * n_blocks2)).to_pandas()
+    top = parts.sort_values(["rev", "custkey"],
+                            ascending=[False, True]).head(20)
+    out = pd.DataFrame({"c_custkey": top["custkey"].to_numpy(np.int64),
+                        "c_name": top["name"].to_numpy(),
+                        "rev_micros": top["rev"].to_numpy(np.int64)})
+    return out.reset_index(drop=True)
+
+
+QUERIES["q10_returned_item_revenue"] = q10_returned_item_revenue
+
+ORACLE_SQL["q10_returned_item_revenue"] = """
+    SELECT c_custkey, c_name,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+              )::BIGINT AS rev_micros
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY rev_micros DESC, c_custkey LIMIT 20
+"""
+
+
+def value_percentile_cont_by_type(sf_dir: str):
+    """GROUPED exact interpolated PERCENTILE_CONT (p50/p90 of value
+    cents per event_type) in TWO scans for ALL groups at once — the
+    grouped generalization of `price_percentile_cont`: scan 1 builds
+    per-(type, bucket) histograms over the footer-derived global cents
+    domain; the driver names each group's rank-holding buckets; scan 2
+    fetches only rows in those (type, bucket) pairs and selects +
+    interpolates with the fuzz-pinned two-multiply form.  Group count
+    is bounded (event types); the fetched slice is ~n_g/65536 per rank."""
+    files = _table_paths(sf_dir, "events")
+    lo_v = hi_v = None
+    for f in files:
+        md = pq.ParquetFile(f)
+        idx = md.schema_arrow.get_field_index("value")
+        for rg in range(md.metadata.num_row_groups):
+            st = md.metadata.row_group(rg).column(idx).statistics
+            lo_v = st.min if lo_v is None or st.min < lo_v else lo_v
+            hi_v = st.max if hi_v is None or st.max > hi_v else hi_v
+    lo_c = int(np.floor(lo_v * 100.0 - 1))
+    hi_c = int(np.ceil(hi_v * 100.0 + 1))
+    nb = 65536
+    width = max(1, (hi_c - lo_c + nb) // nb)
+
+    ds = _t(sf_dir, "events", columns=["event_type", "value"])
+
+    def _cents(b: pa.Table) -> np.ndarray:
+        v = b["value"].to_numpy(zero_copy_only=False) * 100.0
+        return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        bkt = (_cents(b) - lo_c) // width
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        key = pd.DataFrame({"event_type": et, "bucket": bkt})
+        g = key.groupby(["event_type", "bucket"], as_index=False).size()
+        return pa.table({
+            "event_type": pa.array(g["event_type"].to_numpy()),
+            "bucket": pa.array(g["bucket"].to_numpy(np.int64)),
+            "n": pa.array(g["size"].to_numpy(np.int64))})
+
+    hp = (ds.map_batches(hist_partial, batch_format="pyarrow")
+          .to_pandas().groupby(["event_type", "bucket"],
+                               as_index=False)["n"].sum())
+
+    probes = [("p50", 0.50), ("p90", 0.90)]
+    needed = {}   # (event_type, bucket) -> True
+    plan = {}     # event_type -> (n, {rank: bucket}, cum_before)
+    for et, grp in hp.groupby("event_type"):
+        grp = grp.sort_values("bucket")
+        buckets = grp["bucket"].to_numpy(np.int64)
+        counts = grp["n"].to_numpy(np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        ranks = set()
+        for _, p in probes:
+            pos = np.float64(n - 1) * np.float64(p)
+            r = int(np.floor(pos))
+            ranks.update((r, min(r + 1, n - 1)))
+        rank_bucket = {}
+        for r in ranks:
+            i = int(np.searchsorted(cum, r + 1))
+            rank_bucket[r] = int(buckets[i])
+            needed[(et, int(buckets[i]))] = True
+        cb = {int(b): int(c) for b, c in zip(buckets, np.r_[0, cum[:-1]])}
+        plan[et] = (n, rank_bucket, cb, counts, buckets)
+    need_keys = pa.array([f"{et}\x00{b}" for (et, b) in needed],
+                         pa.string())
+    need_ref = ray.put(need_keys)
+
+    def fetch(b: pa.Table) -> pa.Table:
+        c = _cents(b)
+        bkt = (c - lo_c) // width
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        key = pa.array([f"{t}\x00{k}" for t, k in zip(et, bkt)],
+                       pa.string())
+        keep = pc.is_in(key, value_set=ray.get(need_ref)).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"event_type": pa.array(et[keep]),
+                         "cents": pa.array(c[keep])})
+
+    got = (ds.map_batches(fetch, batch_format="pyarrow").to_pandas())
+    rows = []
+    for et, (n, rank_bucket, cum_before, counts, buckets) in sorted(
+            plan.items()):
+        sub = got[got["event_type"] == et]
+        cents = np.sort(sub["cents"].to_numpy(np.int64))
+        sub_bkt = (cents - lo_c) // width
+        by_rank = {}
+        fetched_buckets = sorted({b for b in rank_bucket.values()})
+        for r, bkt in rank_bucket.items():
+            fetched_below = int(np.sum(
+                sub_bkt < bkt))
+            by_rank[r] = int(cents[fetched_below
+                                   + (r - cum_before[bkt])])
+        vals = {}
+        for lbl, p in probes:
+            pos = np.float64(n - 1) * np.float64(p)
+            rlo = int(np.floor(pos))
+            frac = np.float64(pos - rlo)
+            lo = np.float64(by_rank[rlo])
+            hi = np.float64(by_rank[min(rlo + 1, n - 1)])
+            vals[lbl] = float(lo * (np.float64(1.0) - frac) + hi * frac)
+        rows.append((et, n, vals["p50"], vals["p90"]))
+    return pd.DataFrame(rows, columns=["event_type", "n", "p50", "p90"])
+
+
+QUERIES["value_percentile_cont_by_type"] = value_percentile_cont_by_type
+
+ORACLE_SQL["value_percentile_cont_by_type"] = """
+    WITH c AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events)
+    SELECT event_type, count(*)::BIGINT AS n,
+           quantile_cont(v, 0.50) AS p50,
+           quantile_cont(v, 0.90) AS p90
+    FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
+def retry_fault_injection_sum(sf_dir: str):
+    """TASK-RETRY EXACTLY-ONCE: one map task CRASHES ITS WORKER
+    (``os._exit``) the first time it sees the probe batch; Ray's
+    task-level fault tolerance reschedules it, the retry succeeds (a
+    scratch marker breaks the crash loop), and the aggregate must be
+    EXACTLY what a fault-free run produces — no dropped or double-
+    counted batch.  This is the worker-loss story a 256-node cluster
+    lives with daily; the oracle is the plain fault-free SQL aggregate,
+    and ``n_injected_failures`` pins that the crash really happened."""
+    import tempfile
+
+    marker_dir = tempfile.mkdtemp(prefix="aads_faultinject_")
+    marker_ref = ray.put(marker_dir)
+
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"],
+            blocks=_join_partitions(sf_dir, "orders"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        mdir = ray.get(marker_ref)
+        marker = os.path.join(mdir, "crashed")
+        if 0 in k and not os.path.exists(marker):
+            with open(marker, "w") as fh:
+                fh.write("1")
+            os._exit(1)  # simulate worker loss mid-task
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(tp) * np.floor(np.abs(tp) + 0.5)).astype(np.int64)
+        return pa.table({"n": pa.array([b.num_rows], pa.int64()),
+                         "cents": pa.array([int(cents.sum())],
+                                           pa.int64())})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n_failures = 1 if os.path.exists(
+        os.path.join(marker_dir, "crashed")) else 0
+    return pd.DataFrame({
+        "n_rows": pd.Series([int(p["n"].sum())], dtype="int64"),
+        "cents": pd.Series([int(p["cents"].sum())], dtype="int64"),
+        "n_injected_failures": pd.Series([n_failures], dtype="int64")})
+
+
+QUERIES["retry_fault_injection_sum"] = retry_fault_injection_sum
+
+ORACLE_SQL["retry_fault_injection_sum"] = """
+    SELECT count(*)::BIGINT AS n_rows,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS cents,
+           1::BIGINT AS n_injected_failures
+    FROM orders
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -16138,6 +16536,8 @@ _FRONT = [
     "basket_association_rules", "small_file_compaction",
     "scd2_user_state_history", "bloom_sidecar_point_lookup",
     "keyset_pagination_orders", "fk_containment_audit",
+    "q3_shipping_priority", "q10_returned_item_revenue",
+    "value_percentile_cont_by_type", "retry_fault_injection_sum",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

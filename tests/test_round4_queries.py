@@ -5112,3 +5112,118 @@ def test_fk_containment_counts_dangling_keys(ray_session, tmp_path):
     assert r["containment"] == 2.0 / 3.0
     assert out.loc["events.user_id->customer.c_custkey",
                    "containment"] == 1.0
+
+
+# ----------------------------------------------------------- TPC-H Q3
+
+
+def test_q3_filters_and_tie_order(ray_session, tmp_path):
+    """Order 1 qualifies (BUILDING, ordered before / shipped after the
+    split); order 2 fails the segment, order 3 the order date; a
+    lineitem shipped before the split is excluded from order 1's sum."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        q3_shipping_priority,
+    )
+
+    before = np.datetime64("1997-06-01", "us")
+    after = np.datetime64("1998-06-01", "us")
+    customer = pa.table({
+        "c_custkey": pa.array([10, 20], pa.int64()),
+        "c_mktsegment": pa.array(["BUILDING", "MACHINERY"])})
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([10, 20, 10], pa.int64()),
+        "o_orderdate": pa.array([before, before, after])})
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_shipdate": pa.array([after, before, after, after]),
+        "l_extendedprice": pa.array([10.0, 99.0, 50.0, 70.0]),
+        "l_discount": pa.array([0.0] * 4)})
+    sf = _write(tmp_path, "customer", customer)
+    _write(tmp_path, "orders", orders)
+    _write(tmp_path, "lineitem", li)
+    out = q3_shipping_priority(sf)
+    assert len(out) == 1
+    assert out.iloc[0]["o_orderkey"] == 1
+    assert out.iloc[0]["rev_micros"] == 1000 * 10000  # only the late ship
+    assert out.iloc[0]["o_orderdate"] == "1997-06-01"
+
+
+# ---------------------------------------------------------- TPC-H Q10
+
+
+def test_q10_returns_only_and_inner_join(ray_session, tmp_path):
+    """Non-'R' lineitems are excluded; an order whose custkey has no
+    customer row drops out of the inner join."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        q10_returned_item_revenue,
+    )
+
+    customer = pa.table({
+        "c_custkey": pa.array([10], pa.int64()),
+        "c_name": pa.array(["Customer#10"])})
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([10, 99], pa.int64())})  # 99 dangling
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+        "l_returnflag": pa.array(["R", "N", "R"]),
+        "l_extendedprice": pa.array([10.0, 99.0, 50.0]),
+        "l_discount": pa.array([0.1, 0.0, 0.0])})
+    sf = _write(tmp_path, "customer", customer)
+    _write(tmp_path, "orders", orders)
+    _write(tmp_path, "lineitem", li)
+    out = q10_returned_item_revenue(sf)
+    assert len(out) == 1
+    assert out.iloc[0]["c_custkey"] == 10
+    assert out.iloc[0]["rev_micros"] == 1000 * (10000 - 1000)
+
+
+# ------------------------------------- grouped percentile_cont
+
+
+def test_grouped_percentile_cont_matches_duckdb(ray_session, tmp_path):
+    """Per-type interpolated percentiles bit-equal to quantile_cont,
+    including a single-row group."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        value_percentile_cont_by_type,
+    )
+
+    vals = {"a": [1.00, 2.00, 3.00, 4.00, 100.00], "b": [7.77]}
+    et, v = [], []
+    for t, vv in vals.items():
+        et += [t] * len(vv)
+        v += vv
+    tbl = pa.table({"event_type": pa.array(et),
+                    "value": pa.array(v, pa.float64())})
+    out = value_percentile_cont_by_type(
+        _write(tmp_path, "events", tbl)).set_index("event_type")
+    con = duckdb.connect()
+    for t, vv in vals.items():
+        for p, col in [(0.5, "p50"), (0.9, "p90")]:
+            want = con.execute(
+                "SELECT quantile_cont(CAST(round(v*100) AS BIGINT), ?) "
+                "FROM (SELECT unnest(?) AS v)", [p, vv]).fetchone()[0]
+            assert out.loc[t, col] == want, (t, col)
+    assert out.loc["b", "n"] == 1
+
+
+# ------------------------------------------------ fault injection
+
+
+def test_retry_preserves_exactly_once_aggregation(ray_session,
+                                                  tmp_path):
+    """The probe batch's worker dies mid-task; Ray re-runs it and the
+    totals come out exactly once — no drop, no double count."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        retry_fault_injection_sum,
+    )
+
+    n = 500
+    tbl = pa.table({
+        "o_orderkey": pa.array(range(n), pa.int64()),  # includes key 0
+        "o_totalprice": pa.array([1.00] * n, pa.float64())})
+    out = retry_fault_injection_sum(_write(tmp_path, "orders", tbl))
+    assert out["n_rows"].iloc[0] == n
+    assert out["cents"].iloc[0] == 100 * n
+    assert out["n_injected_failures"].iloc[0] == 1
