@@ -73,7 +73,11 @@ def _agg_partitioned(ds, keys: list[str], fold, P: int | None = None):
         for k in keys[1:]:
             h = (h * np.uint64(1099511628211)) ^ stable_hash64(b[k])
         part = (h % np.uint64(P)).astype(np.int32)
-        return b.append_column("part", pa.array(part))
+        # strip pandas metadata Ray attaches converting pandas blocks:
+        # such schemas are UNHASHABLE (dict in the metadata) and make
+        # every downstream unify_schemas log a per-reduce-task warning
+        return b.replace_schema_metadata(None).append_column(
+            "part", pa.array(part))
 
     def run_fold(g: pd.DataFrame) -> pd.DataFrame:
         return fold(g.drop(columns=["part"]))
@@ -14012,7 +14016,12 @@ def copartitioned_bucket_join(sf_dir: str, n_buckets: int = 8):
         def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
             rows = []
             for bkt, gg in g.groupby("bucket"):
-                t = pa.Table.from_pandas(gg[cols], preserve_index=False)
+                # stripped metadata: these buckets are read back as a
+                # dataset, and pandas-metadata schemas are unhashable
+                # (unify_schemas warns per reduce task)
+                t = pa.Table.from_pandas(
+                    gg[cols],
+                    preserve_index=False).replace_schema_metadata(None)
                 pq.write_table(t, os.path.join(
                     root, table, f"bucket-{int(bkt):04d}.parquet"))
                 rows.append((int(bkt), t.num_rows))
@@ -15599,8 +15608,9 @@ def small_file_compaction(sf_dir: str, target_bytes: int | None = None,
         rows = []
         os.makedirs(shards_dir, exist_ok=True)
         for sh, gg in g.groupby("shard"):
-            t = pa.Table.from_pandas(gg[["event_id", "user_id"]],
-                                     preserve_index=False)
+            t = pa.Table.from_pandas(
+                gg[["event_id", "user_id"]],
+                preserve_index=False).replace_schema_metadata(None)
             pq.write_table(t, os.path.join(
                 shards_dir, f"shard-{int(sh):05d}.parquet"))
             rows.append((int(sh), t.num_rows))
@@ -15805,7 +15815,7 @@ def bloom_sidecar_point_lookup(sf_dir: str, out_root: str | None = None,
         for sh, gg in g.groupby("shard"):
             t = pa.Table.from_pandas(
                 gg[["event_id", "user_id", "value"]],
-                preserve_index=False)
+                preserve_index=False).replace_schema_metadata(None)
             pq.write_table(t, os.path.join(
                 shards_dir, f"shard-{int(sh):05d}.parquet"))
             bits = np.zeros(M, bool)
