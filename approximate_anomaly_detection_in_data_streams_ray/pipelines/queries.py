@@ -16448,6 +16448,336 @@ ORACLE_SQL["retry_fault_injection_sum"] = """
 """
 
 
+# --------------- round-4bg: Q16 / Q22 / MoR→CoW rewrite / adaptive salt
+
+
+def q16_supplier_part_counts(sf_dir: str):
+    """TPC-H Q16-shaped SUPPLIER BREADTH per part group: count DISTINCT
+    suppliers per (brand, size) with a supplier BLACKLIST (the
+    reference's complaint filter, here the deterministic
+    ``s_suppkey % 3 == 0`` set) — the distinct-count-per-group +
+    NOT-IN-exclusion plan.  Part attributes and the blacklist broadcast
+    (dimension-bounded); per-batch DISTINCT (brand, size, suppkey)
+    triples shrink the exchange; the fold's nunique is exact because
+    every copy of a triple lands in one partition.  Top-20 by
+    (cnt DESC, brand, size) is tie-deterministic."""
+    pt = pa.concat_tables([
+        pq.read_table(f, columns=["p_partkey", "p_brand", "p_size"])
+        for f in _table_paths(sf_dir, "part")])
+    brand = dict(zip(pt["p_partkey"].to_pylist(),
+                     zip(pt["p_brand"].to_pylist(),
+                         pc.cast(pt["p_size"], pa.int64()).to_pylist())))
+    dim_ref = ray.put(brand)
+
+    ds = _t(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        dim = ray.get(dim_ref)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        keep = sk % 3 != 0  # blacklist pushed into the scan
+        pk, sk = pk[keep], sk[keep]
+        key = np.unique((pk.astype(np.uint64) << np.uint64(20))
+                        | sk.astype(np.uint64))  # suppkey < 2^20
+        pk = (key >> np.uint64(20)).astype(np.int64)
+        sk = (key & np.uint64((1 << 20) - 1)).astype(np.int64)
+        bs = [dim.get(int(p), ("?", -1)) for p in pk]
+        return pa.table({
+            "p_brand": pa.array([x[0] for x in bs], pa.string()),
+            "p_size": pa.array([x[1] for x in bs], pa.int64()),
+            "suppkey": pa.array(sk)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        out = g.groupby(["p_brand", "p_size"], as_index=False)[
+            "suppkey"].nunique()
+        return out.rename(columns={"suppkey": "supplier_cnt"})
+
+    parts = _agg_partitioned(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["p_brand", "p_size"], fold).to_pandas()
+    out = parts.groupby(["p_brand", "p_size"], as_index=False)[
+        "supplier_cnt"].sum()
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    return (out.sort_values(["supplier_cnt", "p_brand", "p_size"],
+                            ascending=[False, True, True])
+            .head(20).reset_index(drop=True))
+
+
+QUERIES["q16_supplier_part_counts"] = q16_supplier_part_counts
+
+ORACLE_SQL["q16_supplier_part_counts"] = """
+    SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+           count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_suppkey % 3 <> 0
+    GROUP BY 1, 2
+    ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 20
+"""
+
+
+def q22_sales_opportunity(sf_dir: str):
+    """TPC-H Q22-shaped SALES OPPORTUNITY: customers whose balance
+    beats the positive-balance AVERAGE but who placed NO recent order —
+    scalar-subquery + anti-join, distributed as (1) a two-int partial
+    (Σ positive cents, n) whose comparison is the CROSS-MULTIPLIED
+    integer test ``cents·n > Σcents`` — no float average can flip a
+    boundary row on either side — and (2) ONE custkey exchange where
+    recent-order marker rows anti-join the customers in-partition.
+    Per-nation fold is dimension-bounded."""
+    split = pa.scalar(np.datetime64("2000-01-01", "us"))
+
+    cust = _t(sf_dir, "customer",
+              columns=["c_custkey", "c_nationkey", "c_acctbal"],
+              blocks=_join_partitions(sf_dir, "customer"))
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_orderdate"],
+                blocks=_join_partitions(sf_dir, "orders"))
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        v = b["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        cc = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        pos = cc[cc > 0]
+        return pa.table({"s": pa.array([int(pos.sum())], pa.int64()),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    p = cust.map_batches(pos_partial, batch_format="pyarrow").to_pandas()
+    sc, n = int(p["s"].sum()), int(p["n"].sum())
+    sc_ref, n_ref = ray.put(sc), ray.put(n)
+
+    def c_pre(b: pa.Table) -> pa.Table:
+        v = b["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        cc = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        # integer cross-multiply: cents·n > Σcents — float-free boundary
+        keep = cc * ray.get(n_ref) > ray.get(sc_ref)
+        f = b.filter(pa.array(keep))
+        return pa.table({
+            "custkey": pc.cast(f["c_custkey"], pa.int64()),
+            "nationkey": pc.cast(f["c_nationkey"], pa.int64()),
+            "cents": pa.array(cc[keep])})
+
+    def o_pre(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.fill_null(
+            pc.greater_equal(b["o_orderdate"], split), False))
+        ck = np.unique(f["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "custkey": pa.array(ck.astype(np.int64)),
+            "nationkey": pa.array(np.full(len(ck), -1, np.int64)),
+            "cents": pa.array(np.zeros(len(ck), np.int64))})
+
+    tagged = cust.map_batches(c_pre, batch_format="pyarrow").union(
+        orders.map_batches(o_pre, batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        recent = set(g[g["nationkey"] < 0]["custkey"])
+        f = g[(g["nationkey"] >= 0) & ~g["custkey"].isin(recent)]
+        out = f.groupby("nationkey", as_index=False).agg(
+            n_cust=("custkey", "size"), cents=("cents", "sum"))
+        return out
+
+    parts = _agg_partitioned(tagged, ["custkey"], fold).to_pandas()
+    out = parts.groupby("nationkey", as_index=False)[
+        ["n_cust", "cents"]].sum()
+    for c in ["nationkey", "n_cust", "cents"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("nationkey").reset_index(drop=True)
+
+
+QUERIES["q22_sales_opportunity"] = q22_sales_opportunity
+
+ORACLE_SQL["q22_sales_opportunity"] = """
+    WITH c AS (SELECT c_custkey, c_nationkey,
+                      CAST(round(c_acctbal * 100) AS BIGINT) AS cc
+               FROM customer),
+    s AS (SELECT sum(cc) AS sc, count(*) AS n FROM c WHERE cc > 0),
+    q AS (SELECT * FROM c
+          WHERE CAST(cc AS HUGEINT) * (SELECT n FROM s)
+                    > (SELECT sc FROM s)
+            AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                  WHERE o_orderdate >= DATE '2000-01-01'))
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           count(*)::BIGINT AS n_cust, sum(cc)::BIGINT AS cents
+    FROM q GROUP BY 1 ORDER BY 1
+"""
+
+
+def mor_to_cow_rewrite(sf_dir: str):
+    """MERGE-ON-READ → COPY-ON-WRITE COMPACTION: after
+    `time_travel_read`'s commit (delete-key files + appended files),
+    the delete vectors are APPLIED ONCE — each v2 data file is read
+    through its anti-filter and rewritten pure — producing manifest v3
+    with ZERO delete files and byte-equivalent content.  This is the
+    maintenance job every merge-on-read table format needs so read
+    amplification does not grow with commit count.  The audit proves
+    (a) v3 needs no delete-side work (constant 0 both sides) and (b)
+    the per-status summary of the REWRITTEN files equals the oracle's
+    relational v2 reconstruction — compaction must never change
+    answers."""
+    import glob as _glob
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="aads_morcow_")
+    base_dir = os.path.join(root, "base")
+    delta_dir = os.path.join(root, "delta")
+    del_dir = os.path.join(root, "deletes")
+    cow_dir = os.path.join(root, "v3")
+    os.makedirs(cow_dir, exist_ok=True)
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    _t(sf_dir, "orders", columns=cols).write_parquet(base_dir)
+    base_files = sorted(_glob.glob(os.path.join(base_dir, "*.parquet")))
+    v1 = ray.data.read_parquet(base_files, columns=cols)
+
+    def mk_appends(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(k % 100 == 7))
+        kk = f["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": pa.array(kk + _TT_APPEND_OFFSET),
+            "o_orderstatus": pa.array(np.full(len(kk), "A"), pa.string()),
+            "o_totalprice": f["o_totalprice"]})
+
+    def mk_deletes(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": pa.array(k[k % 10 == 3])})
+
+    v1.map_batches(mk_appends, batch_format="pyarrow").write_parquet(
+        delta_dir)
+    v1.map_batches(mk_deletes, batch_format="pyarrow").write_parquet(
+        del_dir)
+    v2_files = base_files + sorted(_glob.glob(
+        os.path.join(delta_dir, "*.parquet")))
+    dels = pa.concat_tables([
+        pq.read_table(f) for f in sorted(_glob.glob(
+            os.path.join(del_dir, "*.parquet")))])[
+                "o_orderkey"].combine_chunks()
+    dref = ray.put(dels)
+
+    # ---- the rewrite: one anti-filtered pass, pure files out
+    (ray.data.read_parquet(v2_files, columns=cols)
+     .map_batches(lambda b: b.filter(pc.invert(pc.is_in(
+         b["o_orderkey"], value_set=ray.get(dref)))),
+         batch_format="pyarrow")
+     .write_parquet(cow_dir))
+    v3_files = sorted(_glob.glob(os.path.join(cow_dir, "*.parquet")))
+
+    def partial(b: pa.Table) -> pa.Table:
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(tp) * np.floor(np.abs(tp) + 0.5)).astype(
+            np.int64)
+        st, inv = np.unique(b["o_orderstatus"].to_numpy(
+            zero_copy_only=False), return_inverse=True)
+        return pa.table({
+            "o_orderstatus": pa.array(st, pa.string()),
+            "n_orders": pa.array(np.bincount(
+                inv, minlength=len(st)).astype(np.int64)),
+            "cents": pa.array(np.bincount(
+                inv, weights=cents, minlength=len(st)).astype(np.int64))})
+
+    p = (ray.data.read_parquet(v3_files, columns=cols)
+         .map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("o_orderstatus", as_index=False).sum())
+    p["n_orders"] = p["n_orders"].astype("int64")
+    p["cents"] = p["cents"].astype("int64")
+    p["n_delete_files"] = np.int64(0)  # the point of the rewrite
+    return p.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+QUERIES["mor_to_cow_rewrite"] = mor_to_cow_rewrite
+
+ORACLE_SQL["mor_to_cow_rewrite"] = """
+    WITH v2 AS (SELECT o_orderstatus, o_totalprice FROM orders
+                WHERE o_orderkey % 10 <> 3
+                UNION ALL
+                SELECT 'A' AS o_orderstatus, o_totalprice FROM orders
+                WHERE o_orderkey % 100 = 7)
+    SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS cents,
+           0::BIGINT AS n_delete_files
+    FROM v2 GROUP BY 1 ORDER BY 1
+"""
+
+
+def adaptive_salt_hot_keys(sf_dir: str):
+    """ADAPTIVE SKEW HANDLING: a cheap deterministic SAMPLE pass
+    (``event_id % 16 == 0``) detects heavy users, and ONLY their rows
+    take the salted path — per-(user, salt) partial value histograms
+    that any single partition can hold, merged per user at the driver
+    (hot keys are few by definition).  Static salting
+    (`salted_event_counts`) taxes every key; adaptive salting prices
+    the exchange per key's observed weight — the difference between a
+    working and a melted reducer when one user is 1% of a 100-TB
+    stream.  Output: exact count + exact lower-median (quantile_disc
+    semantics) per detected hot user; the oracle reproduces the same
+    sample rule, threshold, and median."""
+    HOT_SAMPLE_MIN = 4
+    SALTS = 8
+
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "value"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def sample_counts(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        u = b["user_id"].to_numpy(zero_copy_only=False)[e % 16 == 0]
+        uu, cnt = np.unique(u, return_counts=True)
+        return pa.table({"user_id": pa.array(uu.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    sc = (ds.map_batches(sample_counts, batch_format="pyarrow")
+          .to_pandas().groupby("user_id", as_index=False)["n"].sum())
+    hot = sc[sc["n"] >= HOT_SAMPLE_MIN]["user_id"].to_numpy(np.int64)
+    hot_ref = ray.put(pa.array(hot))
+
+    def pre(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["user_id"], value_set=ray.get(hot_ref))
+        f = b.filter(keep)
+        e = f["event_id"].to_numpy(zero_copy_only=False)
+        u = f["user_id"].to_numpy(zero_copy_only=False)
+        v = f["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        df = pd.DataFrame({"user_id": u, "salt": (e % SALTS),
+                           "cents": cents})
+        g = df.groupby(["user_id", "salt", "cents"],
+                       as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}),
+            preserve_index=False).replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["user_id", "salt", "cents"],
+                         as_index=False)["n"].sum()
+
+    parts = _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                             ["user_id", "salt"], fold).to_pandas()
+    rows = []
+    for uid, g in parts.groupby("user_id"):
+        h = g.groupby("cents")["n"].sum().sort_index()
+        n = int(h.sum())
+        cum = h.cumsum().to_numpy()
+        # lower median == quantile_disc(0.5) == inverted-CDF percentile
+        rank = int(np.ceil(0.5 * n))
+        med = int(h.index.to_numpy()[np.searchsorted(cum, rank)])
+        rows.append((int(uid), n, med))
+    out = pd.DataFrame(rows, columns=["user_id", "n_events",
+                                      "median_cents"])
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["adaptive_salt_hot_keys"] = adaptive_salt_hot_keys
+
+ORACLE_SQL["adaptive_salt_hot_keys"] = """
+    WITH hot AS (SELECT user_id FROM events
+                 WHERE event_id % 16 = 0
+                 GROUP BY 1 HAVING count(*) >= 4)
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5)
+               ::BIGINT AS median_cents
+    FROM events WHERE user_id IN (SELECT user_id FROM hot)
+    GROUP BY user_id ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -16548,6 +16878,8 @@ _FRONT = [
     "keyset_pagination_orders", "fk_containment_audit",
     "q3_shipping_priority", "q10_returned_item_revenue",
     "value_percentile_cont_by_type", "retry_fault_injection_sum",
+    "q16_supplier_part_counts", "q22_sales_opportunity",
+    "mor_to_cow_rewrite", "adaptive_salt_hot_keys",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

@@ -5227,3 +5227,110 @@ def test_retry_preserves_exactly_once_aggregation(ray_session,
     assert out["n_rows"].iloc[0] == n
     assert out["cents"].iloc[0] == 100 * n
     assert out["n_injected_failures"].iloc[0] == 1
+
+
+# ----------------------------------------------------------- TPC-H Q16
+
+
+def test_q16_blacklist_and_distinct(ray_session, tmp_path):
+    """Supplier 3 (blacklisted: %3==0) never counts; duplicate
+    lineitems of the same (part, supplier) count once."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        q16_supplier_part_counts,
+    )
+
+    part = pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_brand": pa.array(["B1", "B2"]),
+        "p_size": pa.array([5, 9], pa.int32())})
+    li = pa.table({
+        "l_partkey": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "l_suppkey": pa.array([4, 4, 5, 3, 4], pa.int64())})
+    sf = _write(tmp_path, "part", part)
+    _write(tmp_path, "lineitem", li)
+    out = q16_supplier_part_counts(sf).set_index(["p_brand", "p_size"])
+    assert out.loc[("B1", 5), "supplier_cnt"] == 2  # 4 and 5, not 3
+    assert out.loc[("B2", 9), "supplier_cnt"] == 1
+
+
+# ----------------------------------------------------------- TPC-H Q22
+
+
+def test_q22_integer_average_boundary(ray_session, tmp_path):
+    """Balances 100, 200, 300 → avg 200: the exactly-average customer
+    is EXCLUDED (strict >) with no float wobble; a recent order
+    disqualifies, an old one does not."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        q22_sales_opportunity,
+    )
+
+    customer = pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_nationkey": pa.array([0, 0, 0, 1], pa.int32()),
+        "c_acctbal": pa.array([1.00, 2.00, 3.00, 3.00], pa.float64())})
+    old = np.datetime64("1999-06-01", "us")
+    recent = np.datetime64("2000-06-01", "us")
+    orders = pa.table({
+        "o_custkey": pa.array([4, 3], pa.int64()),
+        "o_orderdate": pa.array([recent, old])})
+    sf = _write(tmp_path, "customer", customer)
+    _write(tmp_path, "orders", orders)
+    out = q22_sales_opportunity(sf).set_index("nationkey")
+    # avg = 200: cust 2 (==avg) out, cust 3 (>avg, old order only) in,
+    # cust 4 (>avg but recent order) out
+    assert list(out.index) == [0]
+    assert out.loc[0, "n_cust"] == 1 and out.loc[0, "cents"] == 300
+
+
+# ------------------------------------------------ MoR→CoW rewrite
+
+
+def test_mor_to_cow_applies_deletes_once(ray_session, tmp_path):
+    """Keys 3,13 deleted, key 7's 'A' copy appended; the rewritten v3
+    summary reflects both with zero delete files left."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        mor_to_cow_rewrite,
+    )
+
+    orders = pa.table({
+        "o_orderkey": pa.array([3, 7, 10, 13], pa.int64()),
+        "o_orderstatus": pa.array(["F", "O", "O", "P"]),
+        "o_totalprice": pa.array([1.00, 2.00, 3.00, 4.00], pa.float64())})
+    out = mor_to_cow_rewrite(
+        _write(tmp_path, "orders", orders)).set_index("o_orderstatus")
+    assert "F" not in out.index and "P" not in out.index
+    assert out.loc["O", "n_orders"] == 2
+    assert out.loc["A", "n_orders"] == 1 and out.loc["A", "cents"] == 200
+    assert (out["n_delete_files"] == 0).all()
+
+
+# ------------------------------------------------ adaptive salting
+
+
+def test_adaptive_salt_detects_and_medians_hot_user(ray_session,
+                                                    tmp_path):
+    """User 7 has 4 sampled events (ids ≡ 0 mod 16) → hot; its exact
+    lower median must come out of the merged salted histograms.  User 8
+    has 3 sampled events → cold, excluded."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        adaptive_salt_hot_keys,
+    )
+
+    eid, uid, val = [], [], []
+    # user 7: 64 events, ids 0..63 → ids 0,16,32,48 sampled (4 >= 4)
+    for i in range(64):
+        eid.append(i)
+        uid.append(7)
+        val.append(float(i + 1))  # cents 100..6400, lower median 3200
+    # user 8: ids 100..147 → sampled ids 112,128,144 (3 < 4)
+    for i in range(48):
+        eid.append(100 + i)
+        uid.append(8)
+        val.append(1.0)
+    tbl = pa.table({"event_id": pa.array(eid, pa.int64()),
+                    "user_id": pa.array(uid, pa.int64()),
+                    "value": pa.array(val, pa.float64())})
+    out = adaptive_salt_hot_keys(_write(tmp_path, "events", tbl))
+    assert list(out["user_id"]) == [7]
+    assert out.iloc[0]["n_events"] == 64
+    assert out.iloc[0]["median_cents"] == 3200  # lower median of 100..6400
