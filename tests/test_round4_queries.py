@@ -5334,3 +5334,96 @@ def test_adaptive_salt_detects_and_medians_hot_user(ray_session,
     assert list(out["user_id"]) == [7]
     assert out.iloc[0]["n_events"] == 64
     assert out.iloc[0]["median_cents"] == 3200  # lower median of 100..6400
+
+
+# ------------------------------------------------------------ TPC-H Q7
+
+
+def test_q7_bilateral_pair_and_year(ray_session, tmp_path):
+    """Only (3→2) and (2→3) pairs count, split by ship year; local
+    (2→2) and out-of-pair nations drop."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        q7_volume_shipping,
+    )
+
+    supplier = pa.table({"s_suppkey": pa.array([100, 200, 300], pa.int64()),
+                         "s_nationkey": pa.array([3, 2, 9], pa.int32())})
+    customer = pa.table({"c_custkey": pa.array([10, 20], pa.int64()),
+                         "c_nationkey": pa.array([2, 3], pa.int32())})
+    orders = pa.table({"o_orderkey": pa.array([1, 2], pa.int64()),
+                       "o_custkey": pa.array([10, 20], pa.int64())})
+    y96 = np.datetime64("1996-05-01", "us")
+    y97 = np.datetime64("1997-05-01", "us")
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "l_suppkey": pa.array([100, 300, 200, 200], pa.int64()),
+        "l_shipdate": pa.array([y96, y96, y96, y97]),
+        "l_extendedprice": pa.array([10.0, 99.0, 20.0, 40.0]),
+        "l_discount": pa.array([0.0] * 4)})
+    sf = _write(tmp_path, "supplier", supplier)
+    for n, t in [("customer", customer), ("orders", orders),
+                 ("lineitem", li)]:
+        _write(tmp_path, n, t)
+    out = q7_volume_shipping(sf).set_index(
+        ["supp_nation", "cust_nation", "l_year"])
+    assert out.loc[(3, 2, 1996), "rev_micros"] == 1000 * 10000
+    assert out.loc[(2, 3, 1996), "rev_micros"] == 2000 * 10000
+    assert out.loc[(2, 3, 1997), "rev_micros"] == 4000 * 10000
+    assert len(out) == 3  # nation 9 supplier never appears
+
+
+# ------------------------------------------- IPC roundtrip bit-exactness
+
+
+def test_ipc_roundtrip_preserves_float_bits(ray_session, tmp_path):
+    """A value chosen so cents-rounding BEFORE and AFTER the roundtrip
+    differ iff bits change: 0.145 * 100 = 14.499999... — the roundtrip
+    must preserve the exact double so both sides round identically."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ipc_roundtrip_events,
+    )
+
+    tbl = pa.table({
+        "event_type": pa.array(["x", "x", "y"]),
+        "value": pa.array([0.145, 2.675, 1.005], pa.float64())})
+    out = ipc_roundtrip_events(
+        _write(tmp_path, "events", tbl)).set_index("event_type")
+    c = np.array([0.145, 2.675, 1.005]) * 100.0
+    want = (np.sign(c) * np.floor(np.abs(c) + 0.5)).astype(np.int64)
+    assert out.loc["x", "cents"] == want[0] + want[1]
+    assert out.loc["y", "cents"] == want[2]
+
+
+# ------------------------------------------------- struct / decimal
+
+
+def test_struct_pack_unpack_cents(ray_session, tmp_path):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        struct_pack_roundtrip_orders,
+    )
+
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([10, 20, 10], pa.int64()),
+        "o_orderstatus": pa.array(["O", "F", "O"]),
+        "o_totalprice": pa.array([1.11, 2.22, 4.44], pa.float64())})
+    out = struct_pack_roundtrip_orders(
+        _write(tmp_path, "orders", orders)).set_index("status")
+    assert out.loc["O", "n"] == 2 and out.loc["O", "cents"] == 555
+    assert out.loc["F", "cents"] == 222
+
+
+def test_decimal_sum_exact_including_negative(ray_session, tmp_path):
+    """Negative prices exercise the 128-bit sign extension; the string
+    sums must carry exact 2-decimal money semantics."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        decimal_exact_sum_roundtrip,
+    )
+
+    orders = pa.table({
+        "o_orderstatus": pa.array(["O", "O", "F"]),
+        "o_totalprice": pa.array([0.10, 0.20, -5.25], pa.float64())})
+    out = decimal_exact_sum_roundtrip(
+        _write(tmp_path, "orders", orders)).set_index("status")
+    assert out.loc["O", "total"] == "0.30"   # no float 0.30000000000004
+    assert out.loc["F", "total"] == "-5.25"
