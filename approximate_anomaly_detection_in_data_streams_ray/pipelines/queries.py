@@ -17106,6 +17106,437 @@ ORACLE_SQL["decimal_exact_sum_roundtrip"] = """
 """
 
 
+# ------------------ round-4bi: Q8 / Q19 / repair apply / HHI
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8-shaped MARKET SHARE: nation 3's share of ECONOMY-part
+    revenue sold into ASIA, per order year — the ratio-of-conditional-
+    sums pattern where BOTH sums ride the same fold (one pass, two
+    accumulators) and the share divides two exact ints at the end
+    (bit-equal).  Part-type and supplier-nation predicates broadcast
+    and push into the lineitem scan; orderkey exchange attaches
+    (custkey, year); the customer hash-join applies the region filter."""
+    pt = pa.concat_tables([
+        pq.read_table(f, columns=["p_partkey", "p_type"])
+        for f in _table_paths(sf_dir, "part")])
+    econ = pt.filter(pc.starts_with(pc.fill_null(pt["p_type"], ""),
+                                    "ECONOMY"))["p_partkey"]
+    econ_ref = ray.put(econ.combine_chunks())
+    sup = pa.concat_tables([pq.read_table(f, columns=["s_suppkey",
+                                                      "s_nationkey"])
+                            for f in _table_paths(sf_dir, "supplier")]
+                           ).to_pandas()
+    supp_map_ref = ray.put(dict(zip(sup["s_suppkey"].astype(int),
+                                    sup["s_nationkey"].astype(int))))
+    nat = pa.concat_tables([pq.read_table(f) for f in
+                            _table_paths(sf_dir, "nation")]).to_pandas()
+    reg = pa.concat_tables([pq.read_table(f) for f in
+                            _table_paths(sf_dir, "region")]).to_pandas()
+    asia = set(nat.merge(reg, left_on="n_regionkey",
+                         right_on="r_regionkey")
+               .query("r_name == 'ASIA'")["n_nationkey"].astype(int))
+    asia_ref = ray.put(asia)
+
+    li = _t(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_extendedprice", "l_discount"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+    orders = _t(sf_dir, "orders",
+                columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                blocks=_join_partitions(sf_dir, "orders"))
+
+    def l_pre(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_in(b["l_partkey"],
+                              value_set=ray.get(econ_ref)))
+        sm = ray.get(supp_map_ref)
+        sk = f["l_suppkey"].to_numpy(zero_copy_only=False)
+        nk = np.array([sm.get(int(s), -1) for s in sk], np.int64)
+        ep = f["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(ep) * np.floor(np.abs(ep) + 0.5)).astype(np.int64)
+        dc = f["l_discount"].to_numpy(zero_copy_only=False) * 10000.0
+        bp = (np.sign(dc) * np.floor(np.abs(dc) + 0.5)).astype(np.int64)
+        rev = cents * (10000 - bp)
+        return pa.table({
+            "okey": f["l_orderkey"],
+            "custkey": pa.array(np.full(f.num_rows, -1, np.int64)),
+            "year": pa.array(np.zeros(f.num_rows, np.int64)),
+            "rev": pa.array(rev),
+            "rev3": pa.array(np.where(nk == 3, rev, 0))})
+
+    def o_pre(b: pa.Table) -> pa.Table:
+        yr = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[Y]").astype(np.int64)) + 1970
+        z = np.zeros(b.num_rows, np.int64)
+        return pa.table({
+            "okey": b["o_orderkey"],
+            "custkey": pc.cast(b["o_custkey"], pa.int64()),
+            "year": pa.array(yr), "rev": pa.array(z), "rev3": pa.array(z)})
+
+    tagged = li.map_batches(l_pre, batch_format="pyarrow").union(
+        orders.map_batches(o_pre, batch_format="pyarrow"))
+
+    def fold1(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["custkey"] >= 0]
+        facts = g[g["custkey"] < 0]
+        m = dict(zip(dim["okey"], zip(dim["custkey"], dim["year"])))
+        hit = facts["okey"].map(m)
+        f = facts[hit.notna()].copy()
+        cy = hit[hit.notna()]
+        f["custkey"] = [c for c, _ in cy]
+        f["year"] = [y for _, y in cy]
+        return f.groupby(["custkey", "year"], as_index=False)[
+            ["rev", "rev3"]].sum()
+
+    stage1 = _agg_partitioned(tagged, ["okey"], fold1)
+
+    _S1 = pa.schema([("custkey", pa.int64()), ("year", pa.int64()),
+                     ("rev", pa.int64()), ("rev3", pa.int64())])
+
+    def to_arrow(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            df[["custkey", "year", "rev", "rev3"]].astype(np.int64),
+            schema=_S1, preserve_index=False).replace_schema_metadata(None)
+
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def c_pre(b: pa.Table) -> pa.Table:
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        keep = np.isin(nk, list(ray.get(asia_ref)))
+        return pa.table({"custkey": pa.array(
+            b["c_custkey"].to_numpy(zero_copy_only=False)[keep]
+            .astype(np.int64))})
+
+    joined = stage1.map_batches(to_arrow, batch_format="pandas").join(
+        cust.map_batches(c_pre, batch_format="pyarrow"),
+        join_type="inner", num_partitions=_join_nparts(sf_dir, "customer"),
+        on=("custkey",))
+
+    def year_fold(b: pa.Table) -> pa.Table:
+        g = pa.table({"year": b["year"], "rev": b["rev"],
+                      "rev3": b["rev3"]}).group_by("year").aggregate(
+            [("rev", "sum"), ("rev3", "sum")])
+        return g.rename_columns(["year", "rev", "rev3"])
+
+    p = joined.map_batches(year_fold, batch_format="pyarrow").to_pandas()
+    out = p.groupby("year", as_index=False)[["rev", "rev3"]].sum()
+    out = out.rename(columns={"year": "o_year", "rev": "total_rev",
+                              "rev3": "nation3_rev"})
+    out["mkt_share"] = (out["nation3_rev"].astype(float)
+                        / out["total_rev"].astype(float))
+    for c in ["o_year", "total_rev", "nation3_rev"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+QUERIES["q8_market_share"] = q8_market_share
+
+ORACLE_SQL["q8_market_share"] = """
+    WITH j AS (SELECT year(o_orderdate) AS o_year,
+                      CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (10000 - CAST(round(l_discount * 10000)
+                                      AS BIGINT)) AS rev,
+                      s_nationkey
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN part ON l_partkey = p_partkey
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               WHERE r_name = 'ASIA' AND p_type LIKE 'ECONOMY%')
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           sum(rev)::BIGINT AS total_rev,
+           sum(CASE WHEN s_nationkey = 3 THEN rev ELSE 0 END)::BIGINT
+               AS nation3_rev,
+           sum(CASE WHEN s_nationkey = 3 THEN rev ELSE 0 END)::DOUBLE
+               / sum(rev)::DOUBLE AS mkt_share
+    FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19-shaped DISJUNCTIVE PREDICATE revenue: an OR of two
+    (brand AND size-range AND quantity-range) conjuncts, evaluated
+    VECTORIZED at the scan against the broadcast part attributes — the
+    predicate shape that defeats naive pushdown (no single column
+    range covers it) but collapses to two boolean masks per batch.
+    One scalar partial per batch; no exchange at all."""
+    pt = pa.concat_tables([
+        pq.read_table(f, columns=["p_partkey", "p_brand", "p_size"])
+        for f in _table_paths(sf_dir, "part")])
+    dim_ref = ray.put({int(k): (b, int(s)) for k, b, s in zip(
+        pt["p_partkey"].to_pylist(), pt["p_brand"].to_pylist(),
+        pt["p_size"].to_pylist())})
+
+    ds = _t(sf_dir, "lineitem",
+            columns=["l_partkey", "l_quantity", "l_extendedprice",
+                     "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        dim = ray.get(dim_ref)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(pk)
+        lut = {int(p): dim.get(int(p), ("?", -1)) for p in uniq}
+        brand = np.array([lut[int(p)][0] for p in pk])
+        size = np.array([lut[int(p)][1] for p in pk], np.int64)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        m1 = ((brand == "Brand#1") & (size >= 1) & (size <= 25)
+              & (qty >= 1) & (qty <= 30))
+        m2 = ((brand == "Brand#2") & (size >= 10) & (size <= 40)
+              & (qty >= 10) & (qty <= 45))
+        keep = m1 | m2
+        f = b.filter(pa.array(keep))
+        ep = f["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(ep) * np.floor(np.abs(ep) + 0.5)).astype(np.int64)
+        dc = f["l_discount"].to_numpy(zero_copy_only=False) * 10000.0
+        bp = (np.sign(dc) * np.floor(np.abs(dc) + 0.5)).astype(np.int64)
+        return pa.table({
+            "n": pa.array([f.num_rows], pa.int64()),
+            "rev": pa.array([int((cents * (10000 - bp)).sum())],
+                            pa.int64())})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "n_items": pd.Series([int(p["n"].sum())], dtype="int64"),
+        "rev_micros": pd.Series([int(p["rev"].sum())], dtype="int64")})
+
+
+QUERIES["q19_disjunctive_revenue"] = q19_disjunctive_revenue
+
+ORACLE_SQL["q19_disjunctive_revenue"] = """
+    SELECT count(*)::BIGINT AS n_items,
+           COALESCE(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (10000 - CAST(round(l_discount * 10000) AS BIGINT))),
+               0)::BIGINT AS rev_micros
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 1 AND 30)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 40
+           AND l_quantity BETWEEN 10 AND 45)
+"""
+
+
+def antientropy_apply_repair(sf_dir: str):
+    """ANTI-ENTROPY APPLY — the final step of the repair protocol:
+    after `replica_antientropy_repair` LOCALIZES divergence to key
+    buckets, the damaged buckets of replica B are REWRITTEN from A
+    (replica B is stored one file per bucket, so repair = replace
+    exactly those files) and a full re-checksum proves convergence.
+    Only the diverging buckets move — the repair traffic is the damage
+    size, not the table size.  Every output column is derivable from
+    the deterministic fault bands, so the oracle can check the repair
+    actually converged (`n_buckets_matching_after == n_buckets`)."""
+    import tempfile
+
+    files = _table_paths(sf_dir, "orders")
+    mk = None
+    for f in files:
+        md = pq.ParquetFile(f)
+        idx = md.schema_arrow.get_field_index("o_orderkey")
+        for rg in range(md.metadata.num_row_groups):
+            st = md.metadata.row_group(rg).column(idx).statistics
+            mk = st.max if mk is None or st.max > mk else mk
+    mk = int(mk)
+    ch_lo, ch_hi = (mk * 2) // 10, (mk * 2) // 10 + mk // 100
+    ms_lo, ms_hi = (mk * 6) // 10, (mk * 6) // 10 + mk // 100
+    span = max(1, (mk + 1) // 64)
+
+    cols = ["o_orderkey", "o_totalprice"]
+    a = _t(sf_dir, "orders", columns=cols,
+           blocks=_join_partitions(sf_dir, "orders"))
+    b_dir = tempfile.mkdtemp(prefix="aads_replicaB_")
+
+    def pre(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket",
+                               pa.array((k // span).astype(np.int64)))
+
+    def write_b(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bkt, gg in g.groupby("bucket"):
+            k = gg["o_orderkey"].to_numpy(np.int64)
+            tp = gg["o_totalprice"].to_numpy(np.float64).copy()
+            keep = ~((k >= ms_lo) & (k <= ms_hi))      # dropped band
+            hit = (k >= ch_lo) & (k <= ch_hi) & keep   # corrupted band
+            tp[hit] += 0.01
+            t = pa.table({"o_orderkey": pa.array(k[keep]),
+                          "o_totalprice": pa.array(tp[keep])})
+            pq.write_table(t, os.path.join(
+                b_dir, f"bucket-{int(bkt):06d}.parquet"))
+            rows.append((int(bkt), int(keep.sum())))
+        return pd.DataFrame(rows, columns=["bucket", "n"])
+
+    _agg_partitioned(a.map_batches(pre, batch_format="pyarrow"),
+                     ["bucket"], write_b).to_pandas()
+
+    A = np.uint64(6364136223846793005)
+
+    def summarize(d) -> dict:
+        def partial(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            tp = t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            cents = (np.sign(tp) * np.floor(np.abs(tp) + 0.5)).astype(
+                np.int64).astype(np.uint64)
+            h = k.astype(np.uint64) * A + cents
+            bkt = (k // span).astype(np.int64)
+            u, inv = np.unique(bkt, return_inverse=True)
+            cs = np.zeros(len(u), np.uint64)
+            np.add.at(cs, inv, h)
+            return pa.table({
+                "bucket": pa.array(u),
+                "n": pa.array(np.bincount(inv, minlength=len(u))
+                              .astype(np.int64)),
+                "cs": pa.array(cs.view(np.int64))})
+
+        p = d.map_batches(partial, batch_format="pyarrow").to_pandas()
+        out = {}
+        for bkt, g in p.groupby("bucket"):
+            out[int(bkt)] = (int(g["n"].sum()), int(
+                np.sum(g["cs"].to_numpy(np.int64).view(np.uint64),
+                       dtype=np.uint64)))
+        return out
+
+    sa = summarize(a)
+    sb = summarize(ray.data.read_parquet(b_dir, columns=cols))
+    div = sorted(k for k in set(sa) | set(sb) if sa.get(k) != sb.get(k))
+
+    # ---- APPLY: rewrite exactly the damaged bucket files from A
+    div_ref = ray.put(pa.array(np.array(div, np.int64)))
+
+    def fetch_buckets(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        keep = pc.is_in(pa.array((k // span).astype(np.int64)),
+                        value_set=ray.get(div_ref)).to_numpy(
+                            zero_copy_only=False)
+        return t.filter(pa.array(keep)).append_column(
+            "bucket", pa.array((k[keep] // span).astype(np.int64)))
+
+    def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bkt, gg in g.groupby("bucket"):
+            t = pa.Table.from_pandas(
+                gg[cols], preserve_index=False).replace_schema_metadata(
+                    None)
+            pq.write_table(t, os.path.join(
+                b_dir, f"bucket-{int(bkt):06d}.parquet"))
+            rows.append((int(bkt), t.num_rows))
+        return pd.DataFrame(rows, columns=["bucket", "n"])
+
+    repaired = _agg_partitioned(
+        a.map_batches(fetch_buckets, batch_format="pyarrow"),
+        ["bucket"], rewrite).to_pandas()
+    n_rows_rewritten = int(repaired["n"].sum())
+
+    # ---- converge proof: full re-checksum of both replicas
+    sb2 = summarize(ray.data.read_parquet(b_dir, columns=cols))
+    matching = sum(1 for k in set(sa) | set(sb2)
+                   if sa.get(k) == sb2.get(k))
+    return pd.DataFrame({
+        "n_buckets": pd.Series([len(sa)], dtype="int64"),
+        "n_buckets_repaired": pd.Series([len(div)], dtype="int64"),
+        "n_rows_rewritten": pd.Series([n_rows_rewritten], dtype="int64"),
+        "n_buckets_matching_after": pd.Series([matching], dtype="int64")})
+
+
+QUERIES["antientropy_apply_repair"] = antientropy_apply_repair
+
+ORACLE_SQL["antientropy_apply_repair"] = """
+    WITH m AS (SELECT max(o_orderkey) AS mk,
+                      greatest(1, (max(o_orderkey) + 1) // 64) AS span
+               FROM orders),
+    k AS (SELECT o_orderkey AS k, (SELECT span FROM m) AS span,
+                 (SELECT mk FROM m) AS mk
+          FROM orders),
+    bands AS (SELECT k, span,
+                     (k BETWEEN (mk * 2) // 10
+                            AND (mk * 2) // 10 + mk // 100)
+                     OR (k BETWEEN (mk * 6) // 10
+                               AND (mk * 6) // 10 + mk // 100) AS hit
+              FROM k),
+    div AS (SELECT DISTINCT k // span AS bucket FROM bands WHERE hit),
+    tot AS (SELECT count(DISTINCT k // span) AS nb FROM bands)
+    SELECT (SELECT nb FROM tot)::BIGINT AS n_buckets,
+           (SELECT count(*) FROM div)::BIGINT AS n_buckets_repaired,
+           (SELECT count(*) FROM bands
+            WHERE k // span IN (SELECT bucket FROM div))::BIGINT
+               AS n_rows_rewritten,
+           (SELECT nb FROM tot)::BIGINT AS n_buckets_matching_after
+"""
+
+
+def supplier_hhi_by_brand(sf_dir: str):
+    """MARKET-CONCENTRATION (Herfindahl–Hirschman) index of supplier
+    revenue within each brand: HHI = Σ sᵢ² / (Σ sᵢ)² over exact
+    integer revenues — numerator and denominator accumulate as PYTHON
+    BIGINTS (supplier revenues square past int64) and the single final
+    division matches the oracle's HUGEINT→DOUBLE casts bit for bit.
+    Per-batch (brand, supp) pre-combine, ONE bounded exchange, driver
+    folds a dimension-sized table."""
+    pt = pa.concat_tables([
+        pq.read_table(f, columns=["p_partkey", "p_brand"])
+        for f in _table_paths(sf_dir, "part")])
+    dim_ref = ray.put(dict(zip(pt["p_partkey"].to_pylist(),
+                               pt["p_brand"].to_pylist())))
+
+    ds = _t(sf_dir, "lineitem",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        dim = ray.get(dim_ref)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        brand = np.array([dim.get(int(p), "?") for p in pk])
+        ep = b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(ep) * np.floor(np.abs(ep) + 0.5)).astype(np.int64)
+        dc = b["l_discount"].to_numpy(zero_copy_only=False) * 10000.0
+        bp = (np.sign(dc) * np.floor(np.abs(dc) + 0.5)).astype(np.int64)
+        df = pd.DataFrame({"p_brand": brand,
+                           "suppkey": b["l_suppkey"].to_numpy(
+                               zero_copy_only=False),
+                           "rev": cents * (10000 - bp)})
+        g = df.groupby(["p_brand", "suppkey"], as_index=False)[
+            "rev"].sum()
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["p_brand", "suppkey"], as_index=False)[
+            "rev"].sum()
+
+    parts = _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                             ["p_brand", "suppkey"], fold).to_pandas()
+    full = parts.groupby(["p_brand", "suppkey"], as_index=False)[
+        "rev"].sum()
+    rows = []
+    for brand, g in full.groupby("p_brand"):
+        revs = [int(r) for r in g["rev"]]
+        num = sum(r * r for r in revs)       # python bigint: > int64
+        den = sum(revs) ** 2
+        rows.append((brand, len(revs), float(num) / float(den)))
+    out = pd.DataFrame(rows, columns=["p_brand", "n_suppliers", "hhi"])
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+QUERIES["supplier_hhi_by_brand"] = supplier_hhi_by_brand
+
+ORACLE_SQL["supplier_hhi_by_brand"] = """
+    WITH r AS (SELECT p_brand, l_suppkey,
+                      sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (10000 - CAST(round(l_discount * 10000)
+                                          AS BIGINT)))::HUGEINT AS rv
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               GROUP BY 1, 2)
+    SELECT p_brand, count(*)::BIGINT AS n_suppliers,
+           CAST(sum(rv * rv) AS DOUBLE)
+               / CAST(sum(rv) * sum(rv) AS DOUBLE) AS hhi
+    FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -17210,6 +17641,8 @@ _FRONT = [
     "mor_to_cow_rewrite", "adaptive_salt_hot_keys",
     "q7_volume_shipping", "ipc_roundtrip_events",
     "struct_pack_roundtrip_orders", "decimal_exact_sum_roundtrip",
+    "q8_market_share", "q19_disjunctive_revenue",
+    "antientropy_apply_repair", "supplier_hhi_by_brand",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

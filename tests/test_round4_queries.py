@@ -5427,3 +5427,126 @@ def test_decimal_sum_exact_including_negative(ray_session, tmp_path):
         _write(tmp_path, "orders", orders)).set_index("status")
     assert out.loc["O", "total"] == "0.30"   # no float 0.30000000000004
     assert out.loc["F", "total"] == "-5.25"
+
+
+# ------------------------------------------------------------ TPC-H Q8
+
+
+def test_q8_share_is_exact_ratio(ray_session, tmp_path):
+    """One ECONOMY lineitem from nation-3's supplier, one from another
+    nation, same year: share must be the exact int ratio; non-ECONOMY
+    parts and non-ASIA customers drop."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        q8_market_share,
+    )
+
+    region = pa.table({"r_regionkey": pa.array([0, 1], pa.int32()),
+                       "r_name": pa.array(["ASIA", "EUROPE"])})
+    nation = pa.table({"n_nationkey": pa.array([0, 9], pa.int32()),
+                       "n_name": pa.array(["N0", "N9"]),
+                       "n_regionkey": pa.array([0, 1], pa.int32())})
+    supplier = pa.table({"s_suppkey": pa.array([1, 2], pa.int64()),
+                         "s_nationkey": pa.array([3, 4], pa.int32())})
+    part = pa.table({"p_partkey": pa.array([1, 2], pa.int64()),
+                     "p_type": pa.array(["ECONOMY BRUSHED TIN",
+                                         "STANDARD PLATED TIN"])})
+    customer = pa.table({"c_custkey": pa.array([10, 20], pa.int64()),
+                         "c_nationkey": pa.array([0, 9], pa.int32())})
+    d = np.datetime64("1996-03-01", "us")
+    orders = pa.table({"o_orderkey": pa.array([1, 2], pa.int64()),
+                       "o_custkey": pa.array([10, 20], pa.int64()),
+                       "o_orderdate": pa.array([d, d])})
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2], pa.int64()),
+        "l_partkey": pa.array([1, 1, 2, 1], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 1, 1], pa.int64()),
+        "l_extendedprice": pa.array([10.0, 30.0, 99.0, 55.0]),
+        "l_discount": pa.array([0.0] * 4)})
+    sf = _write(tmp_path, "region", region)
+    for n, t in [("nation", nation), ("supplier", supplier),
+                 ("part", part), ("customer", customer),
+                 ("orders", orders), ("lineitem", li)]:
+        _write(tmp_path, n, t)
+    out = q8_market_share(sf)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["o_year"] == 1996
+    assert r["total_rev"] == 4000 * 10000      # 10 + 30, ECONOMY+ASIA only
+    assert r["nation3_rev"] == 1000 * 10000
+    assert r["mkt_share"] == 0.25
+
+
+# ----------------------------------------------------------- TPC-H Q19
+
+
+def test_q19_disjunctive_masks(ray_session, tmp_path):
+    """Each conjunct admits different rows; a row failing BOTH drops
+    even though it passes parts of each."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        q19_disjunctive_revenue,
+    )
+
+    part = pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_brand": pa.array(["Brand#1", "Brand#2", "Brand#1"]),
+        "p_size": pa.array([5, 20, 50], pa.int32())})
+    li = pa.table({
+        "l_partkey": pa.array([1, 2, 3, 1], pa.int64()),
+        "l_quantity": pa.array([10.0, 20.0, 10.0, 40.0]),
+        "l_extendedprice": pa.array([1.0, 2.0, 4.0, 8.0]),
+        "l_discount": pa.array([0.0] * 4)})
+    sf = _write(tmp_path, "part", part)
+    _write(tmp_path, "lineitem", li)
+    out = q19_disjunctive_revenue(sf)
+    # row1: brand1/size5/qty10 ✓; row2: brand2/size20/qty20 ✓;
+    # row3: size 50 ✗ both; row4: qty 40 ✗ brand1 range
+    assert out["n_items"].iloc[0] == 2
+    assert out["rev_micros"].iloc[0] == (100 + 200) * 10000
+
+
+# ------------------------------------------------ repair apply
+
+
+def test_antientropy_apply_converges(ray_session, tmp_path):
+    """After the apply step every bucket checksum matches again and the
+    rewrite touched only the banded buckets."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        antientropy_apply_repair,
+    )
+
+    n = 1001
+    tbl = pa.table({
+        "o_orderkey": pa.array(range(n), pa.int64()),
+        "o_totalprice": pa.array([i / 100.0 for i in range(n)],
+                                 pa.float64())})
+    out = antientropy_apply_repair(_write(tmp_path, "orders", tbl))
+    r = out.iloc[0]
+    assert r["n_buckets_matching_after"] == r["n_buckets"]
+    assert 0 < r["n_buckets_repaired"] < r["n_buckets"]
+    # span=(1001)//64=15: bands [200,210] and [600,610] each straddle
+    # ≤2 buckets; rows rewritten = rows in those buckets only
+    assert r["n_rows_rewritten"] < n / 10
+
+
+# ------------------------------------------------------ HHI
+
+
+def test_hhi_monopoly_and_duopoly(ray_session, tmp_path):
+    """A single-supplier brand has HHI 1.0; an equal 50/50 brand 0.5."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        supplier_hhi_by_brand,
+    )
+
+    part = pa.table({"p_partkey": pa.array([1, 2], pa.int64()),
+                     "p_brand": pa.array(["MONO", "DUO"])})
+    li = pa.table({
+        "l_partkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "l_suppkey": pa.array([7, 7, 8, 9], pa.int64()),
+        "l_extendedprice": pa.array([5.0, 3.0, 4.0, 4.0]),
+        "l_discount": pa.array([0.0] * 4)})
+    sf = _write(tmp_path, "part", part)
+    _write(tmp_path, "lineitem", li)
+    out = supplier_hhi_by_brand(sf).set_index("p_brand")
+    assert out.loc["MONO", "hhi"] == 1.0
+    assert out.loc["DUO", "hhi"] == 0.5
+    assert out.loc["DUO", "n_suppliers"] == 2
