@@ -17537,6 +17537,271 @@ ORACLE_SQL["supplier_hhi_by_brand"] = """
 """
 
 
+# ----------- round-4bj: sentences / seasonal idx / anti-join / gzip jsonl
+
+
+def sentence_length_profile(sf_dir: str):
+    """SENTENCE SEGMENTATION profile per language: split on ``[.!?]+``
+    (one RE2 kernel), count words per sentence with a second vectorized
+    regex-count kernel (``pc.count_substring_regex`` — no Python loop),
+    and fold language-bounded stats.  The sentence-length distribution
+    is the curation signal for run-on/fragment detection that
+    `quality_documents`' doc-level ratios cannot see.  Sentences with
+    zero words (artifacts of trailing punctuation) are excluded on both
+    sides."""
+    ds = _t(sf_dir, "documents", columns=["lang", "text"],
+            blocks=_join_partitions(sf_dir, "documents"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        sents = pc.split_pattern_regex(pc.fill_null(b["text"], ""),
+                                       pattern=r"[.!?]+")
+        flat = pc.list_flatten(sents)
+        # parent lang per sentence via list offsets
+        counts = pc.list_value_length(sents).to_numpy(
+            zero_copy_only=False)
+        lang = np.repeat(b["lang"].to_numpy(zero_copy_only=False),
+                         counts)
+        wc = pc.count_substring_regex(
+            flat, pattern=TOKEN_RE).to_numpy(zero_copy_only=False)
+        ok = wc >= 1
+        lang, wc = lang[ok], wc[ok].astype(np.int64)
+        u, inv = np.unique(lang, return_inverse=True)
+        m = len(u)
+        mx = np.zeros(m, np.int64)
+        np.maximum.at(mx, inv, wc)
+        return pa.table({
+            "lang": pa.array(u, pa.string()),
+            "n_sentences": pa.array(np.bincount(inv, minlength=m)
+                                    .astype(np.int64)),
+            "sum_words": pa.array(np.bincount(
+                inv, weights=wc, minlength=m).astype(np.int64)),
+            "max_words": pa.array(mx),
+            "n_long": pa.array(np.bincount(
+                inv, weights=wc >= 10, minlength=m).astype(np.int64))})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = p.groupby("lang").agg(
+        n_sentences=("n_sentences", "sum"), sum_words=("sum_words", "sum"),
+        max_words=("max_words", "max"), n_long=("n_long", "sum")
+    ).reset_index()
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+QUERIES["sentence_length_profile"] = sentence_length_profile
+
+ORACLE_SQL["sentence_length_profile"] = """
+    WITH s AS (SELECT lang,
+                      unnest(regexp_split_to_array(text, '[.!?]+'))
+                          AS sent
+               FROM documents),
+    w AS (SELECT lang,
+                 len(regexp_extract_all(sent, '[A-Za-z0-9_]+')) AS wc
+          FROM s)
+    SELECT lang, count(*)::BIGINT AS n_sentences,
+           sum(wc)::BIGINT AS sum_words,
+           max(wc)::BIGINT AS max_words,
+           sum(CASE WHEN wc >= 10 THEN 1 ELSE 0 END)::BIGINT AS n_long
+    FROM w WHERE wc >= 1 GROUP BY lang ORDER BY lang
+"""
+
+
+def monthly_seasonal_index(sf_dir: str):
+    """SEASONAL INDEX per order month: month average ÷ overall average,
+    computed as the CROSS-PRODUCT of exact integers
+    ``(Σ_m · N) / (n_m · Σ)`` — the two bigint products (they overflow
+    int64 at scale, so the driver folds PYTHON ints over the
+    month-bounded partials) convert to double once each, making the
+    division bit-equal to the oracle's HUGEINT→DOUBLE casts.  One
+    month-bounded partial per batch, no exchange."""
+    ds = _t(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(tp) * np.floor(np.abs(tp) + 0.5)).astype(np.int64)
+        mon = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[M]").astype(np.int64))
+        m, inv = np.unique(mon, return_inverse=True)
+        return pa.table({
+            "mon": pa.array(m),
+            "n": pa.array(np.bincount(inv, minlength=len(m))
+                          .astype(np.int64)),
+            "cents": pa.array(np.bincount(
+                inv, weights=cents, minlength=len(m)).astype(np.int64))})
+
+    p = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("mon", as_index=False).sum())
+    N = int(p["n"].sum())
+    S = int(p["cents"].sum())
+    idx = [float(int(c) * N) / float(int(n) * S)
+           for n, c in zip(p["n"], p["cents"])]
+    out = pd.DataFrame({
+        "month": p["mon"].to_numpy(np.int64).astype("datetime64[M]")
+        .astype(str),
+        "n_orders": p["n"].astype("int64"),
+        "cents": p["cents"].astype("int64"),
+        "seasonal_index": idx})
+    return out.sort_values("month").reset_index(drop=True)
+
+
+QUERIES["monthly_seasonal_index"] = monthly_seasonal_index
+
+ORACLE_SQL["monthly_seasonal_index"] = """
+    WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                      count(*)::HUGEINT AS n,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          ::HUGEINT AS cents
+               FROM orders GROUP BY 1),
+    t AS (SELECT sum(n) AS N, sum(cents) AS S FROM m)
+    SELECT month, n::BIGINT AS n_orders, cents::BIGINT AS cents,
+           CAST(cents * (SELECT N FROM t) AS DOUBLE)
+               / CAST(n * (SELECT S FROM t) AS DOUBLE)
+               AS seasonal_index
+    FROM m ORDER BY month
+"""
+
+
+def docs_without_label0_embedding(sf_dir: str):
+    """CROSS-TABLE ANTI-JOIN with a filtered right side: documents that
+    have NO label-0 embedding, counted per language — the
+    missing-annotation audit a labeling pipeline runs before training.
+    Same tagged-mask exchange as `key_venn3`/`fk_containment_audit`:
+    docs carry (id, lang, bit 2), label-0 embeddings carry (id, bit 1),
+    ONE id exchange ORs bits, the fold counts mask==2 per language —
+    neither table ever joins the other."""
+    docs = _t(sf_dir, "documents", columns=["doc_id", "lang"],
+              blocks=_join_partitions(sf_dir, "documents"))
+    emb = _t(sf_dir, "embeddings", columns=["vec_id", "label"],
+             blocks=_join_partitions(sf_dir, "embeddings"))
+
+    def d_pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pc.cast(b["doc_id"], pa.int64()),
+            "lang": b["lang"],
+            "m": pa.array(np.full(b.num_rows, 2, np.int64))})
+
+    def e_pre(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["label"], pa.scalar(0, pa.int32())))
+        k = np.unique(f["vec_id"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "k": pa.array(k.astype(np.int64)),
+            "lang": pa.array([""] * len(k), pa.string()),
+            "m": pa.array(np.full(len(k), 1, np.int64))})
+
+    tagged = docs.map_batches(d_pre, batch_format="pyarrow").union(
+        emb.map_batches(e_pre, batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        mask = g.groupby("k")["m"].agg(
+            lambda s: int(np.bitwise_or.reduce(s.to_numpy(np.int64))))
+        missing = set(mask[mask == 2].index)
+        d = g[(g["m"] == 2) & g["k"].isin(missing)]
+        return d.groupby("lang", as_index=False).agg(
+            n_missing=("k", "size"))
+
+    parts = _agg_partitioned(tagged, ["k"], fold).to_pandas()
+    out = parts.groupby("lang", as_index=False)["n_missing"].sum()
+    out["n_missing"] = out["n_missing"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+QUERIES["docs_without_label0_embedding"] = docs_without_label0_embedding
+
+ORACLE_SQL["docs_without_label0_embedding"] = """
+    SELECT lang, count(*)::BIGINT AS n_missing
+    FROM documents
+    WHERE doc_id NOT IN (SELECT vec_id FROM embeddings WHERE label = 0)
+    GROUP BY lang ORDER BY lang
+"""
+
+
+def jsonl_gz_roundtrip_events(sf_dir: str):
+    """GZIP-COMPRESSED JSONL SOURCE + SINK — the format most web-scale
+    text corpora actually arrive in (CommonCrawl-style .jsonl.gz):
+    each batch writes one gzip shard (ints only through the text
+    representation — cents and epoch-µs convert BEFORE the sink, the
+    `jsonl_roundtrip_events` rule), and a hand-built source
+    (from_items over shards → ``gzip.open`` + json lines per task)
+    reads them back for an aggregate the oracle checks over the
+    original parquet."""
+    import gzip
+    import json as _json
+    import tempfile
+    import uuid
+
+    out_dir = tempfile.mkdtemp(prefix="aads_jsonlgz_")
+    dref = ray.put(out_dir)
+
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                       "value"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def sink(b: pa.Table) -> pa.Table:
+        d = ray.get(dref)
+        v = b["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        us = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        path = os.path.join(d, f"shard-{uuid.uuid4().hex}.jsonl.gz")
+        with gzip.open(path, "wt") as f:
+            for row in zip(eid, uid, us, cents):
+                f.write(_json.dumps({"event_id": int(row[0]),
+                                     "user_id": int(row[1]),
+                                     "ts_us": int(row[2]),
+                                     "cents": int(row[3])}) + "\n")
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    manifest = ds.map_batches(sink, batch_format="pyarrow").to_pandas()
+
+    def read_gz(rows: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, r in rows.iterrows():
+            with gzip.open(r["path"], "rt") as f:
+                recs = [_json.loads(line) for line in f]
+            df = pd.DataFrame(recs)
+            outs.append(pd.DataFrame({
+                "n": [len(df)],
+                "cents": [int(df["cents"].sum())],
+                "max_us": [int(df["ts_us"].max())],
+                "n_users": [df["user_id"].nunique()]}))
+        return pd.concat(outs)
+
+    back = (ray.data.from_items([{"path": p} for p in manifest["path"]])
+            .map_batches(read_gz, batch_format="pandas").to_pandas())
+    # n_users is per-shard partial; exact distinct needs the id set —
+    # recompute it from the shards' union via a second cheap pass
+    def user_sets(rows: pd.DataFrame) -> pd.DataFrame:
+        us = set()
+        for _, r in rows.iterrows():
+            with gzip.open(r["path"], "rt") as f:
+                us.update(_json.loads(line)["user_id"] for line in f)
+        return pd.DataFrame({"user_id": sorted(us)})
+
+    users = (ray.data.from_items(
+        [{"path": p} for p in manifest["path"]])
+        .map_batches(user_sets, batch_format="pandas").to_pandas())
+    return pd.DataFrame({
+        "n_rows": pd.Series([int(back["n"].sum())], dtype="int64"),
+        "cents": pd.Series([int(back["cents"].sum())], dtype="int64"),
+        "max_us": pd.Series([int(back["max_us"].max())], dtype="int64"),
+        "n_users": pd.Series([int(users["user_id"].nunique())],
+                             dtype="int64")})
+
+
+QUERIES["jsonl_gz_roundtrip_events"] = jsonl_gz_roundtrip_events
+
+ORACLE_SQL["jsonl_gz_roundtrip_events"] = """
+    SELECT count(*)::BIGINT AS n_rows,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents,
+           max(epoch_us(ts))::BIGINT AS max_us,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -17643,6 +17908,8 @@ _FRONT = [
     "struct_pack_roundtrip_orders", "decimal_exact_sum_roundtrip",
     "q8_market_share", "q19_disjunctive_revenue",
     "antientropy_apply_repair", "supplier_hhi_by_brand",
+    "sentence_length_profile", "monthly_seasonal_index",
+    "docs_without_label0_embedding", "jsonl_gz_roundtrip_events",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

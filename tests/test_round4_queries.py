@@ -5550,3 +5550,93 @@ def test_hhi_monopoly_and_duopoly(ray_session, tmp_path):
     assert out.loc["MONO", "hhi"] == 1.0
     assert out.loc["DUO", "hhi"] == 0.5
     assert out.loc["DUO", "n_suppliers"] == 2
+
+
+# --------------------------------------------------- sentence profile
+
+
+def test_sentence_segmentation_and_word_counts(ray_session, tmp_path):
+    """Multi-punctuation runs split once; zero-word fragments drop; the
+    10-word threshold splits exactly."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        sentence_length_profile,
+    )
+
+    ten = " ".join(["w"] * 10)
+    nine = " ".join(["w"] * 9)
+    tbl = pa.table({
+        "lang": pa.array(["en", "en"]),
+        "text": pa.array([f"{ten}! {nine}?? ...", "one two."])})
+    out = sentence_length_profile(
+        _write(tmp_path, "documents", tbl)).set_index("lang")
+    assert out.loc["en", "n_sentences"] == 3
+    assert out.loc["en", "sum_words"] == 10 + 9 + 2
+    assert out.loc["en", "max_words"] == 10
+    assert out.loc["en", "n_long"] == 1
+
+
+# ----------------------------------------------- seasonal index
+
+
+def test_seasonal_index_cross_product_exact(ray_session, tmp_path):
+    """Two months, one 2× the other's average: indices must be the
+    exact ratios 2/1.5 and 1/1.5... computed from int cross-products."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        monthly_seasonal_index,
+    )
+
+    jan = np.datetime64("2024-01-15", "us")
+    feb = np.datetime64("2024-02-15", "us")
+    orders = pa.table({
+        "o_orderdate": pa.array([jan, jan, feb, feb]),
+        "o_totalprice": pa.array([2.00, 2.00, 1.00, 1.00], pa.float64())})
+    out = monthly_seasonal_index(
+        _write(tmp_path, "orders", orders)).set_index("month")
+    # overall avg 1.50; jan avg 2.00 → 4/3; feb avg 1.00 → 2/3
+    assert out.loc["2024-01", "seasonal_index"] == float(400 * 4) / float(2 * 600)
+    assert out.loc["2024-02", "seasonal_index"] == float(200 * 4) / float(2 * 600)
+
+
+# ----------------------------------------------- filtered anti-join
+
+
+def test_docs_without_label0(ray_session, tmp_path):
+    """Doc 1 has a label-0 embedding (excluded), doc 2 only label-3
+    (missing), doc 3 no embedding at all (missing)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        docs_without_label0_embedding,
+    )
+
+    docs = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                     "lang": pa.array(["en", "en", "de"])})
+    emb = pa.table({"vec_id": pa.array([1, 2], pa.int64()),
+                    "label": pa.array([0, 3], pa.int32())})
+    sf = _write(tmp_path, "documents", docs)
+    _write(tmp_path, "embeddings", emb)
+    out = docs_without_label0_embedding(sf).set_index("lang")
+    assert out.loc["en", "n_missing"] == 1
+    assert out.loc["de", "n_missing"] == 1
+
+
+# --------------------------------------------------- gzip jsonl
+
+
+def test_jsonl_gz_roundtrip_ints_survive(ray_session, tmp_path):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        jsonl_gz_roundtrip_events,
+    )
+
+    ts = np.datetime64("2024-01-02T03:04:05.000006", "us")
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([7, 7, 9], pa.int64()),
+        "ts": pa.array([ts, ts, ts]),
+        "value": pa.array([-1.115, 0.0, 2.005], pa.float64())})
+    out = jsonl_gz_roundtrip_events(_write(tmp_path, "events", tbl))
+    r = out.iloc[0]
+    c = np.array([-1.115, 0.0, 2.005]) * 100.0
+    want = int((np.sign(c) * np.floor(np.abs(c) + 0.5)).astype(np.int64)
+               .sum())
+    assert r["n_rows"] == 3 and r["n_users"] == 2
+    assert r["cents"] == want
+    assert r["max_us"] == ts.astype(np.int64)
