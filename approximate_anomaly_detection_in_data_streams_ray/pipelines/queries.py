@@ -17802,6 +17802,309 @@ ORACLE_SQL["jsonl_gz_roundtrip_events"] = """
 """
 
 
+# ------------- round-4bk: ingest ledger / null semantics / CDF / catalog
+
+
+def incremental_file_ingest(sf_dir: str):
+    """INCREMENTAL FILE INGEST with a LEDGER: an ingest directory
+    accumulates shards; each run consults the ledger (processed file
+    names + their partial aggregates), processes ONLY new files, and
+    merges partials — so run N costs the new data, never the history.
+    Run 1 sees the first half of the shards, run 2 the full directory;
+    run 2 must skip everything run 1 processed and the merged aggregate
+    must equal the full-table oracle.  ``n_files_skipped`` pins that
+    the skip really happened (= the ledgered half)."""
+    import glob as _glob
+    import json as _json
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="aads_ingest_")
+    inbox = os.path.join(root, "inbox")
+    os.makedirs(inbox, exist_ok=True)
+    ledger_path = os.path.join(root, "ledger.json")
+
+    # stage the inbox: deterministic shards by orderkey % 8
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"],
+            blocks=_join_partitions(sf_dir, "orders"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return b.append_column("shard", pa.array((k % 8)
+                                                 .astype(np.int64)))
+
+    def write_shards(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for sh, gg in g.groupby("shard"):
+            t = pa.Table.from_pandas(
+                gg[["o_orderkey", "o_totalprice"]],
+                preserve_index=False).replace_schema_metadata(None)
+            pq.write_table(t, os.path.join(
+                inbox, f"shard-{int(sh):03d}.parquet"))
+            rows.append((int(sh), t.num_rows))
+        return pd.DataFrame(rows, columns=["shard", "n"])
+
+    _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                     ["shard"], write_shards).to_pandas()
+
+    def ingest_run(visible: list[str]) -> int:
+        """Process files not yet in the ledger; merge partials in."""
+        ledger = {"files": {}, "partials": []}
+        if os.path.exists(ledger_path):
+            with open(ledger_path) as f:
+                ledger = _json.load(f)
+        new = [p for p in visible
+               if os.path.basename(p) not in ledger["files"]]
+        skipped = len(visible) - len(new)
+        if new:
+            def partial(b: pa.Table) -> pa.Table:
+                tp = b["o_totalprice"].to_numpy(
+                    zero_copy_only=False) * 100.0
+                cents = (np.sign(tp) * np.floor(np.abs(tp) + 0.5)
+                         ).astype(np.int64)
+                return pa.table({
+                    "n": pa.array([b.num_rows], pa.int64()),
+                    "cents": pa.array([int(cents.sum())], pa.int64())})
+
+            p = (ray.data.read_parquet(new)
+                 .map_batches(partial, batch_format="pyarrow")
+                 .to_pandas())
+            ledger["partials"].append({"n": int(p["n"].sum()),
+                                       "cents": int(p["cents"].sum())})
+            for f in new:
+                ledger["files"][os.path.basename(f)] = True
+        tmp = ledger_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(ledger, f)
+        os.replace(tmp, ledger_path)
+        return skipped
+
+    all_files = sorted(_glob.glob(os.path.join(inbox, "*.parquet")))
+    ingest_run(all_files[: len(all_files) // 2])   # run 1: first half
+    skipped2 = ingest_run(all_files)               # run 2: full inbox
+
+    with open(ledger_path) as f:
+        ledger = _json.load(f)
+    n = sum(p["n"] for p in ledger["partials"])
+    cents = sum(p["cents"] for p in ledger["partials"])
+    return pd.DataFrame({
+        "n_rows": pd.Series([n], dtype="int64"),
+        "cents": pd.Series([cents], dtype="int64"),
+        "n_files_skipped": pd.Series([skipped2], dtype="int64")})
+
+
+QUERIES["incremental_file_ingest"] = incremental_file_ingest
+
+ORACLE_SQL["incremental_file_ingest"] = """
+    SELECT count(*)::BIGINT AS n_rows,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS cents,
+           4::BIGINT AS n_files_skipped
+    FROM orders
+"""
+
+
+def null_semantics_audit(sf_dir: str):
+    """THREE-VALUED-LOGIC audit: nulls injected mid-pipeline by a
+    deterministic rule (``value`` → NULL where ``event_id % 13 == 0``)
+    must flow through aggregation with SQL semantics — COUNT(*) counts
+    rows, COUNT(col) skips nulls, SUM ignores them, and a comparison
+    against a null is neither true nor false (the filter count).  The
+    engine proves its null discipline on a column it nulled itself;
+    the oracle applies the identical rule relationally."""
+    ds = _t(sf_dir, "events", columns=["event_id", "event_type",
+                                       "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        isnull = (e % 13 == 0) | ~np.isfinite(v)
+        et, inv = np.unique(b["event_type"].to_numpy(
+            zero_copy_only=False), return_inverse=True)
+        m = len(et)
+        gt50 = (~isnull) & (cents > 5000)  # NULL > 5000 is NOT true
+        return pa.table({
+            "event_type": pa.array(et, pa.string()),
+            "n_rows": pa.array(np.bincount(inv, minlength=m)
+                               .astype(np.int64)),
+            "n_nonnull": pa.array(np.bincount(
+                inv, weights=~isnull, minlength=m).astype(np.int64)),
+            "cents": pa.array(np.bincount(
+                inv, weights=np.where(isnull, 0, cents),
+                minlength=m).astype(np.int64)),
+            "n_gt_50": pa.array(np.bincount(
+                inv, weights=gt50, minlength=m).astype(np.int64))})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = p.groupby("event_type", as_index=False).sum()
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["null_semantics_audit"] = null_semantics_audit
+
+ORACLE_SQL["null_semantics_audit"] = """
+    WITH e AS (SELECT event_type,
+                      CASE WHEN event_id % 13 = 0 THEN NULL
+                           ELSE CAST(round(value * 100) AS BIGINT)
+                      END AS cents
+               FROM events)
+    SELECT event_type, count(*)::BIGINT AS n_rows,
+           count(cents)::BIGINT AS n_nonnull,
+           COALESCE(sum(cents), 0)::BIGINT AS cents,
+           count(*) FILTER (WHERE cents > 5000)::BIGINT AS n_gt_50
+    FROM e GROUP BY 1 ORDER BY 1
+"""
+
+
+def value_cdf_probe_by_type(sf_dir: str):
+    """CDF POINT QUERIES per group: for probe thresholds 10.00 / 50.00 /
+    100.00, the fraction of each type's values at or below — the
+    inverse of the percentile queries (value → rank instead of rank →
+    value), one pass, type×probe-bounded partials, exact-int ratios."""
+    probes = [1000, 5000, 10000]
+    ds = _t(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        et, inv = np.unique(b["event_type"].to_numpy(
+            zero_copy_only=False), return_inverse=True)
+        m = len(et)
+        cols = {"event_type": pa.array(et, pa.string()),
+                "n": pa.array(np.bincount(inv, minlength=m)
+                              .astype(np.int64))}
+        for pr in probes:
+            cols[f"n_le_{pr}"] = pa.array(np.bincount(
+                inv, weights=cents <= pr, minlength=m).astype(np.int64))
+        return pa.table(cols)
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = p.groupby("event_type", as_index=False).sum()
+    for pr in probes:
+        g[f"cdf_{pr}"] = (g[f"n_le_{pr}"].to_numpy(np.float64)
+                          / g["n"].to_numpy(np.float64))
+    for c in ["n"] + [f"n_le_{pr}" for pr in probes]:
+        g[c] = g[c].astype("int64")
+    return g.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["value_cdf_probe_by_type"] = value_cdf_probe_by_type
+
+ORACLE_SQL["value_cdf_probe_by_type"] = """
+    WITH c AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events)
+    SELECT event_type, count(*)::BIGINT AS n,
+           sum(CASE WHEN v <= 1000 THEN 1 ELSE 0 END)::BIGINT
+               AS n_le_1000,
+           sum(CASE WHEN v <= 5000 THEN 1 ELSE 0 END)::BIGINT
+               AS n_le_5000,
+           sum(CASE WHEN v <= 10000 THEN 1 ELSE 0 END)::BIGINT
+               AS n_le_10000,
+           sum(CASE WHEN v <= 1000 THEN 1 ELSE 0 END)::DOUBLE
+               / count(*) AS cdf_1000,
+           sum(CASE WHEN v <= 5000 THEN 1 ELSE 0 END)::DOUBLE
+               / count(*) AS cdf_5000,
+           sum(CASE WHEN v <= 10000 THEN 1 ELSE 0 END)::DOUBLE
+               / count(*) AS cdf_10000
+    FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def observed_catalog_build(sf_dir: str):
+    """DERIVED-DIMENSION MATERIALIZATION: build the (part, supplier)
+    catalog a missing ``partsupp`` table would hold, OBSERVED from the
+    fact stream — first-seen ship day and minimum observed price per
+    pair — and profile it.  Per-batch pair-level pre-combine (min
+    folds commute), ONE pair exchange; the profile fold counts parts
+    by supplier-breadth and checksums the min-price surface so the
+    oracle verifies the whole catalog without shipping it."""
+    ds = _t(sf_dir, "lineitem",
+            columns=["l_partkey", "l_suppkey", "l_shipdate",
+                     "l_extendedprice"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        ep = b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(ep) * np.floor(np.abs(ep) + 0.5)).astype(np.int64)
+        day = (b["l_shipdate"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[D]").astype(np.int64))
+        df = pd.DataFrame({
+            "partkey": b["l_partkey"].to_numpy(zero_copy_only=False),
+            "suppkey": b["l_suppkey"].to_numpy(zero_copy_only=False),
+            "first_day": day, "min_cents": cents})
+        g = df.groupby(["partkey", "suppkey"], as_index=False).min()
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cat = g.groupby(["partkey", "suppkey"], as_index=False).min()
+        A = np.uint64(6364136223846793005)
+        h = ((cat["partkey"].to_numpy(np.uint64) * A
+              + cat["suppkey"].to_numpy(np.uint64)) * A
+             + cat["min_cents"].to_numpy(np.int64).view(np.uint64)) * A \
+            + cat["first_day"].to_numpy(np.uint64)
+        breadth = cat.groupby("partkey")["suppkey"].size()
+        return pd.DataFrame({
+            "n_pairs": [len(cat)],
+            "n_parts": [int(breadth.size)],
+            "n_multi_supplier_parts": [int((breadth > 1).sum())],
+            "checksum": [np.int64(np.sum(h, dtype=np.uint64)
+                                  .view(np.int64))]})
+
+    parts = _agg_partitioned(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["partkey"], fold).to_pandas()
+    cs = int(np.sum(parts["checksum"].to_numpy(np.int64)
+                    .view(np.uint64), dtype=np.uint64))
+    return pd.DataFrame({
+        "n_pairs": pd.Series([int(parts["n_pairs"].sum())],
+                             dtype="int64"),
+        "n_parts": pd.Series([int(parts["n_parts"].sum())],
+                             dtype="int64"),
+        "n_multi_supplier_parts": pd.Series(
+            [int(parts["n_multi_supplier_parts"].sum())], dtype="int64"),
+        "checksum": pd.Series([cs - (1 << 64) if cs >= (1 << 63)
+                               else cs], dtype="int64")})
+
+
+QUERIES["observed_catalog_build"] = observed_catalog_build
+
+ORACLE_SQL["observed_catalog_build"] = """
+    WITH cat AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                        min(epoch_us(l_shipdate) // 86400000000)
+                            AS first_day,
+                        min(CAST(round(l_extendedprice * 100)
+                                 AS BIGINT)) AS min_cents
+                 FROM lineitem GROUP BY 1, 2),
+    h AS (SELECT ((((CAST(partkey AS HUGEINT) * 6364136223846793005
+                     + suppkey) % 18446744073709551616)
+                   * 6364136223846793005
+                   + ((min_cents % 18446744073709551616
+                       + 18446744073709551616)
+                      % 18446744073709551616))
+                  % 18446744073709551616
+                  * 6364136223846793005 + first_day)
+                 % 18446744073709551616 AS hv,
+                 partkey
+          FROM cat),
+    b AS (SELECT partkey, count(*) AS breadth FROM cat GROUP BY 1),
+    s AS (SELECT (SELECT count(*) FROM cat) AS n_pairs,
+                 (SELECT count(*) FROM b) AS n_parts,
+                 (SELECT count(*) FROM b WHERE breadth > 1)
+                     AS n_multi,
+                 (SELECT sum(hv) % 18446744073709551616 FROM h) AS cs)
+    SELECT n_pairs::BIGINT AS n_pairs, n_parts::BIGINT AS n_parts,
+           n_multi::BIGINT AS n_multi_supplier_parts,
+           (CASE WHEN cs >= 9223372036854775808
+                 THEN cs - 18446744073709551616 ELSE cs END)::BIGINT
+               AS checksum
+    FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -17910,6 +18213,8 @@ _FRONT = [
     "antientropy_apply_repair", "supplier_hhi_by_brand",
     "sentence_length_profile", "monthly_seasonal_index",
     "docs_without_label0_embedding", "jsonl_gz_roundtrip_events",
+    "incremental_file_ingest", "null_semantics_audit",
+    "value_cdf_probe_by_type", "observed_catalog_build",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

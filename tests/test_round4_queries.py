@@ -5640,3 +5640,66 @@ def test_jsonl_gz_roundtrip_ints_survive(ray_session, tmp_path):
     assert r["n_rows"] == 3 and r["n_users"] == 2
     assert r["cents"] == want
     assert r["max_us"] == ts.astype(np.int64)
+
+
+# ------------------------------------------------ incremental ingest
+
+
+def test_incremental_ingest_skips_ledgered_files(ray_session, tmp_path):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        incremental_file_ingest,
+    )
+
+    n = 80
+    tbl = pa.table({
+        "o_orderkey": pa.array(range(n), pa.int64()),
+        "o_totalprice": pa.array([1.00] * n, pa.float64())})
+    out = incremental_file_ingest(_write(tmp_path, "orders", tbl))
+    r = out.iloc[0]
+    assert r["n_rows"] == n and r["cents"] == 100 * n
+    assert r["n_files_skipped"] == 4  # run 2 skipped run 1's half
+
+
+# ------------------------------------------------ null semantics
+
+
+def test_null_semantics_rule_and_filter(ray_session, tmp_path):
+    """event_id 0 and 13 null out; a nulled value above the threshold
+    must NOT count in the filter (NULL > x is not true)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        null_semantics_audit,
+    )
+
+    tbl = pa.table({
+        "event_id": pa.array([0, 1, 13, 14], pa.int64()),
+        "event_type": pa.array(["a"] * 4),
+        "value": pa.array([99.0, 60.0, 70.0, 10.0], pa.float64())})
+    out = null_semantics_audit(
+        _write(tmp_path, "events", tbl)).set_index("event_type")
+    r = out.loc["a"]
+    assert r["n_rows"] == 4 and r["n_nonnull"] == 2
+    assert r["cents"] == 6000 + 1000
+    assert r["n_gt_50"] == 1  # only the non-null 60.00; nulled 99/70 don't
+
+
+# ------------------------------------------------ catalog build
+
+
+def test_observed_catalog_min_folds(ray_session, tmp_path):
+    """Duplicate (part,supp) observations fold to min day/price; the
+    multi-supplier part counts once."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        observed_catalog_build,
+    )
+
+    d1 = np.datetime64("2024-01-02", "us")
+    d2 = np.datetime64("2024-01-05", "us")
+    li = pa.table({
+        "l_partkey": pa.array([1, 1, 1, 2], pa.int64()),
+        "l_suppkey": pa.array([7, 7, 8, 7], pa.int64()),
+        "l_shipdate": pa.array([d2, d1, d1, d1]),
+        "l_extendedprice": pa.array([5.0, 9.0, 3.0, 2.0], pa.float64())})
+    out = observed_catalog_build(_write(tmp_path, "lineitem", li))
+    r = out.iloc[0]
+    assert r["n_pairs"] == 3 and r["n_parts"] == 2
+    assert r["n_multi_supplier_parts"] == 1
