@@ -15249,6 +15249,22 @@ ORACLE_SQL["sorted_run_compaction"] = """
 # ------------- round-4bd: Q5 star join / JSON extract / basket / bin-pack
 
 
+
+def _dense_lut(keys, values, fill):
+    """Dimension lookup as a DENSE numpy array indexed by the int key —
+    the broadcast-side structure that keeps per-batch dimension mapping
+    a single fancy-index instead of a per-row Python dict walk (TPC-H
+    keys are dense, so the array is dimension-sized)."""
+    keys = np.asarray(keys, np.int64)
+    arr_len = int(keys.max()) + 1 if len(keys) else 1
+    if isinstance(fill, str):
+        arr = np.full(arr_len, fill, dtype=object)
+    else:
+        arr = np.full(arr_len, fill)
+    arr[keys] = values
+    return arr
+
+
 def q5_local_supplier_revenue(sf_dir: str):
     """TPC-H Q5-shaped LOCAL-SUPPLIER REVENUE: the canonical two-hop
     star join (lineitem⋈orders on orderkey, then ⋈customer on custkey)
@@ -15274,9 +15290,10 @@ def q5_local_supplier_revenue(sf_dir: str):
                          right_on="r_regionkey")
                .query("r_name == 'ASIA'")["n_nationkey"].astype(int))
     nk_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
-    supp_map_ref = ray.put(dict(zip(sup["s_suppkey"].astype(int),
-                                    sup["s_nationkey"].astype(int))))
-    asia_ref = ray.put(asia)
+    supp_map_ref = ray.put(_dense_lut(sup["s_suppkey"].to_numpy(),
+                                      sup["s_nationkey"].to_numpy(np.int64),
+                                      -1))
+    asia_ref = ray.put(np.array(sorted(asia), np.int64))
 
     lo = pa.scalar(np.datetime64("1996-01-01", "us"))
     hi = pa.scalar(np.datetime64("1997-01-01", "us"))
@@ -15303,10 +15320,8 @@ def q5_local_supplier_revenue(sf_dir: str):
         sm = ray.get(supp_map_ref)
         az = ray.get(asia_ref)
         sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
-        s_nk = np.array([sm.get(int(s), -1) for s in np.unique(sk)])
-        lut = dict(zip(np.unique(sk).tolist(), s_nk.tolist()))
-        nk = np.array([lut[int(s)] for s in sk], np.int64)
-        keep = np.isin(nk, list(az))  # region filter AT THE SCAN
+        nk = sm[sk]  # dense-array map: one fancy-index, no Python loop
+        keep = np.isin(nk, az)  # region filter AT THE SCAN
         f = b.filter(pa.array(keep))
         nk = nk[keep]
         ep = f["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
@@ -15352,7 +15367,7 @@ def q5_local_supplier_revenue(sf_dir: str):
         az = ray.get(asia_ref)
         nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(
             np.int64)
-        keep = np.isin(nk, list(az))
+        keep = np.isin(nk, az)
         ck = b["c_custkey"].to_numpy(zero_copy_only=False)[keep]
         return pa.table({"custkey": pa.array(ck.astype(np.int64)),
                          "c_nk": pa.array(nk[keep])})
@@ -16464,16 +16479,17 @@ def q16_supplier_part_counts(sf_dir: str):
     pt = pa.concat_tables([
         pq.read_table(f, columns=["p_partkey", "p_brand", "p_size"])
         for f in _table_paths(sf_dir, "part")])
-    brand = dict(zip(pt["p_partkey"].to_pylist(),
-                     zip(pt["p_brand"].to_pylist(),
-                         pc.cast(pt["p_size"], pa.int64()).to_pylist())))
-    dim_ref = ray.put(brand)
+    pk_arr = pt["p_partkey"].to_numpy(zero_copy_only=False)
+    brand_ref = ray.put(_dense_lut(
+        pk_arr, np.asarray(pt["p_brand"].to_pylist(), object), "?"))
+    size_ref = ray.put(_dense_lut(
+        pk_arr, pc.cast(pt["p_size"], pa.int64()).to_numpy(
+            zero_copy_only=False), -1))
 
     ds = _t(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"],
             blocks=_join_partitions(sf_dir, "lineitem"))
 
     def pre(b: pa.Table) -> pa.Table:
-        dim = ray.get(dim_ref)
         pk = b["l_partkey"].to_numpy(zero_copy_only=False)
         sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
         keep = sk % 3 != 0  # blacklist pushed into the scan
@@ -16482,10 +16498,9 @@ def q16_supplier_part_counts(sf_dir: str):
                         | sk.astype(np.uint64))  # suppkey < 2^20
         pk = (key >> np.uint64(20)).astype(np.int64)
         sk = (key & np.uint64((1 << 20) - 1)).astype(np.int64)
-        bs = [dim.get(int(p), ("?", -1)) for p in pk]
         return pa.table({
-            "p_brand": pa.array([x[0] for x in bs], pa.string()),
-            "p_size": pa.array([x[1] for x in bs], pa.int64()),
+            "p_brand": pa.array(ray.get(brand_ref)[pk], pa.string()),
+            "p_size": pa.array(ray.get(size_ref)[pk]),
             "suppkey": pa.array(sk)})
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
@@ -16794,8 +16809,9 @@ def q7_volume_shipping(sf_dir: str):
                                                       "s_nationkey"])
                             for f in _table_paths(sf_dir, "supplier")]
                            ).to_pandas()
-    supp_map_ref = ray.put(dict(zip(sup["s_suppkey"].astype(int),
-                                    sup["s_nationkey"].astype(int))))
+    supp_map_ref = ray.put(_dense_lut(sup["s_suppkey"].to_numpy(),
+                                      sup["s_nationkey"].to_numpy(np.int64),
+                                      -1))
     NATS = (2, 3)
 
     orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
@@ -16816,9 +16832,7 @@ def q7_volume_shipping(sf_dir: str):
     def l_pre(b: pa.Table) -> pa.Table:
         sm = ray.get(supp_map_ref)
         sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
-        uniq = np.unique(sk)
-        lut = {int(s): sm.get(int(s), -1) for s in uniq}
-        nk = np.array([lut[int(s)] for s in sk], np.int64)
+        nk = sm[sk]
         keep = np.isin(nk, NATS)  # supplier-nation filter AT THE SCAN
         f = b.filter(pa.array(keep))
         nk = nk[keep]
@@ -17127,8 +17141,9 @@ def q8_market_share(sf_dir: str):
                                                       "s_nationkey"])
                             for f in _table_paths(sf_dir, "supplier")]
                            ).to_pandas()
-    supp_map_ref = ray.put(dict(zip(sup["s_suppkey"].astype(int),
-                                    sup["s_nationkey"].astype(int))))
+    supp_map_ref = ray.put(_dense_lut(sup["s_suppkey"].to_numpy(),
+                                      sup["s_nationkey"].to_numpy(np.int64),
+                                      -1))
     nat = pa.concat_tables([pq.read_table(f) for f in
                             _table_paths(sf_dir, "nation")]).to_pandas()
     reg = pa.concat_tables([pq.read_table(f) for f in
@@ -17151,7 +17166,7 @@ def q8_market_share(sf_dir: str):
                               value_set=ray.get(econ_ref)))
         sm = ray.get(supp_map_ref)
         sk = f["l_suppkey"].to_numpy(zero_copy_only=False)
-        nk = np.array([sm.get(int(s), -1) for s in sk], np.int64)
+        nk = sm[sk]
         ep = f["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
         cents = (np.sign(ep) * np.floor(np.abs(ep) + 0.5)).astype(np.int64)
         dc = f["l_discount"].to_numpy(zero_copy_only=False) * 10000.0
@@ -17266,21 +17281,21 @@ def q19_disjunctive_revenue(sf_dir: str):
     pt = pa.concat_tables([
         pq.read_table(f, columns=["p_partkey", "p_brand", "p_size"])
         for f in _table_paths(sf_dir, "part")])
-    dim_ref = ray.put({int(k): (b, int(s)) for k, b, s in zip(
-        pt["p_partkey"].to_pylist(), pt["p_brand"].to_pylist(),
-        pt["p_size"].to_pylist())})
+    pk_arr = pt["p_partkey"].to_numpy(zero_copy_only=False)
+    brand_ref = ray.put(_dense_lut(
+        pk_arr, np.asarray(pt["p_brand"].to_pylist(), object), "?"))
+    size_ref = ray.put(_dense_lut(
+        pk_arr, pc.cast(pt["p_size"], pa.int64()).to_numpy(
+            zero_copy_only=False), -1))
 
     ds = _t(sf_dir, "lineitem",
             columns=["l_partkey", "l_quantity", "l_extendedprice",
                      "l_discount"])
 
     def partial(b: pa.Table) -> pa.Table:
-        dim = ray.get(dim_ref)
         pk = b["l_partkey"].to_numpy(zero_copy_only=False)
-        uniq = np.unique(pk)
-        lut = {int(p): dim.get(int(p), ("?", -1)) for p in uniq}
-        brand = np.array([lut[int(p)][0] for p in pk])
-        size = np.array([lut[int(p)][1] for p in pk], np.int64)
+        brand = ray.get(brand_ref)[pk]
+        size = ray.get(size_ref)[pk]
         qty = b["l_quantity"].to_numpy(zero_copy_only=False)
         m1 = ((brand == "Brand#1") & (size >= 1) & (size <= 25)
               & (qty >= 1) & (qty <= 30))
@@ -17477,8 +17492,9 @@ def supplier_hhi_by_brand(sf_dir: str):
     pt = pa.concat_tables([
         pq.read_table(f, columns=["p_partkey", "p_brand"])
         for f in _table_paths(sf_dir, "part")])
-    dim_ref = ray.put(dict(zip(pt["p_partkey"].to_pylist(),
-                               pt["p_brand"].to_pylist())))
+    dim_ref = ray.put(_dense_lut(
+        pt["p_partkey"].to_numpy(zero_copy_only=False),
+        np.asarray(pt["p_brand"].to_pylist(), object), "?"))
 
     ds = _t(sf_dir, "lineitem",
             columns=["l_partkey", "l_suppkey", "l_extendedprice",
@@ -17488,7 +17504,7 @@ def supplier_hhi_by_brand(sf_dir: str):
     def pre(b: pa.Table) -> pa.Table:
         dim = ray.get(dim_ref)
         pk = b["l_partkey"].to_numpy(zero_copy_only=False)
-        brand = np.array([dim.get(int(p), "?") for p in pk])
+        brand = dim[pk]
         ep = b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
         cents = (np.sign(ep) * np.floor(np.abs(ep) + 0.5)).astype(np.int64)
         dc = b["l_discount"].to_numpy(zero_copy_only=False) * 10000.0
