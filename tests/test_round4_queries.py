@@ -5703,3 +5703,103 @@ def test_observed_catalog_min_folds(ray_session, tmp_path):
     r = out.iloc[0]
     assert r["n_pairs"] == 3 and r["n_parts"] == 2
     assert r["n_multi_supplier_parts"] == 1
+
+
+# ------------------------------------------------------------ TPC-H Q15
+
+
+def test_q15_argmax_keeps_ties(ray_session, tmp_path):
+    """Two suppliers tie at the maximum window revenue; both return.
+    Revenue outside the window is excluded."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        q15_top_supplier,
+    )
+
+    inside = np.datetime64("1996-02-01", "us")
+    outside = np.datetime64("1996-06-01", "us")
+    li = pa.table({
+        "l_suppkey": pa.array([1, 2, 3, 1], pa.int64()),
+        "l_shipdate": pa.array([inside, inside, inside, outside]),
+        "l_extendedprice": pa.array([5.0, 5.0, 4.0, 99.0]),
+        "l_discount": pa.array([0.0] * 4)})
+    out = q15_top_supplier(_write(tmp_path, "lineitem", li))
+    assert list(out["s_suppkey"]) == [1, 2]
+    assert (out["rev_micros"] == 500 * 10000).all()
+
+
+# ---------------------------------------------- constant columns
+
+
+def test_constant_column_footer_detection(ray_session, tmp_path):
+    """A genuinely constant column flags true from footers alone; a
+    varying one flags false."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        constant_column_audit,
+    )
+
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([5, 5, 5], pa.int64()),   # constant
+        "o_orderstatus": pa.array(["O", "O", "O"]),     # constant
+        "o_totalprice": pa.array([1.0, 2.0, 3.0]),
+        "o_orderdate": pa.array(
+            [np.datetime64("2024-01-01", "us")] * 3),   # constant
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "1-URGENT"])})
+    events = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([np.datetime64("2024-01-01", "us")] * 2),
+        "user_id": pa.array([9, 9], pa.int64()),
+        "event_type": pa.array(["x", "y"]),
+        "value": pa.array([0.5, 0.5]),
+        "props": pa.array(['{"k": 1}', '{"k": 1}'])})
+    sf = _write(tmp_path, "orders", orders)
+    _write(tmp_path, "events", events)
+    out = constant_column_audit(sf).set_index(["tbl", "col"])
+    assert bool(out.loc[("orders", "o_custkey"), "is_constant"])
+    assert bool(out.loc[("orders", "o_orderdate"), "is_constant"])
+    assert not bool(out.loc[("orders", "o_totalprice"), "is_constant"])
+    assert bool(out.loc[("events", "user_id"), "is_constant"])
+    assert not bool(out.loc[("events", "event_type"), "is_constant"])
+
+
+# ---------------------------------------------- partitioner balance
+
+
+def test_partitioner_balance_detects_mod_pathology(ray_session,
+                                                   tmp_path):
+    """Keys that are all multiples of 16 send EVERYTHING to mod
+    partition 0 (max = n, min = 0) while round-robin stays ±1."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        partitioner_balance_audit,
+    )
+
+    n = 64
+    tbl = pa.table({"o_orderkey": pa.array(
+        [i * 16 for i in range(n)], pa.int64())})
+    out = partitioner_balance_audit(
+        _write(tmp_path, "orders", tbl)).set_index("strategy")
+    assert out.loc["mod", "max_n"] == n and out.loc["mod", "min_n"] == 0
+    assert out.loc["rrobin", "max_n"] == n // 16
+    assert out.loc["rrobin", "min_n"] == n // 16
+
+
+# ------------------------------------------------------ provenance
+
+
+def test_row_provenance_addresses_are_exact(ray_session, tmp_path):
+    """The returned (shard, row_in_shard) must address the actual row:
+    key 11 → shard 3; within shard 3 (keys 3, 11, 19) it sits at
+    offset 1."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        row_provenance_topk,
+    )
+
+    keys = list(range(24))
+    prices = [1.0] * 24
+    prices[11] = 99.0  # top row is key 11
+    tbl = pa.table({"o_orderkey": pa.array(keys, pa.int64()),
+                    "o_totalprice": pa.array(prices, pa.float64())})
+    out = row_provenance_topk(_write(tmp_path, "orders", tbl))
+    top = out.iloc[0]
+    assert top["o_orderkey"] == 11
+    assert top["shard"] == 3 and top["row_in_shard"] == 1
