@@ -5803,3 +5803,95 @@ def test_row_provenance_addresses_are_exact(ray_session, tmp_path):
     top = out.iloc[0]
     assert top["o_orderkey"] == 11
     assert top["shard"] == 3 and top["row_in_shard"] == 1
+
+
+# ------------------------------------------------- csv quoting torture
+
+
+def test_csv_quoting_survives_hostile_text(ray_session, tmp_path):
+    """Text already containing quotes, commas, and newlines must
+    round-trip exactly (plus the injected suffix)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        csv_quoting_roundtrip_documents,
+    )
+
+    hostile = 'he said "hi, there"\nand left'
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([hostile, "plain"]),
+        "lang": pa.array(["en", "en"])})
+    out = csv_quoting_roundtrip_documents(
+        _write(tmp_path, "documents", tbl))
+    r = out.iloc[0]
+    suffix = ',"\n' + "en"
+    assert r["n_docs"] == 2
+    assert r["chars"] == len(hostile + suffix) + len("plain" + suffix)
+    assert r["quotes"] == 2 + 1 + 1      # two in text + one per suffix
+    assert r["commas"] == 1 + 1 + 1
+    assert r["newlines"] == 1 + 1 + 1
+
+
+# ---------------------------------------------------- tar source
+
+
+def test_tar_member_source_counts(ray_session, tmp_path):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        tar_member_source,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["abc", "de", "fghi"]),
+        "lang": pa.array(["en", "en", "de"])})
+    out = tar_member_source(
+        _write(tmp_path, "documents", tbl)).set_index("lang")
+    assert out.loc["en", "n_docs"] == 2 and out.loc["en", "chars"] == 5
+    assert out.loc["de", "n_docs"] == 1 and out.loc["de", "chars"] == 4
+
+
+# ------------------------------------------------ first crossing
+
+
+def test_first_crossing_exact_event(ray_session, tmp_path):
+    """The crossing is the FIRST event reaching the threshold, with
+    (ts, event_id) tie order; a never-crossing user is absent."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        first_spend_crossing,
+    )
+
+    def ts(m):
+        return np.datetime64(f"2024-01-01T00:{m:02d}:00", "us")
+
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array([ts(0), ts(1), ts(2), ts(0), ts(1)]),
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "value": pa.array([60.0, 40.0, 5.0, 10.0, 20.0], pa.float64())})
+    out = first_spend_crossing(
+        _write(tmp_path, "events", tbl)).set_index("user_id")
+    # user 1 crosses at event 2 (60+40=100.00 exactly)
+    assert out.loc[1, "crossed_at_us"] == int(ts(1).astype(np.int64))
+    assert out.loc[1, "cum_cents"] == 10000
+    assert 2 not in out.index  # user 2 tops out at 30.00
+
+
+# ------------------------------------------------ exact stddev
+
+
+def test_stddev_from_integer_moments(ray_session, tmp_path):
+    """Known variance: values 1,2,3,4 → sample stddev of cents =
+    sqrt(5000000/3); a 1-row group yields NULL/NaN."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        value_stddev_by_type,
+    )
+    import math
+
+    tbl = pa.table({
+        "event_type": pa.array(["a"] * 4 + ["b"]),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 7.0], pa.float64())})
+    out = value_stddev_by_type(
+        _write(tmp_path, "events", tbl)).set_index("event_type")
+    n, s1, s2 = 4, 1000, 300000
+    want = math.sqrt(float(n * s2 - s1 * s1) / float(n * (n - 1)))
+    assert out.loc["a", "stddev_cents"] == want
+    assert pd.isna(out.loc["b", "stddev_cents"])
