@@ -18707,6 +18707,284 @@ ORACLE_SQL["value_stddev_by_type"] = """
 """
 
 
+# -------- round-4bn: map type / regex backrefs / division / pct-rank
+
+
+def map_column_roundtrip(sf_dir: str):
+    """MAP-TYPE column through the engine (the third nested type after
+    lists and structs): the parsed ``props`` integer lands in a
+    ``map<string,int64>`` column, round-trips a parquet sink, and the
+    read-back aggregates straight from ``map_extract``-style access —
+    proving keyed semi-structured payloads survive the engine typed,
+    not as strings.  Contract violations become an EMPTY map (vs
+    struct's null field) — the map type's natural missing-key story."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="aads_map_")
+    pat = r'^\{"k": (?P<k>-?\d+)\}$'
+
+    ds = _t(sf_dir, "events", columns=["event_type", "props"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(pc.fill_null(b["props"], ""), pat)
+        ks = pc.struct_field(ex, "k")
+        ok = ks.is_valid().to_numpy(zero_copy_only=False)
+        vals = np.where(ok, pc.cast(pc.fill_null(ks, "0"), pa.int64())
+                        .to_numpy(zero_copy_only=False), 0)
+        # map array: one ("k", v) entry for valid rows, empty otherwise
+        offsets = np.r_[0, np.cumsum(ok.astype(np.int32))]
+        keys = pa.array(["k"] * int(ok.sum()), pa.string())
+        items = pa.array(vals[ok], pa.int64())
+        m = pa.MapArray.from_arrays(pa.array(offsets, pa.int32()),
+                                    keys, items)
+        return pa.table({"event_type": b["event_type"], "kv": m})
+
+    ds.map_batches(pack, batch_format="pyarrow").write_parquet(out_dir)
+
+    def agg(b: pa.Table) -> pa.Table:
+        kv = b["kv"].combine_chunks()
+        # no list_value_length kernel for maps — lengths from offsets
+        offs = kv.offsets.to_numpy(zero_copy_only=False)
+        n_entries = np.diff(offs)
+        vals = kv.items.to_numpy(zero_copy_only=False)
+        has = n_entries > 0
+        # per-row value: only rows with an entry contribute
+        row_val = np.zeros(len(has), np.int64)
+        row_val[has] = vals
+        et, inv = np.unique(b["event_type"].to_numpy(
+            zero_copy_only=False), return_inverse=True)
+        mlen = len(et)
+        return pa.table({
+            "event_type": pa.array(et, pa.string()),
+            "n": pa.array(np.bincount(inv, minlength=mlen)
+                          .astype(np.int64)),
+            "n_with_k": pa.array(np.bincount(
+                inv, weights=has, minlength=mlen).astype(np.int64)),
+            "sum_k": pa.array(np.bincount(
+                inv, weights=row_val, minlength=mlen).astype(np.int64))})
+
+    p = (ray.data.read_parquet(out_dir)
+         .map_batches(agg, batch_format="pyarrow").to_pandas())
+    out = p.groupby("event_type", as_index=False).sum()
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["map_column_roundtrip"] = map_column_roundtrip
+
+ORACLE_SQL["map_column_roundtrip"] = """
+    WITH e AS (SELECT event_type,
+                      CASE WHEN regexp_matches(props,
+                                               '^\\{"k": (-?\\d+)\\}$')
+                           THEN CAST(regexp_extract(props,
+                                     '^\\{"k": (-?\\d+)\\}$', 1)
+                                     AS BIGINT)
+                      END AS k
+               FROM events)
+    SELECT event_type, count(*)::BIGINT AS n,
+           count(k)::BIGINT AS n_with_k,
+           COALESCE(sum(k), 0)::BIGINT AS sum_k
+    FROM e GROUP BY 1 ORDER BY 1
+"""
+
+
+def text_backref_normalize(sf_dir: str):
+    """REGEX REPLACEMENT with CAPTURE-GROUP substitution: stem words
+    ending in ``ing`` via ``([a-z]+)ing → \\1`` (RE2 supports group
+    refs in the REPLACEMENT only — never backrefs in the pattern) and
+    mask digit runs to ``#`` — a normalize-before-dedup scrub both RE2
+    engines (Arrow's and DuckDB's) must agree on character for
+    character.  Parity: per-lang char totals and masked-digit counts
+    after normalization."""
+    ds = _t(sf_dir, "documents", columns=["lang", "text"],
+            blocks=_join_partitions(sf_dir, "documents"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b["text"], "")
+        t = pc.replace_substring_regex(
+            t, pattern=r"\b([a-z]+)ing\b", replacement=r"\1")
+        t = pc.replace_substring_regex(t, pattern=r"\d+",
+                                       replacement="#")
+        n_hash = pc.count_substring(t, pattern="#").to_numpy(
+            zero_copy_only=False)
+        ln = pc.utf8_length(t).to_numpy(zero_copy_only=False)
+        lang, inv = np.unique(b["lang"].to_numpy(zero_copy_only=False),
+                              return_inverse=True)
+        m = len(lang)
+        return pa.table({
+            "lang": pa.array(lang, pa.string()),
+            "n_docs": pa.array(np.bincount(inv, minlength=m)
+                               .astype(np.int64)),
+            "chars": pa.array(np.bincount(inv, weights=ln, minlength=m)
+                              .astype(np.int64)),
+            "n_masked": pa.array(np.bincount(
+                inv, weights=n_hash, minlength=m).astype(np.int64))})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = p.groupby("lang", as_index=False).sum()
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+QUERIES["text_backref_normalize"] = text_backref_normalize
+
+ORACLE_SQL["text_backref_normalize"] = """
+    WITH t AS (SELECT lang,
+                      regexp_replace(
+                          regexp_replace(COALESCE(text, ''),
+                              '\\b([a-z]+)ing\\b', '\\1', 'g'),
+                          '\\d+', '#', 'g') AS txt
+               FROM documents)
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(length(txt))::BIGINT AS chars,
+           sum(length(txt) - length(replace(txt, '#', '')))::BIGINT
+               AS n_masked
+    FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
+def orders_fully_shipped_30d(sf_dir: str):
+    """RELATIONAL DIVISION (universal quantifier): orders where EVERY
+    lineitem shipped within 30 days of the order date, per month — the
+    ``NOT EXISTS (violating item)`` / ``ALL`` pattern, distributed as a
+    max-fold: co-locate each order with its items' MAX ship day (one
+    okey exchange), and the universal condition collapses to one
+    comparison.  Orders with no lineitems are excluded (division by
+    the empty set is defined vacuously true in logic, false in SQL's
+    inner join — we match the join)."""
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"],
+                blocks=_join_partitions(sf_dir, "orders"))
+
+    def l_pre(b: pa.Table) -> pa.Table:
+        day = (b["l_shipdate"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[D]").astype(np.int64))
+        t = pa.table({"okey": b["l_orderkey"], "day": pa.array(day)})
+        g = t.group_by("okey").aggregate([("day", "max")])
+        g = g.rename_columns(["okey", "day"])
+        return pa.table({"okey": g["okey"],
+                         "day": g["day"],
+                         "oday": pa.array(np.full(g.num_rows, -1,
+                                                  np.int64))})
+
+    def o_pre(b: pa.Table) -> pa.Table:
+        od = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[D]").astype(np.int64))
+        return pa.table({"okey": b["o_orderkey"],
+                         "day": pa.array(np.zeros(b.num_rows, np.int64)),
+                         "oday": pa.array(od)})
+
+    tagged = li.map_batches(l_pre, batch_format="pyarrow").union(
+        orders.map_batches(o_pre, batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["oday"] >= 0]
+        facts = g[g["oday"] < 0]
+        mx = facts.groupby("okey")["day"].max()
+        d = dim[dim["okey"].isin(mx.index)].copy()
+        d["max_ship"] = d["okey"].map(mx)
+        ok = d["max_ship"] <= d["oday"] + 30
+        mon = (d["oday"].to_numpy(np.int64)[ok.to_numpy()]
+               .astype("timedelta64[D]")
+               + np.datetime64("1970-01-01")).astype("datetime64[M]")
+        u, c = np.unique(mon.astype(np.int64), return_counts=True)
+        return pd.DataFrame({"mon": u, "n_orders": c.astype(np.int64)})
+
+    parts = _agg_partitioned(tagged, ["okey"], fold).to_pandas()
+    out = parts.groupby("mon", as_index=False)["n_orders"].sum()
+    out2 = pd.DataFrame({
+        "month": out["mon"].to_numpy(np.int64).astype("datetime64[M]")
+        .astype(str),
+        "n_orders": out["n_orders"].astype("int64")})
+    return out2.sort_values("month").reset_index(drop=True)
+
+
+QUERIES["orders_fully_shipped_30d"] = orders_fully_shipped_30d
+
+ORACLE_SQL["orders_fully_shipped_30d"] = """
+    WITH j AS (SELECT o_orderkey, o_orderdate,
+                      max(l_shipdate) AS max_ship
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+               GROUP BY 1, 2)
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           count(*)::BIGINT AS n_orders
+    FROM j WHERE max_ship <= o_orderdate + INTERVAL 30 DAY
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def orders_with_percentile_rank(sf_dir: str):
+    """RANK ENRICHMENT without a global sort: the top-10 priciest
+    orders return WITH their exact global ``percent_rank`` — computed
+    from a bounded-domain histogram (count of strictly-smaller values
+    per candidate, one scan) instead of ranking all N rows.  The
+    percent_rank is the exact int ratio (n_below)/(N−1), bit-equal to
+    the window function."""
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _cents(b: pa.Table) -> np.ndarray:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+    def top_partial(b: pa.Table) -> pa.Table:
+        c = _cents(b)
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((k, -c))[:10]
+        return pa.table({"o_orderkey": pa.array(k[o]),
+                         "cents": pa.array(c[o]),
+                         "n": pa.array(np.full(len(o), b.num_rows,
+                                               np.int64))})
+
+    # candidates + total rows in one partial pass
+    def count_partial(b: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([b.num_rows], pa.int64())})
+
+    cand = (ds.map_batches(top_partial, batch_format="pyarrow")
+            .to_pandas().sort_values(["cents", "o_orderkey"],
+                                     ascending=[False, True]).head(10))
+    N = int(ds.map_batches(count_partial, batch_format="pyarrow")
+            .to_pandas()["n"].sum())
+    thr_ref = ray.put(np.sort(cand["cents"].to_numpy(np.int64)))
+
+    def below_partial(b: pa.Table) -> pa.Table:
+        c = np.sort(_cents(b))
+        thr = ray.get(thr_ref)
+        below = np.searchsorted(c, thr, side="left")
+        return pa.table({"i": pa.array(np.arange(len(thr), dtype=np.int64)),
+                         "below": pa.array(below.astype(np.int64))})
+
+    bl = (ds.map_batches(below_partial, batch_format="pyarrow")
+          .to_pandas().groupby("i", as_index=False)["below"].sum())
+    thr_sorted = np.sort(cand["cents"].to_numpy(np.int64))
+    below_map = dict(zip(thr_sorted.tolist(),
+                         bl.sort_values("i")["below"].tolist()))
+    out = cand.copy()
+    out["pct_rank"] = [float(below_map[int(c)]) / float(N - 1)
+                       for c in out["cents"]]
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["cents"] = out["cents"].astype("int64")
+    return out[["o_orderkey", "cents", "pct_rank"]].reset_index(
+        drop=True)
+
+
+QUERIES["orders_with_percentile_rank"] = orders_with_percentile_rank
+
+ORACLE_SQL["orders_with_percentile_rank"] = """
+    WITH r AS (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS cents,
+                      percent_rank() OVER (ORDER BY
+                          CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS pct_rank
+               FROM orders)
+    SELECT o_orderkey, cents, pct_rank FROM r
+    ORDER BY cents DESC, o_orderkey LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -18821,6 +19099,8 @@ _FRONT = [
     "partitioner_balance_audit", "row_provenance_topk",
     "csv_quoting_roundtrip_documents", "tar_member_source",
     "first_spend_crossing", "value_stddev_by_type",
+    "map_column_roundtrip", "text_backref_normalize",
+    "orders_fully_shipped_30d", "orders_with_percentile_rank",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

@@ -5895,3 +5895,93 @@ def test_stddev_from_integer_moments(ray_session, tmp_path):
     want = math.sqrt(float(n * s2 - s1 * s1) / float(n * (n - 1)))
     assert out.loc["a", "stddev_cents"] == want
     assert pd.isna(out.loc["b", "stddev_cents"])
+
+
+# ----------------------------------------------------- map column
+
+
+def test_map_column_empty_vs_present(ray_session, tmp_path):
+    """A malformed props row yields an EMPTY map (not a null) and must
+    not contribute to n_with_k or sum_k."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        map_column_roundtrip,
+    )
+
+    tbl = pa.table({
+        "event_type": pa.array(["a", "a", "b"]),
+        "props": pa.array(['{"k": 5}', "garbage", '{"k": -2}'])})
+    out = map_column_roundtrip(
+        _write(tmp_path, "events", tbl)).set_index("event_type")
+    assert out.loc["a", "n"] == 2 and out.loc["a", "n_with_k"] == 1
+    assert out.loc["a", "sum_k"] == 5
+    assert out.loc["b", "sum_k"] == -2
+
+
+# ------------------------------------------------ regex group subst
+
+
+def test_backref_stem_and_mask(ray_session, tmp_path):
+    """'running 42 times' → 'runn # times': group substitution strips
+    the ing, digits mask to one #."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        text_backref_normalize,
+    )
+
+    tbl = pa.table({"lang": pa.array(["en"]),
+                    "text": pa.array(["running 42 times"])})
+    out = text_backref_normalize(
+        _write(tmp_path, "documents", tbl)).set_index("lang")
+    want = "runn # times"
+    assert out.loc["en", "chars"] == len(want)
+    assert out.loc["en", "n_masked"] == 1
+
+
+# ------------------------------------------------ relational division
+
+
+def test_fully_shipped_universal_quantifier(ray_session, tmp_path):
+    """Order 1: all items within 30d → counted; order 2: ONE late item
+    poisons it; order 3: no items → excluded (matches inner join)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        orders_fully_shipped_30d,
+    )
+
+    od = np.datetime64("2024-01-01", "us")
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array([od, od, od])})
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "l_shipdate": pa.array([
+            np.datetime64("2024-01-10", "us"),
+            np.datetime64("2024-01-31", "us"),   # exactly +30: in
+            np.datetime64("2024-01-05", "us"),
+            np.datetime64("2024-02-05", "us")])})  # +35: poisons order 2
+    sf = _write(tmp_path, "orders", orders)
+    _write(tmp_path, "lineitem", li)
+    out = orders_fully_shipped_30d(sf)
+    assert len(out) == 1
+    assert out.iloc[0]["month"] == "2024-01"
+    assert out.iloc[0]["n_orders"] == 1
+
+
+# ------------------------------------------------ pct-rank enrich
+
+
+def test_percent_rank_enrichment_with_ties(ray_session, tmp_path):
+    """Tied values share a percent_rank = (count strictly below)/(N−1)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        orders_with_percentile_rank,
+    )
+
+    prices = [1.0, 2.0, 2.0, 3.0, 4.0]
+    tbl = pa.table({
+        "o_orderkey": pa.array(range(5), pa.int64()),
+        "o_totalprice": pa.array(prices, pa.float64())})
+    out = orders_with_percentile_rank(
+        _write(tmp_path, "orders", tbl)).set_index("o_orderkey")
+    assert out.loc[4, "pct_rank"] == 1.0          # max: 4/4
+    assert out.loc[3, "pct_rank"] == 3.0 / 4.0
+    assert out.loc[1, "pct_rank"] == 1.0 / 4.0    # ties share rank
+    assert out.loc[2, "pct_rank"] == 1.0 / 4.0
+    assert out.loc[0, "pct_rank"] == 0.0
