@@ -18985,6 +18985,332 @@ ORACLE_SQL["orders_with_percentile_rank"] = """
 """
 
 
+# ------- round-4bo: federation / layout tuning / correlogram / 2nd-order
+
+
+def federated_trisource_union(sf_dir: str):
+    """FEDERATED QUERY over three PHYSICAL FORMATS at once: the events
+    table splits into parquet, CSV, and JSONL thirds (by event_id mod
+    3), each read by its own source, unioned into ONE dataset, and
+    aggregated — the heterogeneous-lake reality where history lives in
+    parquet but yesterday is still CSV/JSONL.  Ints-through-text
+    discipline for the two text formats (cents/epoch-µs convert before
+    their sinks); the oracle aggregates the original single table, so
+    parity proves the federation loses nothing."""
+    import csv as _csv
+    import json as _json
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="aads_fed_")
+    pq_dir = os.path.join(root, "pq")
+    csv_path = os.path.join(root, "part.csv")
+    jsonl_path = os.path.join(root, "part.jsonl")
+    rref = ray.put(root)
+
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "value"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def split3(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("fmt", pa.array((e % 3).astype(np.int64)))
+
+    def write_fmt(g: pd.DataFrame) -> pd.DataFrame:
+        root_ = ray.get(rref)
+        rows = []
+        for fmt, gg in g.groupby("fmt"):
+            v = gg["value"].to_numpy(np.float64) * 100.0
+            cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(
+                np.int64)
+            gg = gg.assign(cents=cents)[["event_id", "user_id", "cents"]]
+            if fmt == 0:
+                os.makedirs(os.path.join(root_, "pq"), exist_ok=True)
+                pq.write_table(
+                    pa.Table.from_pandas(gg, preserve_index=False)
+                    .replace_schema_metadata(None),
+                    os.path.join(root_, "pq", "part.parquet"))
+            elif fmt == 1:
+                with open(os.path.join(root_, "part.csv"), "w",
+                          newline="") as f:
+                    w = _csv.writer(f)
+                    w.writerow(["event_id", "user_id", "cents"])
+                    w.writerows(gg.itertuples(index=False))
+            else:
+                with open(os.path.join(root_, "part.jsonl"), "w") as f:
+                    for r in gg.itertuples(index=False):
+                        f.write(_json.dumps({"event_id": int(r[0]),
+                                             "user_id": int(r[1]),
+                                             "cents": int(r[2])}) + "\n")
+            rows.append((int(fmt), len(gg)))
+        return pd.DataFrame(rows, columns=["fmt", "n"])
+
+    # one writer per format: route all rows of a format to one fold
+    _agg_partitioned(ds.map_batches(split3, batch_format="pyarrow"),
+                     ["fmt"], write_fmt, P=3).to_pandas()
+
+    pq_ds = ray.data.read_parquet(pq_dir)
+    csv_ds = ray.data.read_csv(csv_path)
+
+    def parse_jsonl(rows: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for _, r in rows.iterrows():
+            with open(r["path"]) as f:
+                recs.extend(_json.loads(line) for line in f)
+        return pd.DataFrame(recs)
+
+    jl_ds = (ray.data.from_items([{"path": jsonl_path}])
+             .map_batches(parse_jsonl, batch_format="pandas"))
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "cents": pc.cast(b["cents"], pa.int64())})
+
+    fed = (pq_ds.map_batches(norm, batch_format="pyarrow")
+           .union(csv_ds.map_batches(norm, batch_format="pyarrow"),
+                  jl_ds.map_batches(norm, batch_format="pyarrow")))
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(u)], pa.int64()),
+            "cents": pa.array([int(c.sum())], pa.int64()),
+            "u_min3": pa.array([int(np.sort(np.unique(u))[:3].sum())],
+                               pa.int64())})
+
+    p = fed.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # u_min3 partials are per-block mins — recompute exactly: cheap
+    # second federated pass collecting distinct user minima
+    def mins(b: pa.Table) -> pa.Table:
+        u = np.unique(b["user_id"].to_numpy(zero_copy_only=False))[:3]
+        return pa.table({"user_id": pa.array(u.astype(np.int64))})
+
+    m = fed.map_batches(mins, batch_format="pyarrow").to_pandas()
+    low3 = int(np.sort(np.unique(m["user_id"].to_numpy(np.int64)))[:3]
+               .sum())
+    return pd.DataFrame({
+        "n_rows": pd.Series([int(p["n"].sum())], dtype="int64"),
+        "cents": pd.Series([int(p["cents"].sum())], dtype="int64"),
+        "low3_user_sum": pd.Series([low3], dtype="int64")})
+
+
+QUERIES["federated_trisource_union"] = federated_trisource_union
+
+ORACLE_SQL["federated_trisource_union"] = """
+    WITH l AS (SELECT DISTINCT user_id FROM events
+               ORDER BY user_id LIMIT 3)
+    SELECT count(*)::BIGINT AS n_rows,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents,
+           (SELECT sum(user_id) FROM l)::BIGINT AS low3_user_sum
+    FROM events
+"""
+
+
+def physical_layout_tuning_audit(sf_dir: str):
+    """PHYSICAL LAYOUT TUNING (dictionary encoding + row-group sizing)
+    audited from FOOTERS: documents are written with lang
+    dictionary-encoded and 500-row row groups — the two knobs that
+    decide scan width and predicate-skip granularity at 100 TB — then
+    the footer proves (a) every lang data page is dictionary-encoded,
+    (b) row groups honor the cap, and content survives via per-lang
+    counts.  The oracle checks the content; the physical assertions are
+    engine-verified constants."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="aads_layout_")
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang"],
+            blocks=_join_partitions(sf_dir, "documents"))
+
+    def write_tuned(g: pd.DataFrame) -> pd.DataFrame:
+        t = pa.Table.from_pandas(
+            g[["doc_id", "lang"]],
+            preserve_index=False).replace_schema_metadata(None)
+        path = os.path.join(out_dir,
+                            f"part-{int(g['doc_id'].min()):08d}.parquet")
+        pq.write_table(t, path, use_dictionary=["lang"],
+                       row_group_size=500)
+        return pd.DataFrame({"n": [t.num_rows]})
+
+    def pre(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("w", pa.array((d % 4).astype(np.int64)))
+
+    _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                     ["w"], lambda g: write_tuned(g.drop(columns=["w"]))
+                     ).to_pandas()
+
+    n_groups = oversize = nondict = total = 0
+    lang_counts: dict[str, int] = {}
+    for f in sorted(os.listdir(out_dir)):
+        md = pq.ParquetFile(os.path.join(out_dir, f))
+        li = md.schema_arrow.get_field_index("lang")
+        for rg in range(md.metadata.num_row_groups):
+            g = md.metadata.row_group(rg)
+            n_groups += 1
+            total += g.num_rows
+            if g.num_rows > 500:
+                oversize += 1
+            encs = g.column(li).encodings
+            if not any("DICTIONARY" in e for e in encs):
+                nondict += 1
+        t = pq.read_table(os.path.join(out_dir, f), columns=["lang"])
+        lg, cnt = np.unique(t["lang"].to_numpy(zero_copy_only=False),
+                            return_counts=True)
+        for a, c in zip(lg, cnt):
+            lang_counts[a] = lang_counts.get(a, 0) + int(c)
+    rows = [(lang, n, oversize, nondict)
+            for lang, n in sorted(lang_counts.items())]
+    return pd.DataFrame(rows, columns=["lang", "n_docs",
+                                       "n_oversize_rowgroups",
+                                       "n_nondict_rowgroups"])
+
+
+QUERIES["physical_layout_tuning_audit"] = physical_layout_tuning_audit
+
+ORACLE_SQL["physical_layout_tuning_audit"] = """
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           0::BIGINT AS n_oversize_rowgroups,
+           0::BIGINT AS n_nondict_rowgroups
+    FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def hourly_value_correlogram(sf_dir: str):
+    """AUTOCORRELATION at lags 1–5 (the correlogram): the dense hourly
+    value series folds once (hour-bounded), and each lag's Pearson r
+    comes from exact integer cross-moments over the aligned
+    subsequences — extending `event_value_autocorr_lag1` to the
+    multi-lag diagnostic that separates daily seasonality from decay.
+    Bit-equal doubles via the integer-moment rule."""
+    ds = _t(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hr = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[h]").astype(np.int64))
+        v = b["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        u, inv = np.unique(hr, return_inverse=True)
+        return pa.table({
+            "hr": pa.array(u),
+            "cents": pa.array(np.bincount(inv, weights=cents,
+                                          minlength=len(u))
+                              .astype(np.int64))})
+
+    p = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("hr", as_index=False)["cents"].sum())
+    p = p.sort_values("hr")
+    lo, hi = int(p["hr"].min()), int(p["hr"].max())
+    series = np.zeros(hi - lo + 1, np.int64)
+    series[p["hr"].to_numpy(np.int64) - lo] = p["cents"].to_numpy(
+        np.int64)
+
+    rows = []
+    for lag in range(1, 6):
+        x = series[:-lag].astype(object)  # python ints: exact moments
+        y = series[lag:].astype(object)
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        sxx = sum(a * a for a in x)
+        syy = sum(a * a for a in y)
+        sxy = sum(a * b_ for a, b_ in zip(x, y))
+        num = n * sxy - sx * sy
+        den2x = n * sxx - sx * sx
+        den2y = n * syy - sy * sy
+        import math
+        r = float(num) / math.sqrt(float(den2x) * float(den2y))
+        rows.append((lag, n, r))
+    out = pd.DataFrame(rows, columns=["lag", "n", "r"])
+    out["lag"] = out["lag"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+QUERIES["hourly_value_correlogram"] = hourly_value_correlogram
+
+ORACLE_SQL["hourly_value_correlogram"] = """
+    WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+                      sum(CAST(round(value * 100) AS BIGINT)) AS c
+               FROM events GROUP BY 1),
+    cal AS (SELECT unnest(generate_series(
+                (SELECT min(hr) FROM h), (SELECT max(hr) FROM h),
+                INTERVAL 1 HOUR)) AS hr),
+    s AS (SELECT cal.hr, COALESCE(h.c, 0)::HUGEINT AS c,
+                 row_number() OVER (ORDER BY cal.hr) AS i
+          FROM cal LEFT JOIN h ON cal.hr = h.hr),
+    lags AS (SELECT unnest([1, 2, 3, 4, 5]) AS lag),
+    j AS (SELECT l.lag, a.c AS x, b.c AS y
+          FROM lags l
+          JOIN s a ON TRUE
+          JOIN s b ON b.i = a.i + l.lag),
+    m AS (SELECT lag, count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy,
+                 sum(x * y) AS sxy
+          FROM j GROUP BY 1)
+    SELECT lag::BIGINT AS lag, n::BIGINT AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) AS r
+    FROM m ORDER BY lag
+"""
+
+
+def user_activity_quantiles(sf_dir: str):
+    """SECOND-ORDER STATISTICS: quantiles OF AN AGGREGATE — the event
+    count of the p25/p50/p75/p90 user (discrete / inverted-CDF) — the
+    "how active is a typical user" readout that needs aggregate-then-
+    quantile.  Per-batch user-count partials, one user exchange to
+    exact per-user totals, then the count DISTRIBUTION (counts of
+    counts) folds tiny and the driver selects order statistics from
+    it."""
+    ds = _t(sf_dir, "events", columns=["user_id"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b["user_id"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"user_id": pa.array(u.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per_user = g.groupby("user_id")["n"].sum()
+        # counts-of-counts: the distribution is tiny wherever it lands
+        dist = per_user.value_counts()
+        return pd.DataFrame({"cnt": dist.index.to_numpy(np.int64),
+                             "n_users": dist.to_numpy(np.int64)})
+
+    p = (_agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["user_id"], fold)
+         .to_pandas().groupby("cnt", as_index=False)["n_users"].sum()
+         .sort_values("cnt"))
+    counts = p["cnt"].to_numpy(np.int64)
+    weights = p["n_users"].to_numpy(np.int64)
+    cum = np.cumsum(weights)
+    n = int(cum[-1])
+    rows = []
+    for lbl, q in [("p25", 0.25), ("p50", 0.50), ("p75", 0.75),
+                   ("p90", 0.90)]:
+        rank = int(np.ceil(q * n))  # inverted-CDF / quantile_disc
+        rows.append((lbl, int(counts[np.searchsorted(cum, rank)])))
+    out = pd.DataFrame(rows, columns=["pct", "events_per_user"])
+    out["events_per_user"] = out["events_per_user"].astype("int64")
+    return out
+
+
+QUERIES["user_activity_quantiles"] = user_activity_quantiles
+
+ORACLE_SQL["user_activity_quantiles"] = """
+    WITH c AS (SELECT user_id, count(*)::BIGINT AS n FROM events
+               GROUP BY 1)
+    SELECT 'p25' AS pct, quantile_disc(n, 0.25)::BIGINT
+        AS events_per_user FROM c
+    UNION ALL SELECT 'p50', quantile_disc(n, 0.50)::BIGINT FROM c
+    UNION ALL SELECT 'p75', quantile_disc(n, 0.75)::BIGINT FROM c
+    UNION ALL SELECT 'p90', quantile_disc(n, 0.90)::BIGINT FROM c
+    ORDER BY pct
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -19101,6 +19427,8 @@ _FRONT = [
     "first_spend_crossing", "value_stddev_by_type",
     "map_column_roundtrip", "text_backref_normalize",
     "orders_fully_shipped_30d", "orders_with_percentile_rank",
+    "federated_trisource_union", "physical_layout_tuning_audit",
+    "hourly_value_correlogram", "user_activity_quantiles",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

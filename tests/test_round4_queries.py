@@ -5985,3 +5985,88 @@ def test_percent_rank_enrichment_with_ties(ray_session, tmp_path):
     assert out.loc[1, "pct_rank"] == 1.0 / 4.0    # ties share rank
     assert out.loc[2, "pct_rank"] == 1.0 / 4.0
     assert out.loc[0, "pct_rank"] == 0.0
+
+
+# ------------------------------------------------- federated union
+
+
+def test_federated_union_covers_all_formats(ray_session, tmp_path):
+    """Rows land in all three formats (ids 0,1,2 mod 3) and every one
+    must come back through the union."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        federated_trisource_union,
+    )
+
+    n = 30
+    tbl = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array([i % 7 + 1 for i in range(n)], pa.int64()),
+        "value": pa.array([1.0] * n, pa.float64())})
+    out = federated_trisource_union(_write(tmp_path, "events", tbl))
+    r = out.iloc[0]
+    assert r["n_rows"] == n
+    assert r["cents"] == 100 * n
+    assert r["low3_user_sum"] == 1 + 2 + 3
+
+
+# ---------------------------------------------- layout tuning audit
+
+
+def test_layout_tuning_rowgroups_and_dictionary(ray_session, tmp_path):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        physical_layout_tuning_audit,
+    )
+
+    n = 1200
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "lang": pa.array(["en" if i % 2 else "de" for i in range(n)])})
+    out = physical_layout_tuning_audit(
+        _write(tmp_path, "documents", tbl)).set_index("lang")
+    assert out.loc["en", "n_docs"] == n // 2
+    assert (out["n_oversize_rowgroups"] == 0).all()
+    assert (out["n_nondict_rowgroups"] == 0).all()
+
+
+# --------------------------------------------------- correlogram
+
+
+def test_correlogram_perfect_period_two(ray_session, tmp_path):
+    """A strict period-2 hourly series has r = −1 at odd lags and
+    r = +1 at even lags."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        hourly_value_correlogram,
+    )
+
+    ts = [np.datetime64("2024-01-01T00", "us")
+          + np.timedelta64(i, "h") for i in range(24)]
+    vals = [1.0 if i % 2 == 0 else 3.0 for i in range(24)]
+    tbl = pa.table({"ts": pa.array([t for t in ts]),
+                    "value": pa.array(vals, pa.float64())})
+    out = hourly_value_correlogram(
+        _write(tmp_path, "events", tbl)).set_index("lag")
+    assert out.loc[1, "r"] == -1.0
+    assert out.loc[2, "r"] == 1.0
+    assert out.loc[3, "r"] == -1.0
+
+
+# ---------------------------------------------- activity quantiles
+
+
+def test_user_activity_quantiles_discrete(ray_session, tmp_path):
+    """10 users with counts 1..10: quantile_disc picks the ceil-rank
+    element — p25→3, p50→5, p75→8, p90→9."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        user_activity_quantiles,
+    )
+
+    uid = []
+    for u in range(1, 11):
+        uid += [u] * u
+    tbl = pa.table({"user_id": pa.array(uid, pa.int64())})
+    out = user_activity_quantiles(
+        _write(tmp_path, "events", tbl)).set_index("pct")
+    assert out.loc["p25", "events_per_user"] == 3
+    assert out.loc["p50", "events_per_user"] == 5
+    assert out.loc["p75", "events_per_user"] == 8
+    assert out.loc["p90", "events_per_user"] == 9
