@@ -19311,6 +19311,300 @@ ORACLE_SQL["user_activity_quantiles"] = """
 """
 
 
+# --------- round-4bp: hash audit / z-read / OLS / unicode tokens
+
+
+def hash_collision_audit(sf_dir: str):
+    """HASH-QUALITY audit of the engine's own partitioning hash: the
+    number of DISTINCT keys whose ``stable_hash64`` collides — the
+    empirical check that the exchange primitive every `_agg_partitioned`
+    call rests on does not silently merge keys.  Distinct (key, hash)
+    pairs flow through one exchange keyed by HASH (a collision lands in
+    one partition by construction, so the count is exact); the oracle
+    counts distinct keys relationally and the collision count is the
+    engine-verified 0 constant."""
+    from ..functions.hashing import stable_hash64
+
+    ds = _t(sf_dir, "events", columns=["user_id"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        u = np.unique(b["user_id"].to_numpy(zero_copy_only=False))
+        h = stable_hash64(pa.array(u.astype(np.int64)))
+        return pa.table({"h": pa.array(h.view(np.int64)),
+                         "k": pa.array(u.astype(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates()
+        per_hash = d.groupby("h")["k"].nunique()
+        return pd.DataFrame({
+            "n_keys": [int(len(d["k"].unique()))],
+            "n_collisions": [int((per_hash - 1).clip(lower=0).sum())]})
+
+    p = _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                         ["h"], fold).to_pandas()
+    return pd.DataFrame({
+        "n_keys": pd.Series([int(p["n_keys"].sum())], dtype="int64"),
+        "n_collisions": pd.Series([int(p["n_collisions"].sum())],
+                                  dtype="int64")})
+
+
+QUERIES["hash_collision_audit"] = hash_collision_audit
+
+ORACLE_SQL["hash_collision_audit"] = """
+    SELECT count(DISTINCT user_id)::BIGINT AS n_keys,
+           0::BIGINT AS n_collisions
+    FROM events
+"""
+
+
+def zorder_rectangle_count(sf_dir: str, _audit: dict | None = None):
+    """Z-ORDER READ PATH: a two-dimensional RECTANGLE query
+    (custkey ∈ [100, 200] AND month ∈ [12, 23]) served off the
+    z-clustered layout — the footer plan keeps only row groups whose
+    (custkey, month) min/max boxes intersect the rectangle, then reads
+    just those files — completing `zorder_write_audit` (which proves
+    the layout prunes) with the query that cashes the pruning in.  A
+    loud guard asserts row groups were actually skipped; content
+    parity against the relational count."""
+    import shutil
+    import tempfile
+
+    zdir = tempfile.mkdtemp(prefix="aads_zread_")
+    CK_LO, CK_HI, M_LO, M_HI = 100, 200, 12, 23
+
+    ds = _t(sf_dir, "orders", columns=["o_custkey", "o_orderdate"],
+            blocks=_join_partitions(sf_dir, "orders"))
+
+    def _spread16(x: np.ndarray) -> np.ndarray:
+        x = x.astype(np.uint64)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+        x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return x
+
+    def pre(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        d = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[M]"))
+        m = (d.astype(np.int64) - (1995 - 1970) * 12).astype(np.int64)
+        z = (_spread16(np.minimum(ck, 65535))
+             | (_spread16(np.minimum(m, 65535)) << np.uint64(1))
+             ).astype(np.int64)
+        return pa.table({"o_custkey": pa.array(ck),
+                         "month_idx": pa.array(m),
+                         "z": pa.array(z),
+                         "bucket": pa.array(z >> 27)})
+
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bkt, gg in g.groupby("bucket"):
+            t = pa.Table.from_pandas(
+                gg.sort_values("z")[["o_custkey", "month_idx"]],
+                preserve_index=False).replace_schema_metadata(None)
+            pq.write_table(t, os.path.join(
+                zdir, f"z-{int(bkt):08d}.parquet"), row_group_size=512)
+            rows.append((int(bkt), t.num_rows))
+        return pd.DataFrame(rows, columns=["bucket", "n"])
+
+    _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                     ["bucket"], write_bucket).to_pandas()
+
+    # footer plan: row-group boxes vs the rectangle
+    read_files = []
+    rg_total = rg_hit = 0
+    for f in sorted(os.listdir(zdir)):
+        md = pq.ParquetFile(os.path.join(zdir, f))
+        ci = md.schema_arrow.get_field_index("o_custkey")
+        mi = md.schema_arrow.get_field_index("month_idx")
+        any_hit = False
+        for rg in range(md.metadata.num_row_groups):
+            rg_total += 1
+            cs = md.metadata.row_group(rg).column(ci).statistics
+            ms = md.metadata.row_group(rg).column(mi).statistics
+            if (cs.min <= CK_HI and cs.max >= CK_LO
+                    and ms.min <= M_HI and ms.max >= M_LO):
+                rg_hit += 1
+                any_hit = True
+        if any_hit:
+            read_files.append(os.path.join(zdir, f))
+    if _audit is not None:
+        _audit.update(rg_total=rg_total, rg_hit=rg_hit,
+                      files_read=len(read_files),
+                      files_total=len(os.listdir(zdir)))
+    if rg_total > 8 and rg_hit >= rg_total:
+        raise RuntimeError(
+            f"z-order read path degenerated: {rg_hit}/{rg_total} row "
+            "groups hit — clustering is not pruning")
+
+    def count_rect(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        m = b["month_idx"].to_numpy(zero_copy_only=False)
+        hit = ((ck >= CK_LO) & (ck <= CK_HI)
+               & (m >= M_LO) & (m <= M_HI))
+        return pa.table({"n": pa.array([int(hit.sum())], pa.int64())})
+
+    if read_files:
+        p = (ray.data.read_parquet(read_files)
+             .map_batches(count_rect, batch_format="pyarrow")
+             .to_pandas())
+        n = int(p["n"].sum())
+    else:
+        n = 0
+    shutil.rmtree(zdir, ignore_errors=True)
+    return pd.DataFrame({"n_match": pd.Series([n], dtype="int64")})
+
+
+QUERIES["zorder_rectangle_count"] = zorder_rectangle_count
+
+ORACLE_SQL["zorder_rectangle_count"] = """
+    SELECT count(*)::BIGINT AS n_match
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 200
+      AND (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+          BETWEEN 12 AND 23
+"""
+
+
+def priority_monthly_ols(sf_dir: str):
+    """FULL OLS per group (slope + intercept + R²) from exact integer
+    moments: monthly revenue per order priority regressed on the month
+    index — the regr_slope/regr_intercept/regr_r2 family, computed from
+    five integer sums (n, Σx, Σy, Σxx, Σxy, Σyy) folded as Python
+    bigints so nothing rounds before the final double divisions.
+    Completes `nation_revenue_trend` (slope only) and
+    `theilsen_nation_trend` (robust) with the classical fit."""
+    ds = _t(sf_dir, "orders", columns=["o_orderpriority", "o_orderdate",
+                                       "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(tp) * np.floor(np.abs(tp) + 0.5)).astype(np.int64)
+        mon = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[M]").astype(np.int64)
+               - (1995 - 1970) * 12)
+        pr = b["o_orderpriority"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"p": pr, "m": mon, "c": cents})
+        g = df.groupby(["p", "m"], as_index=False)["c"].sum()
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    p = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["p", "m"], as_index=False)["c"].sum())
+    rows = []
+    import math
+    for pr, g in p.groupby("p"):
+        x = [int(v) for v in g["m"]]
+        y = [int(v) for v in g["c"]]
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        sxx = sum(a * a for a in x)
+        sxy = sum(a * b_ for a, b_ in zip(x, y))
+        syy = sum(a * a for a in y)
+        den = n * sxx - sx * sx
+        slope = float(n * sxy - sx * sy) / float(den)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        num_r = n * sxy - sx * sy
+        r2 = (float(num_r) * float(num_r)) / (
+            float(den) * float(n * syy - sy * sy))
+        rows.append((pr, n, slope, intercept, r2))
+    out = pd.DataFrame(rows, columns=["o_orderpriority", "n_months",
+                                      "slope", "intercept", "r2"])
+    out["n_months"] = out["n_months"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+QUERIES["priority_monthly_ols"] = priority_monthly_ols
+
+ORACLE_SQL["priority_monthly_ols"] = """
+    WITH m AS (SELECT o_orderpriority,
+                      (year(o_orderdate) - 1995) * 12
+                          + month(o_orderdate) - 1 AS mi,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          ::HUGEINT AS c
+               FROM orders GROUP BY 1, 2),
+    s AS (SELECT o_orderpriority, count(*)::HUGEINT AS n,
+                 sum(mi)::HUGEINT AS sx, sum(c) AS sy,
+                 sum(CAST(mi AS HUGEINT) * mi) AS sxx,
+                 sum(CAST(mi AS HUGEINT) * c) AS sxy,
+                 sum(c * c) AS syy
+          FROM m GROUP BY 1)
+    SELECT o_orderpriority, n::BIGINT AS n_months,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+            * CAST(n * sxy - sx * sy AS DOUBLE))
+               / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+    FROM s ORDER BY o_orderpriority
+"""
+
+
+def unicode_token_profile(sf_dir: str):
+    """UNICODE-AWARE tokenization (``\\p{L}+`` letter classes, not the
+    ASCII ``\\w``): per-lang token counts, max token length in
+    CHARACTERS (not bytes), and how many tokens carry non-ASCII
+    letters — the i18n discipline an ASCII tokenizer silently breaks
+    on the first accented corpus.  Both sides run the same RE2 classes
+    (``\\p{L}``, ``[[:ascii:]]``)."""
+    ds = _t(sf_dir, "documents", columns=["lang", "text"],
+            blocks=_join_partitions(sf_dir, "documents"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(b["text"], ""), pattern=r"[^\p{L}]+")
+        counts = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        lang = np.repeat(b["lang"].to_numpy(zero_copy_only=False),
+                         counts)[keep]
+        flat = flat.filter(pa.array(keep))
+        ln = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        nonascii = pc.match_substring_regex(
+            flat, pattern=r"[^[:ascii:]]").to_numpy(
+                zero_copy_only=False)
+        u, inv = np.unique(lang, return_inverse=True)
+        m = len(u)
+        mx = np.zeros(m, np.int64)
+        np.maximum.at(mx, inv, ln)
+        return pa.table({
+            "lang": pa.array(u, pa.string()),
+            "n_tokens": pa.array(np.bincount(inv, minlength=m)
+                                 .astype(np.int64)),
+            "max_len": pa.array(mx),
+            "n_nonascii": pa.array(np.bincount(
+                inv, weights=nonascii, minlength=m).astype(np.int64))})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = p.groupby("lang").agg(
+        n_tokens=("n_tokens", "sum"), max_len=("max_len", "max"),
+        n_nonascii=("n_nonascii", "sum")).reset_index()
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+QUERIES["unicode_token_profile"] = unicode_token_profile
+
+ORACLE_SQL["unicode_token_profile"] = """
+    WITH t AS (SELECT lang,
+                      unnest(regexp_extract_all(text, '\\p{L}+'))
+                          AS tok
+               FROM documents)
+    SELECT lang, count(*)::BIGINT AS n_tokens,
+           max(length(tok))::BIGINT AS max_len,
+           sum(CASE WHEN regexp_matches(tok, '[^[:ascii:]]')
+                    THEN 1 ELSE 0 END)::BIGINT AS n_nonascii
+    FROM t WHERE tok <> '' GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -19429,6 +19723,8 @@ _FRONT = [
     "orders_fully_shipped_30d", "orders_with_percentile_rank",
     "federated_trisource_union", "physical_layout_tuning_audit",
     "hourly_value_correlogram", "user_activity_quantiles",
+    "hash_collision_audit", "zorder_rectangle_count",
+    "priority_monthly_ols", "unicode_token_profile",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

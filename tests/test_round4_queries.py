@@ -6070,3 +6070,90 @@ def test_user_activity_quantiles_discrete(ray_session, tmp_path):
     assert out.loc["p50", "events_per_user"] == 5
     assert out.loc["p75", "events_per_user"] == 8
     assert out.loc["p90", "events_per_user"] == 9
+
+
+# ------------------------------------------------ hash collisions
+
+
+def test_hash_audit_counts_keys(ray_session, tmp_path):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        hash_collision_audit,
+    )
+
+    tbl = pa.table({"user_id": pa.array([1, 2, 2, 3, 3, 3], pa.int64())})
+    out = hash_collision_audit(_write(tmp_path, "events", tbl))
+    assert out["n_keys"].iloc[0] == 3
+    assert out["n_collisions"].iloc[0] == 0
+
+
+# ------------------------------------------------ z-order read path
+
+
+def test_zorder_rectangle_prunes_and_counts(ray_session, tmp_path):
+    """A 64×64 grid: the 8×8 rectangle must count exactly 64 rows AND
+    the footer plan must skip row groups."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        zorder_rectangle_count,
+    )
+
+    cks, dates = [], []
+    for ck in range(64):
+        for mo in range(64):
+            cks.append(ck + 100)  # custkeys 100..163
+            dates.append(np.datetime64(
+                f"{1995 + mo // 12}-{mo % 12 + 1:02d}-15", "us"))
+    orders = pa.table({"o_custkey": pa.array(cks, pa.int64()),
+                       "o_orderdate": pa.array(dates)})
+    audit = {}
+    out = zorder_rectangle_count(_write(tmp_path, "orders", orders),
+                                 _audit=audit)
+    # rect: custkey 100..200 covers all 64 cks; month 12..23 covers 12
+    # of 64 months → 64 * 12 rows
+    assert out["n_match"].iloc[0] == 64 * 12
+    assert audit["rg_hit"] < audit["rg_total"]  # pruning happened
+
+
+# -------------------------------------------------------- OLS
+
+
+def test_ols_exact_line(ray_session, tmp_path):
+    """Points on an exact line y = 200x + 100 give slope 200·100 cents,
+    intercept, and R² = 1.0 with no float drift."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        priority_monthly_ols,
+    )
+
+    dates, prices = [], []
+    for mo in range(6):
+        dates.append(np.datetime64(f"1995-{mo + 1:02d}-10", "us"))
+        prices.append((100 + 200 * mo) / 1.0)  # dollars
+    orders = pa.table({
+        "o_orderpriority": pa.array(["1-URGENT"] * 6),
+        "o_orderdate": pa.array(dates),
+        "o_totalprice": pa.array(prices, pa.float64())})
+    out = priority_monthly_ols(_write(tmp_path, "orders", orders))
+    r = out.iloc[0]
+    assert r["slope"] == 200.0 * 100
+    assert r["intercept"] == 100.0 * 100
+    assert r["r2"] == 1.0
+
+
+# ------------------------------------------------ unicode tokens
+
+
+def test_unicode_tokens_counted_in_chars(ray_session, tmp_path):
+    """Accented tokens count as letters; lengths are CHARacters, and
+    non-ASCII tokens are tallied."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        unicode_token_profile,
+    )
+
+    tbl = pa.table({
+        "lang": pa.array(["fr"]),
+        "text": pa.array(["café  über12naïve plain"])})
+    out = unicode_token_profile(
+        _write(tmp_path, "documents", tbl)).set_index("lang")
+    # tokens: café, über, naïve, plain (digits split über12naïve)
+    assert out.loc["fr", "n_tokens"] == 4
+    assert out.loc["fr", "max_len"] == 5  # naïve/plain = 5 CHARS
+    assert out.loc["fr", "n_nonascii"] == 3
