@@ -19605,6 +19605,325 @@ ORACLE_SQL["unicode_token_profile"] = """
 """
 
 
+# ---------- round-4bq: snapshot GC / decile lift / ISO weeks / winsorize
+
+
+def snapshot_gc_audit(sf_dir: str):
+    """SNAPSHOT GARBAGE COLLECTION (the table-format trilogy's last
+    act after `time_travel_read` and `mor_to_cow_rewrite`): v1 writes
+    8 bucket files, a compaction commit rewrites buckets 2 and 5 into
+    v2 files, and expiring v1 lets GC delete exactly the files NO live
+    manifest references — the referenced set survives byte-identical.
+    Output: deterministic file counts plus a v2 content checksum the
+    oracle recomputes relationally (GC must never touch live data)."""
+    import glob as _glob
+    import json as _json
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="aads_gc_")
+    data_dir = os.path.join(root, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"],
+            blocks=_join_partitions(sf_dir, "orders"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return b.append_column("bucket", pa.array((k % 8)
+                                                  .astype(np.int64)))
+
+    def write_v1(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bkt, gg in g.groupby("bucket"):
+            t = pa.Table.from_pandas(
+                gg[["o_orderkey", "o_totalprice"]],
+                preserve_index=False).replace_schema_metadata(None)
+            pq.write_table(t, os.path.join(
+                data_dir, f"v1-bucket-{int(bkt)}.parquet"))
+            rows.append((int(bkt), t.num_rows))
+        return pd.DataFrame(rows, columns=["bucket", "n"])
+
+    _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                     ["bucket"], write_v1).to_pandas()
+    v1_files = sorted(_glob.glob(os.path.join(data_dir, "v1-*.parquet")))
+    manifests = {"v1": list(v1_files)}
+
+    # compaction commit: rewrite buckets 2 and 5 (price +0 — pure
+    # rewrite), v2 = untouched v1 files + the 2 new files
+    rewritten = []
+    for bkt in (2, 5):
+        src = os.path.join(data_dir, f"v1-bucket-{bkt}.parquet")
+        dst = os.path.join(data_dir, f"v2-bucket-{bkt}.parquet")
+        pq.write_table(pq.read_table(src), dst)
+        rewritten.append((src, dst))
+    manifests["v2"] = [f for f in v1_files
+                       if not any(f == s for s, _ in rewritten)] + \
+        [d for _, d in rewritten]
+    with open(os.path.join(root, "manifests.json"), "w") as f:
+        _json.dump(manifests, f)
+
+    n_before = len(_glob.glob(os.path.join(data_dir, "*.parquet")))
+    # expire v1 → GC deletes files referenced by NO live manifest
+    live = set(manifests["v2"])
+    removed = 0
+    for f in _glob.glob(os.path.join(data_dir, "*.parquet")):
+        if f not in live:
+            os.remove(f)
+            removed += 1
+    n_after = len(_glob.glob(os.path.join(data_dir, "*.parquet")))
+
+    A = np.uint64(6364136223846793005)
+
+    def checksum(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(tp) * np.floor(np.abs(tp) + 0.5)).astype(
+            np.int64).astype(np.uint64)
+        h = k.astype(np.uint64) * A + cents
+        return pa.table({"cs": pa.array(
+            [int(np.sum(h, dtype=np.uint64)) % (1 << 64)], pa.uint64()),
+            "n": pa.array([b.num_rows], pa.int64())})
+
+    p = (ray.data.read_parquet(manifests["v2"])
+         .map_batches(checksum, batch_format="pyarrow").to_pandas())
+    cs = int(sum(int(v) for v in p["cs"]) % (1 << 64))
+    return pd.DataFrame({
+        "n_files_before_gc": pd.Series([n_before], dtype="int64"),
+        "n_files_removed": pd.Series([removed], dtype="int64"),
+        "n_files_after_gc": pd.Series([n_after], dtype="int64"),
+        "n_rows": pd.Series([int(p["n"].sum())], dtype="int64"),
+        "checksum": pd.Series([cs - (1 << 64) if cs >= (1 << 63)
+                               else cs], dtype="int64")})
+
+
+QUERIES["snapshot_gc_audit"] = snapshot_gc_audit
+
+ORACLE_SQL["snapshot_gc_audit"] = """
+    WITH h AS (SELECT ((CAST(o_orderkey AS HUGEINT)
+                        * 6364136223846793005
+                        + CAST(round(o_totalprice * 100) AS BIGINT))
+                       % 18446744073709551616) AS hv
+               FROM orders),
+    s AS (SELECT count(*) AS n, sum(hv) % 18446744073709551616 AS cs
+          FROM h)
+    SELECT 10::BIGINT AS n_files_before_gc,
+           2::BIGINT AS n_files_removed,
+           8::BIGINT AS n_files_after_gc,
+           n::BIGINT AS n_rows,
+           (CASE WHEN cs >= 9223372036854775808
+                 THEN cs - 18446744073709551616 ELSE cs END)::BIGINT
+               AS checksum
+    FROM s
+"""
+
+
+def score_decile_lift(sf_dir: str):
+    """DECILE LIFT TABLE (the model-eval artifact): users rank by the
+    deterministic rule score, split into NTILE(10) deciles (remainder
+    to the first tiles, DuckDB's rule), and each decile reports its
+    error-responder rate vs the population — the "is the top decile
+    actually riskier" readout.  Per-user (score, responder) resolves
+    in one user exchange; users are account-bounded so the decile
+    assignment folds at the driver; rates and lifts are exact-int
+    ratios (cross-multiplied, no float average)."""
+    W = {"purchase": 3, "click": 2, "view": 1, "error": -5, "signup": 0}
+    ds = _t(sf_dir, "events", columns=["user_id", "event_type"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": b["event_type"].to_numpy(
+                zero_copy_only=False)})
+        g = df.groupby(["user_id", "event_type"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}),
+            preserve_index=False).replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "event_type"], as_index=False)[
+            "n"].sum()
+        g["w"] = g["event_type"].map(W).fillna(0).astype(np.int64)
+        score = g.assign(s=g["w"] * g["n"]).groupby("user_id")["s"].sum()
+        resp = (g[g["event_type"] == "error"].groupby("user_id")["n"]
+                .sum() > 0)
+        out = pd.DataFrame({"user_id": score.index,
+                            "score": score.to_numpy(np.int64)})
+        out["responder"] = out["user_id"].map(resp).fillna(False)
+        return out
+
+    users = _agg_partitioned(
+        ds.map_batches(pre, batch_format="pyarrow"), ["user_id"], fold
+    ).to_pandas().sort_values(["score", "user_id"],
+                              ascending=[False, True])
+    n = len(users)
+    base = n // 10
+    rem = n % 10
+    sizes = [base + (1 if i < rem else 0) for i in range(10)]
+    decile = np.repeat(np.arange(1, 11), sizes)
+    users["decile"] = decile[: n]
+    resp_total = int(users["responder"].sum())
+    rows = []
+    for d, g in users.groupby("decile"):
+        nr = int(g["responder"].sum())
+        rate = float(nr) / float(len(g))
+        lift = (float(nr * n) / float(len(g) * resp_total)
+                if resp_total else 0.0)
+        rows.append((int(d), len(g), nr, rate, lift))
+    out = pd.DataFrame(rows, columns=["decile", "n_users",
+                                      "n_responders", "rate", "lift"])
+    for c in ["decile", "n_users", "n_responders"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("decile").reset_index(drop=True)
+
+
+QUERIES["score_decile_lift"] = score_decile_lift
+
+ORACLE_SQL["score_decile_lift"] = """
+    WITH s AS (SELECT user_id,
+                      sum(CASE event_type WHEN 'purchase' THEN 3
+                          WHEN 'click' THEN 2 WHEN 'view' THEN 1
+                          WHEN 'error' THEN -5 ELSE 0 END)::BIGINT
+                          AS score,
+                      (count(*) FILTER (WHERE event_type = 'error')
+                       > 0) AS responder
+               FROM events GROUP BY 1),
+    d AS (SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id)
+              AS decile FROM s),
+    t AS (SELECT count(*) AS n,
+                 count(*) FILTER (WHERE responder) AS r FROM s)
+    SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_users,
+           count(*) FILTER (WHERE responder)::BIGINT AS n_responders,
+           CAST(count(*) FILTER (WHERE responder) AS DOUBLE)
+               / count(*) AS rate,
+           CAST(count(*) FILTER (WHERE responder)
+                * (SELECT n FROM t) AS DOUBLE)
+               / CAST(count(*) * (SELECT r FROM t) AS DOUBLE) AS lift
+    FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+def iso_week_revenue(sf_dir: str):
+    """ISO-WEEK calendar discipline: revenue per (ISO year, ISO week)
+    — the boundary where naive YEAR(date)+WEEK splits disagree with
+    the standard (2024-12-30 is 2025-W01; 1995-01-01 is 1994-W52).
+    pandas ``isocalendar`` and DuckDB ``isoyear()/week()`` must land
+    every order in the same bucket; top-10 weeks by revenue."""
+    ds = _t(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(tp) * np.floor(np.abs(tp) + 0.5)).astype(np.int64)
+        iso = pd.Series(b["o_orderdate"].to_numpy(
+            zero_copy_only=False)).dt.isocalendar()
+        key = iso["year"].to_numpy(np.int64) * 100 + iso["week"]\
+            .to_numpy(np.int64)
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "yw": pa.array(u),
+            "cents": pa.array(np.bincount(inv, weights=cents,
+                                          minlength=len(u))
+                              .astype(np.int64))})
+
+    p = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("yw", as_index=False)["cents"].sum())
+    p = p.sort_values(["cents", "yw"], ascending=[False, True]).head(10)
+    out = pd.DataFrame({
+        "iso_year": (p["yw"] // 100).astype("int64"),
+        "iso_week": (p["yw"] % 100).astype("int64"),
+        "cents": p["cents"].astype("int64")})
+    return out.reset_index(drop=True)
+
+
+QUERIES["iso_week_revenue"] = iso_week_revenue
+
+ORACLE_SQL["iso_week_revenue"] = """
+    SELECT isoyear(o_orderdate)::BIGINT AS iso_year,
+           week(o_orderdate)::BIGINT AS iso_week,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS cents
+    FROM orders GROUP BY 1, 2
+    ORDER BY cents DESC, iso_year, iso_week LIMIT 10
+"""
+
+
+def winsorized_mean_value(sf_dir: str):
+    """WINSORIZED MEAN per event type (robust mean): values clamp to
+    the exact p05/p95 ORDER STATISTICS (quantile_disc semantics,
+    selected from per-type value histograms — the bounded-domain
+    machinery of `value_percentile_cont_by_type`) and the mean of the
+    clamped ints is one exact ratio — the robust location estimate
+    that survives fat tails where the plain mean chases outliers."""
+    ds = _t(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"].to_numpy(
+            zero_copy_only=False), "cents": cents})
+        g = df.groupby(["event_type", "cents"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}),
+            preserve_index=False).replace_schema_metadata(None)
+
+    hp = (ds.map_batches(hist_partial, batch_format="pyarrow")
+          .to_pandas().groupby(["event_type", "cents"],
+                               as_index=False)["n"].sum())
+    bounds = {}
+    for et, g in hp.groupby("event_type"):
+        g = g.sort_values("cents")
+        vals = g["cents"].to_numpy(np.int64)
+        cum = np.cumsum(g["n"].to_numpy(np.int64))
+        n = int(cum[-1])
+        lo = int(vals[np.searchsorted(cum, int(np.ceil(0.05 * n)))])
+        hi = int(vals[np.searchsorted(cum, int(np.ceil(0.95 * n)))])
+        bounds[et] = (lo, hi)
+    bref = ray.put(bounds)
+
+    def clamp_partial(b: pa.Table) -> pa.Table:
+        bd = ray.get(bref)
+        v = b["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(et, return_inverse=True)
+        lo = np.array([bd[t][0] for t in u], np.int64)[inv]
+        hi = np.array([bd[t][1] for t in u], np.int64)[inv]
+        c = np.clip(cents, lo, hi)
+        m = len(u)
+        return pa.table({
+            "event_type": pa.array(u, pa.string()),
+            "n": pa.array(np.bincount(inv, minlength=m)
+                          .astype(np.int64)),
+            "s": pa.array(np.bincount(inv, weights=c, minlength=m)
+                          .astype(np.int64))})
+
+    p = (ds.map_batches(clamp_partial, batch_format="pyarrow")
+         .to_pandas().groupby("event_type", as_index=False).sum())
+    p["winsorized_mean"] = (p["s"].to_numpy(np.float64)
+                            / p["n"].to_numpy(np.float64))
+    out = p[["event_type", "n", "winsorized_mean"]].copy()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["winsorized_mean_value"] = winsorized_mean_value
+
+ORACLE_SQL["winsorized_mean_value"] = """
+    WITH c AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    b AS (SELECT event_type,
+                 quantile_disc(v, 0.05) AS lo,
+                 quantile_disc(v, 0.95) AS hi
+          FROM c GROUP BY 1)
+    SELECT c.event_type, count(*)::BIGINT AS n,
+           CAST(sum(greatest(b.lo, least(b.hi, c.v))) AS DOUBLE)
+               / count(*) AS winsorized_mean
+    FROM c JOIN b ON c.event_type = b.event_type
+    GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -19725,6 +20044,8 @@ _FRONT = [
     "hourly_value_correlogram", "user_activity_quantiles",
     "hash_collision_audit", "zorder_rectangle_count",
     "priority_monthly_ols", "unicode_token_profile",
+    "snapshot_gc_audit", "score_decile_lift",
+    "iso_week_revenue", "winsorized_mean_value",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

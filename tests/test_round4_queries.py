@@ -6157,3 +6157,101 @@ def test_unicode_tokens_counted_in_chars(ray_session, tmp_path):
     assert out.loc["fr", "n_tokens"] == 4
     assert out.loc["fr", "max_len"] == 5  # naïve/plain = 5 CHARS
     assert out.loc["fr", "n_nonascii"] == 3
+
+
+# ---------------------------------------------------- snapshot GC
+
+
+def test_snapshot_gc_keeps_live_files(ray_session, tmp_path):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        snapshot_gc_audit,
+    )
+
+    n = 80
+    tbl = pa.table({
+        "o_orderkey": pa.array(range(n), pa.int64()),
+        "o_totalprice": pa.array([1.00] * n, pa.float64())})
+    out = snapshot_gc_audit(_write(tmp_path, "orders", tbl))
+    r = out.iloc[0]
+    assert r["n_files_before_gc"] == 10
+    assert r["n_files_removed"] == 2
+    assert r["n_files_after_gc"] == 8
+    assert r["n_rows"] == n  # GC never touched live data
+
+
+# ------------------------------------------------- decile lift
+
+
+def test_decile_lift_top_decile(ray_session, tmp_path):
+    """20 users; the 2 highest-scoring users are the only responders →
+    decile 1 rate 1.0 and lift 10× of the 10% base rate."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        score_decile_lift,
+    )
+
+    eid, uid, et = [], [], []
+    i = 0
+    for u in range(1, 21):
+        # 2u purchases → score 6u; the −5 error penalty below cannot
+        # reorder (gap 6 > 5), so users 20 and 19 stay the top decile
+        for _ in range(2 * u):
+            eid.append(i); uid.append(u); et.append("purchase"); i += 1
+    for u in (20, 19):   # the top two also err once
+        eid.append(i); uid.append(u); et.append("error"); i += 1
+    tbl = pa.table({"user_id": pa.array(uid, pa.int64()),
+                    "event_type": pa.array(et)})
+    out = score_decile_lift(
+        _write(tmp_path, "events", tbl)).set_index("decile")
+    assert out.loc[1, "n_users"] == 2
+    assert out.loc[1, "n_responders"] == 2
+    assert out.loc[1, "rate"] == 1.0
+    assert out.loc[1, "lift"] == 10.0
+    assert out.loc[2, "n_responders"] == 0
+
+
+# --------------------------------------------------- ISO weeks
+
+
+def test_iso_week_boundary_days(ray_session, tmp_path):
+    """2024-12-30 lands in 2025-W01; 1995-01-01 in 1994-W52."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        iso_week_revenue,
+    )
+
+    orders = pa.table({
+        "o_orderdate": pa.array([np.datetime64("2024-12-30", "us"),
+                                 np.datetime64("1995-01-01", "us")]),
+        "o_totalprice": pa.array([2.00, 1.00], pa.float64())})
+    out = iso_week_revenue(
+        _write(tmp_path, "orders", orders)).set_index(
+            ["iso_year", "iso_week"])
+    assert out.loc[(2025, 1), "cents"] == 200
+    assert out.loc[(1994, 52), "cents"] == 100
+
+
+# ------------------------------------------------- winsorized mean
+
+
+def test_winsorized_mean_clamps_outlier(ray_session, tmp_path):
+    """One huge outlier clamps to the p95 order statistic; the robust
+    mean moves only as far as the clamp allows."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        winsorized_mean_value,
+    )
+    import duckdb as _d
+
+    vals = [float(i) for i in range(1, 20)] + [10000.0]
+    tbl = pa.table({"event_type": pa.array(["a"] * 20),
+                    "value": pa.array(vals, pa.float64())})
+    out = winsorized_mean_value(
+        _write(tmp_path, "events", tbl)).set_index("event_type")
+    want = _d.sql("""
+        WITH c AS (SELECT CAST(round(v*100) AS BIGINT) AS v
+                   FROM (SELECT unnest(?) AS v)),
+        b AS (SELECT quantile_disc(v, 0.05) lo,
+                     quantile_disc(v, 0.95) hi FROM c)
+        SELECT CAST(sum(greatest(lo, least(hi, v))) AS DOUBLE)/count(*)
+        FROM c, b""", params=[vals]).fetchone()[0]
+    assert out.loc["a", "winsorized_mean"] == want
+    # unclamped mean would be ~50950 cents; clamped stays near the bulk
+    assert out.loc["a", "winsorized_mean"] < 2000
