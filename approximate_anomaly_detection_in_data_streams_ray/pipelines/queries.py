@@ -19924,6 +19924,225 @@ ORACLE_SQL["winsorized_mean_value"] = """
 """
 
 
+# ------- round-4br: distinct-rank / price endings / 5-number / peak rate
+
+
+def top_customers_by_distinct_parts(sf_dir: str):
+    """DISTINCT-COUNT RANKING THROUGH A JOIN: top-10 customers by how
+    many DISTINCT parts they ever ordered — breadth, not volume, which
+    plain revenue rankings miss.  lineitem pre-dedups (okey, part) per
+    batch, ONE okey exchange resolves custkey (orders rides tagged),
+    the (custkey, part) pairs dedup in a SECOND exchange keyed by
+    custkey where the distinct count is exact (a customer's pairs land
+    whole), with a per-partition top-10 partial."""
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                blocks=_join_partitions(sf_dir, "orders"))
+
+    def l_pre(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        key = np.unique((ok.astype(np.uint64) << np.uint64(32))
+                        | pk.astype(np.uint64))
+        return pa.table({
+            "okey": pa.array((key >> np.uint64(32)).astype(np.int64)),
+            "pk": pa.array((key & np.uint64((1 << 32) - 1))
+                           .astype(np.int64)),
+            "custkey": pa.array(np.full(len(key), -1, np.int64))})
+
+    def o_pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "okey": b["o_orderkey"],
+            "pk": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "custkey": pc.cast(b["o_custkey"], pa.int64())})
+
+    tagged = li.map_batches(l_pre, batch_format="pyarrow").union(
+        orders.map_batches(o_pre, batch_format="pyarrow"))
+
+    def fold1(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["custkey"] >= 0]
+        facts = g[g["custkey"] < 0]
+        ck = facts["okey"].map(dict(zip(dim["okey"], dim["custkey"])))
+        f = pd.DataFrame({"custkey": ck, "pk": facts["pk"]}).dropna(
+            subset=["custkey"])
+        f["custkey"] = f["custkey"].astype(np.int64)
+        return f.drop_duplicates()
+
+    stage1 = _agg_partitioned(tagged, ["okey"], fold1)
+
+    def fold2(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates().groupby("custkey", as_index=False)[
+            "pk"].nunique().rename(columns={"pk": "n_parts"})
+        return d.sort_values(["n_parts", "custkey"],
+                             ascending=[False, True]).head(10)
+
+    parts = _agg_partitioned(stage1, ["custkey"], fold2).to_pandas()
+    out = parts.sort_values(["n_parts", "custkey"],
+                            ascending=[False, True]).head(10)
+    out = out.rename(columns={"custkey": "c_custkey"})
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    out["n_parts"] = out["n_parts"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+QUERIES["top_customers_by_distinct_parts"] = top_customers_by_distinct_parts
+
+ORACLE_SQL["top_customers_by_distinct_parts"] = """
+    SELECT o_custkey AS c_custkey,
+           count(DISTINCT l_partkey)::BIGINT AS n_parts
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY n_parts DESC, c_custkey LIMIT 10
+"""
+
+
+def price_ending_bias(sf_dir: str):
+    """PRICE-ENDING BIAS profile (cents mod 100): the psychological-
+    pricing / data-synthesis fingerprint — a real catalog piles up on
+    .99 and .00, a uniform synthesizer doesn't.  One bounded (≤100
+    buckets) partial per batch; top-5 endings with exact share
+    ratios."""
+    ds = _t(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        e = cents % 100
+        cnt = np.bincount(e, minlength=100)
+        return pa.table({"ending": pa.array(np.arange(100,
+                                                      dtype=np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    p = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("ending", as_index=False)["n"].sum())
+    N = int(p["n"].sum())
+    p = p.sort_values(["n", "ending"], ascending=[False, True]).head(5)
+    p["share"] = p["n"].to_numpy(np.float64) / np.float64(N)
+    p["ending"] = p["ending"].astype("int64")
+    p["n"] = p["n"].astype("int64")
+    return p.reset_index(drop=True)
+
+
+QUERIES["price_ending_bias"] = price_ending_bias
+
+ORACLE_SQL["price_ending_bias"] = """
+    WITH e AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) % 100
+                   AS ending
+               FROM orders),
+    c AS (SELECT ending, count(*)::BIGINT AS n FROM e GROUP BY 1),
+    t AS (SELECT sum(n) AS N FROM c)
+    SELECT ending, n, CAST(n AS DOUBLE) / (SELECT N FROM t) AS share
+    FROM c ORDER BY n DESC, ending LIMIT 5
+"""
+
+
+def acctbal_five_number_by_nation(sf_dir: str):
+    """FIVE-NUMBER SUMMARY per nation (min/p25/p50/p75/max, discrete
+    order statistics): the grouped box-plot feed, computed from
+    per-(nation, cents) HISTOGRAMS — one exchange keyed by nation
+    carries (nation, value, count) partials, each nation's quantiles
+    select from its cumulative histogram, never materializing the rows
+    (the `winsorized_mean_value` machinery generalized to a full
+    summary)."""
+    ds = _t(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"],
+            blocks=_join_partitions(sf_dir, "customer"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        v = b["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        df = pd.DataFrame({"nationkey": b["c_nationkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64), "cents": cents})
+        g = df.groupby(["nationkey", "cents"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}),
+            preserve_index=False).replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for nk, gg in g.groupby("nationkey"):
+            h = gg.groupby("cents")["n"].sum().sort_index()
+            vals = h.index.to_numpy(np.int64)
+            cum = h.cumsum().to_numpy()
+            n = int(cum[-1])
+            def q(p):
+                return int(vals[np.searchsorted(
+                    cum, int(np.ceil(p * n)) if p > 0 else 1)])
+            rows.append((int(nk), n, int(vals[0]), q(0.25), q(0.5),
+                         q(0.75), int(vals[-1])))
+        return pd.DataFrame(rows, columns=["nationkey", "n", "vmin",
+                                           "p25", "p50", "p75", "vmax"])
+
+    out = _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                           ["nationkey"], fold).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("nationkey").reset_index(drop=True)
+
+
+QUERIES["acctbal_five_number_by_nation"] = acctbal_five_number_by_nation
+
+ORACLE_SQL["acctbal_five_number_by_nation"] = """
+    WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                      CAST(round(c_acctbal * 100) AS BIGINT) AS v
+               FROM customer)
+    SELECT nationkey, count(*)::BIGINT AS n, min(v)::BIGINT AS vmin,
+           quantile_disc(v, 0.25)::BIGINT AS p25,
+           quantile_disc(v, 0.50)::BIGINT AS p50,
+           quantile_disc(v, 0.75)::BIGINT AS p75,
+           max(v)::BIGINT AS vmax
+    FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def peak_minute_rate_by_type(sf_dir: str):
+    """PEAK-RATE detection per event type: the busiest MINUTE and its
+    event count — the ops burst metric rate-limiters and capacity
+    plans read.  Minute-grain pre-aggregation bounds the exchange to
+    (type × active minutes); argmax ties break to the EARLIEST minute
+    on both sides."""
+    ds = _t(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        mi = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[m]").astype(np.int64))
+        df = pd.DataFrame({"event_type": b["event_type"].to_numpy(
+            zero_copy_only=False), "minute": mi})
+        g = df.groupby(["event_type", "minute"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}),
+            preserve_index=False).replace_schema_metadata(None)
+
+    p = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["event_type", "minute"],
+                              as_index=False)["n"].sum())
+    rows = []
+    for et, g in p.groupby("event_type"):
+        g = g.sort_values(["n", "minute"], ascending=[False, True])
+        top = g.iloc[0]
+        rows.append((et, int(top["minute"]), int(top["n"])))
+    out = pd.DataFrame(rows, columns=["event_type", "peak_minute_epoch",
+                                      "peak_events"])
+    out["peak_minute_epoch"] = out["peak_minute_epoch"].astype("int64")
+    out["peak_events"] = out["peak_events"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["peak_minute_rate_by_type"] = peak_minute_rate_by_type
+
+ORACLE_SQL["peak_minute_rate_by_type"] = """
+    WITH m AS (SELECT event_type,
+                      epoch_us(date_trunc('minute', ts)) // 60000000
+                          AS minute,
+                      count(*)::BIGINT AS n
+               FROM events GROUP BY 1, 2)
+    SELECT event_type, minute::BIGINT AS peak_minute_epoch,
+           n AS peak_events
+    FROM m QUALIFY row_number() OVER (PARTITION BY event_type
+                                      ORDER BY n DESC, minute) = 1
+    ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -20046,6 +20265,8 @@ _FRONT = [
     "priority_monthly_ols", "unicode_token_profile",
     "snapshot_gc_audit", "score_decile_lift",
     "iso_week_revenue", "winsorized_mean_value",
+    "top_customers_by_distinct_parts", "price_ending_bias",
+    "acctbal_five_number_by_nation", "peak_minute_rate_by_type",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

@@ -6255,3 +6255,85 @@ def test_winsorized_mean_clamps_outlier(ray_session, tmp_path):
     assert out.loc["a", "winsorized_mean"] == want
     # unclamped mean would be ~50950 cents; clamped stays near the bulk
     assert out.loc["a", "winsorized_mean"] < 2000
+
+
+# --------------------------------------------- distinct-count ranking
+
+
+def test_distinct_parts_breadth_not_volume(ray_session, tmp_path):
+    """Customer 1 orders part 7 five times (breadth 1); customer 2
+    orders three different parts once each (breadth 3) and must rank
+    first."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        top_customers_by_distinct_parts,
+    )
+
+    orders = pa.table({"o_orderkey": pa.array([1, 2], pa.int64()),
+                       "o_custkey": pa.array([1, 2], pa.int64())})
+    li = pa.table({
+        "l_orderkey": pa.array([1] * 5 + [2] * 3, pa.int64()),
+        "l_partkey": pa.array([7] * 5 + [10, 11, 12], pa.int64())})
+    sf = _write(tmp_path, "orders", orders)
+    _write(tmp_path, "lineitem", li)
+    out = top_customers_by_distinct_parts(sf)
+    assert list(out["c_custkey"]) == [2, 1]
+    assert list(out["n_parts"]) == [3, 1]
+
+
+# ------------------------------------------------ price endings
+
+
+def test_price_ending_bias_detects_99(ray_session, tmp_path):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        price_ending_bias,
+    )
+
+    prices = [1.99, 2.99, 3.99, 4.50, 5.00]
+    tbl = pa.table({"o_totalprice": pa.array(prices, pa.float64())})
+    out = price_ending_bias(_write(tmp_path, "orders", tbl))
+    assert out.iloc[0]["ending"] == 99
+    assert out.iloc[0]["n"] == 3
+    assert out.iloc[0]["share"] == 3.0 / 5.0
+
+
+# --------------------------------------------------- five-number
+
+
+def test_five_number_discrete_order_stats(ray_session, tmp_path):
+    """Values 1..8 in one nation: quantile_disc picks ceil-rank
+    elements — p25→2, p50→4, p75→6."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        acctbal_five_number_by_nation,
+    )
+
+    tbl = pa.table({
+        "c_nationkey": pa.array([0] * 8, pa.int32()),
+        "c_acctbal": pa.array([float(i) for i in range(1, 9)],
+                              pa.float64())})
+    out = acctbal_five_number_by_nation(
+        _write(tmp_path, "customer", tbl)).set_index("nationkey")
+    r = out.loc[0]
+    assert (r["vmin"], r["p25"], r["p50"], r["p75"], r["vmax"]) == (
+        100, 200, 400, 600, 800)
+
+
+# ---------------------------------------------------- peak rate
+
+
+def test_peak_minute_tie_breaks_earliest(ray_session, tmp_path):
+    """Two minutes tie at 2 events; the EARLIEST wins on both sides."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        peak_minute_rate_by_type,
+    )
+
+    def t(m, s=0):
+        return np.datetime64(f"2024-01-01T00:{m:02d}:{s:02d}", "us")
+
+    tbl = pa.table({
+        "event_type": pa.array(["x"] * 5),
+        "ts": pa.array([t(1), t(1, 30), t(3), t(3, 40), t(2)])})
+    out = peak_minute_rate_by_type(_write(tmp_path, "events", tbl))
+    r = out.iloc[0]
+    assert r["peak_events"] == 2
+    want_min = int(t(1).astype("datetime64[m]").astype(np.int64))
+    assert r["peak_minute_epoch"] == want_min
