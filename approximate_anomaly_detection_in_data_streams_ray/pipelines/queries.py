@@ -20143,6 +20143,271 @@ ORACLE_SQL["peak_minute_rate_by_type"] = """
 """
 
 
+# ------ round-4bs: plan equivalence / idempotent sink / reorder / reach
+
+
+def plan_equivalence_audit(sf_dir: str):
+    """PLAN-EQUIVALENCE cross-check: the SAME aggregate (revenue and
+    count per returnflag) computed through TWO independent physical
+    plans — Ray's native sort-based ``groupby().aggregate(Sum)`` and
+    the repo's coarse-hash ``_agg_partitioned`` fold — must agree to
+    the bit, and the query RAISES if they don't before returning.  A
+    standing canary: any regression in either exchange path turns a
+    silent wrong-answer into a loud failure.  The oracle checks the
+    (shared) answer."""
+    ds = _t(sf_dir, "lineitem",
+            columns=["l_returnflag", "l_extendedprice"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        ep = b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(ep) * np.floor(np.abs(ep) + 0.5)).astype(np.int64)
+        t = pa.table({"flag": b["l_returnflag"],
+                      "cents": pa.array(cents),
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by("flag").aggregate([("cents", "sum"),
+                                          ("n", "sum")])
+        return g.rename_columns(["flag", "cents", "n"])
+
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow")
+
+    # plan A: Ray-native sort aggregate
+    a = (pre_ds.groupby("flag")
+         .aggregate(Sum("cents", alias_name="cents"),
+                    Sum("n", alias_name="n")).to_pandas()
+         .sort_values("flag").reset_index(drop=True))
+
+    # plan B: coarse-hash exchange + pandas fold
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("flag", as_index=False)[["cents", "n"]].sum()
+
+    b_ = (_agg_partitioned(pre_ds, ["flag"], fold).to_pandas()
+          .groupby("flag", as_index=False)[["cents", "n"]].sum()
+          .sort_values("flag").reset_index(drop=True))
+
+    if not (a["flag"].tolist() == b_["flag"].tolist()
+            and a["cents"].tolist() == b_["cents"].tolist()
+            and a["n"].tolist() == b_["n"].tolist()):
+        raise RuntimeError(
+            "plan divergence: sort-aggregate and hash-fold disagree — "
+            f"A={a.to_dict('records')} B={b_.to_dict('records')}")
+    out = a.rename(columns={"flag": "l_returnflag"})
+    out["cents"] = out["cents"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+QUERIES["plan_equivalence_audit"] = plan_equivalence_audit
+
+ORACLE_SQL["plan_equivalence_audit"] = """
+    SELECT l_returnflag,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+               AS cents,
+           count(*)::BIGINT AS n
+    FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def idempotent_sink_rerun(sf_dir: str):
+    """IDEMPOTENT SINK: the same bucketed write runs TWICE into the
+    same directory — deterministic file names make the rerun overwrite
+    its own outputs instead of duplicating them — and the read-back
+    counts must equal ONE copy of the input.  This is the at-least-once
+    scheduler reality (retries, speculative re-execution, resumed
+    drivers) that non-deterministic file names turn into silent row
+    duplication."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="aads_idem_")
+
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"],
+            blocks=_join_partitions(sf_dir, "orders"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return b.append_column("bucket", pa.array((k % 8)
+                                                  .astype(np.int64)))
+
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bkt, gg in g.groupby("bucket"):
+            t = pa.Table.from_pandas(
+                gg[["o_orderkey", "o_totalprice"]].sort_values(
+                    "o_orderkey"),
+                preserve_index=False).replace_schema_metadata(None)
+            tmp = os.path.join(out_dir, f".b{int(bkt)}.tmp")
+            pq.write_table(t, tmp)
+            os.replace(tmp, os.path.join(
+                out_dir, f"bucket-{int(bkt):03d}.parquet"))  # atomic
+            rows.append((int(bkt), t.num_rows))
+        return pd.DataFrame(rows, columns=["bucket", "n"])
+
+    for _ in range(2):  # the rerun IS the test
+        _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                         ["bucket"], write_bucket).to_pandas()
+
+    n_files = len([f for f in os.listdir(out_dir)
+                   if f.endswith(".parquet")])
+
+    def count(b: pa.Table) -> pa.Table:
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(tp) * np.floor(np.abs(tp) + 0.5)).astype(np.int64)
+        return pa.table({"n": pa.array([b.num_rows], pa.int64()),
+                         "cents": pa.array([int(cents.sum())],
+                                           pa.int64())})
+
+    p = (ray.data.read_parquet(out_dir)
+         .map_batches(count, batch_format="pyarrow").to_pandas())
+    return pd.DataFrame({
+        "n_rows": pd.Series([int(p["n"].sum())], dtype="int64"),
+        "cents": pd.Series([int(p["cents"].sum())], dtype="int64"),
+        "n_files": pd.Series([n_files], dtype="int64")})
+
+
+QUERIES["idempotent_sink_rerun"] = idempotent_sink_rerun
+
+ORACLE_SQL["idempotent_sink_rerun"] = """
+    SELECT count(*)::BIGINT AS n_rows,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS cents,
+           8::BIGINT AS n_files
+    FROM orders
+"""
+
+
+def part_reorder_interval_median(sf_dir: str):
+    """REORDER-INTERVAL per part (retail replenishment): the median
+    days between SUCCESSIVE orders of each part, for the 10 most
+    re-ordered parts.  Two-hop: the okey exchange stamps each lineitem
+    with its order day; the partkey exchange then owns each part's
+    complete (deduped) day sequence — segmented diff + per-part
+    discrete median, ties to (n_intervals DESC, part ASC)."""
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"],
+                blocks=_join_partitions(sf_dir, "orders"))
+
+    def l_pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "okey": b["l_orderkey"],
+            "pk": b["l_partkey"],
+            "day": pa.array(np.full(b.num_rows, -1, np.int64))})
+
+    def o_pre(b: pa.Table) -> pa.Table:
+        d = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        return pa.table({"okey": b["o_orderkey"],
+                         "pk": pa.array(np.full(b.num_rows, -1,
+                                                np.int64)),
+                         "day": pa.array(d)})
+
+    tagged = li.map_batches(l_pre, batch_format="pyarrow").union(
+        orders.map_batches(o_pre, batch_format="pyarrow"))
+
+    def fold1(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["pk"] < 0]
+        facts = g[g["pk"] >= 0]
+        day = facts["okey"].map(dict(zip(dim["okey"], dim["day"])))
+        f = pd.DataFrame({"pk": facts["pk"], "day": day}).dropna(
+            subset=["day"])
+        f["day"] = f["day"].astype(np.int64)
+        return f.drop_duplicates()
+
+    stage1 = _agg_partitioned(tagged, ["okey"], fold1)
+
+    def fold2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        rows = []
+        for pk, gg in g.groupby("pk"):
+            days = np.sort(gg["day"].to_numpy(np.int64))
+            if len(days) < 2:
+                continue
+            gaps = np.sort(np.diff(days))
+            med = int(gaps[int(np.ceil(0.5 * len(gaps))) - 1])
+            rows.append((int(pk), len(gaps), med))
+        d = pd.DataFrame(rows, columns=["p_partkey", "n_intervals",
+                                        "median_gap_days"])
+        return d.sort_values(["n_intervals", "p_partkey"],
+                             ascending=[False, True]).head(10)
+
+    parts = _agg_partitioned(stage1, ["pk"], fold2).to_pandas()
+    out = parts.sort_values(["n_intervals", "p_partkey"],
+                            ascending=[False, True]).head(10)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+QUERIES["part_reorder_interval_median"] = part_reorder_interval_median
+
+ORACLE_SQL["part_reorder_interval_median"] = """
+    WITH pd_ AS (SELECT DISTINCT l_partkey AS p_partkey,
+                        CAST(o_orderdate AS DATE) AS d
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    g AS (SELECT p_partkey,
+                 datediff('day', lag(d) OVER (PARTITION BY p_partkey
+                                              ORDER BY d), d) AS gap
+          FROM pd_),
+    s AS (SELECT p_partkey, count(*)::BIGINT AS n_intervals,
+                 quantile_disc(gap, 0.5)::BIGINT AS median_gap_days
+          FROM g WHERE gap IS NOT NULL GROUP BY 1)
+    SELECT * FROM s
+    ORDER BY n_intervals DESC, p_partkey LIMIT 10
+"""
+
+
+def part_order_penetration(sf_dir: str):
+    """ORDER PENETRATION (reach): the share of ALL orders that contain
+    each part — a ratio of two DISTINCT counts (orders-with-part /
+    orders), top-10 by reach.  Distinct (part, okey) pairs pre-dedup
+    per batch and count exactly in one part-keyed exchange; the total
+    order count rides as one scalar; shares are exact-int ratios."""
+    ds = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        key = np.unique((pk.astype(np.uint64) << np.uint64(32))
+                        | ok.astype(np.uint64))
+        return pa.table({
+            "pk": pa.array((key >> np.uint64(32)).astype(np.int64)),
+            "okey": pa.array((key & np.uint64((1 << 32) - 1))
+                             .astype(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates().groupby("pk", as_index=False)[
+            "okey"].nunique().rename(columns={"okey": "n_orders"})
+        return d.sort_values(["n_orders", "pk"],
+                             ascending=[False, True]).head(10)
+
+    parts = _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                             ["pk"], fold).to_pandas()
+    N = _t(sf_dir, "orders", columns=["o_orderkey"]).count()
+    top = parts.sort_values(["n_orders", "pk"],
+                            ascending=[False, True]).head(10)
+    out = pd.DataFrame({
+        "p_partkey": top["pk"].to_numpy(np.int64),
+        "n_orders": top["n_orders"].to_numpy(np.int64),
+        "penetration": top["n_orders"].to_numpy(np.float64)
+        / np.float64(N)})
+    return out.reset_index(drop=True)
+
+
+QUERIES["part_order_penetration"] = part_order_penetration
+
+ORACLE_SQL["part_order_penetration"] = """
+    WITH p AS (SELECT l_partkey AS p_partkey,
+                      count(DISTINCT l_orderkey)::BIGINT AS n_orders
+               FROM lineitem GROUP BY 1),
+    t AS (SELECT count(*)::BIGINT AS N FROM orders)
+    SELECT p_partkey, n_orders,
+           CAST(n_orders AS DOUBLE) / (SELECT N FROM t)
+               AS penetration
+    FROM p ORDER BY n_orders DESC, p_partkey LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -20267,6 +20532,8 @@ _FRONT = [
     "iso_week_revenue", "winsorized_mean_value",
     "top_customers_by_distinct_parts", "price_ending_bias",
     "acctbal_five_number_by_nation", "peak_minute_rate_by_type",
+    "plan_equivalence_audit", "idempotent_sink_rerun",
+    "part_reorder_interval_median", "part_order_penetration",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

@@ -6337,3 +6337,89 @@ def test_peak_minute_tie_breaks_earliest(ray_session, tmp_path):
     assert r["peak_events"] == 2
     want_min = int(t(1).astype("datetime64[m]").astype(np.int64))
     assert r["peak_minute_epoch"] == want_min
+
+
+# ------------------------------------------------ plan equivalence
+
+
+def test_plan_equivalence_runs_both_paths(ray_session, tmp_path):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        plan_equivalence_audit,
+    )
+
+    li = pa.table({
+        "l_returnflag": pa.array(["A", "R", "A"]),
+        "l_extendedprice": pa.array([1.00, 2.00, 4.00], pa.float64())})
+    out = plan_equivalence_audit(
+        _write(tmp_path, "lineitem", li)).set_index("l_returnflag")
+    assert out.loc["A", "cents"] == 500 and out.loc["A", "n"] == 2
+    assert out.loc["R", "cents"] == 200
+
+
+# ------------------------------------------------ idempotent sink
+
+
+def test_idempotent_rerun_no_duplication(ray_session, tmp_path):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        idempotent_sink_rerun,
+    )
+
+    n = 40
+    tbl = pa.table({
+        "o_orderkey": pa.array(range(n), pa.int64()),
+        "o_totalprice": pa.array([1.00] * n, pa.float64())})
+    out = idempotent_sink_rerun(_write(tmp_path, "orders", tbl))
+    r = out.iloc[0]
+    assert r["n_rows"] == n          # ONE copy despite two runs
+    assert r["cents"] == 100 * n
+    assert r["n_files"] == 8
+
+
+# ------------------------------------------------ reorder interval
+
+
+def test_reorder_interval_median_gaps(ray_session, tmp_path):
+    """Part 1 ordered on days 0, 10, 40 → gaps {10, 30}, lower median
+    10; a same-day duplicate collapses; a once-ordered part is out."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        part_reorder_interval_median,
+    )
+
+    def d(day):
+        return np.datetime64("2024-01-01", "us") + np.timedelta64(
+            day, "D").astype("timedelta64[us]")
+
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "o_orderdate": pa.array([d(0), d(10), d(40), d(0), d(0)])})
+    li = pa.table({
+        "l_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "l_partkey": pa.array([1, 1, 1, 1, 2], pa.int64())})
+    sf = _write(tmp_path, "orders", orders)
+    _write(tmp_path, "lineitem", li)
+    out = part_reorder_interval_median(sf)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["p_partkey"] == 1
+    assert r["n_intervals"] == 2      # day 0 dup collapsed
+    assert r["median_gap_days"] == 10
+
+
+# ------------------------------------------------ penetration
+
+
+def test_penetration_is_distinct_order_share(ray_session, tmp_path):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        part_order_penetration,
+    )
+
+    orders = pa.table({"o_orderkey": pa.array(range(4), pa.int64())})
+    li = pa.table({
+        "l_orderkey": pa.array([0, 0, 1, 2], pa.int64()),
+        "l_partkey": pa.array([7, 7, 7, 9], pa.int64())})
+    sf = _write(tmp_path, "orders", orders)
+    _write(tmp_path, "lineitem", li)
+    out = part_order_penetration(sf).set_index("p_partkey")
+    assert out.loc[7, "n_orders"] == 2       # order 0 counted once
+    assert out.loc[7, "penetration"] == 0.5  # 2 of 4 orders
+    assert out.loc[9, "penetration"] == 0.25
