@@ -6423,3 +6423,84 @@ def test_penetration_is_distinct_order_share(ray_session, tmp_path):
     assert out.loc[7, "n_orders"] == 2       # order 0 counted once
     assert out.loc[7, "penetration"] == 0.5  # 2 of 4 orders
     assert out.loc[9, "penetration"] == 0.25
+
+
+# ------------------------------------------------- source dup rate
+
+
+def test_source_dup_rate_exact(ray_session, tmp_path):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        source_dup_rate,
+    )
+
+    tbl = pa.table({
+        "source": pa.array(["a", "a", "a", "b"]),
+        "text": pa.array(["x", "x", "y", "z"])})
+    out = source_dup_rate(
+        _write(tmp_path, "documents", tbl)).set_index("source")
+    assert out.loc["a", "n_docs"] == 3
+    assert out.loc["a", "n_distinct"] == 2
+    assert out.loc["a", "dup_rate"] == 1.0 - 2.0 / 3.0
+    assert out.loc["b", "dup_rate"] == 0.0
+
+
+# ------------------------------------------------- price bands
+
+
+def test_price_bands_edges_and_empty_band(ray_session, tmp_path):
+    """99.99 is lt_100; 100.00 crosses into the next band; an empty
+    band is omitted (GROUP BY semantics)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        revenue_price_bands,
+    )
+
+    tbl = pa.table({"o_totalprice": pa.array(
+        [99.99, 100.00, 9999.99], pa.float64())})
+    out = revenue_price_bands(
+        _write(tmp_path, "orders", tbl)).set_index("price_band")
+    assert out.loc["lt_100", "n"] == 1
+    assert out.loc["100_to_10k", "n"] == 2
+    assert "gte_50k" not in out.index  # empty band omitted
+
+
+# --------------------------------------------- chars per token
+
+
+def test_chars_per_token_ratio(ray_session, tmp_path):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        chars_per_token_by_lang,
+    )
+
+    tbl = pa.table({"lang": pa.array(["en"]),
+                    "text": pa.array(["ab cd ef"])})  # 8 chars, 3 tokens
+    out = chars_per_token_by_lang(
+        _write(tmp_path, "documents", tbl)).set_index("lang")
+    assert out.loc["en", "chars"] == 8
+    assert out.loc["en", "tokens"] == 3
+    assert out.loc["en", "chars_per_token"] == 8.0 / 3.0
+
+
+# ------------------------------------------ second-event conversion
+
+
+def test_second_event_first_touch_attribution(ray_session, tmp_path):
+    """The FIRST event (by ts, then event_id on ties) owns the user:
+    user 1 (view→purchase) converts under 'view'; user 2 (single
+    purchase) does not convert under 'purchase'."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        second_event_conversion,
+    )
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    t1 = np.datetime64("2024-01-01T01:00:00", "us")
+    tbl = pa.table({
+        "event_id": pa.array([2, 1, 3], pa.int64()),
+        "ts": pa.array([t0, t0, t1]),   # user 1 tie at t0 → event_id 1
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "event_type": pa.array(["purchase", "view", "purchase"])})
+    out = second_event_conversion(
+        _write(tmp_path, "events", tbl)).set_index("first_type")
+    assert out.loc["view", "n_users"] == 1
+    assert out.loc["view", "n_returned"] == 1
+    assert out.loc["purchase", "n_users"] == 1
+    assert out.loc["purchase", "n_returned"] == 0
