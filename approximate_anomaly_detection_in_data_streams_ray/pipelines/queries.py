@@ -20631,6 +20631,334 @@ ORACLE_SQL["second_event_conversion"] = """
 """
 
 
+# ------ round-4bu: TPC-H q4/q9/q11/q21 adapted to the driver schema
+
+
+_US_PER_DAY = np.int64(86_400_000_000)
+
+
+def q4_late_ship_priority(sf_dir: str):
+    """TPC-H Q4-shaped CORRELATED EXISTS: count orders per priority
+    that have AT LEAST ONE line shipped more than 30 days after the
+    order date (the schema has no commitdate, so lateness is measured
+    against ``o_orderdate``).  EXISTS over a correlated per-row
+    comparison collapses to ``max(l_shipdate) per order`` — one
+    per-batch max partial per orderkey rides a tagged union into ONE
+    okey exchange, so the semi-join never materializes matched pairs.
+    Timestamps compare as int64 µs (exact)."""
+    orders = _t(sf_dir, "orders",
+                columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+                blocks=_join_partitions(sf_dir, "orders"))
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def o_pre(b: pa.Table) -> pa.Table:
+        od = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({"okey": b["o_orderkey"],
+                         "t_us": pa.array(od),
+                         "prio": b["o_orderpriority"]})
+
+    def l_pre(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        sd = (b["l_shipdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        # per-batch EXISTS partial: max shipdate per orderkey
+        u, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(len(u), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, sd)
+        return pa.table({"okey": pa.array(u.astype(np.int64)),
+                         "t_us": pa.array(mx),
+                         "prio": pa.array([""] * len(u), pa.string())})
+
+    tagged = orders.map_batches(o_pre, batch_format="pyarrow").union(
+        li.map_batches(l_pre, batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["prio"] != ""]
+        facts = g[g["prio"] == ""].groupby("okey")["t_us"].max()
+        mx = dim["okey"].map(facts)
+        late = mx.to_numpy(np.float64) > (
+            dim["t_us"].to_numpy(np.int64) + 30 * _US_PER_DAY)
+        d = pd.DataFrame({"o_orderpriority": dim["prio"].to_numpy()[late]})
+        return d.groupby("o_orderpriority", as_index=False).agg(
+            n_late=("o_orderpriority", "size"))
+
+    p = _agg_partitioned(tagged, ["okey"], fold).to_pandas()
+    out = p.groupby("o_orderpriority", as_index=False)["n_late"].sum()
+    out["n_late"] = out["n_late"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+QUERIES["q4_late_ship_priority"] = q4_late_ship_priority
+
+ORACLE_SQL["q4_late_ship_priority"] = """
+    SELECT o_orderpriority, count(*)::BIGINT AS n_late
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def q9_profit_nation_year(sf_dir: str):
+    """TPC-H Q9-shaped PRODUCT-TYPE PROFIT: per (supplier nation, order
+    year), ``sum(extprice·(1−disc) − retailprice·qty)`` over parts whose
+    name matches a token (retailprice stands in for the missing
+    partsupp supplycost).  Dimension discipline: part (name filter +
+    retail cents) and supplier (nationkey) broadcast as dense LUTs so
+    the part predicate prunes AT THE SCAN; the only exchange is okey
+    (for the order year), carrying per-batch (okey, nation) profit
+    partials.  Exact integer micro-dollars end to end."""
+    sup = pa.concat_tables([pq.read_table(f, columns=["s_suppkey",
+                                                      "s_nationkey"])
+                            for f in _table_paths(sf_dir, "supplier")])
+    part = pa.concat_tables([pq.read_table(f, columns=["p_partkey",
+                                                       "p_name",
+                                                       "p_retailprice"])
+                             for f in _table_paths(sf_dir, "part")])
+    nat = pa.concat_tables([pq.read_table(f, columns=["n_nationkey",
+                                                      "n_name"])
+                            for f in _table_paths(sf_dir, "nation")])
+    nk_name = dict(zip(nat["n_nationkey"].to_pylist(),
+                       nat["n_name"].to_pylist()))
+    supp_ref = ray.put(_dense_lut(sup["s_suppkey"].to_numpy(),
+                                  sup["s_nationkey"].to_numpy()
+                                  .astype(np.int64), -1))
+    rp = part["p_retailprice"].to_numpy() * 100.0
+    rp_cents = (np.sign(rp) * np.floor(np.abs(rp) + 0.5)).astype(np.int64)
+    is_widget = pc.match_substring(part["p_name"], "widget").to_numpy(
+        zero_copy_only=False)
+    # filtered-out parts carry -1: the scan drops their rows before the
+    # exchange (the Q9 p_name predicate, pushed to the lineitem scan)
+    retail_ref = ray.put(_dense_lut(
+        part["p_partkey"].to_numpy(),
+        np.where(is_widget, rp_cents, -1), -1))
+
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"],
+                blocks=_join_partitions(sf_dir, "orders"))
+    li = _t(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                     "l_extendedprice", "l_discount"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def o_pre(b: pa.Table) -> pa.Table:
+        yr = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        return pa.table({"okey": b["o_orderkey"],
+                         "nk": pa.array(np.full(b.num_rows, -1, np.int64)),
+                         "v": pa.array(yr)})
+
+    def l_pre(b: pa.Table) -> pa.Table:
+        rc = ray.get(retail_ref)[b["l_partkey"].to_numpy(
+            zero_copy_only=False)]
+        keep = rc >= 0
+        f = b.filter(pa.array(keep))
+        rc = rc[keep]
+        nk = ray.get(supp_ref)[f["l_suppkey"].to_numpy(
+            zero_copy_only=False)]
+        ep = f["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(ep) * np.floor(np.abs(ep) + 0.5)).astype(np.int64)
+        dc = f["l_discount"].to_numpy(zero_copy_only=False) * 10000.0
+        bp = (np.sign(dc) * np.floor(np.abs(dc) + 0.5)).astype(np.int64)
+        qty = f["l_quantity"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        profit = cents * (10000 - bp) - rc * qty * 10000
+        ok = f["l_orderkey"].to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({"okey": ok, "nk": nk, "v": profit}).groupby(
+            ["okey", "nk"], as_index=False)["v"].sum()
+        return pa.Table.from_pandas(
+            d, preserve_index=False).replace_schema_metadata(None)
+
+    tagged = orders.map_batches(o_pre, batch_format="pyarrow").union(
+        li.map_batches(l_pre, batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["nk"] < 0]
+        facts = g[g["nk"] >= 0]
+        yr = facts["okey"].map(dict(zip(dim["okey"], dim["v"])))
+        d = pd.DataFrame({"nk": facts["nk"].to_numpy(np.int64),
+                          "o_year": yr.to_numpy(np.int64),
+                          "profit": facts["v"].to_numpy(np.int64)})
+        return d.groupby(["nk", "o_year"], as_index=False)["profit"].sum()
+
+    p = _agg_partitioned(tagged, ["okey"], fold).to_pandas()
+    out = p.groupby(["nk", "o_year"], as_index=False)["profit"].sum()
+    out["n_name"] = out["nk"].map(lambda k: nk_name[int(k)])
+    out = out[["n_name", "o_year", "profit"]].rename(
+        columns={"profit": "profit_micros"})
+    out["o_year"] = out["o_year"].astype("int64")
+    out["profit_micros"] = out["profit_micros"].astype("int64")
+    return out.sort_values(["n_name", "o_year"],
+                           ascending=[True, False]).reset_index(drop=True)
+
+
+QUERIES["q9_profit_nation_year"] = q9_profit_nation_year
+
+ORACLE_SQL["q9_profit_nation_year"] = """
+    SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+               - CAST(round(p_retailprice * 100) AS BIGINT)
+               * CAST(l_quantity AS BIGINT) * 10000)::BIGINT
+               AS profit_micros
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2 ORDER BY 1, 2 DESC
+"""
+
+
+def q11_important_parts_value(sf_dir: str):
+    """TPC-H Q11-shaped IMPORTANT-STOCK report: per-part lineitem value
+    with a HAVING threshold that is a SCALAR SUBQUERY over the same
+    aggregate (value > 1.5× the mean per-part value — scale-free where
+    TPC-H's fixed fraction needs a per-SF constant).  One partkey
+    exchange carries per-batch value partials; the grand total AND the
+    part count come from the SAME partials (no second scan), and the
+    threshold compare is exact-integer (2·n·value > 3·total) — no
+    float in the cut.  Driver holds one row per surviving part
+    (part-dimension-bounded)."""
+    li = _t(sf_dir, "lineitem",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        ep = b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(ep) * np.floor(np.abs(ep) + 0.5)).astype(np.int64)
+        dc = b["l_discount"].to_numpy(zero_copy_only=False) * 10000.0
+        bp = (np.sign(dc) * np.floor(np.abs(dc) + 0.5)).astype(np.int64)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(pk, return_inverse=True)
+        # exact int64 scatter-add (a float bincount would flirt with
+        # 2^53 if one part dominated a large batch)
+        v = np.zeros(len(u), np.int64)
+        np.add.at(v, inv, cents * (10000 - bp))
+        return pa.table({"pk": pa.array(u.astype(np.int64)),
+                         "v": pa.array(v)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("pk", as_index=False)["v"].sum()
+
+    p = _agg_partitioned(li.map_batches(pre, batch_format="pyarrow"),
+                         ["pk"], fold).to_pandas()
+    p = p.groupby("pk", as_index=False)["v"].sum()
+    total = int(p["v"].sum())
+    # Python-bigint compare (matches DuckDB's HUGEINT arithmetic even
+    # where 2·n·v would overflow int64); n is part-dimension-bounded
+    keep = p[p["v"].to_numpy(np.int64).astype(object)
+             * (2 * len(p)) > 3 * total]
+    out = pd.DataFrame({
+        "p_partkey": keep["pk"].to_numpy(np.int64),
+        "value_micros": keep["v"].to_numpy(np.int64)})
+    return out.sort_values(["value_micros", "p_partkey"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+QUERIES["q11_important_parts_value"] = q11_important_parts_value
+
+ORACLE_SQL["q11_important_parts_value"] = """
+    WITH v AS (SELECT l_partkey AS p_partkey,
+                      sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (10000 - CAST(round(l_discount * 10000)
+                                          AS BIGINT)))::BIGINT
+                          AS value_micros
+               FROM lineitem GROUP BY 1)
+    SELECT p_partkey, value_micros FROM v
+    WHERE 2 * (SELECT count(*) FROM v) * value_micros
+          > 3 * (SELECT sum(value_micros) FROM v)
+    ORDER BY value_micros DESC, p_partkey
+"""
+
+
+def q21_sole_late_supplier(sf_dir: str):
+    """TPC-H Q21-shaped SOLE-LATE-SUPPLIER ranking: suppliers who were
+    the ONLY late supplier (max ship > orderdate + 45 d) on a
+    multi-supplier order — a semi-join AND an anti-join correlated on
+    the same key.  Both collapse into ONE okey exchange: per-batch
+    (okey, suppkey) max-ship partials union the order dates; each fold
+    owns every line of its orders, so `n_supp ≥ 2 ∧ n_late = 1` is
+    decided locally and only (suppkey, credit) partials leave.  The
+    supplier name resolves driver-side (dimension-bounded top-10)."""
+    sup = pa.concat_tables([pq.read_table(f, columns=["s_suppkey",
+                                                      "s_name"])
+                            for f in _table_paths(sf_dir, "supplier")])
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"],
+                blocks=_join_partitions(sf_dir, "orders"))
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey",
+                                         "l_shipdate"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def o_pre(b: pa.Table) -> pa.Table:
+        od = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({"okey": b["o_orderkey"],
+                         "sk": pa.array(np.full(b.num_rows, -1,
+                                                np.int64)),
+                         "t_us": pa.array(od)})
+
+    def l_pre(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        sd = (b["l_shipdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        d = pd.DataFrame({"okey": ok, "sk": sk, "t_us": sd}).groupby(
+            ["okey", "sk"], as_index=False)["t_us"].max()
+        return pa.Table.from_pandas(
+            d, preserve_index=False).replace_schema_metadata(None)
+
+    tagged = orders.map_batches(o_pre, batch_format="pyarrow").union(
+        li.map_batches(l_pre, batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["sk"] < 0]
+        f = g[g["sk"] >= 0].groupby(["okey", "sk"],
+                                    as_index=False)["t_us"].max()
+        od = f["okey"].map(dict(zip(dim["okey"], dim["t_us"])))
+        f["late"] = f["t_us"].to_numpy(np.int64) > (
+            od.to_numpy(np.int64) + 45 * _US_PER_DAY)
+        per_o = f.groupby("okey").agg(n_supp=("sk", "size"),
+                                      n_late=("late", "sum"))
+        ok = per_o[(per_o["n_supp"] >= 2) & (per_o["n_late"] == 1)].index
+        credit = f[f["late"] & f["okey"].isin(ok)]
+        return credit.groupby("sk", as_index=False).agg(
+            numwait=("okey", "size"))
+
+    p = _agg_partitioned(tagged, ["okey"], fold).to_pandas()
+    agg = p.groupby("sk", as_index=False)["numwait"].sum()
+    names = _dense_lut(sup["s_suppkey"].to_numpy(),
+                       np.asarray(sup["s_name"].to_pylist(), object), "")
+    agg["s_name"] = names[agg["sk"].to_numpy(np.int64)]
+    top = agg.sort_values(["numwait", "s_name"],
+                          ascending=[False, True]).head(10)
+    out = top[["s_name", "numwait"]].copy()
+    out["numwait"] = out["numwait"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+QUERIES["q21_sole_late_supplier"] = q21_sole_late_supplier
+
+ORACLE_SQL["q21_sole_late_supplier"] = """
+    WITH ls AS (SELECT l_orderkey AS okey, l_suppkey AS sk,
+                       max(CASE WHEN l_shipdate >
+                                     o_orderdate + INTERVAL 45 DAY
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2),
+    agg AS (SELECT okey, count(*) AS n_supp, sum(late) AS n_late
+            FROM ls GROUP BY 1)
+    SELECT s_name, count(*)::BIGINT AS numwait
+    FROM ls JOIN agg USING (okey)
+    JOIN supplier ON ls.sk = s_suppkey
+    WHERE ls.late = 1 AND agg.n_supp >= 2 AND agg.n_late = 1
+    GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -20759,6 +21087,8 @@ _FRONT = [
     "part_reorder_interval_median", "part_order_penetration",
     "source_dup_rate", "revenue_price_bands",
     "chars_per_token_by_lang", "second_event_conversion",
+    "q4_late_ship_priority", "q9_profit_nation_year",
+    "q11_important_parts_value", "q21_sole_late_supplier",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

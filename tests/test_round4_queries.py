@@ -6504,3 +6504,130 @@ def test_second_event_first_touch_attribution(ray_session, tmp_path):
     assert out.loc["view", "n_returned"] == 1
     assert out.loc["purchase", "n_users"] == 1
     assert out.loc["purchase", "n_returned"] == 0
+
+
+# ------------------------------------------------ q4 EXISTS semantics
+
+
+def test_q4_exists_counts_order_once(ray_session, tmp_path):
+    """An order with TWO late lines counts once (EXISTS, not a join
+    fan-out); a line exactly 30 days out is NOT late (strict >); an
+    order with no lineitems never appears."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        q4_late_ship_priority,
+    )
+
+    def d(day):
+        return np.datetime64("2024-01-01", "us") + np.timedelta64(
+            day, "D").astype("timedelta64[us]")
+
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array([d(0), d(0), d(0)]),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "5-LOW"])})
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+        "l_shipdate": pa.array([d(31), d(40), d(30)])})
+    sf = _write(tmp_path, "orders", orders)
+    _write(tmp_path, "lineitem", li)
+    out = q4_late_ship_priority(sf).set_index("o_orderpriority")
+    assert out.loc["1-URGENT", "n_late"] == 1   # order 1 once; order 2 not late
+    assert "5-LOW" not in out.index             # no lineitems → no EXISTS
+
+
+# ------------------------------------------------ q9 profit + name filter
+
+
+def test_q9_profit_filters_parts_at_scan(ray_session, tmp_path):
+    """Only 'widget' parts contribute; profit is extprice·(1−disc) −
+    retail·qty in exact micro-dollars, grouped by supplier nation and
+    order year (ordered year-descending)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        q9_profit_nation_year,
+    )
+
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": pa.array([
+            np.datetime64("2023-06-01T00:00:00", "us"),
+            np.datetime64("2024-06-01T00:00:00", "us")])})
+    li = pa.table({
+        "l_orderkey": pa.array([1, 2], pa.int64()),
+        "l_partkey": pa.array([10, 11], pa.int64()),
+        "l_suppkey": pa.array([5, 5], pa.int64()),
+        "l_quantity": pa.array([2.0, 1.0]),
+        "l_extendedprice": pa.array([100.00, 50.00]),
+        "l_discount": pa.array([0.10, 0.00])})
+    part = pa.table({
+        "p_partkey": pa.array([10, 11], pa.int64()),
+        "p_name": pa.array(["red widget", "red bolt"]),
+        "p_retailprice": pa.array([30.00, 1.00])})
+    sup = pa.table({"s_suppkey": pa.array([5], pa.int64()),
+                    "s_nationkey": pa.array([3], pa.int32())})
+    nat = pa.table({"n_nationkey": pa.array([3], pa.int32()),
+                    "n_name": pa.array(["NATION_3"])})
+    sf = _write(tmp_path, "orders", orders)
+    _write(tmp_path, "lineitem", li)
+    _write(tmp_path, "part", part)
+    _write(tmp_path, "supplier", sup)
+    _write(tmp_path, "nation", nat)
+    out = q9_profit_nation_year(sf)
+    # only the widget row: 100·0.9 − 30·2 = 30 dollars = 30_000_000 micro
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_name"] == "NATION_3" and r["o_year"] == 2023
+    assert r["profit_micros"] == 30_000_000
+
+
+# ------------------------------------------------ q11 scalar threshold
+
+
+def test_q11_threshold_is_1_5x_mean(ray_session, tmp_path):
+    """Values 1,1,4 (mean 2): only the 4 clears 1.5× the mean; the
+    boundary itself (exactly 1.5×) is excluded by the strict >."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        q11_important_parts_value,
+    )
+
+    li = pa.table({
+        "l_partkey": pa.array([1, 2, 3, 3], pa.int64()),
+        "l_extendedprice": pa.array([1.00, 1.00, 2.00, 2.00]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0])})
+    sf = _write(tmp_path, "lineitem", li)
+    out = q11_important_parts_value(sf)
+    assert out["p_partkey"].tolist() == [3]
+    assert out["value_micros"].tolist() == [4 * 100 * 10000]
+
+
+# ------------------------------------------------ q21 sole-late semantics
+
+
+def test_q21_requires_multi_supplier_and_unique_lateness(ray_session,
+                                                         tmp_path):
+    """Order 1: suppliers 7 (late) and 8 (on time) → supplier 7
+    credited.  Order 2: both late → nobody.  Order 3: single-supplier
+    late → nobody (needs a second supplier)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        q21_sole_late_supplier,
+    )
+
+    def d(day):
+        return np.datetime64("2024-01-01", "us") + np.timedelta64(
+            day, "D").astype("timedelta64[us]")
+
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array([d(0), d(0), d(0)])})
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "l_suppkey": pa.array([7, 8, 7, 8, 7], pa.int64()),
+        "l_shipdate": pa.array([d(50), d(10), d(50), d(50), d(50)])})
+    sup = pa.table({
+        "s_suppkey": pa.array([7, 8], pa.int64()),
+        "s_name": pa.array(["Supplier#7", "Supplier#8"])})
+    sf = _write(tmp_path, "orders", orders)
+    _write(tmp_path, "lineitem", li)
+    _write(tmp_path, "supplier", sup)
+    out = q21_sole_late_supplier(sf)
+    assert out["s_name"].tolist() == ["Supplier#7"]
+    assert out["numwait"].tolist() == [1]
