@@ -20959,6 +20959,348 @@ ORACLE_SQL["q21_sole_late_supplier"] = """
 """
 
 
+# ------ round-4bv: grouping sets / business days / hopping windows /
+# partition-scheme evolution
+
+
+def orders_grouping_sets(sf_dir: str):
+    """GROUPING SETS with a GROUPING() id — the general multi-level
+    aggregate ROLLUP can't express (it includes the (status)-only set,
+    which is NOT a rollup prefix).  All four sets derive from ONE
+    detail pass: the (priority, status) key is dimension-bounded
+    (5×3), so per-batch Arrow ``group_by`` partials fold at the driver
+    and every coarser set is a re-sum of ≤15 rows — the fact table is
+    scanned once, no exchange at all.  'ALL' is the aggregated-dim
+    sentinel; ``gid`` matches DuckDB's GROUPING(priority, status)
+    bit-encoding (status = LSB)."""
+    ds = _t(sf_dir, "orders",
+            columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(tp) * np.floor(np.abs(tp) + 0.5)).astype(np.int64)
+        t = pa.table({"prio": b["o_orderpriority"],
+                      "status": b["o_orderstatus"],
+                      "cents": pa.array(cents)})
+        g = t.group_by(["prio", "status"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["prio", "status", "cents", "n"])
+
+    det = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby(["prio", "status"], as_index=False).sum())
+
+    def level(df, by, gid):
+        if by:
+            d = df.groupby(by, as_index=False)[["n", "cents"]].sum()
+        else:
+            d = pd.DataFrame({"n": [df["n"].sum()],
+                              "cents": [df["cents"].sum()]})
+        d["o_orderpriority"] = d["prio"] if "prio" in by else "ALL"
+        d["o_orderstatus"] = d["status"] if "status" in by else "ALL"
+        d["gid"] = gid
+        return d[["o_orderpriority", "o_orderstatus", "gid", "n",
+                  "cents"]]
+
+    out = pd.concat([level(det, ["prio", "status"], 0),
+                     level(det, ["prio"], 1),
+                     level(det, ["status"], 2),
+                     level(det, [], 3)], ignore_index=True)
+    out[["gid", "n", "cents"]] = out[["gid", "n", "cents"]].astype(
+        "int64")
+    return out.sort_values(["gid", "o_orderpriority", "o_orderstatus"]
+                           ).reset_index(drop=True)
+
+
+QUERIES["orders_grouping_sets"] = orders_grouping_sets
+
+ORACLE_SQL["orders_grouping_sets"] = """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT)
+               AS gid,
+           count(*)::BIGINT AS n,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    ORDER BY gid, o_orderpriority, o_orderstatus
+"""
+
+
+def business_day_ship_lag(sf_dir: str):
+    """BUSINESS-DAY (Mon–Fri) ship lag per priority — calendar
+    discipline without a calendar table: weekdays in
+    ``(orderdate, shipdate]`` come from a CLOSED-FORM cumulative count
+    ``F(d) = 5·⌊(d+3)/7⌋ + min((d+3) mod 7 + 1, 5)`` (d = epoch days;
+    d+3 ≡ 0 on Mondays; floor semantics hold for negatives), clamped at
+    0 for the corpus's early-ship rows.  The oracle is an INDEPENDENT
+    spec — DuckDB enumerates the actual days with ``generate_series``
+    and counts ``isodow ≤ 5`` — so the formula is verified against
+    enumeration, not against itself.  One tagged-union okey exchange
+    carries per-line day pairs; the fold is pure int arithmetic."""
+    orders = _t(sf_dir, "orders",
+                columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+                blocks=_join_partitions(sf_dir, "orders"))
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"],
+            blocks=_join_partitions(sf_dir, "lineitem"))
+
+    def o_pre(b: pa.Table) -> pa.Table:
+        od = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[D]").astype(np.int64))
+        return pa.table({"okey": b["o_orderkey"], "day": pa.array(od),
+                         "prio": b["o_orderpriority"]})
+
+    def l_pre(b: pa.Table) -> pa.Table:
+        sd = (b["l_shipdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[D]").astype(np.int64))
+        return pa.table({"okey": b["l_orderkey"], "day": pa.array(sd),
+                         "prio": pa.array([""] * b.num_rows, pa.string())})
+
+    tagged = orders.map_batches(o_pre, batch_format="pyarrow").union(
+        li.map_batches(l_pre, batch_format="pyarrow"))
+
+    def F(d: np.ndarray) -> np.ndarray:
+        w = d + 3
+        return 5 * (w // 7) + np.minimum(w % 7 + 1, 5)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["prio"] != ""]
+        facts = g[g["prio"] == ""]
+        m = dict(zip(dim["okey"], zip(dim["day"], dim["prio"])))
+        od_prio = facts["okey"].map(m)
+        keep = od_prio.notna()
+        sd = facts["day"].to_numpy(np.int64)[keep.to_numpy()]
+        od = np.fromiter((t[0] for t in od_prio[keep]), np.int64,
+                         int(keep.sum()))
+        prio = np.fromiter((t[1] for t in od_prio[keep]), object,
+                           int(keep.sum()))
+        bus = np.maximum(F(sd) - F(od), 0)
+        d = pd.DataFrame({"o_orderpriority": prio, "busdays": bus})
+        return d.groupby("o_orderpriority", as_index=False).agg(
+            n_lines=("busdays", "size"), busdays=("busdays", "sum"))
+
+    p = _agg_partitioned(tagged, ["okey"], fold).to_pandas()
+    out = p.groupby("o_orderpriority", as_index=False)[
+        ["n_lines", "busdays"]].sum()
+    out["avg_busdays"] = (out["busdays"].to_numpy(np.float64)
+                          / out["n_lines"].to_numpy(np.float64))
+    out[["n_lines", "busdays"]] = out[["n_lines", "busdays"]].astype(
+        "int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+QUERIES["business_day_ship_lag"] = business_day_ship_lag
+
+ORACLE_SQL["business_day_ship_lag"] = """
+    WITH l AS (SELECT o_orderpriority,
+                      (SELECT count(*) FROM unnest(generate_series(
+                           o_orderdate + INTERVAL 1 DAY, l_shipdate,
+                           INTERVAL 1 DAY)) AS t(d)
+                       WHERE isodow(CAST(d AS DATE)) <= 5) AS bus
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+           sum(bus)::BIGINT AS busdays,
+           CAST(sum(bus) AS DOUBLE) / count(*) AS avg_busdays
+    FROM l GROUP BY 1 ORDER BY 1
+"""
+
+
+_US_PER_HOUR = np.int64(3_600_000_000)
+
+
+def events_hopping_windows(sf_dir: str):
+    """HOPPING (overlapping) windows — size 3 h, hop 1 h — with a
+    per-window DISTINCT-user count.  Unlike the tumbling/sliding ops
+    (`events_hourly`, `events_moving_sum`), distinct-over-overlap
+    cannot be derived from tumbling partials (distinct is not
+    additive), so each event FANS OUT to its 3 covering windows at the
+    scan and per-batch (window, user) dedup partials ride one
+    window-keyed exchange; each fold owns a window's full user set.
+    The fan-out multiplies the exchange by size/hop — the documented
+    cost of hopping semantics, kept narrow by carrying (int64, int64)
+    pairs only."""
+    ds = _t(sf_dir, "events", columns=["ts", "user_id"],
+            blocks=_join_partitions(sf_dir, "events"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        ts = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        hour = (ts // _US_PER_HOUR) * _US_PER_HOUR
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        ws = np.concatenate([hour, hour - _US_PER_HOUR,
+                             hour - 2 * _US_PER_HOUR])
+        us = np.concatenate([uid, uid, uid])
+        d = pd.DataFrame({"wstart": ws, "user_id": us}).groupby(
+            ["wstart", "user_id"], as_index=False).size()
+        return pa.Table.from_pandas(
+            d, preserve_index=False).replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # n_events sums additively; n_users must re-dedup (user, window)
+        # pairs that arrived from different batches' partials
+        return g.groupby("wstart", as_index=False).agg(
+            n_events=("size", "sum"), n_users=("user_id", "nunique"))
+
+    p = _agg_partitioned(ds.map_batches(pre, batch_format="pyarrow"),
+                         ["wstart"], fold).to_pandas()
+    out = p.groupby("wstart", as_index=False)[["n_events",
+                                               "n_users"]].sum()
+    out["wstart"] = out["wstart"].to_numpy(np.int64).astype(
+        "datetime64[us]")
+    out[["n_events", "n_users"]] = out[["n_events", "n_users"]].astype(
+        "int64")
+    return out.sort_values("wstart").reset_index(drop=True)
+
+
+QUERIES["events_hopping_windows"] = events_hopping_windows
+
+ORACLE_SQL["events_hopping_windows"] = """
+    WITH w AS (SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR
+                   AS wstart, user_id
+               FROM events, range(3) t(k))
+    SELECT wstart, count(*)::BIGINT AS n_events,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+_PARTEVO_DIR = f"/tmp/aads_partevo_{os.getpid()}"
+
+
+def partition_evolution_read(sf_dir: str):
+    """PARTITION-SCHEME EVOLUTION (Iceberg-style): history written
+    under scheme v1 (``month=``) stays untouched while months from
+    1997 on land under scheme v2 (``month=/o_orderstatus=``); a
+    manifest records which scheme covers which month.  The read plans
+    FROM THE MANIFEST: v2 months prune status directories at the
+    PLAN (only ``o_orderstatus=F`` leaves are opened), v1 months are
+    opened whole and filter status at the scan — exactly how an
+    evolved 100-TB table serves a predicate spanning both schemes
+    without rewriting history.  A degenerate-pruning guard RAISES if
+    the v2 plan did not skip directories.  Parity: per-month status-F
+    revenue vs straight SQL over the logical table."""
+    import json
+    import shutil
+
+    shutil.rmtree(_PARTEVO_DIR, ignore_errors=True)
+    v1_dir, v2_dir = f"{_PARTEVO_DIR}/v1", f"{_PARTEVO_DIR}/v2"
+    os.makedirs(v1_dir); os.makedirs(v2_dir)
+    try:
+        ds = _t(sf_dir, "orders",
+                columns=["o_orderdate", "o_orderstatus", "o_totalprice"])
+
+        def add_month(b: pa.Table) -> pa.Table:
+            m = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+                 .astype("datetime64[M]"))
+            return pa.table({
+                "month": pa.array(m.astype(str)),
+                "o_orderstatus": b["o_orderstatus"],
+                "o_totalprice": b["o_totalprice"]})
+
+        with_m = ds.map_batches(add_month, batch_format="pyarrow")
+
+        # split via typed-Arrow map filters (Dataset.filter leaves
+        # empty partitions SCHEMA-LESS and spams unify_schemas)
+        def keep_lt(b: pa.Table) -> pa.Table:
+            return b.filter(pc.less(b["month"], "1997-01"))
+
+        def keep_ge(b: pa.Table) -> pa.Table:
+            return b.filter(pc.greater_equal(b["month"], "1997-01"))
+
+        with_m.map_batches(keep_lt, batch_format="pyarrow").write_parquet(
+            v1_dir, partition_cols=["month"])
+        with_m.map_batches(keep_ge, batch_format="pyarrow").write_parquet(
+            v2_dir, partition_cols=["month", "o_orderstatus"])
+        v1_months = sorted(d.split("=")[1] for d in os.listdir(v1_dir))
+        v2_months = sorted(d.split("=")[1] for d in os.listdir(v2_dir))
+        manifest = {"v1": {"partition": ["month"], "months": v1_months},
+                    "v2": {"partition": ["month", "o_orderstatus"],
+                           "months": v2_months}}
+        with open(f"{_PARTEVO_DIR}/manifest.json", "w") as f:
+            json.dump(manifest, f)
+
+        # --- plan the read for: month ∈ [1996-07, 1997-06], status F.
+        # Each scheme contributes ONE bulk read over its PRUNED leaf
+        # list (hive inference recovers the partition values from the
+        # dir names); no N-way union — the executor emits an empty,
+        # schema-less boundary bundle per union leg.
+        lo, hi, status = "1996-07", "1997-06", "F"
+        v1_leaves = [f"{v1_dir}/month={m}"
+                     for m in manifest["v1"]["months"] if lo <= m <= hi]
+        v2_leaves, v2_total = [], 0
+        for m in manifest["v2"]["months"]:
+            if not (lo <= m <= hi):
+                continue
+            leaves = os.listdir(f"{v2_dir}/month={m}")
+            v2_total += len(leaves)
+            leaf = f"o_orderstatus={status}"
+            if leaf in leaves:
+                v2_leaves.append(f"{v2_dir}/month={m}/{leaf}")
+        if v2_leaves and len(v2_leaves) >= v2_total:
+            raise ValueError(
+                f"v2 status pruning degenerate: opened "
+                f"{len(v2_leaves)} of {v2_total} leaves")
+
+        def partial(b: pa.Table) -> pa.Table:
+            if "o_orderstatus" in b.column_names:  # v1: filter at scan
+                b = b.filter(pc.equal(b["o_orderstatus"], status))
+            tp = b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            cents = (np.sign(tp) * np.floor(np.abs(tp) + 0.5)).astype(
+                np.int64)
+            # partition value from the file path (explicit-file reads
+            # skip hive inference) — one RE2 kernel per batch
+            mo = pc.struct_field(pc.extract_regex(
+                b["path"], r"month=(?P<m>[0-9]{4}-[0-9]{2})"),
+                "m").to_numpy(zero_copy_only=False)
+            u, inv = np.unique(mo, return_inverse=True)
+            if not len(u):  # sentinel: zero-row bundles read schema-less
+                return pa.table({"month": pa.array([""], pa.string()),
+                                 "n": pa.array([0], pa.int64()),
+                                 "cents": pa.array([0], pa.int64())})
+            n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+            c = np.zeros(len(u), np.int64)
+            np.add.at(c, inv, cents)
+            return pa.table({"month": pa.array(u.astype(str)),
+                             "n": pa.array(n), "cents": pa.array(c)})
+
+        import glob as _glob
+
+        frames = []
+        for leaves, cols in ((v1_leaves, ["o_orderstatus",
+                                          "o_totalprice"]),
+                             (v2_leaves, ["o_totalprice"])):
+            files = sorted(f for d in leaves
+                           for f in _glob.glob(f"{d}/*.parquet"))
+            if files:
+                frames.append(ray.data.read_parquet(
+                    files, columns=cols, include_paths=True)
+                    .map_batches(partial, batch_format="pyarrow")
+                    .to_pandas())
+        p = (pd.concat(frames, ignore_index=True)
+             .groupby("month", as_index=False)[["n", "cents"]].sum())
+        p = p[p["n"] > 0]  # a scanned month with no status-F rows
+        p[["n", "cents"]] = p[["n", "cents"]].astype("int64")
+        return p.sort_values("month").reset_index(drop=True)
+    finally:
+        shutil.rmtree(_PARTEVO_DIR, ignore_errors=True)
+
+
+QUERIES["partition_evolution_read"] = partition_evolution_read
+
+ORACLE_SQL["partition_evolution_read"] = """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           count(*)::BIGINT AS n,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_orderdate >= DATE '1996-07-01'
+      AND o_orderdate < DATE '1997-07-01'
+    GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-record coverage policy (round 4 close; see the note at the QUERIES
 # literal): the driver's correctness harness records the FIRST 50 dict
@@ -21089,6 +21431,8 @@ _FRONT = [
     "chars_per_token_by_lang", "second_event_conversion",
     "q4_late_ship_priority", "q9_profit_nation_year",
     "q11_important_parts_value", "q21_sole_late_supplier",
+    "orders_grouping_sets", "business_day_ship_lag",
+    "events_hopping_windows", "partition_evolution_read",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT},

@@ -6631,3 +6631,108 @@ def test_q21_requires_multi_supplier_and_unique_lateness(ray_session,
     out = q21_sole_late_supplier(sf)
     assert out["s_name"].tolist() == ["Supplier#7"]
     assert out["numwait"].tolist() == [1]
+
+
+# ------------------------------------------------ grouping sets
+
+
+def test_grouping_sets_levels_and_gid(ray_session, tmp_path):
+    """All four sets derive from one detail pass: gid matches DuckDB's
+    GROUPING(priority, status) bit encoding (status = LSB)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        orders_grouping_sets,
+    )
+
+    orders = pa.table({
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "5-LOW"]),
+        "o_orderstatus": pa.array(["F", "O", "F"]),
+        "o_totalprice": pa.array([1.00, 2.00, 4.00])})
+    sf = _write(tmp_path, "orders", orders)
+    out = orders_grouping_sets(sf)
+    assert len(out) == 3 + 2 + 2 + 1  # detail + prio + status + total
+    d = out.set_index(["o_orderpriority", "o_orderstatus", "gid"])
+    assert d.loc[("1-URGENT", "F", 0), "cents"] == 100
+    assert d.loc[("1-URGENT", "ALL", 1), "cents"] == 300
+    assert d.loc[("ALL", "F", 2), "cents"] == 500
+    assert d.loc[("ALL", "ALL", 3), "n"] == 3
+
+
+# ------------------------------------------------ business days
+
+
+def test_business_day_lag_closed_form(ray_session, tmp_path):
+    """2024-01-05 is a Friday: Fri→Mon spans 1 business day (Mon),
+    Fri→next Fri spans 5; an early ship (ship < order) clamps to 0."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        business_day_ship_lag,
+    )
+
+    def d(s):
+        return np.datetime64(s, "us")
+
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array([d("2024-01-05"), d("2024-01-05"),
+                                 d("2024-01-05")]),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "5-LOW"])})
+    li = pa.table({
+        "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "l_shipdate": pa.array([d("2024-01-08"),    # Mon: 1 busday
+                                d("2024-01-12"),    # next Fri: 5
+                                d("2024-01-01")])}) # early: clamp 0
+    sf = _write(tmp_path, "orders", orders)
+    _write(tmp_path, "lineitem", li)
+    out = business_day_ship_lag(sf).set_index("o_orderpriority")
+    assert out.loc["1-URGENT", "busdays"] == 1
+    assert out.loc["2-HIGH", "busdays"] == 5
+    assert out.loc["5-LOW", "busdays"] == 0
+
+
+# ------------------------------------------------ hopping windows
+
+
+def test_hopping_window_fanout_and_distinct(ray_session, tmp_path):
+    """One event lands in exactly 3 windows (size 3 h, hop 1 h); a user
+    seen twice in one window counts once in n_users."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        events_hopping_windows,
+    )
+
+    t = np.datetime64("2024-01-01T05:30:00", "us")
+    tbl = pa.table({
+        "ts": pa.array([t, t + np.timedelta64(60, "s")]),
+        "user_id": pa.array([9, 9], pa.int64())})
+    sf = _write(tmp_path, "events", tbl)
+    out = events_hopping_windows(sf)
+    assert len(out) == 3  # windows starting 03:00, 04:00, 05:00
+    assert out["n_events"].tolist() == [2, 2, 2]
+    assert out["n_users"].tolist() == [1, 1, 1]
+    assert str(out["wstart"].iloc[0]) == "2024-01-01 03:00:00"
+
+
+# ------------------------------------------------ partition evolution
+
+
+def test_partition_evolution_prunes_v2_status_dirs(ray_session, tmp_path):
+    """Orders straddle the scheme change (1996-12 under v1, 1997-02
+    under v2); only status-F rows in the window survive, and the v2
+    month contributes via its pruned o_orderstatus=F leaf only."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        partition_evolution_read,
+    )
+
+    def d(s):
+        return np.datetime64(s, "us")
+
+    orders = pa.table({
+        "o_orderdate": pa.array([d("1996-12-10"), d("1996-12-11"),
+                                 d("1997-02-05"), d("1997-02-06"),
+                                 d("1995-01-01")]),
+        "o_orderstatus": pa.array(["F", "O", "F", "O", "F"]),
+        "o_totalprice": pa.array([1.00, 2.00, 4.00, 8.00, 16.00])})
+    sf = _write(tmp_path, "orders", orders)
+    out = partition_evolution_read(sf).set_index("month")
+    # 1995-01 is outside the window; 'O' rows excluded on both schemes
+    assert out.index.tolist() == ["1996-12", "1997-02"]
+    assert out.loc["1996-12", "cents"] == 100
+    assert out.loc["1997-02", "cents"] == 400
