@@ -6736,3 +6736,151 @@ def test_partition_evolution_prunes_v2_status_dirs(ray_session, tmp_path):
     assert out.index.tolist() == ["1996-12", "1997-02"]
     assert out.loc["1996-12", "cents"] == 100
     assert out.loc["1997-02", "cents"] == 400
+
+
+# ------------------------------------------------ dominant suppliers
+
+
+def test_dominant_supplier_strict_majority(ray_session, tmp_path):
+    """Exactly-half is NOT dominant (strict 2q > total); shipments
+    outside 1996 are excluded before the majority test."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        dominant_part_suppliers,
+    )
+
+    def d(s):
+        return np.datetime64(s, "us")
+
+    in96, out96 = d("1996-06-01"), d("1997-06-01")
+    li = pa.table({
+        # part 1: s10 ships 5 of 10 (exactly half -> NOT dominant)
+        # part 2: s10 ships 6 of 10 (> half -> dominant)
+        # part 3: s20 would dominate only if the 1997 row counted
+        "l_partkey": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+        "l_suppkey": pa.array([10, 11, 10, 11, 20, 21], pa.int64()),
+        "l_quantity": pa.array([5.0, 5.0, 6.0, 4.0, 1.0, 1.0]),
+        "l_shipdate": pa.array([in96, in96, in96, in96, out96, in96]),
+    })
+    sf = _write(tmp_path, "lineitem", li)
+    out = dominant_part_suppliers(sf)
+    # s10 dominates part 2 only; part 3's only counted row is s21 (1 of
+    # 1); part 1 has no dominant supplier.  Tie broken by ascending key.
+    assert out["s_suppkey"].tolist() == [10, 21]
+    assert out["n_parts_dominated"].tolist() == [1, 1]
+
+
+def test_dominant_supplier_majority_and_window(ray_session, tmp_path):
+    """Clean variant: one clear dominant supplier, one exact-half."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        dominant_part_suppliers,
+    )
+
+    def d(s):
+        return np.datetime64(s, "us")
+
+    in96 = d("1996-06-01")
+    li = pa.table({
+        "l_partkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "l_suppkey": pa.array([10, 11, 10, 11], pa.int64()),
+        "l_quantity": pa.array([5.0, 5.0, 6.0, 4.0]),
+        "l_shipdate": pa.array([in96] * 4),
+    })
+    sf = _write(tmp_path, "lineitem", li)
+    out = dominant_part_suppliers(sf)
+    assert out["s_suppkey"].tolist() == [10]
+    assert out["n_parts_dominated"].tolist() == [1]
+
+
+# ------------------------------------------------ Simpson diversity
+
+
+def test_simpson_diversity_closed_form(ray_session, tmp_path):
+    """Source 'mono' repeats one token (D = 0); source 'poly' has all
+    distinct tokens (D = 1); counts aggregate across documents of the
+    same source before the moment fold."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        source_token_simpson,
+    )
+
+    docs = pa.table({
+        "source": pa.array(["mono", "mono", "poly"]),
+        "text": pa.array(["aa aa", "aa", "x y z"]),
+    })
+    sf = _write(tmp_path, "documents", docs)
+    out = source_token_simpson(sf).set_index("source")
+    assert out.loc["mono", "n_tokens"] == 3
+    assert out.loc["mono", "pair_hits"] == 6  # 3*2 same-token pairs
+    assert out.loc["mono", "simpson"] == 0.0
+    assert out.loc["poly", "n_tokens"] == 3
+    assert out.loc["poly", "pair_hits"] == 0
+    assert out.loc["poly", "simpson"] == 1.0
+
+
+# ------------------------------------------------ contiguity audit
+
+
+def test_contiguity_moments_catch_gap_dup_and_offset(ray_session, tmp_path):
+    """The (min, max, count, sum) moment test flags a gap (1,2,4), a
+    min/max-preserving duplicate (1,2,2,4), and an offset run (2,3,4),
+    while passing exact 1..n runs in any row order."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        linenumber_contiguity_audit,
+    )
+
+    okeys, lns = [], []
+    for ok, run in [(1, [3, 1, 2]),        # ok (unordered 1..3)
+                    (2, [1, 2, 4]),        # gap -> mx != n
+                    (3, [1, 2, 2, 4]),     # dup, mn=1 mx=4 n=4, s=9 != 10
+                    (4, [2, 3, 4]),        # offset -> mn != 1
+                    (5, [1])]:             # ok (singleton)
+        okeys += [ok] * len(run)
+        lns += run
+    li = pa.table({"l_orderkey": pa.array(okeys, pa.int64()),
+                   "l_linenumber": pa.array(lns, pa.int32())})
+    sf = _write(tmp_path, "lineitem", li)
+    out = linenumber_contiguity_audit(sf)
+    assert out["n_orders"].tolist() == [5]
+    assert out["n_violating"].tolist() == [3]
+    assert abs(out["violation_rate"].iloc[0] - 0.6) < 1e-12
+
+
+# ------------------------------------------------ join-strategy canary
+
+
+def test_join_canary_agreement_and_dangling_key_divergence(
+        ray_session, tmp_path):
+    """On referentially-clean data both strategies agree bit-for-bit;
+    a dangling l_suppkey makes the broadcast LUT emit a -1 nation while
+    the inner hash join drops the row — the canary must RAISE."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        join_strategy_equivalence_audit,
+    )
+
+    sup = pa.table({"s_suppkey": pa.array([1, 2], pa.int64()),
+                    "s_nationkey": pa.array([7, 8], pa.int64())})
+    li = pa.table({
+        "l_suppkey": pa.array([1, 1, 2], pa.int64()),
+        "l_extendedprice": pa.array([10.00, 20.00, 5.00]),
+        "l_discount": pa.array([0.10, 0.00, 0.05]),
+    })
+    base = tmp_path / "clean"
+    base.mkdir()
+    pq.write_table(sup, base / "supplier.parquet")
+    pq.write_table(li, base / "lineitem.parquet")
+    out = join_strategy_equivalence_audit(str(base)).set_index(
+        "s_nationkey")
+    # nation 7: 1000*9000 + 2000*10000 = 29_000_000 micros
+    assert out.loc[7, "rev_micros"] == 1000 * 9000 + 2000 * 10000
+    assert out.loc[8, "rev_micros"] == 500 * 9500
+
+    bad = tmp_path / "dangling"
+    bad.mkdir()
+    li_bad = pa.table({
+        "l_suppkey": pa.array([1, 99], pa.int64()),  # 99 not in supplier
+        "l_extendedprice": pa.array([10.00, 10.00]),
+        "l_discount": pa.array([0.0, 0.0]),
+    })
+    pq.write_table(sup, bad / "supplier.parquet")
+    pq.write_table(li_bad, bad / "lineitem.parquet")
+    with pytest.raises(ValueError, match="join-strategy divergence"):
+        join_strategy_equivalence_audit(str(bad))
