@@ -6884,3 +6884,175 @@ def test_join_canary_agreement_and_dangling_key_divergence(
     pq.write_table(li_bad, bad / "lineitem.parquet")
     with pytest.raises(ValueError, match="join-strategy divergence"):
         join_strategy_equivalence_audit(str(bad))
+
+
+# ------------------------------------------------ edit-distance pairs
+
+
+def test_levenshtein_kernel_known_distances():
+    """Classic cases plus the byte-level unicode contract DuckDB uses
+    ('é' is two UTF-8 bytes, so café→cafe is distance 2)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        _levenshtein_bytes,
+    )
+
+    def lev(a, b):
+        return _levenshtein_bytes(a.encode(), b.encode())
+
+    assert lev("kitten", "sitting") == 3
+    assert lev("", "abc") == 3
+    assert lev("abc", "") == 3
+    assert lev("same", "same") == 0
+    assert lev("flaw", "lawn") == 2
+    assert lev("café", "cafe") == 2  # byte-level, not char-level
+
+
+def test_edit_pairs_blocked_by_prefix_and_length(ray_session, tmp_path):
+    """Docs sharing a 24-char prefix pair up with their exact distance;
+    a cross-prefix near-identical pair is never considered, and a long
+    doc (> 300 chars) is excluded from blocking entirely."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        doc_edit_distance_pairs,
+    )
+
+    pfx = "p" * 24
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([pfx + "hello", pfx + "hallo",
+                          "q" * 24 + "hello",   # other block
+                          pfx + "x" * 400]),    # too long
+    })
+    sf = _write(tmp_path, "documents", docs)
+    out = doc_edit_distance_pairs(sf)
+    assert out[["doc_a", "doc_b"]].values.tolist() == [[1, 2]]
+    assert out["edit_distance"].tolist() == [1]
+
+
+# ------------------------------------------------ chi-square contingency
+
+
+def test_chi_square_independent_table_has_zero_contrib(
+        ray_session, tmp_path):
+    """A perfectly independent 2x2 contingency (row/col products) gives
+    expected == observed and contribution exactly 0 in every cell."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        event_dow_chi_square,
+    )
+
+    # Mon(=isodow 1) epoch day 4 is 1970-01-05; Tue is day 5
+    mon = np.datetime64("1970-01-05T10:00:00", "us")
+    tue = np.datetime64("1970-01-06T10:00:00", "us")
+    # type a: 2 Mon + 2 Tue; type b: 1 Mon + 1 Tue -> independent
+    ts = [mon, mon, tue, tue, mon, tue]
+    et = ["a", "a", "a", "a", "b", "b"]
+    tbl = pa.table({"ts": pa.array(ts), "event_type": pa.array(et)})
+    sf = _write(tmp_path, "events", tbl)
+    out = event_dow_chi_square(sf)
+    assert out["dow"].tolist() == [1, 2, 1, 2]
+    assert (out["n"].to_numpy() == out["expected"].to_numpy()).all()
+    assert (out["contrib"].to_numpy() == 0.0).all()
+
+
+def test_chi_square_dependent_cell_values(ray_session, tmp_path):
+    """Fully dependent 2x2 (diagonal mass): expected = 1 in every cell,
+    contribution (2-1)^2/1 = 1 on the diagonal and (0-1)^2... absent
+    cells don't appear (GROUP BY semantics), so the present cells read
+    n=2, expected=1, contrib=1."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        event_dow_chi_square,
+    )
+
+    mon = np.datetime64("1970-01-05T10:00:00", "us")
+    tue = np.datetime64("1970-01-06T10:00:00", "us")
+    tbl = pa.table({"ts": pa.array([mon, mon, tue, tue]),
+                    "event_type": pa.array(["a", "a", "b", "b"])})
+    sf = _write(tmp_path, "events", tbl)
+    out = event_dow_chi_square(sf)
+    assert len(out) == 2  # only the populated cells
+    assert out["n"].tolist() == [2, 2]
+    assert out["expected"].tolist() == [1.0, 1.0]
+    assert out["contrib"].tolist() == [1.0, 1.0]
+
+
+# ------------------------------------------------ day streaks
+
+
+def test_day_streak_gaps_and_dup_days(ray_session, tmp_path):
+    """Repeated events within a day collapse; a gap breaks the run; the
+    histogram counts each user once at their MAX streak."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        user_day_streaks,
+    )
+
+    def d(day, h=9):
+        return (np.datetime64("1970-01-01", "us")
+                + np.timedelta64(day * 24 + h, "h"))
+
+    ts, uid = [], []
+    # user 1: days 1,2,3 then 10,11 -> max streak 3
+    for day in [1, 1, 2, 3, 10, 11]:  # day 1 duplicated
+        ts.append(d(day)); uid.append(1)
+    # user 2: isolated days -> max streak 1
+    for day in [5, 7, 9]:
+        ts.append(d(day)); uid.append(2)
+    # user 3: days 20..22 -> max streak 3
+    for day in [20, 21, 22]:
+        ts.append(d(day)); uid.append(3)
+    tbl = pa.table({"ts": pa.array(ts), "user_id": pa.array(uid,
+                                                            pa.int64())})
+    sf = _write(tmp_path, "events", tbl)
+    out = user_day_streaks(sf).set_index("max_streak")
+    assert out.index.tolist() == [1, 3]
+    assert out.loc[1, "n_users"] == 1
+    assert out.loc[3, "n_users"] == 2
+
+
+# ------------------------------------------------ embedding covariance
+
+
+def test_embedding_covariance_known_matrix(ray_session, tmp_path):
+    """2-d vectors with hand-computable sample covariance; upper
+    triangle only, 1-based indices."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        embedding_covariance,
+    )
+
+    vecs = [[1.0, 2.0], [2.0, 4.0], [3.0, 6.0]]
+    tbl = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0], pa.int32())})
+    sf = _write(tmp_path, "embeddings", tbl)
+    out = embedding_covariance(sf)
+    assert out[["i", "j"]].values.tolist() == [[1, 1], [1, 2], [2, 2]]
+    # var(x)=1, cov(x,y)=2, var(y)=4
+    assert np.allclose(out["cov"].to_numpy(), [1.0, 2.0, 4.0])
+
+
+def test_embedding_covariance_rejects_ragged_and_null(
+        ray_session, tmp_path):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        embedding_covariance,
+    )
+
+    ragged = pa.table({
+        "vec_id": pa.array([1, 2], pa.int64()),
+        "embedding": pa.array([[1.0, 2.0], [1.0]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0], pa.int32())})
+    sf = _write(tmp_path, "embeddings", ragged)
+    # depending on block splits the raggedness trips either the
+    # in-batch width check or the cross-block dim check — both loud
+    with pytest.raises(Exception, match="ragged|inconsistent"):
+        embedding_covariance(sf)
+
+    nulls = pa.table({
+        "vec_id": pa.array([1, 2], pa.int64()),
+        "embedding": pa.array([[1.0, 2.0], None],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0], pa.int32())})
+    sf2 = tmp_path / "n"
+    sf2.mkdir()
+    pq.write_table(nulls, sf2 / "embeddings.parquet")
+    with pytest.raises(Exception, match="null"):
+        embedding_covariance(str(sf2))
