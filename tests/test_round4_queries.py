@@ -7056,3 +7056,119 @@ def test_embedding_covariance_rejects_ragged_and_null(
     pq.write_table(nulls, sf2 / "embeddings.parquet")
     with pytest.raises(Exception, match="null"):
         embedding_covariance(str(sf2))
+
+
+# ------------------------------------------------ clamped month-add
+
+
+def test_renewal_month_end_clamping(ray_session, tmp_path):
+    """Jan 31 renews in February both leap (1996) and non-leap (1995)
+    years; Mar 31 clamps into Apr 30 — never rolls into May."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        renewal_month_clamped,
+    )
+
+    def d(s):
+        return np.datetime64(s, "us")
+
+    orders = pa.table({
+        "o_orderdate": pa.array([d("1996-01-31"), d("1995-01-31"),
+                                 d("1995-03-31"), d("1995-04-15")]),
+        "o_totalprice": pa.array([1.00, 2.00, 4.00, 8.00])})
+    sf = _write(tmp_path, "orders", orders)
+    out = renewal_month_clamped(sf).set_index("renewal_month")
+    assert out.index.tolist() == ["1995-02", "1995-04", "1995-05",
+                                  "1996-02"]
+    assert out.loc["1995-04", "cents"] == 400   # Mar 31 -> Apr 30
+    assert out.loc["1995-05", "cents"] == 800   # Apr 15 -> May 15
+
+
+# ------------------------------------------------ FD discovery
+
+
+def test_fd_audit_distinguishes_held_and_violated(ray_session, tmp_path):
+    """partkey->suppkey violated by exactly one part; orderkey->shipdate
+    violated by one order; the orders PK FD holds."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        functional_dependency_audit,
+    )
+
+    def d(s):
+        return np.datetime64(s, "us")
+
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+        "l_partkey": pa.array([10, 10, 20], pa.int64()),
+        "l_suppkey": pa.array([5, 6, 7], pa.int64()),   # part 10: 2 sups
+        "l_shipdate": pa.array([d("1995-01-01"), d("1995-01-02"),
+                                d("1995-01-01")]),       # order 1: 2 dates
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([100, 100], pa.int64())})
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    out = functional_dependency_audit(str(tmp_path)).set_index("fd")
+    assert out.loc["lineitem.l_partkey->l_suppkey",
+                   "n_violating"] == 1
+    assert out.loc["lineitem.l_partkey->l_suppkey", "n_keys"] == 2
+    assert out.loc["lineitem.l_orderkey->l_shipdate",
+                   "n_violating"] == 1
+    assert bool(out.loc["orders.o_orderkey->o_custkey", "holds"])
+    assert not bool(out.loc["lineitem.l_partkey->l_suppkey", "holds"])
+
+
+# ------------------------------------------------ recursive EWMA
+
+
+def test_ewma_dyadic_exact_values(ray_session, tmp_path):
+    """alpha = 1/2 over exact cents gives dyadic-rational EWMAs the
+    float fold computes exactly: 4, 6, 8 for daily sums 4, 8, 10."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        daily_value_ewma,
+    )
+
+    def t(day, h):
+        return (np.datetime64("1970-01-01", "us")
+                + np.timedelta64(day * 24 + h, "h"))
+
+    # day sums: d1 = 0.04, d2 = 0.03 + 0.05, d3 = 0.10 (cents 4, 8, 10)
+    tbl = pa.table({
+        "ts": pa.array([t(1, 9), t(2, 9), t(2, 10), t(3, 9)]),
+        "event_type": pa.array(["a"] * 4),
+        "value": pa.array([0.04, 0.03, 0.05, 0.10])})
+    sf = _write(tmp_path, "events", tbl)
+    out = daily_value_ewma(sf)
+    assert out["cents"].tolist() == [4, 8, 10]
+    assert out["ewma"].tolist() == [4.0, 6.0, 8.0]
+    assert out["day"].tolist() == ["1970-01-02", "1970-01-03",
+                                   "1970-01-04"]
+
+
+# ------------------------------------------------ audience overlap
+
+
+def test_audience_overlap_jaccard_closed_form(ray_session, tmp_path):
+    """Day 1 = {1,2,3}, day 2 = {2,3,4,5}, day 3 = {9}: J(1,2) = 2/5,
+    J(2,3) = 0, last day has no next (jaccard 0 with union = own)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        daily_audience_overlap,
+    )
+
+    def t(day, uid):
+        return (np.datetime64("1970-01-01", "us")
+                + np.timedelta64(day * 24 + uid, "h"))
+
+    rows = [(1, u) for u in [1, 2, 3]] + [(2, u) for u in [2, 3, 4, 5]] \
+        + [(3, 9), (3, 9)]  # dup event same day collapses
+    tbl = pa.table({
+        "ts": pa.array([t(d_, u) for d_, u in rows]),
+        "user_id": pa.array([u for _, u in rows], pa.int64())})
+    sf = _write(tmp_path, "events", tbl)
+    out = daily_audience_overlap(sf)
+    assert out["n_users"].tolist() == [3, 4, 1]
+    assert out["n_inter"].tolist() == [2, 0, 0]
+    assert out["n_users_next"].tolist() == [4, 1, 0]
+    assert abs(out["jaccard_next"].iloc[0] - 0.4) < 1e-15
+    assert out["jaccard_next"].iloc[1] == 0.0
+    assert out["jaccard_next"].iloc[2] == 0.0
