@@ -7172,3 +7172,139 @@ def test_audience_overlap_jaccard_closed_form(ray_session, tmp_path):
     assert abs(out["jaccard_next"].iloc[0] - 0.4) < 1e-15
     assert out["jaccard_next"].iloc[1] == 0.0
     assert out["jaccard_next"].iloc[2] == 0.0
+
+
+# ------------------------------------------------ padding-waste curve
+
+
+def test_padding_waste_exact_small_curve(ray_session, tmp_path):
+    """Lengths 1..4: k=1 pads everything to 4 (waste 6); k=2 buckets
+    {1,2}->cap 2 and {3,4}->cap 4 (waste 2); k=4 buckets are singletons
+    (waste 0)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        padding_waste_curve,
+    )
+
+    docs = pa.table({"n_chars": pa.array([1, 2, 3, 4], pa.int64())})
+    sf = _write(tmp_path, "documents", docs)
+    out = padding_waste_curve(sf).set_index("k")
+    assert out.loc[1, "waste_chars"] == 6
+    assert out.loc[2, "waste_chars"] == 2
+    assert out.loc[4, "waste_chars"] == 0
+    assert out.loc[8, "waste_chars"] == 0
+    assert abs(out.loc[1, "waste_ratio"] - 6 / 16) < 1e-15
+
+
+# ------------------------------------------------ Spearman
+
+
+def test_spearman_perfect_monotone_and_inverse(ray_session, tmp_path):
+    """Flag A: price strictly increasing with quantity -> rho = +1;
+    flag B: strictly decreasing -> rho = -1 (exactly, from ints)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        spearman_qty_price,
+    )
+
+    li = pa.table({
+        "l_returnflag": pa.array(["A"] * 4 + ["B"] * 4),
+        "l_quantity": pa.array([1, 2, 3, 4, 1, 2, 3, 4], pa.int64()),
+        "l_extendedprice": pa.array(
+            [1.0, 2.0, 3.0, 7.0, 7.0, 3.0, 2.0, 1.0]),
+    })
+    sf = _write(tmp_path, "lineitem", li)
+    out = spearman_qty_price(sf).set_index("l_returnflag")
+    # sqrt(a)*sqrt(b) vs sqrt(ab) leaves +-1 ulp at the extremes; the
+    # SQL oracle shares the op order so parity still holds bit-for-bit
+    assert abs(out.loc["A", "spearman"] - 1.0) < 1e-14
+    assert abs(out.loc["B", "spearman"] + 1.0) < 1e-14
+    assert out["n"].tolist() == [4, 4]
+
+
+def test_spearman_ties_use_average_ranks(ray_session, tmp_path):
+    """Two equal quantities share the average rank; scipy-checkable by
+    hand: x = [1, 1, 2], y = [10, 20, 30] -> rx = [1.5, 1.5, 3],
+    ry = [1, 2, 3], rho = (sum products path) = sqrt(3)/2."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        spearman_qty_price,
+    )
+
+    li = pa.table({
+        "l_returnflag": pa.array(["A"] * 3),
+        "l_quantity": pa.array([1, 1, 2], pa.int64()),
+        "l_extendedprice": pa.array([0.10, 0.20, 0.30]),
+    })
+    sf = _write(tmp_path, "lineitem", li)
+    out = spearman_qty_price(sf)
+    assert abs(out["spearman"].iloc[0] - np.sqrt(3) / 2) < 1e-12
+
+
+# ------------------------------------------------ Kendall tau-b
+
+
+def test_kendall_concordant_discordant_and_ties(ray_session, tmp_path):
+    """x = [1, 1, 2], y = [100, 200, 300] bp: pair (1,2) is an x-tie,
+    the two others concordant -> P = 2, Q = 0, n1 = 1, n2 = 0,
+    tau-b = 2 / (sqrt(2) * sqrt(3))."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        kendall_tau_qty_discount,
+    )
+
+    li = pa.table({
+        "l_quantity": pa.array([1, 1, 2], pa.int64()),
+        "l_discount": pa.array([0.01, 0.02, 0.03]),
+    })
+    sf = _write(tmp_path, "lineitem", li)
+    out = kendall_tau_qty_discount(sf)
+    assert out["concordant"].tolist() == [2]
+    assert out["discordant"].tolist() == [0]
+    assert abs(out["tau_b"].iloc[0]
+               - 2 / (np.sqrt(2) * np.sqrt(3))) < 1e-12
+
+
+def test_kendall_perfect_inverse(ray_session, tmp_path):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        kendall_tau_qty_discount,
+    )
+
+    li = pa.table({
+        "l_quantity": pa.array([1, 2, 3], pa.int64()),
+        "l_discount": pa.array([0.03, 0.02, 0.01]),
+    })
+    sf = _write(tmp_path, "lineitem", li)
+    out = kendall_tau_qty_discount(sf)
+    assert abs(out["tau_b"].iloc[0] + 1.0) < 1e-14
+    assert out["concordant"].tolist() == [0]
+    assert out["discordant"].tolist() == [3]
+
+
+# ------------------------------------------------ contract scorecard
+
+
+def test_scorecard_one_violation_per_rule(ray_session, tmp_path):
+    """Five rows, each breaking exactly one rule (incl. a NULL, which
+    fails its rule under COALESCE-to-FALSE semantics)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        orders_contract_scorecard,
+    )
+
+    def d(s):
+        return np.datetime64(s, "us")
+
+    orders = pa.table({
+        "o_totalprice": pa.array([-1.0, 10.0, 10.0, 10.0, 10.0]),
+        "o_orderdate": pa.array([d("1995-01-02"), d("2001-01-03"),
+                                 d("1995-01-04"), d("1995-01-05"),
+                                 d("1995-01-31")]),
+        "o_orderstatus": pa.array(["F", "O", "X", "P", "F"]),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                     "9-BOGUS", "5-LOW"]),
+        "o_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    sf = _write(tmp_path, "orders", orders)
+    out = orders_contract_scorecard(sf).set_index("rule")
+    assert (out["n_checked"] == 5).all()
+    assert out.loc["totalprice_positive", "n_failed"] == 1
+    assert out.loc["orderdate_before_2000", "n_failed"] == 1
+    assert out.loc["status_in_enum", "n_failed"] == 1
+    assert out.loc["priority_format", "n_failed"] == 1
+    assert out.loc["day_portable_le_28", "n_failed"] == 1
