@@ -7308,3 +7308,108 @@ def test_scorecard_one_violation_per_rule(ray_session, tmp_path):
     assert out.loc["status_in_enum", "n_failed"] == 1
     assert out.loc["priority_format", "n_failed"] == 1
     assert out.loc["day_portable_le_28", "n_failed"] == 1
+
+
+# ------------------------------------------------ fixed-width connector
+
+
+def test_fixed_width_roundtrip_exact_sums(ray_session, tmp_path):
+    """Known rows survive format->write->read_text->slice-parse with
+    exact cents and distinct-priority counts."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        fixed_width_roundtrip,
+    )
+
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderstatus": pa.array(["F", "F", "O"]),
+        "o_totalprice": pa.array([10.01, 0.99, 5.00]),
+        "o_orderpriority": pa.array(["1-URGENT", "5-LOW", "5-LOW"]),
+    })
+    sf = _write(tmp_path, "orders", orders)
+    out = fixed_width_roundtrip(sf).set_index("status")
+    assert out.loc["F", "n"] == 2
+    assert out.loc["F", "sum_cents"] == 1001 + 99
+    assert out.loc["F", "n_priorities"] == 2
+    assert out.loc["O", "sum_cents"] == 500
+
+
+# ------------------------------------------------ session timeout sweep
+
+
+def test_session_sweep_thresholds_split_differently(ray_session,
+                                                    tmp_path):
+    """Gaps of 45 and 90 minutes: 3 sessions at 30 m, 2 at 60 m, 1 at
+    120 m — all from one gap computation."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        session_timeout_sweep,
+    )
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = [base, base + np.timedelta64(45, "m"),
+          base + np.timedelta64(45 + 90, "m")]
+    tbl = pa.table({"ts": pa.array(ts),
+                    "user_id": pa.array([7, 7, 7], pa.int64()),
+                    "event_id": pa.array([1, 2, 3], pa.int64())})
+    sf = _write(tmp_path, "events", tbl)
+    out = session_timeout_sweep(sf).set_index("timeout_minutes")
+    assert out.loc[30, "n_sessions"] == 3
+    assert out.loc[60, "n_sessions"] == 2
+    assert out.loc[120, "n_sessions"] == 1
+    assert (out["n_users"] == 1).all()
+    assert abs(out.loc[60, "events_per_session"] - 1.5) < 1e-15
+
+
+# ------------------------------------------------ repartition migration
+
+
+def test_migration_matches_reference_formula(ray_session, tmp_path):
+    """Engine counts equal a direct numpy recomputation of the same
+    Knuth-hash assignments, and mod moves far more than range."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        repartition_migration_audit,
+    )
+
+    keys = np.arange(1, 2001, dtype=np.int64)
+    cust = pa.table({"c_custkey": pa.array(keys)})
+    sf = _write(tmp_path, "customer", cust)
+    out = repartition_migration_audit(sf).set_index("scheme")
+
+    h = (keys * np.int64(2654435761)) % (np.int64(1) << 32)
+    exp_mod = int(((h % 8) != (h % 9)).sum())
+    exp_rng = int(((h * 8 // (np.int64(1) << 32))
+                   != (h * 9 // (np.int64(1) << 32))).sum())
+    assert out.loc["mod", "n_moved"] == exp_mod
+    assert out.loc["range", "n_moved"] == exp_rng
+    assert out.loc["mod", "moved_frac"] > 0.8          # ~8/9
+    # equal-range re-splitting moves ~1/2 (every boundary shifts) —
+    # the non-obvious cost the audit exists to surface
+    assert 0.4 < out.loc["range", "moved_frac"] < 0.6
+    # rendezvous moves only what the new node wins: ~1/9
+    assert out.loc["rendezvous", "moved_frac"] < 0.2
+
+
+# ------------------------------------------------ min-max deciles
+
+
+def test_minmax_decile_edges_and_constant_group(ray_session, tmp_path):
+    """min lands in decile 0, max clamps into decile 9, midpoint in 5;
+    a constant-valued type collapses to decile 0 (span guard)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        value_minmax_deciles,
+    )
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    tbl = pa.table({
+        "event_type": pa.array(["a", "a", "a", "const", "const"]),
+        "value": pa.array([0.00, 1.00, 0.50, 3.00, 3.00]),
+        "ts": pa.array([t0] * 5),
+    })
+    sf = _write(tmp_path, "events", tbl)
+    out = value_minmax_deciles(sf)
+    a = out[out["event_type"] == "a"].set_index("decile")["n"]
+    assert a.index.tolist() == [0, 5, 9]
+    assert a.tolist() == [1, 1, 1]
+    c = out[out["event_type"] == "const"]
+    assert c["decile"].tolist() == [0]
+    assert c["n"].tolist() == [2]
