@@ -7413,3 +7413,117 @@ def test_minmax_decile_edges_and_constant_group(ray_session, tmp_path):
     c = out[out["event_type"] == "const"]
     assert c["decile"].tolist() == [0]
     assert c["n"].tolist() == [2]
+
+
+# ------------------------------------------------ k-anonymity
+
+
+def test_k_anonymity_small_group_and_ldiv(ray_session, tmp_path):
+    """A 2-person QI group drops the anonymity level to 2 and its rows
+    count below k=5; a group whose members share one balance band pins
+    min l-diversity to 1."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        k_anonymity_audit,
+    )
+
+    cust = pa.table({
+        "c_nationkey": pa.array([1] * 6 + [2] * 2, pa.int64()),
+        "c_mktsegment": pa.array(["AUTO"] * 6 + ["AUTO"] * 2),
+        # nation 1: six customers spread over 3 bands; nation 2: two
+        # customers in ONE band (l-diversity 1)
+        "c_acctbal": pa.array([100.0, 150.0, 1100.0, 1200.0,
+                               2100.0, 2200.0, 500.0, 600.0]),
+    })
+    sf = _write(tmp_path, "customer", cust)
+    out = k_anonymity_audit(sf)
+    assert out["n_groups"].tolist() == [2]
+    assert out["min_group_size"].tolist() == [2]
+    assert out["rows_below_k5"].tolist() == [2]
+    assert out["min_l_diversity"].tolist() == [1]
+
+
+# ------------------------------------------------ price-volume-mix
+
+
+def test_pvm_hand_computed_effects(ray_session, tmp_path):
+    """q: 10 -> 20 at rev 1000 -> 3000 cents: volume effect = +1000,
+    price effect = +1000, and they sum exactly to the revenue delta."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        revenue_pvm_decomposition,
+    )
+
+    def d(s):
+        return np.datetime64(s, "us")
+
+    part = pa.table({"p_partkey": pa.array([1], pa.int64()),
+                     "p_brand": pa.array(["B1"])})
+    li = pa.table({
+        "l_partkey": pa.array([1, 1], pa.int64()),
+        "l_quantity": pa.array([10.0, 20.0]),
+        "l_extendedprice": pa.array([10.00, 30.00]),
+        "l_shipdate": pa.array([d("1995-06-01"), d("1996-06-01")]),
+    })
+    pq.write_table(part, tmp_path / "part.parquet")
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    out = revenue_pvm_decomposition(str(tmp_path))
+    assert out["volume_effect"].tolist() == [1000.0]
+    assert out["price_effect"].tolist() == [1000.0]
+    assert (out["volume_effect"] + out["price_effect"]).tolist() \
+        == [float(out["rev2_cents"].iloc[0] - out["rev1_cents"].iloc[0])]
+
+
+# ------------------------------------------------ rank movers
+
+
+def test_rank_movers_swap_and_sign(ray_session, tmp_path):
+    """Brands A and C swap ranks 1 and 3 between years: A's delta is
+    -2 (fell), C's +2 (climbed), B unchanged at 0."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        brand_rank_movers,
+    )
+
+    def d(s):
+        return np.datetime64(s, "us")
+
+    part = pa.table({"p_partkey": pa.array([1, 2, 3], pa.int64()),
+                     "p_brand": pa.array(["A", "B", "C"])})
+    rows = [(1, 30.0, "1995-06-01"), (2, 20.0, "1995-06-02"),
+            (3, 10.0, "1995-06-03"),
+            (1, 10.0, "1996-06-01"), (2, 20.0, "1996-06-02"),
+            (3, 30.0, "1996-06-03")]
+    li = pa.table({
+        "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_extendedprice": pa.array([r[1] for r in rows]),
+        "l_shipdate": pa.array([d(r[2]) for r in rows]),
+    })
+    pq.write_table(part, tmp_path / "part.parquet")
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    out = brand_rank_movers(str(tmp_path)).set_index("p_brand")
+    assert out.loc["A", "rank_delta"] == -2
+    assert out.loc["C", "rank_delta"] == 2
+    assert out.loc["B", "rank_delta"] == 0
+    # |delta| ordering puts B last
+    assert out.index.tolist() == ["A", "C", "B"]
+
+
+# ------------------------------------------------ runs test
+
+
+def test_runs_test_known_sequence(ray_session, tmp_path):
+    """Signs +,+,-,+ in key order: 3 runs, n1=3, n2=1 ->
+    mu = 2.5, var = 0.25, z = 1.0 exactly."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        acctbal_runs_test,
+    )
+
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_acctbal": pa.array([5.0, 6.0, -1.0, 2.0]),
+    })
+    sf = _write(tmp_path, "customer", cust)
+    out = acctbal_runs_test(sf)
+    assert out["n_runs"].tolist() == [3]
+    assert out["n_pos"].tolist() == [3]
+    assert out["n_neg"].tolist() == [1]
+    assert out["expected_runs"].tolist() == [2.5]
+    assert out["z_score"].tolist() == [1.0]
