@@ -7527,3 +7527,128 @@ def test_runs_test_known_sequence(ray_session, tmp_path):
     assert out["n_neg"].tolist() == [1]
     assert out["expected_runs"].tolist() == [2.5]
     assert out["z_score"].tolist() == [1.0]
+
+
+# ------------------------------------------------ kNN label agreement
+
+
+def test_knn_mismatch_on_planted_mislabel(ray_session, tmp_path):
+    """Three tight points of label 0 plus one point sitting INSIDE the
+    label-0 cluster but labeled 1: its NN disagrees (1 mismatch for
+    label 1) and it also flips its nearest label-0 neighbor."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        knn_label_agreement,
+    )
+
+    vecs = [[0.0, 0.0], [0.1, 0.0], [10.0, 10.0], [0.05, 0.0]]
+    lab = [0, 0, 0, 1]
+    tbl = pa.table({
+        "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array(lab, pa.int32())})
+    sf = _write(tmp_path, "embeddings", tbl)
+    out = knn_label_agreement(sf).set_index("label")
+    # vec 4 (label 1): NN is vec 1 or 2 (label 0) -> mismatch
+    assert out.loc[1, "n_nn_mismatch"] == 1
+    # vec 1's NN is vec 4 (0.05 away, label 1) -> mismatch; vec 2's NN
+    # is vec 4 too (0.05) -> mismatch; vec 3's NN is label 0's... vec 3
+    # is far from all, NN by distance is one of the cluster (label 0
+    # for 1/2, label 1 for 4) - nearest to (10,10) among others is
+    # whichever: all ~ equal? no: distances to (0.1,0) < (0.05,0) <
+    # (0,0) are ordered, nearest is (0.1, 0) label 0 -> agree
+    assert out.loc[0, "n_nn_mismatch"] == 2
+
+
+def test_knn_tie_breaks_to_smallest_vec_id(ray_session, tmp_path):
+    """Two equidistant neighbors with different labels: the smaller
+    vec_id wins the vote deterministically."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        knn_label_agreement,
+    )
+
+    # vec 3 at origin; vec 1 at (+1, 0) label 9, vec 2 at (-1, 0)
+    # label 3 -> exact distance tie for vec 3; vec 1 (smaller id,
+    # label 9 = vec 3's own) must win, so vec 3 agrees.  vec 1's NN is
+    # vec 3 (agree); vec 2's NN is vec 3, label 9 != 3 (mismatch).
+    tbl = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [-1.0, 0.0], [0.0, 0.0]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([9, 3, 9], pa.int32())})
+    sf = _write(tmp_path, "embeddings", tbl)
+    out = knn_label_agreement(sf).set_index("label")
+    assert out.loc[9, "n_nn_mismatch"] == 0
+    assert out.loc[3, "n_nn_mismatch"] == 1
+
+
+# ------------------------------------------------ sliding burst
+
+
+def test_sliding_window_catches_straddling_burst(ray_session,
+                                                 tmp_path):
+    """Events at 299 s and 301 s: minute- or 5-minute-bucketed counts
+    see one each, the true sliding window sees both (peak 2 at
+    299 s)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        peak_sliding_window_rate,
+    )
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = [base + np.timedelta64(s, "s") for s in (0, 299, 301)]
+    tbl = pa.table({"ts": pa.array(ts),
+                    "event_type": pa.array(["a"] * 3)})
+    sf = _write(tmp_path, "events", tbl)
+    out = peak_sliding_window_rate(sf)
+    assert out["peak_count"].tolist() == [2]
+    assert out["window_start"].tolist() == ["2024-01-01 00:00:00"]
+    # window at 0 s covers {0, 299}; window at 299 covers {299, 301}
+    # -> tie at 2, earliest start wins
+
+
+# ------------------------------------------------ top-N + OTHER
+
+
+def test_top_with_other_conserves_total(ray_session, tmp_path):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        brand_revenue_top_with_other,
+    )
+
+    part = pa.table({
+        "p_partkey": pa.array(list(range(1, 8)), pa.int64()),
+        "p_brand": pa.array([f"B{i}" for i in range(1, 8)])})
+    li = pa.table({
+        "l_partkey": pa.array(list(range(1, 8)), pa.int64()),
+        "l_extendedprice": pa.array([70.0, 60.0, 50.0, 40.0, 30.0,
+                                     20.0, 10.0])})
+    pq.write_table(part, tmp_path / "part.parquet")
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    out = brand_revenue_top_with_other(str(tmp_path))
+    assert out["p_brand"].tolist() == ["B1", "B2", "B3", "B4", "B5",
+                                       "OTHER"]
+    assert out["rev_cents"].tolist() == [7000, 6000, 5000, 4000, 3000,
+                                         3000]
+    assert out["rev_cents"].sum() == 28000  # conserved
+
+
+# ------------------------------------------------ dedup survivorship
+
+
+def test_survivorship_longest_then_smallest_id(ray_session, tmp_path):
+    """Within a prefix block the longest text survives; equal lengths
+    fall back to the smaller doc_id; singleton blocks emit nothing."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        prefix_dedup_survivorship,
+    )
+
+    pfx = "z" * 24
+    texts = [pfx + "aa", pfx + "aaaa", pfx + "bbbb", "y" * 30]
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(texts),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+    sf = _write(tmp_path, "documents", docs)
+    out = prefix_dedup_survivorship(sf)
+    # block z*24: docs 2 and 3 tie at 28 chars -> doc 2 survives;
+    # replaced: 1 and 3 -> survivor 2. doc 4 is a singleton block.
+    assert out["replaced_doc_id"].tolist() == [1, 3]
+    assert out["survivor_doc_id"].tolist() == [2, 2]
