@@ -7652,3 +7652,87 @@ def test_survivorship_longest_then_smallest_id(ray_session, tmp_path):
     # replaced: 1 and 3 -> survivor 2. doc 4 is a singleton block.
     assert out["replaced_doc_id"].tolist() == [1, 3]
     assert out["survivor_doc_id"].tolist() == [2, 2]
+
+
+# ------------------------------------------------ GDPR purge
+
+
+def test_purge_removes_exactly_three_smallest_users(ray_session,
+                                                    tmp_path):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        user_purge_with_proof,
+    )
+
+    # users 1, 2, 3 purged; 20, 21 survive
+    eids = list(range(1, 11))
+    uids = [1, 2, 3, 1, 2, 20, 20, 21, 21, 21]
+    tbl = pa.table({"event_id": pa.array(eids, pa.int64()),
+                    "user_id": pa.array(uids, pa.int64())})
+    sf = _write(tmp_path, "events", tbl)
+    out = user_purge_with_proof(sf)
+    surv = [(e, u) for e, u in zip(eids, uids) if u in (20, 21)]
+    assert out["n_rows_after"].tolist() == [len(surv)]
+    assert out["sum_eid_after"].tolist() == [sum(e for e, _ in surv)]
+    exp_mix = sum((e * 1_000_003 + u) % (1 << 61)
+                  for e, u in surv) % (1 << 61)
+    assert out["mix_after"].tolist() == [exp_mix]
+    # users 1,2,3 hash to buckets 1,2,3 -> exactly 3 rewrites
+    assert out["n_buckets_rewritten"].tolist() == [3]
+
+
+# ------------------------------------------------ weighting trap
+
+
+def test_weighting_trap_diverges_when_correlated(ray_session,
+                                                 tmp_path):
+    """Big orders get big discounts: qty-weighted mean must exceed the
+    unweighted per-line mean by the hand-computed gap."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        discount_weighting_trap,
+    )
+
+    sup = pa.table({"s_suppkey": pa.array([1], pa.int64()),
+                    "s_nationkey": pa.array([7], pa.int64())})
+    li = pa.table({
+        "l_suppkey": pa.array([1, 1], pa.int64()),
+        "l_quantity": pa.array([1.0, 9.0]),
+        "l_discount": pa.array([0.00, 0.10]),
+    })
+    pq.write_table(sup, tmp_path / "supplier.parquet")
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    out = discount_weighting_trap(str(tmp_path))
+    # unweighted: (0 + 1000)/2 = 500 bp; weighted: 9000/10 = 900 bp
+    assert out["avg_bp_unweighted"].tolist() == [500.0]
+    assert out["avg_bp_qty_weighted"].tolist() == [900.0]
+    assert out["divergence_bp"].tolist() == [400.0]
+
+
+# ------------------------------------------------ adoption order
+
+
+def test_adoption_order_uses_first_ts_and_tie_type(ray_session,
+                                                   tmp_path):
+    """Later repeats don't change the signature; a first-ts tie falls
+    back to type name order."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        type_adoption_order,
+    )
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+
+    def t(s):
+        return t0 + np.timedelta64(s, "s")
+
+    rows = [
+        (1, "b", 0), (1, "a", 10), (1, "b", 20),   # u1: b>a
+        (2, "a", 0), (2, "b", 0),                   # u2 tie -> a>b
+        (3, "b", 5), (3, "a", 50),                  # u3: b>a
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array([t(r[2]) for r in rows])})
+    sf = _write(tmp_path, "events", tbl)
+    out = type_adoption_order(sf)
+    assert out["adoption_order"].tolist() == ["b>a", "a>b"]
+    assert out["n_users"].tolist() == [2, 1]
