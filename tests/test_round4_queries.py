@@ -7736,3 +7736,98 @@ def test_adoption_order_uses_first_ts_and_tie_type(ray_session,
     out = type_adoption_order(sf)
     assert out["adoption_order"].tolist() == ["b>a", "a>b"]
     assert out["n_users"].tolist() == [2, 1]
+
+
+# ------------------------------------------------ day boundary
+
+
+def test_day_boundary_moves_peak(ray_session, tmp_path):
+    """Three events at 23:00 + one next noon: UTC peak day is day 1
+    (3 events), but at +8 h the 23:00 cluster rolls into day 2."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        day_boundary_sensitivity,
+    )
+
+    def t(s):
+        return np.datetime64(s, "us")
+
+    ts = [t("2024-01-01T23:00:00")] * 3 + [t("2024-01-02T12:00:00")]
+    sf = _write(tmp_path, "events", pa.table({"ts": pa.array(ts)}))
+    out = day_boundary_sensitivity(sf).set_index("offset_hours")
+    assert out.loc[0, "peak_day"] == "2024-01-01"
+    assert out.loc[0, "peak_count"] == 3
+    # +8h: the 23:00 events shift to Jan 2 -> all 4 on one day
+    assert out.loc[8, "peak_day"] == "2024-01-02"
+    assert out.loc[8, "peak_count"] == 4
+
+
+# ------------------------------------------------ cube distinct
+
+
+def test_cube_distinct_nonadditive_levels(ray_session, tmp_path):
+    """User 7 active on two weekdays: by-type distinct is 1 (NOT the
+    sum of cell distincts, which would be 2) — the non-additive trap
+    the detail-pair fold avoids."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        events_cube_distinct_users,
+    )
+
+    mon = np.datetime64("1970-01-05T10:00:00", "us")
+    tue = np.datetime64("1970-01-06T10:00:00", "us")
+    tbl = pa.table({
+        "ts": pa.array([mon, tue]),
+        "event_type": pa.array(["a", "a"]),
+        "user_id": pa.array([7, 7], pa.int64())})
+    sf = _write(tmp_path, "events", tbl)
+    out = events_cube_distinct_users(sf)
+    cell = out[(out["event_type"] == "a") & (out["dow"] != 0)]
+    assert cell["n_users"].tolist() == [1, 1]
+    bytype = out[(out["event_type"] == "a") & (out["dow"] == 0)]
+    assert bytype["n_users"].tolist() == [1]  # not 2
+    total = out[(out["event_type"] == "(all)") & (out["dow"] == 0)]
+    assert total["n_events"].tolist() == [2]
+    assert total["n_users"].tolist() == [1]
+
+
+# ------------------------------------------------ phrase search
+
+
+def test_phrase_positions_adjacency_only(ray_session, tmp_path):
+    """'table hash table hash' has 2 occurrences; 'table x hash' has
+    none; punctuation empties don't shift positions."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        phrase_search_positions,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["table hash table hash",
+                          "table x hash table",
+                          "...table, hash!"])})
+    sf = _write(tmp_path, "documents", docs)
+    out = phrase_search_positions(sf)
+    assert out["n_docs"].tolist() == [2]       # docs 1 and 3
+    assert out["n_occurrences"].tolist() == [3]  # 2 + 0 + 1
+
+
+# ------------------------------------------------ byte-split reader
+
+
+def test_byte_split_survives_records_longer_than_splits(ray_session,
+                                                        tmp_path):
+    """Three long records against 7 byte-splits: several splits land
+    INSIDE one record; the realignment protocol still reads each
+    exactly once (the in-query canary would raise otherwise)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        byte_split_realigned_read,
+    )
+
+    big = 10 ** 17
+    tbl = pa.table({
+        "event_id": pa.array([big + 1, big + 2, big + 3], pa.int64()),
+        "user_id": pa.array([big + 7, big + 8, big + 9], pa.int64())})
+    sf = _write(tmp_path, "events", tbl)
+    out = byte_split_realigned_read(sf)
+    assert out["n"].tolist() == [3]
+    assert out["sum_e"].tolist() == [3 * big + 6]
+    assert out["sum_u"].tolist() == [3 * big + 24]
