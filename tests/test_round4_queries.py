@@ -7831,3 +7831,72 @@ def test_byte_split_survives_records_longer_than_splits(ray_session,
     assert out["n"].tolist() == [3]
     assert out["sum_e"].tolist() == [3 * big + 6]
     assert out["sum_u"].tolist() == [3 * big + 24]
+
+
+# ------------------------------------------------ novelty curve
+
+
+def test_novelty_duplicate_doc_scores_zero(ray_session, tmp_path):
+    """Doc 1 introduces every shingle (novelty 1.0); doc 100, an exact
+    textual copy, introduces none (novelty 0.0) — and they land in
+    deciles 0 and 9 of the id range."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        doc_ngram_novelty_curve,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta"
+    docs = pa.table({
+        "doc_id": pa.array([1, 100], pa.int64()),
+        "text": pa.array([text, text])})
+    sf = _write(tmp_path, "documents", docs)
+    out = doc_ngram_novelty_curve(sf).set_index("decile")
+    assert out.loc[0, "novelty_rate"] == 1.0
+    assert out.loc[9, "novelty_rate"] == 0.0
+    assert out.loc[0, "n_shingles"] == 3  # 7 tokens -> 3 five-grams
+
+
+# ------------------------------------------------ contamination
+
+
+def test_contamination_counts_shared_shingles(ray_session, tmp_path):
+    """src A and src B share exactly the one 5-gram their texts have
+    in common; src C shares nothing."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        source_contamination_matrix,
+    )
+
+    shared = "one two three four five"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "source": pa.array(["A", "B", "C"]),
+        "text": pa.array([shared + " tailA",
+                          shared + " tailB",
+                          "six seven eight nine ten"])})
+    sf = _write(tmp_path, "documents", docs)
+    out = source_contamination_matrix(sf)
+    assert out[["source_a", "source_b"]].values.tolist() == [["A", "B"]]
+    assert out["n_shared"].tolist() == [1]
+
+
+# ------------------------------------------------ prefix containment
+
+
+def test_containment_classifies_truncation_only(ray_session,
+                                                tmp_path):
+    """Doc 1 is a truncation of doc 2 (classified); doc 3 shares the
+    prefix but diverges after it (excluded)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        prefix_containment_dedup,
+    )
+
+    pfx = "c" * 24
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([pfx + "hello", pfx + "hello world",
+                          pfx + "goodbye"])})
+    sf = _write(tmp_path, "documents", docs)
+    out = prefix_containment_dedup(sf)
+    assert out[["short_doc_id", "long_doc_id"]].values.tolist() \
+        == [[1, 2]]
+    assert out["short_chars"].tolist() == [29]
+    assert out["long_chars"].tolist() == [35]
