@@ -7900,3 +7900,71 @@ def test_containment_classifies_truncation_only(ray_session,
         == [[1, 2]]
     assert out["short_chars"].tolist() == [29]
     assert out["long_chars"].tolist() == [35]
+
+
+# ------------------------------------------------ mutual NN
+
+
+def test_mutual_nn_requires_reciprocity(ray_session, tmp_path):
+    """1<->2 are each other's NN (mutual); 3's NN is 2 but 2's is 1,
+    so 3 joins no pair.  The cross-label flag fires on 1<->2."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        mutual_nn_pairs,
+    )
+
+    vecs = [[0.0, 0.0], [1.0, 0.0], [3.0, 0.0]]
+    tbl = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0, 1, 1], pa.int32())})
+    sf = _write(tmp_path, "embeddings", tbl)
+    out = mutual_nn_pairs(sf)
+    assert out[["vec_a", "vec_b"]].values.tolist() == [[1, 2]]
+    assert out["d2"].tolist() == [10 ** 12]
+    assert out["cross_label"].tolist() == [True]
+
+
+# ------------------------------------------------ medoids
+
+
+def test_medoid_is_central_point_not_mean(ray_session, tmp_path):
+    """Points at 0, 1, 5 on a line: the mean is 2 (no data point) but
+    the medoid is the point 1 — min total squared distance."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        label_medoids,
+    )
+
+    vecs = [[0.0], [1.0], [5.0]]
+    tbl = pa.table({
+        "vec_id": pa.array([10, 11, 12], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([4, 4, 4], pa.int32())})
+    sf = _write(tmp_path, "embeddings", tbl)
+    out = label_medoids(sf)
+    assert out["medoid_vec_id"].tolist() == [11]
+    # totals: p0: 1+25=26; p1: 1+16=17; p5: 25+16=41 (in 1e12 units)
+    assert out["total_d2"].tolist() == [17 * 10 ** 12]
+    assert out["n_members"].tolist() == [3]
+
+
+# ------------------------------------------------ RRF fusion
+
+
+def test_rrf_fuses_two_rankings(ray_session, tmp_path):
+    """Doc 1 wins ranking-1 (most tokens), doc 2 wins ranking-2 (most
+    distinct); doc 3 trails both, so fused order is 1, 2, 3 with the
+    hand-computed reciprocal scores."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        rrf_rank_fusion,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a a a a a b", "a b c d e", "a b"])})
+    sf = _write(tmp_path, "documents", docs)
+    out = rrf_rank_fusion(sf).set_index("doc_id")
+    assert out.loc[1, "rank1"] == 1 and out.loc[1, "rank2"] == 2
+    assert out.loc[2, "rank1"] == 2 and out.loc[2, "rank2"] == 1
+    assert out.loc[3, "rank1"] == 3 and out.loc[3, "rank2"] == 3
+    assert abs(out.loc[1, "rrf_score"] - (1 / 61 + 1 / 62)) < 1e-15
+    assert out.index.tolist()[:2] == [1, 2]
