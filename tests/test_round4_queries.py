@@ -7968,3 +7968,106 @@ def test_rrf_fuses_two_rankings(ray_session, tmp_path):
     assert out.loc[3, "rank1"] == 3 and out.loc[3, "rank2"] == 3
     assert abs(out.loc[1, "rrf_score"] - (1 / 61 + 1 / 62)) < 1e-15
     assert out.index.tolist()[:2] == [1, 2]
+
+
+# ------------------------------------------------ seasonal naive
+
+
+def test_seasonal_naive_pairs_same_weekday(ray_session, tmp_path):
+    """Counts 5 (day d), 8 (d+7), 2 (d+14): pairs are (8 vs 5) and
+    (2 vs 8) -> sum_abs_err = 3 + 6 = 9, bias = 3 - 6 = -3."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        seasonal_naive_backtest,
+    )
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    ts = ([t0] * 5
+          + [t0 + np.timedelta64(7, "D")] * 8
+          + [t0 + np.timedelta64(14, "D")] * 2)
+    tbl = pa.table({"ts": pa.array(ts),
+                    "event_type": pa.array(["a"] * len(ts))})
+    sf = _write(tmp_path, "events", tbl)
+    out = seasonal_naive_backtest(sf)
+    assert out["n_pairs"].tolist() == [2]
+    assert out["sum_abs_err"].tolist() == [9]
+    assert out["bias"].tolist() == [-3]
+    assert out["mae"].tolist() == [4.5]
+
+
+# ------------------------------------------------ event study
+
+
+def test_event_study_baseline_and_lift(ray_session, tmp_path):
+    """Pre-window days at 100 and 200 cents (baseline 150); event-day
+    revenue 500 -> lift +350; outside-window rows excluded."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        event_study_window,
+    )
+
+    def d(s):
+        return np.datetime64(s, "us")
+
+    orders = pa.table({
+        "o_orderdate": pa.array([d("1996-06-29"), d("1996-06-25"),
+                                 d("1996-07-01"), d("1995-01-01")]),
+        "o_totalprice": pa.array([1.00, 2.00, 5.00, 99.0])})
+    sf = _write(tmp_path, "orders", orders)
+    out = event_study_window(sf).set_index("offset_days")
+    assert sorted(out.index.tolist()) == [-6, -2, 0]
+    assert out.loc[0, "cents"] == 500
+    assert out.loc[0, "baseline_cents"] == 150.0
+    assert out.loc[0, "lift_cents"] == 350.0
+
+
+# ------------------------------------------------ freshness SLA
+
+
+def test_freshness_relative_to_watermark(ray_session, tmp_path):
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        freshness_sla_audit,
+    )
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    tbl = pa.table({
+        "ts": pa.array([t0, t0 - np.timedelta64(31, "m"),
+                        t0 - np.timedelta64(5, "m")]),
+        "event_type": pa.array(["fresh", "stale", "ok"])})
+    sf = _write(tmp_path, "events", tbl)
+    out = freshness_sla_audit(sf).set_index("event_type")
+    assert out.loc["fresh", "staleness_minutes"] == 0
+    assert out.loc["stale", "staleness_minutes"] == 31
+    assert bool(out.loc["stale", "breaches_30m"])
+    assert not bool(out.loc["ok", "breaches_30m"])
+
+
+# ------------------------------------------------ priority inversion
+
+
+def test_priority_inversion_even_median_and_flag(ray_session,
+                                                 tmp_path):
+    """Priority A ships in {1, 3} days (median 2.0 via mean-of-middles)
+    vs B's constant 1 day: A is inverted vs B; B (last) is not."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        priority_sla_inversion,
+    )
+
+    def d(s):
+        return np.datetime64(s, "us")
+
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array([d("1995-01-01")] * 3),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT",
+                                     "2-HIGH"])})
+    li = pa.table({
+        "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "l_shipdate": pa.array([d("1995-01-02"), d("1995-01-04"),
+                                d("1995-01-02")])})
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    out = priority_sla_inversion(str(tmp_path)).set_index(
+        "o_orderpriority")
+    assert out.loc["1-URGENT", "median_lag_days"] == 2.0
+    assert out.loc["2-HIGH", "median_lag_days"] == 1.0
+    assert bool(out.loc["1-URGENT", "inverted_vs_next"])
+    assert not bool(out.loc["2-HIGH", "inverted_vs_next"])
