@@ -8110,36 +8110,6 @@ def test_readability_consonant_word_counts_one_syllable(ray_session,
     assert out["n_syllables"].tolist() == [2]  # min 1 per word
 
 
-# ------------------------------------------------ compression bands
-
-
-def test_compression_separates_repetition_from_noise(ray_session,
-                                                     tmp_path):
-    """'ab'*500 deflates to a tiny ratio (band 0); an incompressible
-    pseudo-random string stays near 1.0 (band >= 7) — the quality
-    split the filter exists for."""
-    import zlib
-
-    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
-        compression_quality_bands,
-    )
-
-    rng = np.random.default_rng(3)
-    noise = "".join(chr(33 + int(c)) for c in rng.integers(0, 90, 1000))
-    rep = "ab" * 500
-    docs = pa.table({
-        "doc_id": pa.array([1, 2], pa.int64()),
-        "text": pa.array([rep, noise])})
-    sf = _write(tmp_path, "documents", docs)
-    out = compression_quality_bands(sf).set_index("band")
-    rep_band = min(out.index)
-    noise_band = max(out.index)
-    assert rep_band == 0
-    assert noise_band >= 7
-    # cross-check one ratio against zlib directly
-    assert (len(zlib.compress(rep.encode(), 6)) / 1000) < 0.1
-
-
 # ------------------------------------------------ norm clipping
 
 
