@@ -8131,3 +8131,62 @@ def test_norm_clip_threshold_and_count(ray_session, tmp_path):
     assert out["n_vectors"].tolist() == [10]
     assert out["p99_sq_norm"].tolist() == [100 * 10 ** 12]
     assert out["n_clipped"].tolist() == [0]
+
+
+# ------------------------------------------------ table diff
+
+
+def test_table_diff_rule_classes(ray_session, tmp_path):
+    """okey 101 is removed, 97 changes cents by +1, 1 and 2 stay
+    identical, and five synthetic keys are added."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        table_diff_classification,
+    )
+
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 97, 101], pa.int64()),
+        "o_totalprice": pa.array([1.0, 2.0, 3.0, 4.0]),
+        "o_orderstatus": pa.array(["F", "O", "F", "O"])})
+    sf = _write(tmp_path, "orders", orders)
+    out = table_diff_classification(sf)
+    assert out["added"].tolist() == [5]
+    assert out["removed"].tolist() == [1]
+    assert out["changed"].tolist() == [1]
+    assert out["changed_cents"].tolist() == [1]
+    assert out["changed_status"].tolist() == [0]
+    assert out["identical"].tolist() == [2]
+
+
+# ------------------------------------------------ CUPED
+
+
+def test_cuped_removes_preperiod_variance(ray_session, tmp_path):
+    """y = 2x exactly for every user -> theta = 2 and BOTH arms'
+    adjusted means collapse to 2 * pooled mean(x), even though the raw
+    means differ (the whole point of CUPED)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        ab_cuped_adjusted_lift,
+    )
+
+    pre_t = np.datetime64("2024-01-10T00:00:00", "us")
+    post_t = np.datetime64("2024-01-20T00:00:00", "us")
+    # arm A users (md5 first hex <= '7'): 6, 9, 11; arm B: 1, 2, 3
+    users_x = {6: 1.0, 9: 2.0, 11: 3.0, 1: 10.0, 2: 20.0, 3: 30.0}
+    ts, uid, val = [], [], []
+    for u, x in users_x.items():
+        ts += [pre_t, post_t]
+        uid += [u, u]
+        val += [x, 2 * x]
+    tbl = pa.table({"ts": pa.array(ts),
+                    "user_id": pa.array(uid, pa.int64()),
+                    "value": pa.array(val)})
+    sf = _write(tmp_path, "events", tbl)
+    out = ab_cuped_adjusted_lift(sf).set_index("arm")
+    assert abs(out.loc["A", "theta"] - 2.0) < 1e-12
+    pooled_x_cents = (1 + 2 + 3 + 10 + 20 + 30) * 100 / 6
+    assert abs(out.loc["A", "mean_y_adjusted"]
+               - 2 * pooled_x_cents) < 1e-9
+    assert abs(out.loc["B", "mean_y_adjusted"]
+               - 2 * pooled_x_cents) < 1e-9
+    # raw means differ by construction
+    assert out.loc["B", "mean_y_cents"] > out.loc["A", "mean_y_cents"]
