@@ -275,7 +275,7 @@ def main():
     # --scaling writes it; BASELINE.md documents the methodology) so a
     # default bench JSON carries the north-rule evidence inline
     rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "SCALING_r04_run7.json")
+                            "SCALING_r04_run8.json")
     try:
         with open(rec_path) as fh:
             rec = json.load(fh)
