@@ -8190,3 +8190,30 @@ def test_cuped_removes_preperiod_variance(ray_session, tmp_path):
                - 2 * pooled_x_cents) < 1e-9
     # raw means differ by construction
     assert out.loc["B", "mean_y_cents"] > out.loc["A", "mean_y_cents"]
+
+
+# ------------------------------------------------ retention curve
+
+
+def test_retention_curve_exact_lags(ray_session, tmp_path):
+    """User active on days 1, 2, 4: lag-1 retains day-1 (of 3 user-
+    days), lag-2 retains days 2 (2->4), lag-3 retains day 1 (1->4)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        retention_curve_by_lag,
+    )
+
+    def t(day):
+        return (np.datetime64("1970-01-01", "us")
+                + np.timedelta64(day * 24 + 9, "h"))
+
+    tbl = pa.table({
+        "ts": pa.array([t(1), t(1), t(2), t(4)]),  # day 1 duplicated
+        "user_id": pa.array([5, 5, 5, 5], pa.int64())})
+    sf = _write(tmp_path, "events", tbl)
+    out = retention_curve_by_lag(sf).set_index("lag_days")
+    assert (out["n_user_days"] == 3).all()
+    assert out.loc[1, "n_retained"] == 1   # 1->2
+    assert out.loc[2, "n_retained"] == 1   # 2->4
+    assert out.loc[3, "n_retained"] == 1   # 1->4
+    assert out.loc[4, "n_retained"] == 0
+    assert abs(out.loc[1, "retention_rate"] - 1 / 3) < 1e-15
