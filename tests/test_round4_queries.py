@@ -8217,3 +8217,29 @@ def test_retention_curve_exact_lags(ray_session, tmp_path):
     assert out.loc[3, "n_retained"] == 1   # 1->4
     assert out.loc[4, "n_retained"] == 0
     assert abs(out.loc[1, "retention_rate"] - 1 / 3) < 1e-15
+
+
+# ------------------------------------------------ token dispersion
+
+
+def test_token_dispersion_separates_clumped_from_even(ray_session,
+                                                      tmp_path):
+    """'topic' appears 4x in one doc of four (clumped: VMR = 3.0 by
+    hand), 'the' once per doc (perfectly even: VMR = 0) — the
+    topical/function-word split the statistic exists for."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        token_dispersion_topk,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["the topic topic topic topic",
+                          "the x", "the y", "the z"])})
+    sf = _write(tmp_path, "documents", docs)
+    out = token_dispersion_topk(sf).set_index("token")
+    # topic: counts (4,0,0,0), mean 1, var = (16 - 4)/3 = 4 -> VMR 4.0
+    assert out.loc["topic", "total"] == 4
+    assert out.loc["topic", "docs_present"] == 1
+    assert abs(out.loc["topic", "vmr"] - 4.0) < 1e-12
+    assert out.loc["the", "total"] == 4
+    assert out.loc["the", "vmr"] == 0.0
