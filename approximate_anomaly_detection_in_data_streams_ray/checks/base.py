@@ -75,6 +75,12 @@ class ValidationConfig:
     drift_chain_repos: bool = False
     # hash buckets for the uniqueness dup scan (low-cardinality groupby)
     uniqueness_buckets: int = 64
+    # referential route: dimensions with at most this many keys broadcast
+    # (ray.put once, pc.is_in per batch); above it the check switches to
+    # the bucketed anti-semi join exchange (stages/joins.py) so the dim
+    # never materializes on the driver.  ~4e6 string keys ≈ a few hundred
+    # MB broadcast object — comfortably under a worker heap
+    referential_broadcast_max_keys: int = 4_000_000
     # buckets per key-file row group AND per exchange scan task: the key
     # writer aligns row-group boundaries to multiples of this, so a scan
     # task reading an aligned bucket range decodes exactly its own rows

@@ -66,6 +66,48 @@ def make_ref_lookup(dims_ref):
     return lookup
 
 
+def referential_violations_bucketed(features_ds, repos_path, commits_path,
+                                    buckets: int = 32,
+                                    scratch_dir: str | None = None):
+    """Both-sides-large referential path: two bucketed anti-semi joins
+    through ``stages.joins.bucketed_anti_semi_join`` instead of a driver
+    broadcast — for dimension tables whose key sets exceed
+    ``ValidationConfig.referential_broadcast_max_keys``.  The dimension
+    never touches the driver: only its key column streams into the
+    B-bucket exchange.  Emits the same violations schema (and null-key
+    semantics) as the broadcast path, so the two routes are
+    interchangeable row-for-row."""
+    from ..stages.joins import bucketed_anti_semi_join
+
+    def to_viol(check: str, col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "row_ref" not in b.column_names:
+                return pa.table({
+                    "check": pa.array([], pa.string()),
+                    "partition_key": pa.array([], pa.string()),
+                    "row_ref": pa.array([], pa.string()),
+                    "detail": pa.array([], pa.string())})
+            return pa.table({
+                "check": pa.array([check] * b.num_rows, pa.string()),
+                "partition_key": b["repo"].cast(pa.string()),
+                "row_ref": b["row_ref"].cast(pa.string()),
+                "detail": pa.array(
+                    [str(v) for v in b[col].to_pylist()], pa.string())})
+        return fn
+
+    bad_repo = bucketed_anti_semi_join(
+        features_ds, ray.data.read_parquet(repos_path, columns=["repo"]),
+        key="repo", B=buckets, scratch_dir=scratch_dir,
+    ).map_batches(to_viol("referential_repo", "repo"),
+                  batch_format="pyarrow")
+    bad_commit = bucketed_anti_semi_join(
+        features_ds, ray.data.read_parquet(commits_path, columns=["commit"]),
+        key="commit", B=buckets, scratch_dir=scratch_dir,
+    ).map_batches(to_viol("referential_commit", "commit"),
+                  batch_format="pyarrow")
+    return bad_repo.union(bad_commit)
+
+
 @register_check("referential")
 def run_referential_check(features_ds, cfg: ValidationConfig, ctx):
     import glob
@@ -90,16 +132,29 @@ def run_referential_check(features_ds, cfg: ValidationConfig, ctx):
             features_ds = ray.data.read_parquet(
                 ctx["features_path"], columns=["repo", "commit", "row_ref"]
             )
-        repos = pq.read_table(ctx["repos_path"], columns=["repo"])
-        commits = pq.read_table(ctx["commits_path"], columns=["commit"])
-        dims_ref = ray.put(
-            (repos["repo"].to_pylist(), commits["commit"].to_pylist())
+        # route on dimension size from the parquet FOOTERS (the decision
+        # must not itself read an unbroadcastable dim onto the driver)
+        n_dim_keys = max(
+            pq.ParquetFile(ctx["repos_path"]).metadata.num_rows,
+            pq.ParquetFile(ctx["commits_path"]).metadata.num_rows,
         )
-        violations = features_ds.map_batches(
-            make_ref_lookup(dims_ref),
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-        )
+        if n_dim_keys > cfg.referential_broadcast_max_keys:
+            violations = referential_violations_bucketed(
+                features_ds, ctx["repos_path"], ctx["commits_path"],
+                buckets=cfg.uniqueness_buckets,
+                scratch_dir=ctx.get("scratch_dir"),
+            )
+        else:
+            repos = pq.read_table(ctx["repos_path"], columns=["repo"])
+            commits = pq.read_table(ctx["commits_path"], columns=["commit"])
+            dims_ref = ray.put(
+                (repos["repo"].to_pylist(), commits["commit"].to_pylist())
+            )
+            violations = features_ds.map_batches(
+                make_ref_lookup(dims_ref),
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+            )
         vdf = violations.to_pandas()
     verdict_rows = []
     for (repo, check), g in vdf.groupby(["partition_key", "check"]):

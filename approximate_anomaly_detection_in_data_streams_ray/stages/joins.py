@@ -182,6 +182,62 @@ def bucketed_asof_join(left, right, on: str, by: str, B: int = 32,
     return buckets.map_batches(join_bucket, batch_format="pyarrow", batch_size=2)
 
 
+def bucketed_anti_semi_join(left, right, key: str, B: int = 32,
+                            scratch_dir: str | None = None):
+    """ANTI-SEMI join: left rows whose *key* appears NOWHERE in *right* —
+    the both-sides-large referential check (``checks/referential.py``
+    routes here when the dimension key set is too big to broadcast).
+
+    Same B-bucket Parquet exchange as :func:`bucketed_hash_join`: each
+    side streams once into bucket-partitioned files
+    (``stable_hash64(key) % B``), then B independent tasks read one
+    bucket from both sides and filter with a vectorized ``pc.is_in``.
+    Only the *key* column of the right side crosses the exchange.
+
+    Partitioning assumptions: all rows sharing a key land in one bucket,
+    and one bucket's right-side KEY SET (not its rows) fits in a worker's
+    heap — raise ``B`` if a bucket's distinct-key count exceeds that.
+    NULL keys never match anything, so they are anti-join survivors:
+    they hash with the empty string's bucket, and the in-bucket mask is
+    ``fill_null(True)`` — the same null semantics as the broadcast path.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    fsys, root = _scratch_root(scratch_dir, "antijoin_")
+    lpath, rpath = f"{root}/l", f"{root}/r"
+    _write_bucketed(left, key, B, lpath, fsys)
+    _write_bucketed(right.select_columns([key]), key, B, rpath, fsys)
+
+    def anti_bucket(b: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        outs = []
+        for bucket in b["bucket"].to_pylist():
+            lf = _bucket_files(fsys, lpath, bucket)
+            if not lf:
+                continue
+            lt = pads.dataset(lf, filesystem=fsys).to_table()
+            lt = lt.drop_columns(["bucket"]) if "bucket" in lt.column_names else lt
+            rf = _bucket_files(fsys, rpath, bucket)
+            if rf:
+                keys = pads.dataset(rf, filesystem=fsys).to_table(
+                    columns=[key])[key]
+                keys = keys.combine_chunks().drop_null()
+                miss = pc.fill_null(
+                    pc.invert(pc.is_in(lt[key], value_set=keys)), True)
+                lt = lt.filter(miss)
+            if lt.num_rows:
+                outs.append(lt)
+        if not outs:
+            return pa.table({})
+        return pa.concat_tables(outs, promote_options="default")
+
+    buckets = ray.data.from_items([{"bucket": i} for i in range(B)])
+    return buckets.map_batches(anti_bucket, batch_format="pyarrow",
+                               batch_size=2)
+
+
 def broadcast_range_join(ds, intervals: pa.Table, on: str,
                          start: str = "start", end: str = "end"):
     """RANGE (interval) JOIN: match each left row's ``on`` value against

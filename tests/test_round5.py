@@ -1,0 +1,116 @@
+"""Round-5 additions: large-dimension referential fallback (bucketed
+anti-semi join) must match the broadcast route row-for-row, and the
+threshold in ``ValidationConfig`` must route between them."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _planted_features(n: int = 5000, seed: int = 7):
+    """Features-shaped frame (repo, commit, row_ref) with known orphans:
+    orphan repos, orphan commits, and one NULL in each key column."""
+    rng = np.random.default_rng(seed)
+    repos = [f"org/repo{i}" for i in range(40)]
+    commits = [f"c{i:08x}" for i in range(300)]
+    repo = rng.choice(repos, n).astype(object)
+    commit = rng.choice(commits, n).astype(object)
+    row_ref = np.array([f"r{i}" for i in range(n)], dtype=object)
+    # plant orphans: repos / commits absent from the dimension tables
+    repo[10] = "org/orphan-a"
+    repo[11] = "org/orphan-b"
+    commit[20] = "deadbeef"
+    commit[21] = "cafef00d"
+    repo[30] = None
+    commit[31] = None
+    feats = pd.DataFrame({"repo": repo, "commit": commit, "row_ref": row_ref})
+    dims = {"repos": pd.DataFrame({"repo": repos}),
+            "commits": pd.DataFrame({"commit": commits})}
+    expected_bad_refs = {"r10", "r11", "r30"}, {"r20", "r21", "r31"}
+    return feats, dims, expected_bad_refs
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def ref_corpus(tmp_path_factory):
+    base = tmp_path_factory.mktemp("ref5")
+    feats, dims, expected = _planted_features()
+    fpath = str(base / "features.parquet")
+    pq.write_table(pa.Table.from_pandas(feats, preserve_index=False), fpath)
+    rpath, cpath = str(base / "repos.parquet"), str(base / "commits.parquet")
+    pq.write_table(pa.Table.from_pandas(dims["repos"], preserve_index=False), rpath)
+    pq.write_table(pa.Table.from_pandas(dims["commits"], preserve_index=False), cpath)
+    return fpath, rpath, cpath, expected
+
+
+def _broadcast_route(fpath, rpath, cpath):
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.checks.referential import (
+        make_ref_lookup,
+    )
+
+    feats = ray.data.read_parquet(fpath, columns=["repo", "commit", "row_ref"])
+    repos = pq.read_table(rpath, columns=["repo"])
+    commits = pq.read_table(cpath, columns=["commit"])
+    dims_ref = ray.put((repos["repo"].to_pylist(), commits["commit"].to_pylist()))
+    return feats.map_batches(make_ref_lookup(dims_ref),
+                             batch_format="pyarrow").to_pandas()
+
+
+def _bucketed_route(fpath, rpath, cpath, tmpdir):
+    import ray
+
+    from approximate_anomaly_detection_in_data_streams_ray.checks.referential import (
+        referential_violations_bucketed,
+    )
+
+    feats = ray.data.read_parquet(fpath, columns=["repo", "commit", "row_ref"])
+    return referential_violations_bucketed(
+        feats, rpath, cpath, buckets=8, scratch_dir=tmpdir).to_pandas()
+
+
+def test_bucketed_referential_matches_broadcast(ray_session, ref_corpus, tmp_path):
+    fpath, rpath, cpath, (bad_repo_refs, bad_commit_refs) = ref_corpus
+    bc = _broadcast_route(fpath, rpath, cpath)
+    bk = _bucketed_route(fpath, rpath, cpath, str(tmp_path))
+    # both routes find exactly the planted orphans (incl. the null keys)…
+    assert set(bc[bc["check"] == "referential_repo"]["row_ref"]) == bad_repo_refs
+    assert set(bc[bc["check"] == "referential_commit"]["row_ref"]) == bad_commit_refs
+    # …and are row-for-row identical
+    pd.testing.assert_frame_equal(_canon(bc), _canon(bk))
+
+
+def test_referential_threshold_routes_to_bucketed(ray_session, ref_corpus, tmp_path):
+    """run_referential_check with the threshold forced low must produce
+    the same verdicts + violations as the default broadcast route."""
+    from approximate_anomaly_detection_in_data_streams_ray.checks.base import (
+        ValidationConfig,
+    )
+    from approximate_anomaly_detection_in_data_streams_ray.checks.referential import (
+        run_referential_check,
+    )
+
+    fpath, rpath, cpath, _ = ref_corpus
+    outs = []
+    for max_keys in (4_000_000, 0):  # broadcast route, then bucketed route
+        cfg = ValidationConfig(referential_broadcast_max_keys=max_keys,
+                               uniqueness_buckets=8)
+        ctx = {"features_path": fpath, "repos_path": rpath,
+               "commits_path": cpath, "out_dir": str(tmp_path / f"o{max_keys}"),
+               "scratch_dir": str(tmp_path / f"s{max_keys}")}
+        violations, verdict_rows = run_referential_check(None, cfg, ctx)
+        vdf = violations.to_pandas() if hasattr(violations, "to_pandas") else violations
+        outs.append((vdf, pd.DataFrame(verdict_rows)))
+    pd.testing.assert_frame_equal(_canon(outs[0][0]), _canon(outs[1][0]))
+    pd.testing.assert_frame_equal(_canon(outs[0][1]), _canon(outs[1][1]))
