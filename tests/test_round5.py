@@ -114,3 +114,20 @@ def test_referential_threshold_routes_to_bucketed(ray_session, ref_corpus, tmp_p
         outs.append((vdf, pd.DataFrame(verdict_rows)))
     pd.testing.assert_frame_equal(_canon(outs[0][0]), _canon(outs[1][0]))
     pd.testing.assert_frame_equal(_canon(outs[0][1]), _canon(outs[1][1]))
+
+
+def test_drift_events_approx_recall_contract(ray_session):
+    """Seeded ApproxMCOD on the exact twin's sub-streams; the query's own
+    contract raises below 0.7 recall, so a clean run + column check is
+    the assertion (reference methodology: AccuracyComparator.java:20-37)."""
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        drift_events_approx,
+    )
+
+    out = drift_events_approx("/root/testdata/sf0.001")
+    assert {"event_type", "n_events", "n_exact_outliers",
+            "n_approx_outliers", "n_common_outliers",
+            "recall"} <= set(out.columns)
+    assert len(out) > 0
+    has_exact = out["n_exact_outliers"] > 0
+    assert (out.loc[has_exact, "recall"] >= 0.7).all()
