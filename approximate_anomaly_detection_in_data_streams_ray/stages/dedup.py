@@ -138,6 +138,35 @@ def _run_bounds(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return starts, ends
 
 
+def sig_agreement_pairs(g: pd.DataFrame, id_col: str = "doc_id",
+                        threshold: float = 0.8) -> pd.DataFrame:
+    """Candidate pairs from one bucket partition's (id, bucket_key, sig)
+    rows: sort by bucket_key, detect equal-key runs vectorized, and only
+    the rare multi-member runs get pairwise signature comparison.  Shared
+    by the one-shot path (:func:`minhash_near_dup_pairs`) and the
+    checkpointed per-item path (``pipelines/dedup_resume.py``)."""
+    if len(g) < 2:
+        return _empty_pairs("est_jaccard")
+    g = g.sort_values(["bucket_key", id_col], kind="stable")
+    starts, ends = _run_bounds(g["bucket_key"].to_numpy())
+    ids = g[id_col].to_numpy()
+    sig_col = g["sig"].to_numpy()
+    out_a, out_b, out_j = [], [], []
+    for s0, s1 in zip(starts, ends):
+        if s1 - s0 < 2:
+            continue
+        sigs = [np.frombuffer(x, dtype=np.uint64) for x in sig_col[s0:s1]]
+        for i in range(s1 - s0):
+            for j in range(i + 1, s1 - s0):
+                if ids[s0 + i] == ids[s0 + j]:
+                    continue
+                jac = float((sigs[i] == sigs[j]).mean())
+                if jac >= threshold:
+                    out_a.append(ids[s0 + i]); out_b.append(ids[s0 + j])
+                    out_j.append(jac)
+    return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
+
+
 def minhash_near_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                            threshold: float = 0.8, num_perm: int = 64,
                            bands: int = 16, concurrency: int | None = None,
@@ -148,29 +177,7 @@ def minhash_near_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     P = _n_partitions(n_partitions)
 
     def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
-        """One call per coarse partition (not per LSH bucket): sort by
-        bucket_key, detect equal-key runs vectorized, and only the rare
-        multi-member runs get pairwise signature comparison."""
-        if len(g) < 2:
-            return _empty_pairs("est_jaccard")
-        g = g.sort_values(["bucket_key", id_col], kind="stable")
-        starts, ends = _run_bounds(g["bucket_key"].to_numpy())
-        ids = g[id_col].to_numpy()
-        sig_col = g["sig"].to_numpy()
-        out_a, out_b, out_j = [], [], []
-        for s0, s1 in zip(starts, ends):
-            if s1 - s0 < 2:
-                continue
-            sigs = [np.frombuffer(x, dtype=np.uint64) for x in sig_col[s0:s1]]
-            for i in range(s1 - s0):
-                for j in range(i + 1, s1 - s0):
-                    if ids[s0 + i] == ids[s0 + j]:
-                        continue
-                    jac = float((sigs[i] == sigs[j]).mean())
-                    if jac >= threshold:
-                        out_a.append(ids[s0 + i]); out_b.append(ids[s0 + j])
-                        out_j.append(jac)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
+        return sig_agreement_pairs(g, id_col=id_col, threshold=threshold)
 
     sig_stage = MinHashSignatures(num_perm=num_perm, bands=bands,
                                   id_col=id_col, text_col=text_col)
@@ -330,6 +337,29 @@ def _empty_verify() -> pd.DataFrame:
                          "jaccard": pd.Series(dtype="float64")})
 
 
+def verify_pairs_with_texts(texts: dict, candidate_pairs: pd.DataFrame,
+                            n: int = 5, threshold: float = 0.8) -> pd.DataFrame:
+    """Exact n-gram Jaccard over an in-memory {id: text} map — the local
+    verify kernel shared by :func:`ngram_jaccard_verify` (broadcast-collect
+    route) and the checkpointed per-item route
+    (``pipelines/dedup_resume.py``)."""
+    empty = np.empty(0, dtype=np.uint64)
+    shingles = {i: np.unique(char_shingle_hashes(t or "", n)) for i, t in texts.items()}
+    ids_a = candidate_pairs["id_a"].to_numpy()
+    ids_b = candidate_pairs["id_b"].to_numpy()
+    rows = []
+    for a_id, b_id in zip(ids_a, ids_b):
+        a, b = shingles.get(a_id, empty), shingles.get(b_id, empty)
+        inter = int(np.intersect1d(a, b, assume_unique=True).size)
+        union = max(1, a.size + b.size - inter)
+        jac = inter / union
+        if jac >= threshold:
+            rows.append({"id_a": a_id, "id_b": b_id, "n_inter": inter,
+                         "n_union": int(union), "jaccard": jac})
+    out = pd.DataFrame(rows, columns=_VERIFY_COLS)
+    return out if len(out) else _empty_verify()
+
+
 def ngram_jaccard_verify(ds, candidate_pairs: pd.DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", n: int = 5,
                          threshold: float = 0.8) -> pd.DataFrame:
@@ -348,21 +378,8 @@ def ngram_jaccard_verify(ds, candidate_pairs: pd.DataFrame, id_col: str = "doc_i
         lambda b: b.filter(pc.is_in(b[id_col], value_set=vs)).select([id_col, text_col]),
         batch_format="pyarrow",
     ).to_pandas().set_index(id_col)[text_col].to_dict()
-    empty = np.empty(0, dtype=np.uint64)
-    shingles = {i: np.unique(char_shingle_hashes(t or "", n)) for i, t in texts.items()}
-    ids_a = candidate_pairs["id_a"].to_numpy()
-    ids_b = candidate_pairs["id_b"].to_numpy()
-    rows = []
-    for a_id, b_id in zip(ids_a, ids_b):
-        a, b = shingles.get(a_id, empty), shingles.get(b_id, empty)
-        inter = int(np.intersect1d(a, b, assume_unique=True).size)
-        union = max(1, a.size + b.size - inter)
-        jac = inter / union
-        if jac >= threshold:
-            rows.append({"id_a": a_id, "id_b": b_id, "n_inter": inter,
-                         "n_union": int(union), "jaccard": jac})
-    out = pd.DataFrame(rows, columns=_VERIFY_COLS)
-    return out if len(out) else _empty_verify()
+    return verify_pairs_with_texts(texts, candidate_pairs, n=n,
+                                   threshold=threshold)
 
 
 def ngram_jaccard_verify_distributed(ds, candidate_pairs, id_col: str = "doc_id",

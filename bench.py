@@ -538,6 +538,150 @@ def resume_bench():
     }))
 
 
+def _dedup_victim(out_dir: str):
+    """Child process for ``--resume-dedup``: run (or resume) the
+    checkpointed near-dup pipeline over the sf documents table into
+    *out_dir* and print one JSON line."""
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    mult = int(os.environ.get("GRAFT_DEDUP_MULT", "1"))
+    init_ray(ncpu)
+    warm_workers(ncpu)
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.dedup_resume import (
+        run_near_dup_dedup,
+    )
+
+    doc_source = os.path.join(sf_dir, "documents.parquet")
+    if mult > 1:
+        # volume-multiplied corpus: M id-shifted copies (copies of a doc
+        # are near-dups of each other by construction — the pair tables
+        # grow accordingly; both legs read the SAME materialized file)
+        root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else "/tmp"
+        big = os.path.join(root, f"aads_dedup_{os.path.basename(sf_dir)}_x{mult}.parquet")
+        if not os.path.exists(big):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(doc_source, columns=["doc_id", "text"])
+            ids = t["doc_id"].to_numpy()
+            copies = [pa.table({"doc_id": pa.array(ids + k * 1_000_000_000),
+                                "text": t["text"]}) for k in range(mult)]
+            tmp = big + f".tmp-{os.getpid()}"
+            pq.write_table(pa.concat_tables(copies), tmp)
+            os.replace(tmp, big)
+        doc_source = big
+
+    t0 = time.time()
+    s = run_near_dup_dedup(doc_source, out_dir,
+                           n_items=int(os.environ.get("GRAFT_DEDUP_ITEMS", "32")))
+    import ray
+
+    ray.shutdown()
+    print(json.dumps({"sec": round(time.time() - t0, 3), **s}))
+
+
+def resume_dedup_bench():
+    """Kill-and-resume for the DEDUP family (round-4 verdict item 3):
+    cold leg, SIGKILL once ``GRAFT_KILL_FRAC`` of the verified-pairs items
+    have checkpointed, resume leg; verify the resumed verified-pairs and
+    clusters tables match the cold run row-for-row (0 row loss)."""
+    import glob as globmod
+    import shutil
+    import tempfile
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")  # noqa: F841
+    kill_frac = float(os.environ.get("GRAFT_KILL_FRAC", "0.8"))
+    repeats = max(1, int(os.environ.get("GRAFT_RESUME_REPEATS", "2")))
+    n_items = int(os.environ.get("GRAFT_DEDUP_ITEMS", "32"))
+    root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+
+    def victim(out_dir: str, wait: bool = True):
+        p = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--dedup-victim", out_dir],
+            env=dict(os.environ), stdout=subprocess.PIPE, text=True)
+        if not wait:
+            return p
+        out, _ = p.communicate()
+        if p.returncode != 0:
+            raise RuntimeError(f"dedup victim failed rc={p.returncode}")
+        return json.loads(out.strip().splitlines()[-1])
+
+    def table_fingerprint(d: str, pattern: str, cols):
+        import pyarrow.dataset as pads
+
+        files = sorted(globmod.glob(os.path.join(d, pattern)))
+        if not files:
+            return (0, "")
+        t = (pads.dataset(files).to_table(columns=cols).to_pandas()
+             .sort_values(cols).reset_index(drop=True))
+        import hashlib
+
+        h = hashlib.sha256(t.to_csv(index=False).encode()).hexdigest()
+        return (len(t), h)
+
+    def one_experiment() -> dict:
+        base = tempfile.mkdtemp(prefix="aads_dedupres_", dir=root)
+        out_cold = os.path.join(base, "cold")
+        out_kill = os.path.join(base, "kill")
+        try:
+            wait_healthy(ncpu=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+            cold = victim(out_cold)
+
+            p = victim(out_kill, wait=False)
+            target = max(1, int(kill_frac * n_items))
+            marker_glob = os.path.join(out_kill, "_manifest", "pairs__*.json")
+            deadline = time.time() + 30 * 60
+            while time.time() < deadline:
+                if len(globmod.glob(marker_glob)) >= target:
+                    break
+                if p.poll() is not None:
+                    raise RuntimeError("dedup victim finished before the "
+                                       "kill point — lower GRAFT_KILL_FRAC")
+                time.sleep(0.05)
+            p.kill()
+            p.wait()
+            items_done_at_kill = len(globmod.glob(marker_glob))
+
+            resumed = victim(out_kill)
+
+            cold_pairs = table_fingerprint(
+                out_cold, "pairs/item=*/part.parquet",
+                ["id_a", "id_b", "n_inter", "n_union"])
+            res_pairs = table_fingerprint(
+                out_kill, "pairs/item=*/part.parquet",
+                ["id_a", "id_b", "n_inter", "n_union"])
+            cold_cl = table_fingerprint(out_cold, "clusters/clusters.parquet",
+                                        ["doc_id", "cluster"])
+            res_cl = table_fingerprint(out_kill, "clusters/clusters.parquet",
+                                       ["doc_id", "cluster"])
+            return {
+                "cold_sec": cold["sec"],
+                "resume_sec": resumed["sec"],
+                "resume_over_cold": round(resumed["sec"] / cold["sec"], 3),
+                "n_items": n_items,
+                "items_done_at_kill": items_done_at_kill,
+                "items_redone_after_kill":
+                    n_items - resumed["n_items_skipped_resume"],
+                "sigs_stage_skipped": resumed["sigs_skipped_resume"],
+                "pairs_rows_cold": cold_pairs[0],
+                "pairs_rows_resumed": res_pairs[0],
+                "zero_row_loss": cold_pairs == res_pairs and cold_cl == res_cl,
+                "resume_timings_sec": resumed.get("timings_sec", {}),
+            }
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    runs = [one_experiment() for _ in range(repeats)]
+    best = min(runs, key=lambda r: r["resume_over_cold"])
+    print(json.dumps({
+        "mode": "kill-and-resume, dedup family (verified pairs + clusters)",
+        **best,
+        "kill_frac": kill_frac,
+        "all_resume_over_cold": [r["resume_over_cold"] for r in runs],
+        "all_zero_row_loss": all(r["zero_row_loss"] for r in runs),
+    }))
+
+
 def _cpu_probe(ncpu: int) -> float:
     """Compute-bound Ray Data job (sha256 burns, ~zero memory traffic per
     row): rows/s at this parallelism.  Run in-process after init_ray."""
@@ -610,6 +754,10 @@ if __name__ == "__main__":
         print(_cpu_probe(int(sys.argv[sys.argv.index("--cpu-probe") + 1])))
     elif "--resume-victim" in sys.argv:
         _resume_victim(sys.argv[sys.argv.index("--resume-victim") + 1])
+    elif "--dedup-victim" in sys.argv:
+        _dedup_victim(sys.argv[sys.argv.index("--dedup-victim") + 1])
+    elif "--resume-dedup" in sys.argv:
+        resume_dedup_bench()
     elif "--resume" in sys.argv:
         resume_bench()
     else:

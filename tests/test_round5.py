@@ -131,3 +131,75 @@ def test_drift_events_approx_recall_contract(ray_session):
     assert len(out) > 0
     has_exact = out["n_exact_outliers"] > 0
     assert (out.loc[has_exact, "recall"] >= 0.7).all()
+
+
+def test_dedup_resume_skips_done_items_zero_loss(ray_session, tmp_path):
+    """Kill-and-resume for the dedup family: a resumed run must skip
+    completed work items, recompute only unmarked ones, and produce a
+    byte-identical verified-pairs + clusters result (0 row loss)."""
+    import pyarrow.dataset as pads
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.dedup_resume import (
+        run_near_dup_dedup,
+    )
+
+    doc = "/root/testdata/sf0.001/documents.parquet"
+    cold_dir, kill_dir = str(tmp_path / "cold"), str(tmp_path / "kill")
+    cold = run_near_dup_dedup(doc, cold_dir, n_items=8)
+    assert cold["n_items_skipped_resume"] == 0 and not cold["sigs_skipped_resume"]
+    assert cold["n_pairs"] > 0  # sf0.001 documents contain near-dups
+
+    # build the "killed" state: full run, then erase 3 item markers +
+    # their outputs and the final clusters (as if SIGKILLed mid-stage-2)
+    run_near_dup_dedup(doc, kill_dir, n_items=8)
+    import os
+    import shutil
+
+    for p in (1, 4, 6):
+        os.remove(os.path.join(kill_dir, "_manifest", f"pairs__{p}.json"))
+        shutil.rmtree(os.path.join(kill_dir, "pairs", f"item={p}"))
+    os.remove(os.path.join(kill_dir, "_manifest", "final.json"))
+    shutil.rmtree(os.path.join(kill_dir, "clusters"))
+
+    resumed = run_near_dup_dedup(doc, kill_dir, n_items=8)
+    assert resumed["sigs_skipped_resume"]          # stage 1 not redone
+    assert resumed["n_items_skipped_resume"] == 5  # only 3 items redone
+
+    def read_sorted(d, sub, cols):
+        files = sorted(
+            str(f) for f in __import__("glob").glob(
+                os.path.join(d, sub), recursive=True))
+        return (pads.dataset(files).to_table(columns=cols).to_pandas()
+                .sort_values(cols).reset_index(drop=True))
+
+    cold_pairs = read_sorted(cold_dir, "pairs/item=*/part.parquet",
+                             ["id_a", "id_b", "n_inter", "n_union"])
+    res_pairs = read_sorted(kill_dir, "pairs/item=*/part.parquet",
+                            ["id_a", "id_b", "n_inter", "n_union"])
+    pd.testing.assert_frame_equal(cold_pairs, res_pairs)
+    cold_cl = read_sorted(cold_dir, "clusters/clusters.parquet",
+                          ["doc_id", "cluster"])
+    res_cl = read_sorted(kill_dir, "clusters/clusters.parquet",
+                         ["doc_id", "cluster"])
+    pd.testing.assert_frame_equal(cold_cl, res_cl)
+
+
+def test_dedup_resume_rebuilds_unmarked_sigs(ray_session, tmp_path):
+    """Stage 1 killed mid-write (partial partition dirs, NO marker) must
+    be wiped and rebuilt — file existence never gates correctness."""
+    import os
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.dedup_resume import (
+        run_near_dup_dedup,
+    )
+
+    doc = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "o")
+    first = run_near_dup_dedup(doc, out, n_items=4)
+    # simulate kill during stage 1: marker gone, stale partial files remain
+    os.remove(os.path.join(out, "_manifest", "sigs.json"))
+    for p in range(4):
+        os.remove(os.path.join(out, "_manifest", f"pairs__{p}.json"))
+    second = run_near_dup_dedup(doc, out, n_items=4)
+    assert not second["sigs_skipped_resume"]
+    assert second["n_pairs"] == first["n_pairs"]
