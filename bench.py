@@ -236,6 +236,12 @@ def main():
 
     headline_only = "--headline-only" in sys.argv
 
+    if os.environ.get("GRAFT_WAIT_HEALTHY"):
+        # certified-calm suite record (round-4 verdict item 4): block for
+        # a healthy window — single-core AND multi-core probes — the same
+        # gate --scaling applies per sample, so the suite wall is taken
+        # in (and its start/end probes certify) a calm host window
+        wait_healthy(ncpu=num_cpus)
     probe = host_probe()  # recorded so every bench JSON carries host state
     init_ray(num_cpus)
     warm_cache(sf_dir)
@@ -269,19 +275,25 @@ def main():
         # probe makes a burst that landed during the run visible in the
         # record instead of silently inflating the suite wall
         "host_probe_sec_end": host_probe(),
+        "host_probe_multi_sec_end": host_probe_multi(num_cpus),
         "host_probe_healthy_below_sec": HEALTH_THRESH,
+        "host_probe_multi_healthy_below_sec": MULTI_HEALTH_THRESH,
     }
     # surface the standing health-gated scaling record (bench.py
     # --scaling writes it; BASELINE.md documents the methodology) so a
     # default bench JSON carries the north-rule evidence inline
-    rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "SCALING_r04_run8.json")
+    import glob as globmod
+
+    recs = sorted(globmod.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALING_r*.json")))
+    rec_path = recs[-1] if recs else ""
     try:
         with open(rec_path) as fh:
             rec = json.load(fh)
         out["scaling_record"] = {
             "n_cpus": [rec["n_cpus_low"], rec["n_cpus_high"]],
-            "rows_per_sec": [rec["rows_per_sec_4"], rec["rows_per_sec_16"]],
+            "rows_per_sec": [rec[f"rows_per_sec_{rec['n_cpus_low']}"],
+                             rec[f"rows_per_sec_{rec['n_cpus_high']}"]],
             "efficiency_best": rec["scaling_efficiency"],
             "efficiency_median": rec.get("scaling_efficiency_median"),
             "source": os.path.basename(rec_path),
