@@ -203,3 +203,85 @@ def test_dedup_resume_rebuilds_unmarked_sigs(ray_session, tmp_path):
     second = run_near_dup_dedup(doc, out, n_items=4)
     assert not second["sigs_skipped_resume"]
     assert second["n_pairs"] == first["n_pairs"]
+
+
+def test_brand_basket_triples_planted(ray_session, tmp_path):
+    """Plant a corpus where exactly one brand triple dominates."""
+    import pyarrow.parquet as pq
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        brand_basket_triples,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # parts: brand Bk owns part k
+    part = pa.table({"p_partkey": pa.array(range(1, 7), pa.int64()),
+                     "p_brand": pa.array([f"B{k}" for k in range(1, 7)])})
+    pq.write_table(part, str(sf / "part.parquet"))
+    # orders 1..4 contain {1,2,3}; order 5 contains {4,5,6}; order 6 a pair
+    rows = []
+    for ok in (1, 2, 3, 4):
+        rows += [(ok, pk) for pk in (1, 2, 3)]
+    rows += [(5, 4), (5, 5), (5, 6), (6, 1), (6, 2)]
+    li = pa.table({"l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                   "l_partkey": pa.array([r[1] for r in rows], pa.int64())})
+    pq.write_table(li, str(sf / "lineitem.parquet"))
+    out = brand_basket_triples(str(sf))
+    assert tuple(out.iloc[0][["b1", "b2", "b3"]]) == ("B1", "B2", "B3")
+    assert int(out.iloc[0]["n_orders"]) == 4
+    assert int(out[out["b1"] == "B4"]["n_orders"].iloc[0]) == 1
+    assert len(out) == 2  # the pair-only order contributes no triple
+
+
+def test_audience_overlap_matrix_planted(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        audience_overlap_matrix,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # users 1-3 do 'a'; users 2-4 do 'b' → overlap {2,3}, union {1..4}
+    rows = [("a", u) for u in (1, 2, 3)] + [("b", u) for u in (2, 3, 4)]
+    rows += [("a", 1), ("b", 4)]  # duplicates must not inflate counts
+    t = pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([pd.Timestamp("2024-01-01")] * len(rows)),
+        "value": pa.array([1.0] * len(rows)),
+    })
+    pq.write_table(t, str(sf / "events.parquet"))
+    out = audience_overlap_matrix(str(sf))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["type_a"], r["type_b"]) == ("a", "b")
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (3, 3, 2)
+    assert r["jaccard_micro"] == 2 * 1_000_000 // 4
+
+
+def test_customer_priority_transitions_planted(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        customer_priority_transitions,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # customer 1: P1 -> P2 -> P2 ; customer 2: P3 -> P1
+    rows = [(1, "2024-01-01", 10, "P1"), (1, "2024-01-02", 11, "P2"),
+            (1, "2024-01-03", 12, "P2"), (2, "2024-01-01", 13, "P3"),
+            (2, "2024-01-05", 14, "P1")]
+    t = pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderdate": pa.array([pd.Timestamp(r[1]) for r in rows]),
+        "o_orderkey": pa.array([r[2] for r in rows], pa.int64()),
+        "o_orderpriority": pa.array([r[3] for r in rows]),
+    })
+    pq.write_table(t, str(sf / "orders.parquet"))
+    out = customer_priority_transitions(str(sf))
+    got = {(r["from_priority"], r["to_priority"]): r["n"]
+           for _, r in out.iterrows()}
+    assert got == {("P1", "P2"): 1, ("P2", "P2"): 1, ("P3", "P1"): 1}
