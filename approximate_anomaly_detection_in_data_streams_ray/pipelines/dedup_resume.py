@@ -97,7 +97,16 @@ def run_near_dup_dedup(doc_source: str, out_dir: str, *,
                   % P).astype(np.int32)
             return t.append_column("pbucket", pa.array(pb))
 
-        (ray.data.read_parquet(doc_files, columns=[id_col, text_col])
+        import pyarrow.parquet as pq
+
+        # metadata-free read schema: pandas metadata attached by the
+        # source files makes Ray's schema-unify hash fail per block
+        # ("Failed to hash the schemas" worker spam — same fix as
+        # queries._t)
+        fschema = pq.read_schema(doc_files[0]).remove_metadata()
+        fschema = pa.schema([fschema.field(c) for c in (id_col, text_col)])
+        (ray.data.read_parquet(doc_files, columns=[id_col, text_col],
+                               schema=fschema)
          .map_batches(bucketize, batch_format="pyarrow", batch_size=512)
          .write_parquet(sigs_dir, partition_cols=["pbucket"]))
         man.mark_done("sigs", n_items=n_items)
