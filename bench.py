@@ -694,6 +694,57 @@ def resume_dedup_bench():
     }))
 
 
+def query_stats(name: str):
+    """Audit mode: run ONE query and print its wall time plus the Ray
+    Data per-stage ``ds.stats()`` of every dataset the query executed —
+    the measure-don't-guess loop for per-stage tuning.  Queries return
+    pandas after internal execution, so stats are captured via the
+    datasets Ray registered during the call."""
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    init_ray(ncpu)
+    warm_cache(sf_dir)
+    warm_workers(ncpu)
+    from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
+        QUERIES,
+    )
+
+    fn = QUERIES[name]
+    fn(sf_dir)  # warm: corpus caches, worker imports
+    t0 = time.time()
+    res = fn(sf_dir)
+    sec = time.time() - t0
+    n_rows = len(res.to_pandas() if hasattr(res, "to_pandas") else res)
+    if hasattr(res, "stats"):
+        print(res.stats())
+    else:
+        # pandas result: the datasets already executed inside the query;
+        # surface each execution's operator topology, task counts and
+        # per-stage row counts from Ray's stats actor
+        try:
+            import ray as _r
+            from ray.data._internal.stats import _get_or_create_stats_actor
+
+            datasets = _r.get(_get_or_create_stats_actor()
+                              .get_datasets.remote())
+            for ds_id, info in datasets.items():
+                ops = info.get("operators", {})
+                print(f"dataset {ds_id}: state={info.get('state')} "
+                      f"rows={info.get('total_rows')}")
+                for op_id, op in ops.items():
+                    print(f"  {op.get('name')}: tasks="
+                          f"{op.get('progress')}/{op.get('total')} "
+                          f"rows={op.get('total_rows')}")
+        except Exception as ex:  # stats actor API varies across Ray minors
+            print(f"(per-stage stats unavailable via stats actor: {ex})")
+    print(json.dumps({"query": name, "sec": round(sec, 3),
+                      "rows": n_rows, "sf_dir": sf_dir,
+                      "num_cpus": ncpu}))
+    import ray
+
+    ray.shutdown()
+
+
 def _cpu_probe(ncpu: int) -> float:
     """Compute-bound Ray Data job (sha256 burns, ~zero memory traffic per
     row): rows/s at this parallelism.  Run in-process after init_ray."""
@@ -764,6 +815,8 @@ if __name__ == "__main__":
         scaling_cpu()
     elif "--cpu-probe" in sys.argv:
         print(_cpu_probe(int(sys.argv[sys.argv.index("--cpu-probe") + 1])))
+    elif "--stats" in sys.argv:
+        query_stats(sys.argv[sys.argv.index("--stats") + 1])
     elif "--resume-victim" in sys.argv:
         _resume_victim(sys.argv[sys.argv.index("--resume-victim") + 1])
     elif "--dedup-victim" in sys.argv:
