@@ -242,17 +242,29 @@ def test_drift_events_mcod_oracle_checks_all_substreams(ray_session):
 
 
 def test_queries_cover_previously_uncovered_first():
-    """The driver's correctness budget truncated at 50 names in round 3;
-    the four it never saw must now lead the dict."""
+    """The driver's correctness budget records the FIRST 50 dict entries;
+    every slot must land on a name no prior round's CORRECTNESS record
+    has seen (the per-round rotation invariant — round 4 fronted the
+    rows-only six, round 5 fronts 50 never-recorded names)."""
+    import glob
+    import json
+    import os
+
     from approximate_anomaly_detection_in_data_streams_ray.pipelines.queries import (
         ORACLE_SQL,
         QUERIES,
     )
 
-    first = list(QUERIES)[:5]
-    assert set(first) == {"validate_code_files_sql", "validate_code_files",
-                          "drift_events_mcod", "fingerprint_documents",
-                          "multimodal_decode"}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    recorded: set = set()
+    # records that existed when the CURRENT rotation was made (r01-r04):
+    # the round-5 driver record will legitimately contain today's front
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-4].json")):
+        with open(path) as fh:
+            recorded |= set(json.load(fh))
+    front = list(QUERIES)[:50]
+    already = [n for n in front if n in recorded]
+    assert not already, f"budget slots wasted on recorded names: {already}"
     assert "validate_code_files_sql" in ORACLE_SQL
 
 
